@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's Parquet star schema (TESTDATA.md / FIXTURES.md §B).
+  *
+  * All operators take a scale-factor directory (`/root/testdata/sf0.01` etc.)
+  * and read columnar Parquet; Catalyst pushes filters/projections down to the
+  * scan, so at 100 TB a query touching 2 of 11 lineitem columns reads only
+  * those column chunks. Never cache here — callers decide lifetime.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
+    * TimestampType with integer division (`div`, not `/` — a double divide
+    * would lose precision above 2^53 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
