@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Every operator the engine exposes, keyed by stable query id. */
   def registry: Seq[OpQuery] =
-    graft.operators.Relational.registry
+    graft.operators.Relational.registry ++
+      graft.pipelines.Analog.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
