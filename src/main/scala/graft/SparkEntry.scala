@@ -13,7 +13,11 @@ object SparkEntry {
   /** Every operator the engine exposes, keyed by stable query id. */
   def registry: Seq[OpQuery] =
     graft.operators.Relational.registry ++
-      graft.pipelines.Analog.registry
+      graft.pipelines.Analog.registry ++
+      graft.llm.TextStats.registry ++
+      graft.llm.Dedup.registry ++
+      graft.llm.Similarity.registry ++
+      graft.llm.Multimodal.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

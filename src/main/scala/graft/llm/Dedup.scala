@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{OpQuery, Tables}
+import graft.OpQuery.{rowsOnly, sql}
+
+/** Deduplication operators for LLM training corpora (builder-prompt
+  * north-star; SURVEY.md §2.10): exact (hash), MinHash+LSH near-dup,
+  * SimHash near-dup. Design for 100 TB:
+  *  - exact dedup shuffles once on the content hash (not the text);
+  *  - MinHash/SimHash candidate generation is a *bucketed* self-join —
+  *    only rows sharing an LSH band key ever meet, and oversized buckets
+  *    (degenerate shingles) are dropped by a frequency cap, so the join
+  *    can't go quadratic;
+  *  - signatures are fixed-width arrays computed scan-side in one pass
+  *    (Catalyst HOFs, no UDFs).
+  */
+object Dedup {
+
+  /** Content hash for exact dedup: SHA-256 of the raw text. */
+  def contentHash(text: Column): Column = sha2(text, 256)
+
+  /** Distinct word 3-gram shingles of a text column. */
+  def shingles(text: Column): Column =
+    expr("""array_distinct(transform(
+      sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+      i -> array_join(slice(split(trim(text), '\\s+'), i, 3), ' ')))""")
+
+  /** 64-hash MinHash signature over shingles (seeded xxhash64 family). */
+  def minhashSignature(shinglesCol: Column): Column = {
+    val s = shinglesCol
+    transform(sequence(lit(0), lit(63)),
+      k => array_min(transform(s, sh => xxhash64(k, sh))))
+  }
+
+  /** LSH band keys for a 64-wide signature: 16 bands × 4 rows. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(15)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * lit(4) + lit(1), lit(4))).as("bandkey")))
+
+  /** Add a 64-bit SimHash column over whitespace tokens of `text`.
+    * Two steps (per-bit weight vector, then sign bits) so the token-hash
+    * aggregation runs once, not once per bit.
+    */
+  def withSimhash(docs: DataFrame, out: String = "sh64"): DataFrame =
+    docs
+      .withColumn("__w", expr("""aggregate(
+        transform(split(trim(text), '\\s+'), t -> xxhash64(t)),
+        array_repeat(0L, 64),
+        (acc, h) -> zip_with(acc,
+          transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
+          (x, y) -> x + y))"""))
+      .withColumn(out, expr("""aggregate(
+        sequence(0, 63), 0L,
+        (acc, i) -> acc | IF(element_at(__w, i + 1) > 0, shiftleft(1L, i), 0L))"""))
+      .drop("__w")
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * @param maxBucket LSH buckets larger than this are dropped (degenerate
+    *                  content, e.g. boilerplate shingles) — the skew guard
+    *                  that keeps the self-join from going quadratic.
+    */
+  def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      maxBucket: Int = 50): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val buckets = sigs
+      .select(col("doc_id"), col("sh"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+    val sized = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = sized.select(col("band"), col("bandkey"),
+      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
+    val b = sized.select(col("band"), col("bandkey"),
+      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bandkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = withSimhash(docs.select(col("doc_id"), col("text"))).select("doc_id", "sh64")
+    val banded = sigs.select(col("doc_id"), col("sh64"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh64, b * 16) & 65535L AS key))")).as("bk"))
+      .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh64").as("ha"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh64").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
+  }
+
+  def registry: Seq[OpQuery] = Seq(
+
+    // ---- exact dedup: first-wins survivor per content hash ---------------
+    sql("d1_exact_dedup",
+      """SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, sha256(text) AS content_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_hash"))
+    },
+
+    // ---- duplicate-group report on a prefix key (non-trivial in this
+    //      corpus: generated docs share 80-char prefixes) -------------------
+    sql("d2_dup_groups",
+      """SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+        |FROM (SELECT doc_id, sha256(substr(text, 1, 80)) AS prefix_hash FROM documents) t
+        |GROUP BY prefix_hash HAVING count(*) > 1""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(substring(col("text"), 1, 80), 256).as("prefix_hash"))
+        .groupBy(col("prefix_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+        .filter(col("n_docs") > 1)
+    },
+
+    // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 not in DuckDB;
+    //      exactness covered by DedupSpec against brute-force Jaccard) -----
+    rowsOnly("d3_minhash_pairs") { (s, d) =>
+      minhashPairs(Tables.documents(s, d))
+    },
+
+    // ---- SimHash near-dup pairs (rows-only; DedupSpec) -------------------
+    rowsOnly("d4_simhash_pairs") { (s, d) =>
+      simhashPairs(Tables.documents(s, d))
+    },
+
+    // ---- n-gram Jaccard similarity for adjacent same-source docs ---------
+    // The standalone exact-similarity op (no LSH): pairs within a bounded
+    // blocking key (source), similarity = |∩|/|∪| of word 3-gram sets.
+    sql("d5_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents) t
+        |)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(a.grams || b.grams)) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.source = b.source AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), shingles(col("text")).as("grams"))
+        .withColumn("rk", row_number().over(w))
+      val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"), col("grams").as("ga"))
+      val b = sh.select(col("source"), (col("rk") - 1).as("rk"),
+        col("doc_id").as("doc_id_b"), col("grams").as("gb"))
+      a.join(b, Seq("source", "rk"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb")))).as("jaccard"))
+    }
+  )
+}

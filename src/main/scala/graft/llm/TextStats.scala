@@ -1,0 +1,173 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{OpQuery, Tables}
+import graft.OpQuery.{rowsOnly, sql}
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting (builder-prompt north-star;
+  * SURVEY.md §2.10). All scalar work is Catalyst expressions/HOFs — one
+  * scan, no shuffle except where an aggregation is the point. At 100 TB
+  * these run embarrassingly parallel over document partitions.
+  */
+object TextStats {
+
+  /** Whitespace tokens of a (trimmed) text column. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** GPT-style pre-tokenizer count: letter runs | single digits | single
+    * non-alnum marks. A cheap, deterministic stand-in for a BPE tokenizer's
+    * pre-split (the real BPE merge table is model-specific).
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** English stopword sample (public knowledge, small on purpose — it's a
+    * broadcast dim, not a model).
+    */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as")
+
+  /** Per-language stopword dictionary for the language-ID heuristic. */
+  val stopwordDict: Seq[(String, String)] =
+    enStopwords.map(("en", _)) ++
+      Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den").map(("de", _)) ++
+      Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no").map(("es", _)) ++
+      Seq("le", "les", "et", "une", "est", "dans", "du", "pas", "pour", "sur").map(("fr", _)) ++
+      Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这").map(("zh", _))
+
+  def registry: Seq[OpQuery] = Seq(
+
+    // ---- corpus stats per language (metadata aggregation) ----------------
+    sql("t1_lang_stats",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+
+    // ---- token counting: whitespace + BPE-ish pre-tokenizer --------------
+    sql("t2_token_counts",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeishCount(col("text")).as("n_bpeish_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+    },
+
+    // ---- quality scoring: length/punct/alpha/stopword ratios -------------
+    // Ratios are int/int double divisions — bit-identical across engines,
+    // no rounding needed.
+    sql("t3_quality_score",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?"]', '', 'g')) AS BIGINT) AS n_punct,
+        |  (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 1.0
+        |    / length(text) AS non_alpha_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       x -> list_contains(['the','a','an','and','of','to','in','is','that','it','for','on','with','as'], x))) AS BIGINT)
+        |    AS n_stopwords
+        |FROM documents WHERE length(text) > 0""".stripMargin) { (s, d) =>
+      val sw = typedLit(enStopwords)
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_measured"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?\"]", ""))).cast("long").as("n_punct"),
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0) /
+            length(col("text"))).as("non_alpha_ratio"),
+          size(filter(tokens(col("text")), t => array_contains(sw, t)))
+            .cast("long").as("n_stopwords"))
+    },
+
+    // ---- language ID: stopword-hit argmax over a broadcast dictionary ----
+    // The scale shape: explode tokens → broadcast-join the tiny dictionary
+    // → per-doc per-lang counts (map-side combined) → argmax window. No
+    // big-side shuffle except the per-doc aggregation.
+    sql("t4_lang_id",
+      """WITH dict AS (
+        |  SELECT * FROM (VALUES
+        |    ('en','the'),('en','a'),('en','an'),('en','and'),('en','of'),('en','to'),
+        |    ('en','in'),('en','is'),('en','that'),('en','it'),('en','for'),('en','on'),
+        |    ('en','with'),('en','as'),
+        |    ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),
+        |    ('de','mit'),('de','ein'),('de','zu'),('de','den'),
+        |    ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),('es','en'),
+        |    ('es','un'),('es','es'),('es','se'),('es','no'),
+        |    ('fr','le'),('fr','les'),('fr','et'),('fr','une'),('fr','est'),('fr','dans'),
+        |    ('fr','du'),('fr','pas'),('fr','pour'),('fr','sur'),
+        |    ('zh','的'),('zh','是'),('zh','不'),('zh','了'),('zh','在'),('zh','人'),
+        |    ('zh','有'),('zh','我'),('zh','他'),('zh','这')
+        |  ) AS t(sw_lang, sw_word)
+        |), hits AS (
+        |  SELECT doc_id, sw_lang, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents WHERE length(trim(text)) > 0) tok
+        |  JOIN dict ON token = sw_word
+        |  GROUP BY doc_id, sw_lang
+        |), best AS (
+        |  SELECT doc_id, sw_lang, n_hits,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, sw_lang) AS rn
+        |  FROM hits
+        |)
+        |SELECT d.doc_id, coalesce(b.sw_lang, 'und') AS pred_lang,
+        |  coalesce(b.n_hits, 0) AS n_hits, d.lang AS labeled_lang
+        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dict = broadcast(stopwordDict.toDF("sw_lang", "sw_word"))
+      val docs = Tables.documents(s, d)
+      val hits = docs
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .join(dict, col("token") === col("sw_word"))
+        .groupBy(col("doc_id"), col("sw_lang"))
+        .agg(count(lit(1)).as("n_hits"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("n_hits").desc, col("sw_lang"))
+      val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+        .join(best.select(col("doc_id"), col("sw_lang"), col("n_hits")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sw_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("labeled_lang"))
+    },
+
+    // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
+    // Winnowing-style content fingerprint (rolling char shingles → hash →
+    // keep the k smallest). Not SQL-expressible in DuckDB (no xxhash64) →
+    // rows-only gate + FingerprintSpec.
+    rowsOnly("t5_fingerprint") { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("""transform(
+          sequence(1, greatest(length(text) - 7, 1)),
+          i -> xxhash64(substr(text, i, 8)))""").as("gram_hashes"))
+        .select(col("doc_id"),
+          expr("slice(array_sort(array_distinct(gram_hashes)), 1, 8)").as("sketch"))
+        .select(col("doc_id"), col("sketch"), xxhash64(col("sketch")).as("fingerprint"))
+    }
+  )
+}

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus with planted near-duplicates:
+  // 1/2 identical; 3 near-dup of 1 (one word changed); 4/5 unrelated
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green hills tonight"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (4L, "completely different content about spark sql query engines and columnar storage formats today"),
+    (5L, "yet another unrelated document mentioning benchmarks optimizers and shuffle partitions in clusters")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups and jaccard matches brute force") {
+    val pairs = Dedup.minhashPairs(docs, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+    // brute-force check of the reported jaccard for (1,3)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = sh(1L).toSet.intersect(sh(3L).toSet).size.toDouble /
+      sh(1L).toSet.union(sh(3L).toSet).size
+    assert(math.abs(pairs((1L, 3L)) - expected) < 1e-12)
+  }
+
+  test("simhash pairs: small edits on LONG docs collide, unrelated don't") {
+    // SimHash detects near-dups when the EDIT FRACTION is small — with 200
+    // tokens, a one-token change flips ~1-2 of 64 bits; with 17 tokens it
+    // flips ~12 (undetectable by design). Use long docs, as in real corpora.
+    val words = (0 until 200).map(i => s"w${i % 97}tok$i")
+    val longBase = words.mkString(" ")
+    val oneEdit = words.updated(100, "CHANGED").mkString(" ")
+    val longDocs = Seq(
+      (1L, longBase), (2L, longBase), (3L, oneEdit),
+      (4L, (0 until 200).map(i => s"other${i}x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(longDocs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must collide with hamming 0")
+    assert(pairs.contains((1L, 3L)), "one-token edit in 200 tokens must stay within hamming 3")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, "unrelated doc must not pair")
+  }
+
+  test("bucket cap drops degenerate buckets (skew guard)") {
+    // 60 identical docs: every band bucket has 60 members > maxBucket=50 →
+    // no candidate pairs at all (instead of 1770 quadratic pairs)
+    val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(many, maxBucket = 50).count() === 0)
+    // with the cap lifted, all 1770 pairs appear
+    assert(Dedup.minhashPairs(many, maxBucket = 100).count() === 60L * 59 / 2)
+  }
+
+  test("exact dedup keeps lowest doc_id per hash") {
+    val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
+    val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    val out = dup.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(7L, 8L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table: payload bytes round-trip, metadata typed") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val r = media.select(col("doc_id"), length(col("payload")).as("n"),
+      col("meta.n_bytes"), col("meta.format"))
+      .as[(Long, Int, Long, String)].head()
+    assert(r._2.toLong === r._3)
+    assert(r._4 === "text/plain")
+  }
+
+  test("feature extraction is deterministic and batch-shaped") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf)).limit(50)
+    val run1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    val run2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("doc_id").collect()
+    assert(run1.length === 50)
+    // partitioning must not change results (no per-partition state leaks)
+    run1.zip(run2).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0))
+      assert(a.getDouble(2) === b.getDouble(2))
+      assert(a.getSeq[Float](3) === b.getSeq[Float](3))
+    }
+    // feature contract: 8 floats, brightness in byte range
+    run1.foreach { r =>
+      assert(r.getSeq[Float](3).length === 8)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 255.0)
+    }
+  }
+
+  test("decode stub handles empty payload") {
+    val (b, f) = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(b === 0.0 && f.toSeq === Seq.fill(8)(0.0f))
+  }
+
+  test("fingerprint: identical texts collide, sketch bounded") {
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
+      .toDF("doc_id", "text")
+    // reuse the registered query against a temp view-free path: apply the same exprs
+    val fp = graft.llm.TextStats.registry.find(_.name == "t5_fingerprint").get
+    val out = docs.select(col("doc_id"),
+        expr("""transform(sequence(1, greatest(length(text) - 7, 1)),
+                i -> xxhash64(substr(text, i, 8)))""").as("gh"))
+      .select(col("doc_id"), expr("slice(array_sort(array_distinct(gh)), 1, 8)").as("sketch"))
+      .select(col("doc_id"), xxhash64(col("sketch")).as("fp"), size(col("sketch")).as("n"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === out(2L)._1)
+    assert(out(1L)._1 !== out(3L)._1)
+    assert(out.values.forall(_._2 <= 8))
+  }
+}
