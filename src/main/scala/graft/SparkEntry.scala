@@ -17,7 +17,8 @@ object SparkEntry {
       graft.llm.TextStats.registry ++
       graft.llm.Dedup.registry ++
       graft.llm.Similarity.registry ++
-      graft.llm.Multimodal.registry
+      graft.llm.Multimodal.registry ++
+      graft.streaming.Streams.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.{OpQuery, Tables}
+import graft.OpQuery.sql
+import graft.core.Envelope
+
+/** Structured-Streaming surface (SURVEY.md §2.9). The reference IS a
+  * streaming system in the small — one webhook per event, state in an
+  * external ledger. Here: event-time windowed aggregation with watermarks,
+  * session windows, and the EP1/EP2 pipelines run incrementally via
+  * `foreachBatch` (reusing the batch DataFrame functions verbatim — the
+  * reason they're pure DataFrame→DataFrame).
+  *
+  * The registry entries run the BATCH-equivalent plans (the oracle gate is
+  * batch); StreamingSpec proves batch ≡ streaming on the same input.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation, usable both batch and streaming. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregation (1 hour window, 30 min slide). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows: 5-minute inactivity gap per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "5 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
+
+  /** Streaming form of [[tumblingAgg]] with a watermark: rows later than
+    * 30 minutes behind the max seen event time are dropped.
+    */
+  def streamTumbling(stream: DataFrame): DataFrame =
+    tumblingAgg(stream.withWatermark("ts", "30 minutes"))
+
+  /** Run the EP2 process-movement pipeline incrementally: each micro-batch
+    * of webhook JSON merges its counter deltas into the keyed state via
+    * `foreachBatch` (deterministic, restart-safe — deltas are commutative,
+    * so replays converge; SURVEY §2.9).
+    *
+    * @param getState  () => current inventory snapshot
+    * @param setState  merged inventory writer (e.g. Delta/parquet upsert in
+    *                  prod; in-memory swap in tests)
+    */
+  def runProcessMovementStream(
+      spark: SparkSession,
+      inputDir: String,
+      getState: () => DataFrame,
+      setState: DataFrame => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .text(inputDir)                      // one webhook JSON per line
+      .withColumnRenamed("value", "body")
+    val parsed = raw
+      .withColumn("record",
+        from_json(col("body"), Envelope.processWebhookSchema).getField("record"))
+      // content hash as event id (monotonically_increasing_id is not
+      // available on streaming DataFrames); ProcessMovement's deltas don't
+      // depend on it — it only labels dead-letter rows
+      .withColumn("event_id", xxhash64(col("body")))
+    parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val result = graft.pipelines.ProcessMovement(batch, getState())
+        setState(result.inventory)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  def registry: Seq[OpQuery] = Seq(
+
+    // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------
+    sql("st1_tumbling_window",
+      """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      tumblingAgg(Tables.events(s, d))
+    },
+
+    // ---- sliding windows: each event lands in two 1h/30m windows ---------
+    sql("st2_sliding_window",
+      """WITH assigned AS (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS win_start,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+        |           - INTERVAL '30 minutes' AS win_start,
+        |         event_type FROM events
+        |)
+        |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM assigned GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      slidingAgg(Tables.events(s, d))
+    },
+
+    // ---- session windows: gaps-and-islands oracle ------------------------
+    sql("st3_session_window",
+      """WITH seq AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL '5 minutes' OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM seq
+        |)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      sessionAgg(Tables.events(s, d))
+    }
+  )
+}
