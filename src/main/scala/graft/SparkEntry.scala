@@ -20,9 +20,12 @@ object SparkEntry {
       graft.llm.Multimodal.registry ++
       graft.streaming.Streams.registry
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * EP1 — the reference's core order-approval dataflow as one Spark plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    registry.head.run(spark, "/root/testdata/sf0.001")
+    registry.find(_.name == "ep1_order_approval").get
+      .run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -37,4 +37,12 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Name-based loader that routes through the schema-aware accessors
+    * (`events` needs the nanos handling).
+    */
+  def load(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case other    => table(s, d, other)
+  }
 }

@@ -29,11 +29,19 @@ object Dedup {
       sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
       i -> array_join(slice(split(trim(text), '\\s+'), i, 3), ' ')))""")
 
-  /** 64-hash MinHash signature over shingles (seeded xxhash64 family). */
-  def minhashSignature(shinglesCol: Column): Column = {
-    val s = shinglesCol
-    transform(sequence(lit(0), lit(63)),
-      k => array_min(transform(s, sh => xxhash64(k, sh))))
+  /** 64-hash MinHash signatures over shingles (seeded xxhash64 family),
+    * computed as explode → 64 codegen'd `min` aggregates (a nested-HOF
+    * formulation runs interpreted and allocates per-token arrays — ~100×
+    * slower at scale). One shuffle, keyed by doc_id.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(k => col(s"m$k")): _*).as("sig"))
   }
 
   /** LSH band keys for a 64-wide signature: 16 bands × 4 rows. */
@@ -41,22 +49,24 @@ object Dedup {
     transform(sequence(lit(0), lit(15)),
       b => struct(b.as("band"), xxhash64(slice(sig, b * lit(4) + lit(1), lit(4))).as("bandkey")))
 
-  /** Add a 64-bit SimHash column over whitespace tokens of `text`.
-    * Two steps (per-bit weight vector, then sign bits) so the token-hash
-    * aggregation runs once, not once per bit.
+  /** 64-bit SimHash per doc over whitespace tokens: explode token hashes →
+    * 64 codegen'd bit-count aggregates → reassemble the sign word.
+    * Bit i is set iff more than half the token hashes have bit i set
+    * (weight = 2·ones − n > 0). Returns (doc_id, sh64).
     */
-  def withSimhash(docs: DataFrame, out: String = "sh64"): DataFrame =
-    docs
-      .withColumn("__w", expr("""aggregate(
-        transform(split(trim(text), '\\s+'), t -> xxhash64(t)),
-        array_repeat(0L, 64),
-        (acc, h) -> zip_with(acc,
-          transform(sequence(0, 63), i -> IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)),
-          (x, y) -> x + y))"""))
-      .withColumn(out, expr("""aggregate(
-        sequence(0, 63), 0L,
-        (acc, i) -> acc | IF(element_at(__w, i + 1) > 0, shiftleft(1L, i), 0L))"""))
-      .drop("__w")
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val hashes = docs.select(col("doc_id"),
+      explode(expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"o$i"))
+    val sh64 = (0 until 64)
+      .map(i => when(col(s"o$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashes
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), sh64.as("sh64"))
+  }
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     *
@@ -66,24 +76,27 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxBucket: Int = 50): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
+    val shingleDf = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = minhashSignatures(docs)
+    // Bucket on band keys; ids only through the self-join — the shingle
+    // arrays (the heavy payload) are re-attached per-side AFTER the
+    // candidate set is known, so the shuffle moves keys, not content.
     val buckets = sigs
-      .select(col("doc_id"), col("sh"), explode(bandKeys(col("sig"))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
     val sized = buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
-    val a = sized.select(col("band"), col("bandkey"),
-      col("doc_id").as("doc_id_a"), col("sh").as("sh_a"))
-    val b = sized.select(col("band"), col("bandkey"),
-      col("doc_id").as("doc_id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bandkey"))
+    val candidates = sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
+      .join(sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
+        Seq("band", "bandkey"))
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
+    candidates
+      .join(shingleDf.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
+      .join(shingleDf.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -93,7 +106,7 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = withSimhash(docs.select(col("doc_id"), col("text"))).select("doc_id", "sh64")
+    val sigs = simhashSignatures(docs)
     val banded = sigs.select(col("doc_id"), col("sh64"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh64, b * 16) & 65535L AS key))")).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.key"))
