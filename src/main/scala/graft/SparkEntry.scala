@@ -13,6 +13,7 @@ object SparkEntry {
   /** Every operator the engine exposes, keyed by stable query id. */
   def registry: Seq[OpQuery] =
     graft.operators.Relational.registry ++
+      graft.operators.Functions.registry ++
       graft.pipelines.Analog.registry ++
       graft.llm.TextStats.registry ++
       graft.llm.Dedup.registry ++

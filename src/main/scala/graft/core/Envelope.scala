@@ -18,12 +18,16 @@ object Envelope {
   def v(c: Column): Column = c.getField("value")
 
   /** Kintone numeric-as-string → int with the reference's `parseInt(x || 0)`
-    * default (makeRouter.js:108 etc.): null/empty → 0.
-    * Divergence (SURVEY §2.8 C4): JS `parseInt("12abc")` prefix-parses to 12,
-    * Spark cast yields null → 0; fixtures avoid that corner.
+    * semantics (makeRouter.js:108 etc.): leading integer prefix parsed
+    * (`parseInt("12abc") = 12`), null/empty/garbage → 0. The regexp guard
+    * also keeps ANSI mode (Spark 4 default) from throwing on malformed
+    * input (SURVEY §2.8 C4).
     */
   def intOrZero(c: Column): Column =
-    coalesce(c.cast("int"), lit(0))
+    coalesce(
+      nullif(regexp_extract(c.cast("string"), "^\\s*(-?[0-9]+)", 1), lit(""))
+        .cast("int"),
+      lit(0))
 
   private def ddl(s: String): StructType =
     DataType.fromDDL(s).asInstanceOf[StructType]

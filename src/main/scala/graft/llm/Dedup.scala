@@ -35,9 +35,12 @@ object Dedup {
     * slower at scale). One shuffle, keyed by doc_id.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    // Hash each shingle string ONCE, then derive the 64-member hash family
+    // by remixing the 8-byte hash with the seed — 64× less string hashing.
     val exploded = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
     exploded
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)

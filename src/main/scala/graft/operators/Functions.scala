@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OpQuery, Tables}
+import graft.OpQuery.{rowsOnly, sql}
+
+/** Scalar/array/map/datetime function coverage (SURVEY.md §2.8 + the
+  * engine's declared built-in surface). Per-row expressions are pure
+  * projections — fully codegen'd, zero shuffle, scan-bound at 100 TB.
+  */
+object Functions {
+
+  def registry: Seq[OpQuery] = Seq(
+
+    // ---- union / union all (SURVEY §2.5 set-like ops) --------------------
+    sql("q31_union_all",
+      """SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) t GROUP BY nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- array functions over tokenized text -----------------------------
+    sql("q32_array_funcs",
+      """SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  list_contains(toks, 'the') AS has_the,
+        |  list_sort(toks)[1] AS first_sorted,
+        |  toks[3] AS third_token,
+        |  array_to_string(toks[1:3], '|') AS head3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(sort_array(col("toks")), 1).as("first_sorted"),
+          element_at(col("toks"), 3).as("third_token"),
+          array_join(slice(col("toks"), 1, 3), "|").as("head3"))
+    },
+
+    // ---- map functions over parsed JSON ----------------------------------
+    sql("q33_map_funcs",
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS prop_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(coalesce(json_extract_string(props, '$.missing'), '-1') AS BIGINT) AS missing_val
+        |FROM events""".stripMargin) { (s, d) =>
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        array_join(map_keys(m), ",").as("prop_keys"),
+        element_at(m, "k").as("k_val"),
+        coalesce(element_at(m, "missing"), lit(-1L)).as("missing_val"))
+    },
+
+    // ---- conditional functions (SURVEY §2.8 C9) --------------------------
+    sql("q34_conditional_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate,
+        |  nullif(l_quantity, 1.0) AS qty_or_null,
+        |  coalesce(nullif(l_quantity, 1.0), -1.0) AS qty_defaulted,
+        |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 40 THEN 'mid'
+        |       ELSE 'high' END AS qty_band,
+        |  (l_returnflag = 'R') AS returned
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        nullif(col("l_quantity"), lit(1.0)).as("qty_or_null"),
+        coalesce(nullif(col("l_quantity"), lit(1.0)), lit(-1.0)).as("qty_defaulted"),
+        when(col("l_quantity") < 10, "low").when(col("l_quantity") < 40, "mid")
+          .otherwise("high").as("qty_band"),
+        (col("l_returnflag") === "R").as("returned"))
+    },
+
+    // ---- math functions (ulp-safe subset: no libm transcendentals) -------
+    sql("q35_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - l_tax) AS rate_gap,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  power(l_discount, 2) AS disc_sq,
+        |  CAST(sign(l_discount - l_tax) AS DOUBLE) AS gap_sign,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - col("l_tax")).as("rate_gap"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_discount"), 2).as("disc_sq"),
+        signum(col("l_discount") - col("l_tax")).as("gap_sign"),
+        (col("l_orderkey") % 7).cast("long").as("key_mod"))
+    },
+
+    // ---- datetime arithmetic ---------------------------------------------
+    sql("q36_datetime_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("days_since_95"))
+    },
+
+    // ---- string functions round 2 ----------------------------------------
+    sql("q37_string_funcs2",
+      """SELECT c_custkey,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  reverse(c_name) AS name_rev,
+        |  repeat(c_mktsegment, 2) AS seg_twice,
+        |  split_part(c_name, '#', 1) AS name_stem,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowvowel,
+        |  lower(c_mktsegment) AS seg_lower
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        reverse(col("c_name")).as("name_rev"),
+        repeat(col("c_mktsegment"), 2).as("seg_twice"),
+        split_part(col("c_name"), lit("#"), lit(1)).as("name_stem"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lowvowel"),
+        lower(col("c_mktsegment")).as("seg_lower"))
+    },
+
+    // ---- exact percentiles (sort-based, deterministic interpolation) -----
+    sql("q38_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
+    // ---- sketch aggregates (approx_count_distinct: engine-specific
+    //      estimates → rows-only; DedupSpec-style tolerance in FunctionsSpec)
+    rowsOnly("q39_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // ---- S2/S8: permissive parse + dead-letter split ---------------------
+    // 1% of props are corrupted in-flight (drop the leading '{'); the
+    // pipeline routes parse failures to a dead-letter count instead of
+    // failing the job — the 100 TB rule (SURVEY §2.1 S8).
+    sql("q40_dead_letter",
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead
+        |FROM (
+        |  SELECT event_type,
+        |    json_valid(CASE WHEN event_id % 100 = 0 THEN substr(props, 2) ELSE props END) AS ok
+        |  FROM events) t
+        |GROUP BY event_type""".stripMargin) { (s, d) =>
+      val corrupted = when(col("event_id") % 100 === 0, expr("substr(props, 2)"))
+        .otherwise(col("props"))
+      val parsed = from_json(corrupted,
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+      Tables.events(s, d)
+        .select(col("event_type"), parsed.isNotNull.as("ok"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("n_dead"))
+    },
+
+    // ---- cast edges: try-semantics string→number -------------------------
+    sql("q41_cast_edges",
+      """SELECT c_custkey,
+        |  TRY_CAST(c_name AS INTEGER) AS name_as_int,
+        |  TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS key_from_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_str,
+        |  CAST(c_nationkey AS DOUBLE) AS nation_dbl
+        |FROM customer""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        // ANSI mode (Spark 4 default) makes plain cast THROW on malformed
+        // input — try_cast is the tolerant form, matching DuckDB TRY_CAST
+        expr("try_cast(c_name AS INT)").as("name_as_int"),
+        expr("try_cast(split_part(c_name, '#', 2) AS BIGINT)").as("key_from_name"),
+        col("c_acctbal").cast("decimal(12,2)").cast("string").as("bal_str"),
+        col("c_nationkey").cast("double").as("nation_dbl"))
+    }
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters — the
+  * supported way to lift a custom Catalyst `Expression` into the public
+  * `Column` API in Spark 4 (the old `new Column(expr)` constructor is
+  * gone). Lives under `org.apache.spark.sql` for package-private access;
+  * everything else in this project stays in `graft`.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
