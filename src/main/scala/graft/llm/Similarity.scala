@@ -103,6 +103,54 @@ object Similarity {
       .drop("rn")
   }
 
+  /** IVF (inverted-file) approximate top-k — the true 100 TB scale path:
+    * a k-means codebook partitions the corpus into `nlist` cells; each
+    * query probes only its `nprobe` nearest cells, so the scan fraction is
+    * ~nprobe/nlist regardless of corpus size. Unlike hyperplane LSH, the
+    * index adapts to the data distribution (trained centroids), which is
+    * why it holds up on clustered real-world embeddings AND uniform data.
+    *
+    * The codebook is a model artifact (nlist × dim doubles on the driver —
+    * kilobytes); the corpus assignment and search are fully distributed.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusFv = corpus
+      .withColumn("__fv", array_to_vector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(corpusFv)
+    val assigned = model.transform(corpusFv)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("__cell"))
+    val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+
+    // per-query nprobe nearest cells: argmin of ||q - c||² over the tiny
+    // codebook, computed as -2·q·c + ||c||² (the ||q||² term is constant
+    // per query and cancels in the ranking)
+    val scored = array(centers.zipWithIndex.map { case (c, i) =>
+      val cnorm2 = c.map(x => x * x).sum
+      struct(
+        (lit(-2.0) * graft.functions.VectorExpressions.arrayDot(col("qe"), typedLit(c)) +
+          lit(cnorm2)).as("score"),
+        lit(i).as("cid"))
+    }: _*)
+    val qProbes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("__probe", explode(slice(array_sort(scored), 1, nprobe)))
+      .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    assigned.join(broadcast(qProbes), Seq("__cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact brute-force cosine top-5 for 8 probe queries --------------
@@ -140,6 +188,13 @@ object Similarity {
     rowsOnly("s2_ann_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
       lshTopK(e.filter(col("vec_id") < 8), e, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+    },
+
+    // ---- IVF approximate top-5 (rows-only; recall in SimilaritySpec) -----
+    rowsOnly("s4_ann_ivf") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      ivfTopK(e.filter(col("vec_id") < 8), e, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     },
 

@@ -86,6 +86,33 @@ object Streams {
       .start()
   }
 
+  /** EP1 streaming form: order-approval webhooks merge stock transfers into
+    * the inventory ledger per micro-batch (same contract as
+    * [[runProcessMovementStream]]).
+    */
+  def runOrderApprovalStream(
+      spark: SparkSession,
+      inputDir: String,
+      getState: () => DataFrame,
+      setState: DataFrame => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val parsed = spark.readStream
+      .text(inputDir)
+      .withColumnRenamed("value", "body")
+      .withColumn("record",
+        from_json(col("body"), Envelope.orderWebhookSchema).getField("record"))
+      .withColumn("event_id", xxhash64(col("body")))
+    parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val result = graft.pipelines.OrderApproval(batch, getState())
+        setState(result.inventory)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------
