@@ -202,6 +202,51 @@ object Functions {
           sum(when(col("ok"), 0L).otherwise(1L)).as("n_dead"))
     },
 
+    // ---- as-of join (self): latest prior purchase per event --------------
+    // Spark-first: the reference preference order says compose built-ins
+    // when semantics allow — a sorted window with last(_, ignoreNulls)
+    // IS the as-of join for same-key streams, with no join at all (one
+    // shuffle on the key, no range explosion).
+    sql("q42_asof_self",
+      """SELECT event_id, user_id, ts, last_purchase_ts FROM (
+        |  SELECT event_id, user_id, ts,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+        |  FROM events) t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("ts"),
+        max(when(col("event_type") === "purchase", col("ts"))).over(w)
+          .as("last_purchase_ts"))
+    },
+
+    // ---- interval (time-range) join --------------------------------------
+    // Events within 30 minutes AFTER a purchase by the same user. Equi key
+    // (user_id) + range predicate: Spark plans an equi shuffle join with
+    // the range as residual — no cartesian. Count aggregated per purchase.
+    sql("q43_interval_join",
+      """SELECT p.event_id AS purchase_id, CAST(count(e.event_id) AS BIGINT) AS n_follow
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN events e
+        |  ON e.user_id = p.user_id
+        |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '30 minutes'
+        |GROUP BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val e = ev.select(col("user_id"), col("ts").as("ets"), col("event_id").as("eid"))
+      p.join(e,
+          p("user_id") === e("user_id") &&
+            col("ets") > col("pts") &&
+            col("ets") <= col("pts") + expr("INTERVAL 30 MINUTES"),
+          "left")
+        .groupBy(col("purchase_id"))
+        .agg(count(col("eid")).as("n_follow"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.SparkSpec
+
+case class Move(inventoryId: String, station: String, delta: Long)
+case class Counters(counts: Map[String, Long])
+
+/** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.9): the
+  * inventory-counter state machine held in Spark-managed per-key state
+  * instead of an external ledger — the alternative to foreachBatch merge
+  * when state must live inside the stream.
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mapGroupsWithState accumulates per-key station counters across batches") {
+    val src = Files.createTempDirectory("state-src").toString
+
+    def update(key: String, rows: Iterator[Move], state: GroupState[Counters]): (String, Map[String, Long]) = {
+      val prev = state.getOption.map(_.counts).getOrElse(Map.empty)
+      val merged = rows.foldLeft(prev) { (acc, m) =>
+        acc.updated(m.station, acc.getOrElse(m.station, 0L) + m.delta)
+      }
+      state.update(Counters(merged))
+      key -> merged
+    }
+
+    // batch 1
+    Seq("101,qty_office,-1", "101,qty_warehouse,1", "102,qty_sewer,1")
+      .toDF("v").coalesce(1).write.mode("append").text(src)
+
+    val stream = spark.readStream.text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("inventoryId"),
+        col("p").getItem(1).as("station"),
+        col("p").getItem(2).cast("long").as("delta"))
+      .as[Move]
+
+    val counted = stream
+      .groupByKey(_.inventoryId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+
+    val q = counted.toDF("key", "counts").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: same keys again — state must carry over
+      Seq("101,qty_warehouse,-1", "101,qty_art,1").toDF("v")
+        .coalesce(1).write.mode("append").text(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // memory sink in Update mode appends updated rows; take the LAST row per key
+    val rows = spark.table("state_out").collect()
+    val latest = rows.zipWithIndex
+      .groupBy(_._1.getString(0)).view
+      .mapValues(_.maxBy(_._2)._1.getAs[Map[String, Long]]("counts")).toMap
+    assert(latest("101") === Map("qty_office" -> -1L, "qty_warehouse" -> 0L, "qty_art" -> 1L))
+    assert(latest("102") === Map("qty_sewer" -> 1L))
+  }
+}
