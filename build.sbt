@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep the Hive-less warehouse + Derby metastore out of the repo tree
+  // (bucketed-table tests use saveAsTable)
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
+  "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -149,4 +149,12 @@ object VectorExpressions {
   /** Column API for [[ArrayDot]]. */
   def arrayDot(a: Column, b: Column): Column =
     Shim.column(ArrayDot(Shim.expression(a), Shim.expression(b)))
+
+  /** Make the native expressions callable from SQL text
+    * (`SELECT cosine_f32(a, b)`); idempotent per session.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Shim.registerFunction(spark, "cosine_f32", es => CosineSimF32(es(0), es(1)))
+    Shim.registerFunction(spark, "array_dot", es => ArrayDot(es(0), es(1)))
+  }
 }

@@ -198,6 +198,47 @@ object Similarity {
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     },
 
+    // ---- brute-force top-k via the bounded Aggregator UDAF ---------------
+    // Same semantics (and the same oracle) as s1, but the top-k reduction
+    // is a partial-aggregating UDAF: map tasks emit ≤ k rows per query
+    // before the shuffle instead of shuffling every candidate into a
+    // window sort — the 100 TB form of top-k.
+    sql("s5_topk_udaf",
+      """WITH elems AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 8
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT d.qid, d.vid, d.dot / (nq.nrm * nv.nrm) AS sim
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |               JOIN norms nv ON nv.vec_id = d.vid
+        |)
+        |SELECT qid, vid, round(sim, 6) AS sim FROM (
+        |  SELECT qid, vid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+        |  FROM sims) t WHERE rn <= 5""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      c.crossJoin(broadcast(q))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+        .groupBy(col("qid"))
+        .agg(topk(col("vid"), col("sim")).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.vid").as("vid"), round(col("t.sim"), 6).as("sim"))
+    },
+
     // ---- pairwise similarity of consecutive vectors (exact, oracle) ------
     sql("s3_pairwise_cosine",
       """WITH elems AS (

@@ -247,6 +247,23 @@ object Functions {
         .agg(count(col("eid")).as("n_follow"))
     },
 
+    // ---- salted two-phase aggregation (skew guard) -----------------------
+    // The skew pattern for hot keys at 100 TB: pre-aggregate on
+    // (key, salt) so one hot key spreads over 16 reducers, then combine.
+    // Result is provably identical to the direct groupBy — the oracle IS
+    // the plain GROUP BY.
+    sql("q44_salted_agg",
+      """SELECT l_suppkey, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)).as("__salt"))
+        .agg(sum(col("l_quantity")).as("__sq"), count(lit(1)).as("__n"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("__sq")).as("sum_qty"), sum(col("__n")).as("n_lines"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,

@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+
+/** The native Catalyst expressions registered into the session's
+  * FunctionRegistry and invoked from SQL text (SURVEY.md §2.10 —
+  * Expression > UDF, available to both APIs).
+  */
+class SqlRegistrationSpec extends SparkSpec {
+
+  test("cosine_f32 / array_dot callable from spark.sql") {
+    VectorExpressions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT cosine_f32(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       array_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                 array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 23.0) < 1e-12)
+  }
+
+  test("registered function runs over a real table in SQL") {
+    VectorExpressions.registerSql(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
+    val n = spark.sql(
+      "SELECT count(*) FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1 " +
+        "WHERE cosine_f32(a.embedding, b.embedding) > -1.0").head().getLong(0)
+    assert(n > 0)
+  }
+}
