@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.{ArrayDot, CosineSimF32}
+
+/** Engine integration via `SparkSessionExtensions` — enables
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `GraftSession.builder`) to load the native functions and optimizer
+  * rules into ANY session, no imports needed.
+  *
+  * Injected:
+  *  - SQL functions `cosine_f32`, `array_dot` (native codegen'd
+  *    expressions, SURVEY.md §2.10);
+  *  - [[SelfSimilarityFold]], a constant-folding rule for degenerate
+  *    similarity calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_f32"),
+      new ExpressionInfo(classOf[CosineSimF32].getName, "cosine_f32"),
+      (args: Seq[Expression]) => CosineSimF32(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    e.injectOptimizerRule(_ => SelfSimilarityFold)
+  }
+}
+
+/** `cosine_f32(x, x)` normalizes to the mathematically exact 1.0 for any
+  * non-null, non-zero x (the general-path value can be 1 ulp off via
+  * `dot/(√dot·√dot)`). The rewrite keeps exact edge semantics: null in →
+  * null out; zero vector → NaN (0/0), detected with a single `array_dot`
+  * pass instead of cosine's three accumulators + sqrts + division.
+  * Fires only on semantically-equal attribute references.
+  */
+object SelfSimilarityFold extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, If, IsNull}
+  import org.apache.spark.sql.types.DoubleType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSimF32(a: AttributeReference, b: AttributeReference)
+        if a.semanticEquals(b) =>
+      If(IsNull(a), Literal(null, DoubleType),
+        If(EqualTo(ArrayDot(a, a), Literal(0.0, DoubleType)),
+          Literal(Double.NaN, DoubleType), Literal(1.0, DoubleType)))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory for the engine. The driver harness builds its own
+  * sessions (Verify/Bench honor its env contract); library users get the
+  * scale posture here.
+  */
+object GraftSession {
+
+  /** Builder with the settings every graft job wants:
+    *  - AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+    *    broadcast promotion) — the main lever that makes a static plan
+    *    survive real data distributions at 100 TB;
+    *  - shuffle partitions sized to the environment, not the 200 default;
+    *  - 128 MB scan partitions (`files.maxPartitionBytes`) so map tasks
+    *    neither starve (tiny tasks) nor spill (huge ones);
+    *  - UTC session timezone (oracle parity and sanity).
+    */
+  def builder(appName: String = "graft",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+
+  /** Local session for tools/tests. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =
+    builder(shufflePartitions = cores).master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -7,9 +7,16 @@ import org.apache.spark.sql.expressions.Window
 import graft.{OpQuery, Tables}
 import graft.OpQuery.{rowsOnly, sql}
 
-/** Embedding similarity search (builder-prompt north-star; SURVEY.md §2.10,
-  * PAPERS.md top-k similarity): brute-force cosine top-k as the exact
-  * baseline, random-hyperplane LSH bucketing as the scale path.
+/** Embedding similarity search (builder-prompt north-star; SURVEY.md §2.10):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing and a k-means IVF index as the scale paths.
+  *
+  * Literature context (PAPERS.md): incremental top-k similarity search
+  * (EDBT 2020) motivates the bounded-aggregator form (`s5_topk_udaf` —
+  * partial top-k before the shuffle); distributed top-k with local
+  * reference points (REPOSE, ICDE 2021) is the same routing idea as the
+  * IVF codebook — prune by a cheap per-partition reference structure,
+  * verify exactly on the survivors.
   *
   * Scale design: the query set is the broadcast side — the corpus (the
   * 100 TB side) streams through map tasks un-shuffled; only the per-query
