@@ -65,6 +65,34 @@ object Multimodal {
     }
   }
 
+  /** ======= STUB — replace with a real resampler =======
+    * "Resize": deterministic stride-subsample of the payload to at most
+    * `targetBytes` bytes — stands in for image resize (the byte-budget
+    * contract and batch shape are the real part).
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload == null || payload.length <= targetBytes) payload
+    else {
+      val stride = math.ceil(payload.length.toDouble / targetBytes).toInt
+      payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+    }
+  }
+
+  /** ======= STUB — replace with a real frame decoder =======
+    * "Frame-sample": split the payload into `n` evenly-spaced fixed-width
+    * windows — stands in for video frame sampling.
+    */
+  def frameSampleStub(payload: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) Seq.empty
+    else {
+      val step = math.max(payload.length / n, 1)
+      (0 until n).map { i =>
+        val start = math.min(i * step, math.max(payload.length - 1, 0))
+        payload.slice(start, math.min(start + frameBytes, payload.length))
+      }.filter(_.nonEmpty)
+    }
+  }
+
   /** Batch feature extraction: `mapPartitions` over the media table — the
     * Scala analogue of an Arrow-batched Pandas UDF: one iterator per
     * partition, constant memory, no driver involvement.
@@ -101,6 +129,21 @@ object Multimodal {
     // determinism + batch shape covered by MultimodalSpec.
     rowsOnly("m2_media_features") { (s, d) =>
       extractFeatures(mediaTable(Tables.documents(s, d)))
+    },
+
+    // ---- resize + frame-sample plumbing (stubs; shapes are the contract) -
+    rowsOnly("m3_media_resize_frames") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      mediaTable(Tables.documents(s, d))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val resized = resizeStub(p, 256)
+          val frames = frameSampleStub(p, 4, 64)
+          (id, resized.length, frames.length, frames.map(_.length).sum)
+        })
+        .toDF("doc_id", "resized_bytes", "n_frames", "frame_bytes_total")
     }
   )
 }

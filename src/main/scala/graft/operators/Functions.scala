@@ -264,6 +264,81 @@ object Functions {
         .agg(sum(col("__sq")).as("sum_qty"), sum(col("__n")).as("n_lines"))
     },
 
+    // ---- window navigation: first/last/nth/lead --------------------------
+    sql("q45_window_nav",
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+        |  nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type,
+        |  lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(ord).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"),
+        lead(col("event_type"), 1).over(ord).as("next_type"))
+    },
+
+    // ---- distribution ranks: ntile / percent_rank / cume_dist ------------
+    sql("q46_window_distribution",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS dr
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // single global window: acceptable for a ranked report (the one
+      // operator family that is inherently a total order); at scale prefer
+      // approx quantiles or per-partition ranks
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("price_quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        dense_rank().over(w).cast("long").as("dr"))
+    },
+
+    // ---- ordered string aggregation --------------------------------------
+    sql("q47_string_agg",
+      """SELECT n_regionkey AS regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey").as("regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+    },
+
+    // ---- statistical aggregates from exact sums --------------------------
+    // Variance/correlation computed from exact-decimal/integral sums with
+    // the same closed-form on both engines — deterministic regardless of
+    // aggregation order (built-in stddev/corr use engine-specific moment
+    // recurrences that differ in the last ulp across engines).
+    sql("q48_stats",
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  (sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*))
+        |    / (count(*) - 1) AS qty_var,
+        |  sqrt((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*))
+        |    / (count(*) - 1)) AS qty_stddev
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      val q = col("l_quantity")
+      val n = count(lit(1))
+      val varExpr = (sum(q * q) - sum(q) * sum(q) / n) / (n - lit(1))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("n"), varExpr.as("qty_var"), sqrt(varExpr).as("qty_stddev"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,

@@ -38,6 +38,19 @@ class MultimodalSpec extends SparkSpec {
     assert(b === 0.0 && f.toSeq === Seq.fill(8)(0.0f))
   }
 
+  test("resize stub honors the byte budget; frame sampling yields bounded windows") {
+    val payload = Array.tabulate(1000)(_.toByte)
+    val resized = Multimodal.resizeStub(payload, 256)
+    assert(resized.length <= 256 && resized.length > 0)
+    assert(Multimodal.resizeStub(payload, 2000) eq payload) // under budget: untouched
+    val frames = Multimodal.frameSampleStub(payload, 4, 64)
+    assert(frames.length === 4)
+    assert(frames.forall(f => f.length > 0 && f.length <= 64))
+    assert(Multimodal.frameSampleStub(Array.emptyByteArray, 4, 64).isEmpty)
+    // determinism
+    assert(Multimodal.resizeStub(payload, 256).toSeq === resized.toSeq)
+  }
+
   test("fingerprint: identical texts collide, sketch bounded") {
     val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
       .toDF("doc_id", "text")
