@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.Relational.registry ++
       graft.operators.Functions.registry ++
       graft.pipelines.Analog.registry ++
+      graft.pipelines.Analog.envelopeRegistry ++
       graft.llm.TextStats.registry ++
       graft.llm.Dedup.registry ++
       graft.llm.Similarity.registry ++

@@ -132,8 +132,90 @@ object Analog {
     }
   )
 
+  /** EP1/EP2 envelope-form pipelines over canonical fixtures, oracle-gated
+    * with hand-computed goldens (the same ones the specs assert). This
+    * makes the FAITHFUL envelope path — not just the star-schema analog —
+    * part of the hash-matched surface.
+    */
+  def envelopeRegistry: Seq[OpQuery] = Seq(
+
+    sql("ep4_order_approval_envelope",
+      """SELECT * FROM (VALUES
+        |  ('101', 8, 2), ('102', 3, 1), ('103', 4, 3)
+        |) AS t(inventory_id, general_stock_qty, qty_office)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, from_json, lit}
+      val events = Seq(Fixtures.orderWebhookApproved, Fixtures.orderWebhookPending)
+        .zipWithIndex.toDF("body", "event_id")
+        .withColumn("record",
+          from_json(col("body"), graft.core.Envelope.orderWebhookSchema).getField("record"))
+      val inventory = Seq(("101", 10, 0), ("102", 3, 1), ("103", 5, 2))
+        .toDF("inventory_id", "general_stock_qty", "qty_office")
+      OrderApproval(events, inventory)
+        .inventory.select("inventory_id", "general_stock_qty", "qty_office")
+    },
+
+    sql("ep5_process_movement_envelope",
+      """SELECT * FROM (VALUES
+        |  ('101', CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('102', CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+        |) AS t(inventory_id, qty_office, qty_warehouse, qty_art,
+        |       qty_embroidery, qty_sewer, qty_completed)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions.{col, from_json}
+      val events = Fixtures.processWebhooks.zipWithIndex.toDF("body", "event_id")
+        .withColumn("record",
+          from_json(col("body"), graft.core.Envelope.processWebhookSchema).getField("record"))
+      val inventory = Seq(
+        ("101", 10, 5, 0, 0, 0, 0, 0), ("102", 10, 0, 3, 0, 0, 2, 0)
+      ).toDF("inventory_id", "general_stock_qty", "qty_office", "qty_warehouse",
+        "qty_art", "qty_embroidery", "qty_sewer", "qty_completed")
+      ProcessMovement(events, inventory)
+        .inventory.select(("inventory_id" +: graft.core.Envelope.counterCols).map(col): _*)
+    }
+  )
+
   /** Canonical EP3 fixture (FIXTURES.md A4 with quirk rows). */
   object Fixtures {
+
+    /** EP1: Approved webhook with all quirk rows — dup inventory_id
+      * (first-wins), qty 0 (skipped), missing fields (skipped).
+      */
+    val orderWebhookApproved: String = {
+      def item(id: Int, inv: String, model: String, qty: String) =
+        s"""{"id":"$id","value":{"inventory_id":{"value":$inv},"bag_model_website":{"value":$model},"qty_website":{"value":"$qty"},"bag_color_website":{"value":"Red"},"rate_website":{"value":"10.00"},"total_website":{"value":"10.00"}}}"""
+      val items = Seq(
+        item(0, "\"101\"", "\"Tour\"", "2"),   // wins
+        item(1, "\"101\"", "\"Tour\"", "9"),   // dup: dropped (D1 first-wins)
+        item(2, "\"102\"", "\"Cart\"", "0"),   // qty 0: skipped (P5)
+        item(3, "null", "\"Cart\"", "1"),      // missing inventory_id: skipped
+        item(4, "\"103\"", "null", "1"),       // missing model: skipped
+        item(5, "\"103\"", "\"Stand\"", "1")   // applies
+      ).mkString(",")
+      s"""{"record":{"Status":{"value":"Approved"},"order_details_table_website":{"value":[$items]}}}"""
+    }
+
+    /** EP1: non-Approved webhook — entirely filtered (P4). */
+    val orderWebhookPending: String =
+      """{"record":{"Status":{"value":"Pending"},"order_details_table_website":{"value":[{"id":"0","value":{"inventory_id":{"value":"101"},"bag_model_website":{"value":"Tour"},"qty_website":{"value":"5"},"bag_color_website":{"value":"Red"},"rate_website":{"value":"10.00"},"total_website":{"value":"10.00"}}}]}}}"""
+
+    /** EP2: transition fixtures covering the Cutting alias, Complete
+      * terminal, no-op skips.
+      */
+    val processWebhooks: Seq[String] = {
+      def wh(inv: String, status: String, prev: Option[String]) = {
+        val p = prev.map(x => s""","Previous_Status":{"value":"$x"}""").getOrElse("")
+        s"""{"record":{"Status":{"value":"$status"},"bag_model":{"value":"Tour"},"inventory_id":{"value":"$inv"}$p}}"""
+      }
+      Seq(
+        wh("101", "Warehouse", Some("Office")),     // office-1, warehouse+1
+        wh("101", "Cutting", Some("Warehouse")),    // warehouse-1, embroidery+1 (alias)
+        wh("102", "Complete", Some("Sewer Pickup")),// sewer-1, completed+1
+        wh("101", "Office", None),                  // P6: no prev → skip
+        wh("102", "Warehouse", Some("Warehouse")))  // P6: no-op → skip
+    }
     val websiteOrderJson: String =
       """{"order":[
         |{"productId":"BAG-001","Name":"Tour Bag X","Quantity":2,"Subtotal":"120.00","Total":"240.00",
