@@ -34,12 +34,12 @@ object Dedup {
     * formulation runs interpreted and allocates per-token arrays — ~100×
     * slower at scale). One shuffle, keyed by doc_id.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(shingleDf: DataFrame): DataFrame = {
     // Hash each shingle string ONCE, then derive the 64-member hash family
     // by remixing the 8-byte hash with the seed — 64× less string hashing.
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val exploded = shingleDf
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
     exploded
       .groupBy(col("doc_id"))
@@ -79,8 +79,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxBucket: Int = 50): DataFrame = {
+    // The shingle arrays feed three consumers (signatures + both sides of
+    // the verification join) and are deliberately RECOMPUTED per consumer:
+    // measured no faster materialized at bench scale, and at 100 TB
+    // caching per-doc shingle arrays on executors is a memory liability —
+    // recompute-from-scan is the spill-free posture.
     val shingleDf = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigs = minhashSignatures(docs)
+    val sigs = minhashSignatures(shingleDf)
     // Bucket on band keys; ids only through the self-join — the shingle
     // arrays (the heavy payload) are re-attached per-side AFTER the
     // candidate set is known, so the shuffle moves keys, not content.
@@ -151,6 +156,29 @@ object Dedup {
         .groupBy(col("prefix_hash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
         .filter(col("n_docs") > 1)
+    },
+
+    // ---- normalized-text dedup: case/punct/whitespace-insensitive --------
+    // The canonicalization step every LLM corpus dedup runs before exact
+    // hashing: lowercase, strip punctuation, collapse whitespace.
+    sql("d6_normalized_dedup",
+      """SELECT doc_id, norm_hash FROM (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?"]', '', 'g'),
+        |                               '\s+', ' ', 'g'))) AS norm_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      sha256(trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?"]', '', 'g'),
+        |                                 '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[.,;:!?\"]", ""), "\\s+", " "))
+      val w = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(norm, 256).as("norm_hash"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("norm_hash"))
     },
 
     // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 not in DuckDB;

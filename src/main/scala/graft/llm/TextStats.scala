@@ -155,6 +155,40 @@ object TextStats {
           col("labeled_lang"))
     },
 
+    // ---- TF-IDF for high-signal terms ------------------------------------
+    // tf = term count in doc; idf = ln(N/df). The classic relevance
+    // weighting, restricted to terms appearing in < 40% of docs (stopword
+    // cut) and scores rounded to 6dp (ln differs between libms in the
+    // last ulp). Shape at scale: explode → two keyed aggregations, both
+    // map-side combined; the docfreq dim broadcasts back.
+    sql("t6_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |WHERE df.df < 0.4 * n.n_docs""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") < lit(0.4) * col("n_docs"))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    },
+
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
     // Winnowing-style content fingerprint (rolling char shingles → hash →
     // keep the k smallest). Not SQL-expressible in DuckDB (no xxhash64) →
