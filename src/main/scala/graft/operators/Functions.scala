@@ -339,6 +339,50 @@ object Functions {
         .agg(n.as("n"), varExpr.as("qty_var"), sqrt(varExpr).as("qty_stddev"))
     },
 
+    // ---- date-spine gap fill ---------------------------------------------
+    // The missing-period problem: a day with zero orders must appear with
+    // n = 0. Generate the calendar spine with sequence() (no driver loop),
+    // left-join the per-day aggregate back onto it.
+    sql("q49_date_spine",
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+        |  FROM orders
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT s.day, coalesce(d.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(min(col("o_orderdate").cast("date")).as("lo"),
+        max(col("o_orderdate").cast("date")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    },
+
+    // ---- width_bucket histogram ------------------------------------------
+    sql("q50_histogram",
+      // width_bucket spelled out arithmetically (absent in DuckDB 1.0):
+      // 12 equal buckets over [0, 600000), underflow→0, overflow→13
+      """SELECT CASE WHEN o_totalprice < 0 THEN CAST(0 AS BIGINT)
+        |            WHEN o_totalprice >= 600000 THEN CAST(13 AS BIGINT)
+        |            ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(600000), lit(12))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,
