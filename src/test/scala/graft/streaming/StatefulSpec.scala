@@ -66,4 +66,38 @@ class StatefulSpec extends SparkSpec {
     assert(latest("101") === Map("qty_office" -> -1L, "qty_warehouse" -> 0L, "qty_art" -> 1L))
     assert(latest("102") === Map("qty_sewer" -> 1L))
   }
+
+  test("flatMapGroupsWithState emits zero-or-more rows per key with carried state") {
+    import org.apache.spark.sql.streaming.GroupState
+    val src = Files.createTempDirectory("flat-src").toString
+    // emit a row only when a key's NET movement for a station crosses zero
+    // downward (an alerting shape: flatMap = variable fan-out per group)
+    def alert(key: String, rows: Iterator[Move], state: GroupState[Counters]): Iterator[String] = {
+      val prev = state.getOption.map(_.counts).getOrElse(Map.empty)
+      val merged = rows.foldLeft(prev) { (acc, m) =>
+        acc.updated(m.station, acc.getOrElse(m.station, 0L) + m.delta)
+      }
+      state.update(Counters(merged))
+      merged.collect { case (st, n) if n < 0 => s"$key:$st" }.iterator
+    }
+    Seq("201,qty_office,-1", "201,qty_art,2", "202,qty_sewer,1").toDF("v")
+      .coalesce(1).write.mode("append").text(src)
+    val stream = spark.readStream.text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("inventoryId"),
+        col("p").getItem(1).as("station"),
+        col("p").getItem(2).cast("long").as("delta"))
+      .as[Move]
+    val alerts = stream.groupByKey(_.inventoryId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(alert)
+    val q = alerts.toDF("alert").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("alert_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("alert_out").collect().map(_.getString(0)).toSet
+    // only the negative counter alerts; 202 stays silent (fan-out 0)
+    assert(got === Set("201:qty_office"))
+  }
 }
