@@ -29,19 +29,34 @@ object Dedup {
       sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
       i -> array_join(slice(split(trim(text), '\\s+'), i, 3), ' ')))""")
 
-  /** 64-hash MinHash signatures over shingles (seeded xxhash64 family),
-    * computed as explode → 64 codegen'd `min` aggregates (a nested-HOF
-    * formulation runs interpreted and allocates per-token arrays — ~100×
-    * slower at scale). One shuffle, keyed by doc_id.
+  /** Hashed word-3-gram shingles as ROWS (doc_id, sh): tokens explode with
+    * position, `lead` windows supply the next two tokens, and the shingle
+    * is hashed directly from the triple — fully codegen'd, no per-doc
+    * array or string building (the HOF string formulation evaluated
+    * interpreted and was re-run per consumer). Shingle-set Jaccard over
+    * hashes equals the string version (64-bit collisions are negligible).
+    * Docs shorter than 3 tokens keep one partial-gram shingle, like the
+    * string form.
     */
-  def minhashSignatures(shingleDf: DataFrame): DataFrame = {
-    // Hash each shingle string ONCE, then derive the 64-member hash family
-    // by remixing the 8-byte hash with the seed — 64× less string hashing.
-    val exploded = shingleDf
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("h"))).as(s"m$k"))
-    exploded
+  def shingleHashRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+      .withColumn("t1", lead(col("t"), 1).over(w))
+      .withColumn("t2", lead(col("t"), 2).over(w))
+      .filter(col("t2").isNotNull || col("pos") === 0)
+      .select(col("doc_id"),
+        xxhash64(col("t"), coalesce(col("t1"), lit("")), coalesce(col("t2"), lit(""))).as("sh"))
+      .dropDuplicates("doc_id", "sh")
+  }
+
+  /** 64-hash MinHash signatures over hashed shingle rows (seeded xxhash64
+    * family): 64 codegen'd `min` aggregates, one shuffle keyed by doc_id.
+    * (A nested-HOF formulation ran interpreted and was ~100× slower.)
+    */
+  def minhashSignatures(shingleRows: DataFrame): DataFrame = {
+    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
+    shingleRows
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until 64).map(k => col(s"m$k")): _*).as("sig"))
@@ -79,13 +94,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
       maxBucket: Int = 50): DataFrame = {
-    // The shingle arrays feed three consumers (signatures + both sides of
+    // Shingle hash rows feed three consumers (signatures + both sides of
     // the verification join) and are deliberately RECOMPUTED per consumer:
-    // measured no faster materialized at bench scale, and at 100 TB
-    // caching per-doc shingle arrays on executors is a memory liability —
-    // recompute-from-scan is the spill-free posture.
-    val shingleDf = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigs = minhashSignatures(shingleDf)
+    // at 100 TB caching per-doc shingle sets on executors is a memory
+    // liability — recompute-from-scan is the spill-free posture.
+    val shingleRows = shingleHashRows(docs)
+    val shingleDf = shingleRows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val sigs = minhashSignatures(shingleRows)
     // Bucket on band keys; ids only through the self-join — the shingle
     // arrays (the heavy payload) are re-attached per-side AFTER the
     // candidate set is known, so the shuffle moves keys, not content.
@@ -209,9 +224,14 @@ object Dedup {
         |    / len(list_distinct(a.grams || b.grams)) AS jaccard
         |FROM sh a JOIN sh b
         |  ON a.source = b.source AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
+      // Spark side works on hashed shingle sets (identical Jaccard values,
+      // no string building); the oracle builds the string grams — set
+      // sizes are equal barring 64-bit collisions.
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), shingles(col("text")).as("grams"))
+      val docs = Tables.documents(s, d)
+      val sh = shingleHashRows(docs)
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("grams"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("rk", row_number().over(w))
       val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"), col("grams").as("ga"))
       val b = sh.select(col("source"), (col("rk") - 1).as("rk"),

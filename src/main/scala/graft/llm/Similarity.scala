@@ -64,14 +64,32 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian())))
   }
 
-  /** Signature of an embedding under one table's hyperplanes: an int whose
-    * bit b is sign(embedding · plane_b).
+  /** Hyperplanes as a small broadcast DataFrame (table, bit, plane).
+    * Embedding the 32×8×64 plane literals directly in expressions blew the
+    * generated-code size up (~8 s of one-time Janino compilation); the
+    * data-driven join keeps codegen tiny and the same arithmetic.
     */
-  private def signature(e: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(graft.functions.VectorExpressions.arrayDot(e, typedLit(p)) > 0,
-        lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private def planesDf(spark: org.apache.spark.sql.SparkSession,
+      planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    planes.zipWithIndex.flatMap { case (tp, t) =>
+      tp.zipWithIndex.map { case (p, b) => (t, b, p) }
+    }.toDF("table", "bit", "plane")
+  }
+
+  /** Per-table signatures via broadcast plane join: explode each vector
+    * against the 256-row plane dim, native-dot each pair, fold sign bits
+    * per (vector, table). Ids only — payloads re-attach after candidate
+    * selection.
+    */
+  private def withSigs(df: DataFrame, idName: String, eName: String,
+      planes: DataFrame): DataFrame =
+    df.crossJoin(broadcast(planes))
+      .select(col(idName), col("table"),
+        when(graft.functions.VectorExpressions.arrayDot(col(eName), col("plane")) > 0,
+          expr("shiftleft(1, bit)")).otherwise(lit(0)).as("bitval"))
+      .groupBy(col(idName), col("table"))
+      .agg(sum(col("bitval")).as("sig"))
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * any signature-table bucket with the query, then exact cosine + top-k
@@ -87,23 +105,23 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int = 64, tables: Int = 32, bits: Int = 8): DataFrame = {
-    val planes = hyperplanes(dim, tables, bits)
-    def withSigs(df: DataFrame, idName: String, eName: String): DataFrame = {
-      val sigs = array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("table"), signature(col(eName), tp).as("sig"))
-      }: _*)
-      df.select(col("vec_id").as(idName), col("embedding").as(eName))
-        .withColumn("bucket", explode(sigs))
-        .select(col(idName), col(eName), col("bucket.table"), col("bucket.sig"))
-    }
-    val qb = withSigs(queries, "qid", "qe")
-    val cb = withSigs(corpus, "vid", "ve")
+    val spark = corpus.sparkSession
+    val planes = planesDf(spark, hyperplanes(dim, tables, bits))
+    val qb = withSigs(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      "qid", "qe", planes)
+    val cb = withSigs(corpus.select(col("vec_id").as("vid"), col("embedding").as("ve")),
+      "vid", "ve", planes)
+    // candidate ids via bucket join; embeddings re-attached afterwards
     val candidates = cb.join(broadcast(qb), Seq("table", "sig"))
       .filter(col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid"), col("qe"), col("ve"))
+      .select(col("qid"), col("vid"))
       .dropDuplicates("qid", "vid")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     candidates
+      .join(broadcast(q), Seq("qid"))
+      .join(c, Seq("vid"))
       .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -126,8 +144,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusFv = corpus
       .withColumn("__fv", array_to_vector(col("embedding")))
+    // 10 iterations suffice for a ROUTING codebook (cells need to be
+    // balanced, not converged — recall is set by nprobe, not centroid
+    // polish); halves the training cost vs the 20-iteration default.
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("__cell")
       .fit(corpusFv)
     val assigned = model.transform(corpusFv)
