@@ -383,6 +383,61 @@ object Functions {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- regexp capture groups -------------------------------------------
+    sql("q51_regexp_extract",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS vowel_runs
+        |FROM part""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("type_tail"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("vowel_runs"))
+    },
+
+    // ---- unpivot: wide counters → long (station, qty) rows ---------------
+    // The inverse of the A2 pivot — the melt every ledger-shaped table
+    // needs before delta processing.
+    sql("q52_unpivot",
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+        |  FROM customer) t""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nationkey")),
+          "metric", "value")
+    },
+
+    // ---- fuzzy matching: edit distance between brand-adjacent part names -
+    sql("q53_levenshtein",
+      """WITH ranked AS (
+        |  SELECT p_partkey, p_brand, p_name,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rk
+        |  FROM part
+        |)
+        |SELECT a.p_partkey, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS name_dist
+        |FROM ranked a JOIN ranked b
+        |  ON a.p_brand = b.p_brand AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      val ranked = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        .withColumn("rk", row_number().over(w))
+      val a = ranked.select(col("p_brand"), col("rk"),
+        col("p_partkey"), col("p_name").as("na"))
+      val b = ranked.select(col("p_brand"), (col("rk") - 1).as("rk"),
+        col("p_name").as("nb"))
+      a.join(b, Seq("p_brand", "rk"))
+        .select(col("p_partkey"),
+          levenshtein(col("na"), col("nb")).cast("long").as("name_dist"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,
