@@ -438,6 +438,27 @@ object Functions {
           levenshtein(col("na"), col("nb")).cast("long").as("name_dist"))
     },
 
+    // ---- salted join (hot-key skew guard for shuffle joins) --------------
+    // The fact side's key is salted into 8 shards; the dim side is
+    // replicated once per shard (explode over the salt range), so one hot
+    // key's rows spread across 8 reducers instead of one. Result provably
+    // identical to the plain join — the oracle IS the plain join.
+    sql("q54_salted_join",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+      val salted = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(8)).as("__salt"))
+      val dimReplicated = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(7L))))
+      salted.join(dimReplicated, Seq("l_orderkey", "__salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.Envelope
+
+/** Checkpointed restart semantics: a NEW streaming query resuming from the
+  * same checkpoint processes only unseen files — the exactly-once story
+  * across restarts (without a checkpoint, a restarted file-source query
+  * re-reads everything and double-applies).
+  */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("restarted foreachBatch stream resumes from checkpoint without re-applying") {
+    val src = Files.createTempDirectory("ckpt-src").toString
+    val ckpt = Files.createTempDirectory("ckpt-loc").toString
+    def webhook(inv: String, status: String, prev: String): String =
+      s"""{"record":{"Status":{"value":"$status"},"Previous_Status":{"value":"$prev"},"bag_model":{"value":"T"},"inventory_id":{"value":"$inv"}}}"""
+    val inventory0 = Seq(("101", 10, 5, 0, 0, 0, 0, 0))
+      .toDF("inventory_id", "general_stock_qty", "qty_office", "qty_warehouse",
+        "qty_art", "qty_embroidery", "qty_sewer", "qty_completed")
+
+    var state = inventory0
+    def sink(df: DataFrame): Unit = {
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      state = spark.createDataFrame(rows, df.schema)
+      ()
+    }
+    def run(): Unit = {
+      val parsed = spark.readStream.text(src)
+        .withColumnRenamed("value", "body")
+        .withColumn("record",
+          from_json(col("body"), Envelope.processWebhookSchema).getField("record"))
+        .withColumn("event_id", xxhash64(col("body")))
+      val q = parsed.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sink(graft.pipelines.ProcessMovement(batch, state).inventory)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+
+    // run 1: Office -> Warehouse (office 5-1=4, warehouse +1)
+    Files.writeString(Paths.get(src, "b1.json"), webhook("101", "Warehouse", "Office"))
+    run()
+    // STOPPED. run 2 is a brand-new query on the same checkpoint; b1 must
+    // NOT be re-applied, only the new file b2 (Warehouse -> Art)
+    Files.writeString(Paths.get(src, "b2.json"), webhook("101", "Art", "Warehouse"))
+    run()
+
+    val r = state.orderBy("inventory_id").collect()(0)
+    assert(r.getAs[Long]("qty_office") === 4L, "b1 re-applied after restart!")
+    assert(r.getAs[Long]("qty_warehouse") === 0L) // +1 (b1) -1 (b2)
+    assert(r.getAs[Long]("qty_art") === 1L)
+  }
+}
