@@ -459,6 +459,37 @@ object Functions {
         .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- bounded ROWS frame: conditional stat over the trailing 5 events -
+    sql("q55_rows_frame",
+      """SELECT event_id, user_id,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS purchases_last5
+        |FROM events""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(when(col("event_type") === "purchase", 1)).over(w).as("purchases_last5"))
+    },
+
+    // ---- RANGE frame over event time: trailing 1-hour window -------------
+    // Range frames bound by VALUE distance (here: epoch seconds), not row
+    // count — the hourly-trailing-aggregate shape.
+    sql("q56_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour
+        |FROM events""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("events_last_hour"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,
