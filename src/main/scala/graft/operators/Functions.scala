@@ -478,8 +478,11 @@ object Functions {
     // Range frames bound by VALUE distance (here: epoch seconds), not row
     // count — the hourly-trailing-aggregate shape.
     sql("q56_range_frame",
+      // integer seconds on BOTH sides: DuckDB epoch() keeps fractional
+      // seconds, Spark unix_timestamp floors — un-floored, frame
+      // boundaries disagree for events at sub-second offsets
       """SELECT event_id, user_id,
-        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_last_hour
         |FROM events""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
