@@ -493,6 +493,20 @@ object Functions {
         count(lit(1)).over(w).as("events_last_hour"))
     },
 
+    // ---- bitwise aggregates ----------------------------------------------
+    sql("q57_bit_aggs",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS all_bits,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS any_bits,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS xor_bits
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("CAST(bit_and(l_linenumber) AS BIGINT)").as("all_bits"),
+          expr("CAST(bit_or(l_linenumber) AS BIGINT)").as("any_bits"),
+          expr("CAST(bit_xor(l_linenumber) AS BIGINT)").as("xor_bits"))
+    },
+
     // ---- cast edges: try-semantics string→number -------------------------
     sql("q41_cast_edges",
       """SELECT c_custkey,
