@@ -113,22 +113,60 @@ object Multimodal {
 
   def registry: Seq[OpQuery] = Seq(
 
-    // ---- media metadata stats (oracle: byte lengths via BLOB encode) -----
+    // ---- media metadata stats ---------------------------------------------
+    // first_byte compares raw BYTES on both engines (Spark's ascii() returns
+    // the first UTF-8 byte while DuckDB's returns the code point — they
+    // diverge on multilingual text): Spark hex-decodes the first payload
+    // byte via conv(); DuckDB parses the first two chars of hex(blob).
     sql("m1_media_stats",
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+        |       ELSE CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2, 1)) - 1) AS BIGINT)
+        |  END AS first_byte
         |FROM documents""".stripMargin) { (s, d) =>
       mediaTable(Tables.documents(s, d))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          ascii(col("payload").cast("string")).as("first_byte"))
+          when(length(col("payload")) === 0, lit(null))
+            .otherwise(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("long"))
+            .as("first_byte"))
     },
 
     // ---- batched feature extraction through the stub decoder -------------
-    // rows-only gate (the stub's output isn't SQL-expressible in DuckDB);
-    // determinism + batch shape covered by MultimodalSpec.
-    rowsOnly("m2_media_features") { (s, d) =>
-      extractFeatures(mediaTable(Tables.documents(s, d)))
+    // Full oracle: the stub's arithmetic (mean byte value; per-window byte
+    // sums mod 1000) is replicated in DuckDB by parsing hex(blob) into a
+    // byte list. Feature floats surface as 8 scalar DOUBLE columns (raw
+    // array columns break the driver's canonicalizer, and integer-valued
+    // floats cast to double exactly).
+    sql("m2_media_features",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, n,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+        |      FOR i IN range(n) ] AS bytes,
+        |    greatest(n // 8, 1) AS win
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS brightness,
+        |  CAST(coalesce(list_sum(bytes[0*win + 1 : least(1*win, n)]), 0) % 1000 AS DOUBLE) AS f0,
+        |  CAST(coalesce(list_sum(bytes[1*win + 1 : least(2*win, n)]), 0) % 1000 AS DOUBLE) AS f1,
+        |  CAST(coalesce(list_sum(bytes[2*win + 1 : least(3*win, n)]), 0) % 1000 AS DOUBLE) AS f2,
+        |  CAST(coalesce(list_sum(bytes[3*win + 1 : least(4*win, n)]), 0) % 1000 AS DOUBLE) AS f3,
+        |  CAST(coalesce(list_sum(bytes[4*win + 1 : least(5*win, n)]), 0) % 1000 AS DOUBLE) AS f4,
+        |  CAST(coalesce(list_sum(bytes[5*win + 1 : least(6*win, n)]), 0) % 1000 AS DOUBLE) AS f5,
+        |  CAST(coalesce(list_sum(bytes[6*win + 1 : least(7*win, n)]), 0) % 1000 AS DOUBLE) AS f6,
+        |  CAST(coalesce(list_sum(bytes[7*win + 1 : least(8*win, n)]), 0) % 1000 AS DOUBLE) AS f7
+        |FROM e""".stripMargin) { (s, d) =>
+      val feats = extractFeatures(mediaTable(Tables.documents(s, d)))
+      feats.select(
+        col("doc_id") +: col("n_bytes") +: col("brightness") +:
+          (0 until 8).map(j => col("feature")(j).cast("double").as(s"f$j")): _*)
     },
 
     // ---- resize + frame-sample plumbing (stubs; shapes are the contract) -
