@@ -35,21 +35,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** `cosine_f32(x, x)` normalizes to the mathematically exact 1.0 for any
-  * non-null, non-zero x (the general-path value can be 1 ulp off via
-  * `dot/(√dot·√dot)`). The rewrite keeps exact edge semantics: null in →
-  * null out; zero vector → NaN (0/0), detected with a single `array_dot`
-  * pass instead of cosine's three accumulators + sqrts + division.
-  * Fires only on semantically-equal attribute references.
+  * non-null, finite, non-zero x (the general-path value can be 1 ulp off
+  * via `dot/(√dot·√dot)`). The rewrite keeps exact edge semantics: null
+  * in → null out; zero vector → NaN (0/0); NaN components → NaN (NaN
+  * dot); overflow-to-+Inf dot → NaN (Inf/Inf) — all detected from one
+  * `array_dot` pass (dot = Σx² is finite-positive iff the general path
+  * yields exactly 1.0) instead of cosine's three accumulators + sqrts +
+  * division. Fires only on semantically-equal attribute references.
   */
 object SelfSimilarityFold extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, If, IsNull}
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, GreaterThan, If, IsNull, LessThan}
   import org.apache.spark.sql.types.DoubleType
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSimF32(a: AttributeReference, b: AttributeReference)
         if a.semanticEquals(b) =>
+      val dot = ArrayDot(a, a)
+      // 0 < dot < +Inf → 1.0; dot = 0 (zero vector), NaN (NaN component;
+      // comparisons are false for NaN) or +Inf (overflow) → NaN
       If(IsNull(a), Literal(null, DoubleType),
-        If(EqualTo(ArrayDot(a, a), Literal(0.0, DoubleType)),
-          Literal(Double.NaN, DoubleType), Literal(1.0, DoubleType)))
+        If(And(GreaterThan(dot, Literal(0.0, DoubleType)),
+            LessThan(dot, Literal(Double.PositiveInfinity, DoubleType))),
+          Literal(1.0, DoubleType), Literal(Double.NaN, DoubleType)))
   }
 }

@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // the driver's events.parquet carries TIMESTAMP(NANOS); session-level
+      // legacy flag lives HERE, not in a loader (Tables.events asserts it)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session for tools/tests. */

@@ -23,12 +23,16 @@ object Tables {
 
   /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TimestampType with integer division (`div`, not `/` — a double divide
-    * would lose precision above 2^53 ns).
+    * (`spark.sql.legacy.parquet.nanosAsLong` — a SESSION-level setting; see
+    * [[GraftSession.builder]], which owns it. A loader must not mutate
+    * session conf) and convert to a microsecond TimestampType with integer
+    * division (`div`, not `/` — a double divide would lose precision above
+    * 2^53 ns).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "GraftSession.builder (or set spark.sql.legacy.parquet.nanosAsLong=true)")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
@@ -37,6 +41,18 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Ensure at least the session's default parallelism ahead of a
+    * row-AMPLIFYING transform (char-gram explode, per-row decode): a
+    * small single-file scan otherwise pins the whole downstream stage on
+    * one task. No-op — no shuffle — when the scan already has enough
+    * partitions, which is always the case at real scale; the shuffle it
+    * does introduce moves only the small pre-amplification rows.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Name-based loader that routes through the schema-aware accessors
     * (`events` needs the nanos handling).

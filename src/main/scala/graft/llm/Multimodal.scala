@@ -32,16 +32,21 @@ object Multimodal {
       StructField("source", StringType))))))
 
   /** Build a media table from the documents corpus: the UTF-8 text bytes
-    * act as the opaque payload.
+    * act as the opaque payload. NULL text normalizes to an EMPTY payload
+    * here, at the boundary — n_bytes is then a non-nullable 0, so the
+    * typed `.as[(Long, Array[Byte], Long)]` maps downstream can't hit a
+    * null primitive, and the oracles mirror the same coalesce.
     */
-  def mediaTable(docs: DataFrame): DataFrame =
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val payload = coalesce(col("text").cast("binary"), lit(Array.emptyByteArray))
     docs.select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
+      payload.as("payload"),
       struct(
         lit("text/plain").as("format"),
-        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        length(payload).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
+  }
 
   /** Extracted features per media item. */
   final case class MediaFeatures(
@@ -120,10 +125,10 @@ object Multimodal {
     // byte via conv(); DuckDB parses the first two chars of hex(blob).
     sql("m1_media_stats",
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-        |       ELSE CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), 1, 1)) - 1) * 16
-        |          + (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2, 1)) - 1) AS BIGINT)
+        |  CAST(octet_length(coalesce(encode(text), encode(''))) AS BIGINT) AS n_bytes,
+        |  CASE WHEN octet_length(coalesce(encode(text), encode(''))) = 0 THEN NULL
+        |       ELSE CAST((strpos('0123456789ABCDEF', substr(hex(coalesce(encode(text), encode(''))), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', substr(hex(coalesce(encode(text), encode(''))), 2, 1)) - 1) AS BIGINT)
         |  END AS first_byte
         |FROM documents""".stripMargin) { (s, d) =>
       mediaTable(Tables.documents(s, d))
@@ -141,8 +146,8 @@ object Multimodal {
     // floats cast to double exactly).
     sql("m2_media_features",
       """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS n
+        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+        |         octet_length(coalesce(encode(text), encode(''))) AS n
         |  FROM documents
         |), e AS (
         |  SELECT doc_id, n,

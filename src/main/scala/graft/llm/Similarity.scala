@@ -128,6 +128,60 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Codebook cache: a trained codebook is a model artifact (nlist × dim
+    * doubles — kilobytes), keyed by (corpus key, nlist, seed) so repeated
+    * queries in one JVM never retrain.
+    */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Seq[Seq[Double]]]
+
+  /** Train an IVF routing codebook: Lloyd's iterations on a BOUNDED
+    * deterministic sample (smallest `sampleN` rows by seeded vec_id hash —
+    * a distributed TakeOrdered, each task keeps ≤ sampleN rows; no global
+    * sort). The FAISS posture: train on a driver-sized sample, assign the
+    * full corpus distributed. A handful of iterations suffices for
+    * ROUTING — cells need balance, not convergence; recall is set by
+    * nprobe. Deterministic: seeded sample, first-k init, empty cells keep
+    * their previous centroid.
+    */
+  def trainCodebook(corpus: DataFrame, nlist: Int, seed: Long,
+      sampleN: Int = 2048, iters: Int = 10): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)))
+      .limit(sampleN)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "IVF codebook training: empty corpus")
+    val k = math.min(nlist, sample.length)
+    val dim = sample(0).length
+    var centers: Array[Array[Double]] = sample.take(k).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dsum = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centers(c)(i); dsum += t * t; i += 1 }
+          if (dsum < bd) { bd = dsum; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    centers.map(_.toSeq).toSeq
+  }
+
   /** IVF (inverted-file) approximate top-k — the true 100 TB scale path:
     * a k-means codebook partitions the corpus into `nlist` cells; each
     * query probes only its `nprobe` nearest cells, so the scan fraction is
@@ -135,39 +189,34 @@ object Similarity {
     * index adapts to the data distribution (trained centroids), which is
     * why it holds up on clustered real-world embeddings AND uniform data.
     *
-    * The codebook is a model artifact (nlist × dim doubles on the driver —
-    * kilobytes); the corpus assignment and search are fully distributed.
+    * Query-time work is all codegen'd expressions (assignment = argmin
+    * over the broadcast codebook literals) — no ML-pipeline passes.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusFv = corpus
-      .withColumn("__fv", array_to_vector(col("embedding")))
-    // 10 iterations suffice for a ROUTING codebook (cells need to be
-    // balanced, not converged — recall is set by nprobe, not centroid
-    // polish); halves the training cost vs the 20-iteration default.
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(corpusFv)
-    val assigned = model.transform(corpusFv)
-      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("__cell"))
-    val centers: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      cacheKey: Option[String] = None): DataFrame = {
+    val centers: Seq[Seq[Double]] = cacheKey match {
+      case Some(key) =>
+        codebookCache.getOrElseUpdate((key, nlist, seed), trainCodebook(corpus, nlist, seed))
+      case None => trainCodebook(corpus, nlist, seed)
+    }
 
-    // per-query nprobe nearest cells: argmin of ||q - c||² over the tiny
-    // codebook, computed as -2·q·c + ||c||² (the ||q||² term is constant
-    // per query and cancels in the ranking)
-    val scored = array(centers.zipWithIndex.map { case (c, i) =>
+    // nearest cells: argmin of ||x - c||² over the tiny codebook, computed
+    // as -2·x·c + ||c||² (the ||x||² term is constant per row and cancels
+    // in the ranking); ties break on cell id via struct ordering
+    def scored(e: Column) = array(centers.zipWithIndex.map { case (c, i) =>
       val cnorm2 = c.map(x => x * x).sum
       struct(
-        (lit(-2.0) * graft.functions.VectorExpressions.arrayDot(col("qe"), typedLit(c)) +
+        (lit(-2.0) * graft.functions.VectorExpressions.arrayDot(e, typedLit(c)) +
           lit(cnorm2)).as("score"),
         lit(i).as("cid"))
     }: _*)
+
+    val assigned = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+      array_min(scored(col("embedding"))).getField("cid").as("__cell"))
     val qProbes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("__probe", explode(slice(array_sort(scored), 1, nprobe)))
+      .withColumn("__probe", explode(slice(array_sort(scored(col("qe"))), 1, nprobe)))
       .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
@@ -222,7 +271,7 @@ object Similarity {
     // ---- IVF approximate top-5 (rows-only; recall in SimilaritySpec) -----
     rowsOnly("s4_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
-      ivfTopK(e.filter(col("vec_id") < 8), e, 5)
+      ivfTopK(e.filter(col("vec_id") < 8), e, 5, cacheKey = Some(d))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     },
 

@@ -190,18 +190,45 @@ object TextStats {
     },
 
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
-    // Winnowing-style content fingerprint (rolling char shingles → hash →
-    // keep the k smallest). Not SQL-expressible in DuckDB (no xxhash64) →
-    // rows-only gate + FingerprintSpec.
-    rowsOnly("t5_fingerprint") { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        expr("""transform(
-          sequence(1, greatest(length(text) - 7, 1)),
-          i -> xxhash64(substr(text, i, 8)))""").as("gram_hashes"))
+    // Winnowing-style content fingerprint: rolling char 8-grams → hash →
+    // keep the 8 smallest distinct hashes (the sketch) → digest. The gram
+    // hash is the first 15 hex chars of SHA-256 — fixed-width lowercase
+    // hex, so lexicographic order == numeric order and BOTH engines
+    // compute the identical sketch (full DuckDB oracle; xxhash64 isn't
+    // DuckDB-expressible). Sketch surfaces as 8 scalar columns (raw array
+    // columns break the driver's canonicalizer — m2 precedent).
+    //
+    // Scale shape: explode gram positions (codegen'd generate + substr +
+    // sha2 — the HOF `transform` formulation ran interpreted), then ONE
+    // shuffle keyed by doc_id with a partially-aggregated collect_set
+    // bounded by the doc's gram count.
+    sql("t5_fingerprint", {
+      val sk = (0 until 8).map(k => s"sketch[${k + 1}] AS s$k").mkString(", ")
+      val fp = (1 to 8).map(k => s"sketch[$k]").mkString(", ")
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(sha256(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS gk
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+         |        FROM documents) t
+         |), sk AS (
+         |  SELECT doc_id, list_sort(list_distinct(list(gk))) AS sketch
+         |  FROM g GROUP BY doc_id
+         |)
+         |SELECT doc_id, $sk,
+         |  sha256(concat_ws(',', $fp)) AS fingerprint
+         |FROM sk""".stripMargin
+    }) { (s, d) =>
+      val grams = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
         .select(col("doc_id"),
-          expr("slice(array_sort(array_distinct(gram_hashes)), 1, 8)").as("sketch"))
-        .select(col("doc_id"), col("sketch"), xxhash64(col("sketch")).as("fingerprint"))
+          substring(sha2(col("text").substr(col("i"), lit(8)), 256), 1, 15).as("gk"))
+      val sk = grams.groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_set(col("gk"))), 1, 8).as("sketch"))
+      val sCols = (0 until 8).map(k => get(col("sketch"), lit(k)).as(s"s$k"))
+      sk.select(col("doc_id") +: sCols: _*)
+        .withColumn("fingerprint",
+          sha2(concat_ws(",", (0 until 8).map(k => col(s"s$k")): _*), 256))
     }
   )
 }

@@ -296,16 +296,44 @@ object Functions {
         |FROM orders
         |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // single global window: acceptable for a ranked report (the one
-      // operator family that is inherently a total order); at scale prefer
-      // approx quantiles or per-partition ranks
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d).select(
-        col("o_orderkey"),
-        ntile(4).over(w).cast("long").as("price_quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"),
-        dense_rank().over(w).cast("long").as("dr"))
+      // Two-pass distributed global ranking (no single-partition Window):
+      // range-repartition on the sort key so partition ids follow the
+      // total order, rank WITHIN each range, then shift each partition's
+      // local ranks by the count of all earlier partitions. The offset
+      // table is #partitions rows — the one sanctioned driver round-trip
+      // — and rejoins as a broadcast. (o_totalprice, o_orderkey) is a
+      // unique total order, so row_number == rank == dense_rank and
+      // ntile/percent_rank/cume_dist are closed forms of (rn, n).
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+        .withColumn("__pid", spark_partition_id())
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val local = base.withColumn("__lrn", row_number().over(w))
+      val parts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = parts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toSeq
+      val n = acc
+      val offDf = broadcast(offsets.toDF("__pid", "__off"))
+      // ntile(4): the first n%4 buckets take floor(n/4)+1 rows each
+      val q = n / 4
+      val r = n % 4
+      val rn = col("__rn")
+      val quartile =
+        if (q == 0) rn // degenerate n<4: one row per bucket
+        else when(rn <= lit(r * (q + 1)), floor((rn - 1) / lit(q + 1)) + 1)
+          .otherwise(lit(r) + floor((rn - lit(r * (q + 1)) - 1) / lit(q)) + 1)
+      local.join(offDf, Seq("__pid"))
+        .withColumn("__rn", col("__lrn") + col("__off"))
+        .select(
+          col("o_orderkey"),
+          quartile.cast("long").as("price_quartile"),
+          ((rn - 1).cast("double") / lit((n - 1).max(1L).toDouble)).as("pr"),
+          (rn.cast("double") / lit(n.toDouble)).as("cd"),
+          rn.cast("long").as("dr"))
     },
 
     // ---- ordered string aggregation --------------------------------------

@@ -77,7 +77,10 @@ object OrderApproval {
   def lineItemsAccumulating(events: DataFrame): DataFrame =
     lineItemsRaw(events)
       .groupBy(col("event_id"), col("inventory_id"))
-      .agg(min(col("line_no")).as("line_no"), first(col("bag_model")).as("bag_model"),
+      .agg(min(col("line_no")).as("line_no"),
+        // min_by, not first: first() in an unordered groupBy is
+        // partition-order nondeterministic
+        min_by(col("bag_model"), col("line_no")).as("bag_model"),
         sum(col("qty")).cast("int").as("qty"))
 
   /** Apply approved transfers against a flat inventory snapshot

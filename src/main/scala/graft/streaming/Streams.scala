@@ -52,64 +52,84 @@ object Streams {
 
   /** Run the EP2 process-movement pipeline incrementally: each micro-batch
     * of webhook JSON merges its counter deltas into the keyed state via
-    * `foreachBatch` (deterministic, restart-safe — deltas are commutative,
-    * so replays converge; SURVEY §2.9).
+    * `foreachBatch`, guarded by [[IdempotentMerge]] — the merge is keyed
+    * by batchId, so a replayed micro-batch (foreachBatch is at-least-once
+    * on restart) is a no-op rather than a double-apply. With a
+    * `checkpointLocation` on the sink config this is exactly-once state
+    * maintenance; the reference double-applies on webhook retries (no
+    * idempotency key at all).
     *
     * @param getState  () => current inventory snapshot
     * @param setState  merged inventory writer (e.g. Delta/parquet upsert in
-    *                  prod; in-memory swap in tests)
+    *                  prod; in-memory swap in tests). The ledger carries an
+    *                  `__applied_batches` bookkeeping column (see
+    *                  [[IdempotentMerge.BatchCol]]).
+    * @param sink      per-app credentials + reader options (backpressure:
+    *                  `maxFilesPerTrigger`) + checkpoint location
     */
   def runProcessMovementStream(
       spark: SparkSession,
       inputDir: String,
       getState: () => DataFrame,
       setState: DataFrame => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val raw = spark.readStream
-      .text(inputDir)                      // one webhook JSON per line
-      .withColumnRenamed("value", "body")
-    val parsed = raw
-      .withColumn("record",
-        from_json(col("body"), Envelope.processWebhookSchema).getField("record"))
-      // content hash as event id (monotonically_increasing_id is not
-      // available on streaming DataFrames); ProcessMovement's deltas don't
-      // depend on it — it only labels dead-letter rows
-      .withColumn("event_id", xxhash64(col("body")))
-    parsed.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = graft.pipelines.ProcessMovement(batch, getState())
-        setState(result.inventory)
-        ()
+      trigger: Trigger = Trigger.AvailableNow(),
+      sink: SinkConfig = SinkConfig()): StreamingQuery = {
+    val parsed = readWebhooks(spark, inputDir, sink, Envelope.processWebhookSchema)
+    startForeachBatch(parsed, trigger, sink) { (batch, batchId) =>
+      val merged = IdempotentMerge(getState(), batchId) { state =>
+        graft.pipelines.ProcessMovement(batch, state).inventory
       }
-      .trigger(trigger)
-      .start()
+      setState(merged)
+    }
   }
 
   /** EP1 streaming form: order-approval webhooks merge stock transfers into
-    * the inventory ledger per micro-batch (same contract as
-    * [[runProcessMovementStream]]).
+    * the inventory ledger per micro-batch (same contract — and the same
+    * batchId idempotency guard — as [[runProcessMovementStream]]).
     */
   def runOrderApprovalStream(
       spark: SparkSession,
       inputDir: String,
       getState: () => DataFrame,
       setState: DataFrame => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val parsed = spark.readStream
-      .text(inputDir)
-      .withColumnRenamed("value", "body")
-      .withColumn("record",
-        from_json(col("body"), Envelope.orderWebhookSchema).getField("record"))
-      .withColumn("event_id", xxhash64(col("body")))
-    parsed.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val result = graft.pipelines.OrderApproval(batch, getState())
-        setState(result.inventory)
-        ()
+      trigger: Trigger = Trigger.AvailableNow(),
+      sink: SinkConfig = SinkConfig()): StreamingQuery = {
+    val parsed = readWebhooks(spark, inputDir, sink, Envelope.orderWebhookSchema)
+    startForeachBatch(parsed, trigger, sink) { (batch, batchId) =>
+      val merged = IdempotentMerge(getState(), batchId) { state =>
+        graft.pipelines.OrderApproval(batch, state).inventory
       }
+      setState(merged)
+    }
+  }
+
+  /** Webhook-dir streaming source: one JSON body per line, parsed against
+    * the given envelope schema. Reader options from the sink config apply
+    * here — `maxFilesPerTrigger` bounds admission per micro-batch (§2.9
+    * backpressure, the analogue of the reference's 5 MB body cap).
+    */
+  private def readWebhooks(spark: SparkSession, inputDir: String,
+      sink: SinkConfig, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val reader = sink.readerOptions.foldLeft(spark.readStream.format("text")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.load(inputDir)                  // one webhook JSON per line
+      .withColumnRenamed("value", "body")
+      .withColumn("record", from_json(col("body"), schema).getField("record"))
+      // content hash as event id (monotonically_increasing_id is not
+      // available on streaming DataFrames); the pipelines' deltas don't
+      // depend on it — it only labels dead-letter rows
+      .withColumn("event_id", xxhash64(col("body")))
+  }
+
+  private def startForeachBatch(parsed: DataFrame, trigger: Trigger,
+      sink: SinkConfig)(body: (DataFrame, Long) => Unit): StreamingQuery = {
+    val writer = parsed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) => body(batch, batchId) }
       .trigger(trigger)
+    sink.checkpointLocation
+      .fold(writer)(p => writer.option("checkpointLocation", p))
       .start()
   }
 
@@ -142,15 +162,15 @@ object Streams {
     // ---- session windows: gaps-and-islands oracle ------------------------
     sql("st3_session_window",
       """WITH seq AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL '5 minutes' OR
+        |              >= INTERVAL '5 minutes' OR
         |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |), sess AS (
         |  SELECT user_id, ts,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM seq
         |)

@@ -74,6 +74,7 @@ class SourcesSpec extends SparkSpec {
       bodies.zipWithIndex.toDF("body", "event_id")
         .withColumn("record", from_json(col("body"), Envelope.orderWebhookSchema).getField("record")),
       inventory0).inventory.orderBy("inventory_id").collect().map(_.toSeq)
-    assert(state.orderBy("inventory_id").collect().map(_.toSeq) === expected)
+    assert(state.drop(graft.streaming.IdempotentMerge.BatchCol)
+      .orderBy("inventory_id").collect().map(_.toSeq) === expected)
   }
 }

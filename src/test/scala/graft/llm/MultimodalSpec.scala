@@ -51,19 +51,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeStub(payload, 256).toSeq === resized.toSeq)
   }
 
-  test("fingerprint: identical texts collide, sketch bounded") {
+  test("fingerprint: identical texts collide, sketch bounded, scalar schema") {
     val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
       .toDF("doc_id", "text")
-    // reuse the registered query against a temp view-free path: apply the same exprs
+    val dir = java.nio.file.Files.createTempDirectory("t5docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fp = graft.llm.TextStats.registry.find(_.name == "t5_fingerprint").get
-    val out = docs.select(col("doc_id"),
-        expr("""transform(sequence(1, greatest(length(text) - 7, 1)),
-                i -> xxhash64(substr(text, i, 8)))""").as("gh"))
-      .select(col("doc_id"), expr("slice(array_sort(array_distinct(gh)), 1, 8)").as("sketch"))
-      .select(col("doc_id"), xxhash64(col("sketch")).as("fp"), size(col("sketch")).as("n"))
-      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(out(1L)._1 === out(2L)._1)
-    assert(out(1L)._1 !== out(3L)._1)
-    assert(out.values.forall(_._2 <= 8))
+    val out = fp.run(spark, dir)
+    // scalar-only output: raw array columns break the driver's canonicalizer
+    assert(out.schema.fields.forall(f =>
+      !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(out.columns.toSeq ===
+      "doc_id" +: (0 until 8).map(k => s"s$k") :+ "fingerprint")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(9), (1 to 8).count(i => !r.isNullAt(i))))
+      .toMap
+    assert(rows(1L)._1 === rows(2L)._1) // identical text → identical digest
+    assert(rows(1L)._1 !== rows(3L)._1)
+    assert(rows.values.forall(_._2 <= 8))
+    // 16-char docs have 9 grams → a full 8-slot sketch
+    assert(rows(1L)._2 === 8)
   }
 }
