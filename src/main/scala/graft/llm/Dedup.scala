@@ -23,6 +23,15 @@ object Dedup {
   /** Content hash for exact dedup: SHA-256 of the raw text. */
   def contentHash(text: Column): Column = sha2(text, 256)
 
+  /** 60-bit cross-engine hash: the first 15 hex chars of SHA-256, parsed
+    * as an integer — fixed width, always positive, and computable
+    * identically in DuckDB (a strpos hex parse), which is what lets the
+    * MinHash and SimHash pipelines carry FULL oracles instead of
+    * rows-only gates. All codegen'd builtins.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
   /** Distinct word 3-gram shingles of a text column. */
   def shingles(text: Column): Column =
     expr("""array_distinct(transform(
@@ -50,40 +59,90 @@ object Dedup {
       .dropDuplicates("doc_id", "sh")
   }
 
-  /** 64-hash MinHash signatures over hashed shingle rows (seeded xxhash64
-    * family): 64 codegen'd `min` aggregates, one shuffle keyed by doc_id.
-    * (A nested-HOF formulation ran interpreted and was ~100× slower.)
+  /** Word-3-gram shingles as STRING rows (doc_id, g) — MULTISET, not set:
+    * `min` aggregation downstream is duplicate-insensitive, so no dedup
+    * shuffle is spent here. Built via array `slice` on the token array
+    * (no window, no shuffle): the expensive signature hashing that
+    * follows stays scan-side, spread over every input partition, instead
+    * of landing on an AQE-coalesced post-shuffle stage sized by byte
+    * count rather than CPU. The DuckDB oracle builds identical gram
+    * strings via `array_to_string(ts[i:i+2])`.
     */
-  def minhashSignatures(shingleRows: DataFrame): DataFrame = {
-    val mins = (0 until 64).map(k => min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
-    shingleRows
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until 64).map(k => col(s"m$k")): _*).as("sig"))
+  def shingleStringRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - 2, lit(1)))).as("i"),
+        col("ts"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(3)), " ").as("g"))
+
+  /** Number of minhash functions / LSH shape: 16 bands × 2 rows. The
+    * (1/bands)^(1/rows) = 0.25 S-curve threshold catches J ≥ 0.5 pairs
+    * with P ≈ 0.99+ while the exact-Jaccard verify step discards the
+    * extra low-J candidates — and 32 hashes need only EIGHT sha256
+    * digests per gram (the dominant scan cost; sha2 via MessageDigest is
+    * ~15 µs/call).
+    */
+  val MinhashK = 32
+  val MinhashBandRows = 2
+  val MinhashBands: Int = MinhashK / MinhashBandRows // 16
+
+  /** MinHash signatures over string shingle rows: hash family h_k(g) =
+    * 15-hex-char chunk (k mod 4) of sha256((k div 4) || '|' || g) — 60
+    * independent bits per chunk, four chunks per digest, so
+    * [[MinhashK]] hashes cost only K/4 sha256 calls. Each chunk parses
+    * to a LONG — fixed-width agg buffers keep the codegen'd `min`
+    * aggregates on the HashAggregate fast path (string-typed min buffers
+    * fall back to sort-based aggregation, ~4× slower); one shuffle keyed
+    * by doc_id. The DuckDB oracle parses the identical chunks to BIGINT →
+    * bit-identical signatures. (A nested-HOF formulation ran interpreted
+    * and was ~100× slower; a Carter-Wegman h1+k·h2 family collapsed the
+    * effective permutations — argmin is dominated by the smallest h2 for
+    * large k — and lost planted near-dups.)
+    * Returns (doc_id, m0..m{K-1}: long).
+    */
+  def minhashSignatures(gramRows: DataFrame): DataFrame = {
+    val nDigests = MinhashK / 4
+    val hx = gramRows.select(col("doc_id") +: (0 until nDigests).map(d =>
+      sha2(concat_ws("|", lit(d.toString), col("g")), 256).as(s"hx$d")): _*)
+    val hs = hx.select(col("doc_id") +: (0 until MinhashK).map(k =>
+      conv(substring(col(s"hx${k / 4}"), 15 * (k % 4) + 1, 15), 16, 10)
+        .cast("long").as(s"h$k")): _*)
+    val mins = (0 until MinhashK).map(k => min(col(s"h$k")).as(s"m$k"))
+    hs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys for a 64-wide signature: 16 bands × 4 rows. */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(15)),
-      b => struct(b.as("band"), xxhash64(slice(sig, b * lit(4) + lit(1), lit(4))).as("bandkey")))
+  /** LSH band keys from the signature columns: [[MinhashBands]] bands ×
+    * [[MinhashBandRows]] rows; the bucket key is the comma-joined tuple
+    * itself (cross-engine exact — bucket membership is what matters, and
+    * equal tuples ⇔ equal keys).
+    */
+  def bandKeyEntries: Column =
+    array((0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until MinhashBandRows)
+          .map(j => col(s"m${MinhashBandRows * b + j}")): _*).as("bandkey"))
+    }: _*)
 
-  /** 64-bit SimHash per doc over whitespace tokens: explode token hashes →
-    * 64 codegen'd bit-count aggregates → reassemble the sign word.
-    * Bit i is set iff more than half the token hashes have bit i set
-    * (weight = 2·ones − n > 0). Returns (doc_id, sh64).
+  /** 60-bit SimHash per doc over whitespace tokens ([[hash60]] token
+    * hashes): explode tokens → 60 codegen'd bit-count aggregates →
+    * reassemble the sign word. Bit i is set iff more than half the token
+    * hashes have bit i set (weight = 2·ones − n > 0). Returns
+    * (doc_id, sh60).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val hashes = docs.select(col("doc_id"),
-      explode(expr("transform(split(trim(text), '\\\\s+'), t -> xxhash64(t))")).as("h"))
+    val hashes = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), hash60(col("t")).as("h"))
     val aggs = count(lit(1)).as("n") +:
-      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"o$i"))
-    val sh64 = (0 until 64)
+      (0 until 60).map(i => sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"o$i"))
+    val sh60 = (0 until 60)
       .map(i => when(col(s"o$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     hashes
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), sh64.as("sh64"))
+      .select(col("doc_id"), sh60.as("sh60"))
   }
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
@@ -98,14 +157,15 @@ object Dedup {
     // the verification join) and are deliberately RECOMPUTED per consumer:
     // at 100 TB caching per-doc shingle sets on executors is a memory
     // liability — recompute-from-scan is the spill-free posture.
-    val shingleRows = shingleHashRows(docs)
-    val shingleDf = shingleRows.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-    val sigs = minhashSignatures(shingleRows)
+    val spreadDocs = graft.Tables.spread(docs)
+    val shingleDf = shingleHashRows(spreadDocs)
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val sigs = minhashSignatures(shingleStringRows(spreadDocs))
     // Bucket on band keys; ids only through the self-join — the shingle
     // arrays (the heavy payload) are re-attached per-side AFTER the
     // candidate set is known, so the shuffle moves keys, not content.
     val buckets = sigs
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
     val sized = buckets
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
@@ -127,18 +187,23 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking, Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs: 4×15-bit band blocking, Hamming ≤ maxHamming.
+    * For maxHamming ≤ 3 the banding is LOSSLESS (pigeonhole: ≤ 3 flipped
+    * bits can touch at most 3 of the 4 bands, so one band always matches
+    * exactly), which is why the full all-pairs DuckDB oracle is a valid
+    * gate for the bucketed plan.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs)
-    val banded = sigs.select(col("doc_id"), col("sh64"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh64, b * 16) & 65535L AS key))")).as("bk"))
-      .select(col("doc_id"), col("sh64"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh64").as("ha"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh64").as("hb"))
+    val banded = sigs.select(col("doc_id"), col("sh60"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh60, b * 15) & 32767L AS key))")).as("bk"))
+      .select(col("doc_id"), col("sh60"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh60").as("ha"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh60").as("hb"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
   }
@@ -196,14 +261,82 @@ object Dedup {
         .select(col("doc_id"), col("norm_hash"))
     },
 
-    // ---- MinHash+LSH near-dup pairs (rows-only: xxhash64 not in DuckDB;
-    //      exactness covered by DedupSpec against brute-force Jaccard) -----
-    rowsOnly("d3_minhash_pairs") { (s, d) =>
+    // ---- MinHash+LSH near-dup pairs -------------------------------------
+    // FULL oracle: DuckDB replays the entire LSH pipeline — identical
+    // seeded hash60 signatures over identical string grams, identical
+    // band-tuple buckets, the same ≤50 bucket cap, exact Jaccard on the
+    // survivors — so the probabilistic candidate set is compared
+    // bucket-for-bucket, not approximately. (The gram-hash Jaccard on the
+    // Spark side equals string-set Jaccard barring 64-bit collisions —
+    // the d5 precedent.)
+    sql("d3_minhash_pairs", {
+      def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      val hxs = (0 until MinhashK / 4).map(d => s"sha256('$d|' || g) AS hx$d").mkString(", ")
+      val mins = (0 until MinhashK).map(k =>
+        s"min(${parse15(s"substr(hx${k / 4}, ${15 * (k % 4) + 1}, 15)")}) AS m$k").mkString(", ")
+      val bandSel = (0 until MinhashBands).map(b =>
+        s"SELECT doc_id, $b AS band, concat_ws(',', ${(0 until MinhashBandRows)
+          .map(j => s"m${MinhashBandRows * b + j}").mkString(", ")}) AS bk FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+         |), gsets AS (
+         |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
+         |  FROM toks
+         |), gr AS (
+         |  SELECT doc_id, unnest(gs) AS g FROM gsets
+         |), gh AS (
+         |  SELECT doc_id, $hxs FROM gr
+         |), sig AS (
+         |  SELECT doc_id, $mins FROM gh GROUP BY doc_id
+         |), banded AS (
+         |  $bandSel
+         |), capped AS (
+         |  SELECT doc_id, band, bk FROM (
+         |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
+         |  WHERE nb <= 50
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
+         |)
+         |SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM (
+         |  SELECT c.da, c.db,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)) AS jaccard
+         |  FROM cand c
+         |  JOIN gsets ga ON ga.doc_id = c.da
+         |  JOIN gsets gb ON gb.doc_id = c.db)
+         |WHERE jaccard >= 0.5""".stripMargin
+    }) { (s, d) =>
       minhashPairs(Tables.documents(s, d))
     },
 
-    // ---- SimHash near-dup pairs (rows-only; DedupSpec) -------------------
-    rowsOnly("d4_simhash_pairs") { (s, d) =>
+    // ---- SimHash near-dup pairs -----------------------------------------
+    // FULL oracle: hamming ≤ 3 banding is lossless (see [[simhashPairs]]),
+    // so the all-pairs DuckDB scan over identical hash60 token signatures
+    // is EXACTLY the bucketed plan's output.
+    sql("d4_simhash_pairs", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      val os = (0 until 60).map(i => s"CAST(sum((h >> $i) & 1) AS BIGINT) AS o$i").mkString(", ")
+      val sh = (0 until 60)
+        .map(i => s"(CASE WHEN 2*o$i > n THEN CAST(1 AS BIGINT) << $i ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents
+         |), th AS (
+         |  SELECT doc_id, $parse15 AS h
+         |  FROM (SELECT doc_id, substr(sha256(t), 1, 15) AS hx FROM tok)
+         |), bits AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $os FROM th GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, $sh AS sh FROM bits
+         |)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+    }) { (s, d) =>
       simhashPairs(Tables.documents(s, d))
     },
 
