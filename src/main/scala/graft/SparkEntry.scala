@@ -20,7 +20,8 @@ object SparkEntry {
       graft.llm.Dedup.registry ++
       graft.llm.Similarity.registry ++
       graft.llm.Multimodal.registry ++
-      graft.streaming.Streams.registry
+      graft.streaming.Streams.registry ++
+      graft.sources.RemoteLookup.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * EP1 — the reference's core order-approval dataflow as one Spark plan.

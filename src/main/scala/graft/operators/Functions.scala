@@ -551,6 +551,48 @@ object Functions {
         expr("try_cast(split_part(c_name, '#', 2) AS BIGINT)").as("key_from_name"),
         col("c_acctbal").cast("decimal(12,2)").cast("string").as("bal_str"),
         col("c_nationkey").cast("double").as("nation_dbl"))
+    },
+
+    // ---- correlated scalar subquery (per outer row) ----------------------
+    // Exercises Catalyst's subquery decorrelation (rewritten to an
+    // aggregate + left join under the hood — no per-row re-execution, so
+    // it scales like the join it becomes).
+    sql("q58_correlated_subquery",
+      """SELECT o_orderkey,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 25) AS n_heavy_lines
+        |FROM orders o""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q58_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("q58_lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM q58_lineitem l
+          |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 25) AS n_heavy_lines
+          |FROM q58_orders o""".stripMargin)
+    },
+
+    // ---- LATERAL join: per-order top-1 line item -------------------------
+    // The "top-N per key via dependent subquery" shape; Spark plans it as
+    // a decorrelated window/aggregate, not a per-row loop. Ordering is
+    // TOTAL through the tiebreak chain; the projected columns are
+    // identical for any rows that still tie, so the result is
+    // deterministic either way.
+    sql("q59_lateral_topn",
+      """SELECT o.o_orderkey, t.top_partkey, t.top_qty
+        |FROM orders o, LATERAL (
+        |  SELECT l_partkey AS top_partkey, CAST(l_quantity AS BIGINT) AS top_qty
+        |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_partkey, l_suppkey, l_extendedprice, l_linenumber
+        |  LIMIT 1) t""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("q59_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("q59_lineitem")
+      s.sql(
+        """SELECT o.o_orderkey, t.top_partkey, t.top_qty
+          |FROM q59_orders o, LATERAL (
+          |  SELECT l_partkey AS top_partkey, CAST(l_quantity AS BIGINT) AS top_qty
+          |  FROM q59_lineitem l WHERE l.l_orderkey = o.o_orderkey
+          |  ORDER BY l_quantity DESC, l_partkey, l_suppkey, l_extendedprice, l_linenumber
+          |  LIMIT 1) t""".stripMargin)
     }
   )
 }

@@ -100,4 +100,35 @@ class StatefulSpec extends SparkSpec {
     // only the negative counter alerts; 202 stays silent (fan-out 0)
     assert(got === Set("201:qty_office"))
   }
+
+  test("dropDuplicatesWithinWatermark dedups replayed events across micro-batches") {
+    // The streaming dedup for at-least-once sources: duplicate event ids
+    // arriving within the watermark window are dropped even across
+    // micro-batches (state bounded by the watermark — the 100 TB-safe
+    // alternative to an unbounded dropDuplicates state store).
+    val src = Files.createTempDirectory("dedup-src").toString
+    def write(file: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(src, file),
+        rows.mkString("\n"))
+    // batch 1: e1, e2; batch 2 replays e2 and adds e3 (same event time)
+    write("b1.txt", Seq("e1,2024-01-01 10:00:00", "e2,2024-01-01 10:01:00"))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("event_id"),
+        col("p").getItem(1).cast("timestamp").as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      write("b2.txt", Seq("e2,2024-01-01 10:01:00", "e3,2024-01-01 10:02:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getString(0)).toSeq
+    assert(got.sorted === Seq("e1", "e2", "e3")) // e2 replay dropped
+  }
 }
