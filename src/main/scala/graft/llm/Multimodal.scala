@@ -168,7 +168,9 @@ object Multimodal {
         |  CAST(coalesce(list_sum(bytes[6*win + 1 : least(7*win, n)]), 0) % 1000 AS DOUBLE) AS f6,
         |  CAST(coalesce(list_sum(bytes[7*win + 1 : least(8*win, n)]), 0) % 1000 AS DOUBLE) AS f7
         |FROM e""".stripMargin) { (s, d) =>
-      val feats = extractFeatures(mediaTable(Tables.documents(s, d)))
+      // spread: the per-row decode is CPU-bound — don't let a single-file
+      // scan pin the whole mapPartitions stage on one task
+      val feats = extractFeatures(mediaTable(Tables.spread(Tables.documents(s, d))))
       feats.select(
         col("doc_id") +: col("n_bytes") +: col("brightness") +:
           (0 until 8).map(j => col("feature")(j).cast("double").as(s"f$j")): _*)
@@ -178,7 +180,7 @@ object Multimodal {
     rowsOnly("m3_media_resize_frames") { (s, d) =>
       val spark = s
       import spark.implicits._
-      mediaTable(Tables.documents(s, d))
+      mediaTable(Tables.spread(Tables.documents(s, d)))
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) =>

@@ -189,6 +189,58 @@ object TextStats {
           round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
     },
 
+    // ---- PII redaction: mask emails / long digit runs --------------------
+    // The pre-training scrub pass. Counts surface per pattern; the
+    // redacted text itself is proven byte-equal across engines via its
+    // SHA-256 (emitting a digest instead of megabytes of text). Patterns
+    // stay in the Java∩RE2 common subset so both engines match the same
+    // spans. One scan, no shuffle.
+    sql("t7_redact_pii",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT) AS n_long_nums,
+        |  sha256(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{4,}', '<NUM>', 'g')) AS redacted_hash
+        |FROM documents""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "\\d{4,}"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(numRe), lit(0))).cast("long").as("n_long_nums"),
+        sha2(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>"), 256).as("redacted_hash"))
+    },
+
+    // ---- repetition metrics: dup-token and top-token ratios --------------
+    // The "degenerate document" quality signals (boilerplate, keyword
+    // stuffing): explode → per-(doc, token) counts (map-side combined) →
+    // per-doc closed forms from exact integer sums.
+    sql("t8_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, t
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition_ratio,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_ratio
+        |FROM tf GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("c")).cast("double"))
+          .as("repetition_ratio"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_token_ratio"))
+    },
+
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
     // Winnowing-style content fingerprint: rolling char 8-grams → hash →
     // keep the 8 smallest distinct hashes (the sketch) → digest. The gram

@@ -74,4 +74,18 @@ class PartitioningSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got === expected)
   }
+
+  test("q46 global ranking runs with NO single-partition exchange") {
+    // the two-pass rank must never funnel the table through one task —
+    // the physical plan carries range partitioning plus per-partition
+    // windows, and no Exchange SinglePartition anywhere
+    val q = SparkEntry.registry.find(_.name == "q46_window_distribution").get
+    val df = q.run(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"q46 still has a single-partition stage:\n${plan.take(800)}")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "expected a range repartition as the global-order backbone")
+  }
 }
