@@ -340,6 +340,38 @@ object Dedup {
       simhashPairs(Tables.documents(s, d))
     },
 
+    // ---- embedding-cosine near-dup pairs (blocked exact) -----------------
+    // The semantic-dedup mode: pairs whose EMBEDDINGS are close, blocked
+    // by label so the quadratic is bounded per block (the d5 pattern; the
+    // unblocked 100 TB path is the LSH/IVF candidate generation of
+    // s2/s4 + this exact verify). Native codegen'd cosine; sims rounded
+    // to 6dp before the threshold on BOTH engines (summation-order ulp).
+    sql("d7_embedding_neardup",
+      """WITH elems AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label, sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.label = b.label AND b.vec_id > a.vec_id
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT va AS vec_id_a, vb AS vec_id_b, CAST(label AS BIGINT) AS label, sim FROM (
+        |  SELECT d.va, d.vb, d.label, round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+        |  FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb)
+        |WHERE sim >= 0.4""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec_id_a"), col("label"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_id_b"), col("label"), col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_id_b") > col("vec_id_a"))
+        .select(col("vec_id_a"), col("vec_id_b"), col("label").cast("long").as("label"),
+          round(graft.llm.Similarity.cosine(col("ea"), col("eb")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+    },
+
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------
     // The standalone exact-similarity op (no LSH): pairs within a bounded
     // blocking key (source), similarity = |∩|/|∪| of word 3-gram sets.
