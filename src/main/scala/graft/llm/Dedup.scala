@@ -194,7 +194,7 @@ object Dedup {
     * gate for the bucketed plan.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    val sigs = simhashSignatures(graft.Tables.spread(docs))
     val banded = sigs.select(col("doc_id"), col("sh60"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh60, b * 15) & 32767L AS key))")).as("bk"))
       .select(col("doc_id"), col("sh60"), col("bk.band"), col("bk.key"))

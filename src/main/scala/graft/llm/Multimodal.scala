@@ -176,8 +176,30 @@ object Multimodal {
           (0 until 8).map(j => col("feature")(j).cast("double").as(s"f$j")): _*)
     },
 
-    // ---- resize + frame-sample plumbing (stubs; shapes are the contract) -
-    rowsOnly("m3_media_resize_frames") { (s, d) =>
+    // ---- resize + frame-sample plumbing (stub decode; real batch shape) --
+    // FULL oracle: the reported SIZES are closed integer forms of the
+    // payload length — resize keeps every stride-th byte
+    // (stride = ⌈n/256⌉ → ⌊(n−1)/stride⌋+1 survivors), frame-sampling
+    // takes 4 windows of ≤64 bytes at step max(n/4, 1) — so DuckDB
+    // verifies the Spark-side mapPartitions decode row for row without
+    // needing the byte content.
+    sql("m3_media_resize_frames", {
+      val starts = (0 until 4).map(i => s"least($i * step, greatest(n - 1, 0))")
+      val flens = starts.map(st => s"(least(($st) + 64, n) - ($st))")
+      s"""WITH b AS (
+         |  SELECT doc_id, octet_length(coalesce(encode(text), encode(''))) AS n
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, n, greatest(n // 4, 1) AS step,
+         |    CASE WHEN n <= 256 THEN n
+         |         ELSE (n - 1) // ((n + 255) // 256) + 1 END AS resized_bytes
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(resized_bytes AS INTEGER) AS resized_bytes,
+         |  CAST(${flens.map(f => s"CASE WHEN $f > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INTEGER) AS n_frames,
+         |  CAST(${flens.mkString(" + ")} AS INTEGER) AS frame_bytes_total
+         |FROM s""".stripMargin
+    }) { (s, d) =>
       val spark = s
       import spark.implicits._
       mediaTable(Tables.spread(Tables.documents(s, d)))

@@ -86,8 +86,10 @@ object RemoteLookup {
         .map(r => r.getString(0) ->
           Map("c_name" -> r.getString(1), "c_mktsegment" -> r.getString(2)))
         .toMap
+      // spread: a single-file orders scan would issue every batch from
+      // one task — the connector's parallelism claim is per-partition
       withLookup(
-        Tables.orders(s, d)
+        Tables.spread(Tables.orders(s, d))
           .select(col("o_orderkey"), col("o_custkey").cast("string").as("cust_id")),
         "cust_id", Seq("c_name", "c_mktsegment"), MapFetcher(remoteApp))
     }
