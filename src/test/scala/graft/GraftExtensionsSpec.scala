@@ -19,7 +19,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
       (2L, Array(0.0f, 0.0f)),     // zero vector → NaN preserved
-      (3L, null.asInstanceOf[Array[Float]])
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, Array(Float.NaN, 1.0f)) // NaN component → NaN, not 1.0
     ).toDF("id", "e")
     val diag = df.select(col("id"),
       graft.functions.VectorExpressions.cosineF32(col("e"), col("e")).as("c"))
@@ -32,5 +33,6 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out(0).getDouble(1) === 1.0)
     assert(out(1).getDouble(1).isNaN)
     assert(out(2).isNullAt(1))
+    assert(out(3).getDouble(1).isNaN) // matches the unfolded NaN/NaN path
   }
 }
