@@ -75,6 +75,18 @@ class PartitioningSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("spread fans a narrow scan out to session parallelism, no-ops otherwise") {
+    import spark.implicits._
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(narrow.rdd.getNumPartitions === 1)
+    val fanned = Tables.spread(narrow)
+    assert(fanned.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+    assert(fanned.as[Int].collect().sorted === (1 to 100).toArray)
+    val wide = (1 to 100).toDF("x")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(Tables.spread(wide) eq wide) // already parallel: untouched, no shuffle
+  }
+
   test("q46 global ranking runs with NO single-partition exchange") {
     // the two-pass rank must never funnel the table through one task —
     // the physical plan carries range partitioning plus per-partition
