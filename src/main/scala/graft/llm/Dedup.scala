@@ -38,26 +38,17 @@ object Dedup {
       sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
       i -> array_join(slice(split(trim(text), '\\s+'), i, 3), ' ')))""")
 
-  /** Hashed word-3-gram shingles as ROWS (doc_id, sh): tokens explode with
-    * position, `lead` windows supply the next two tokens, and the shingle
-    * is hashed directly from the triple — fully codegen'd, no per-doc
-    * array or string building (the HOF string formulation evaluated
-    * interpreted and was re-run per consumer). Shingle-set Jaccard over
-    * hashes equals the string version (64-bit collisions are negligible).
-    * Docs shorter than 3 tokens keep one partial-gram shingle, like the
-    * string form.
+  /** Hashed shingle SETS per doc (doc_id, sh: array<long>) for exact
+    * Jaccard verification — xxhash64 over the same gram strings the
+    * signatures hash; set Jaccard over hashes equals the string version
+    * (64-bit collisions are negligible; the d5 oracle proves it against
+    * DuckDB's string sets). collect_set dedups, so the multiset gram rows
+    * feed it directly — one shuffle, no window.
     */
-  def shingleHashRows(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
-      .withColumn("t1", lead(col("t"), 1).over(w))
-      .withColumn("t2", lead(col("t"), 2).over(w))
-      .filter(col("t2").isNotNull || col("pos") === 0)
-      .select(col("doc_id"),
-        xxhash64(col("t"), coalesce(col("t1"), lit("")), coalesce(col("t2"), lit(""))).as("sh"))
-      .dropDuplicates("doc_id", "sh")
-  }
+  def shingleHashSets(docs: DataFrame): DataFrame =
+    shingleStringRows(docs)
+      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
 
   /** Word-3-gram shingles as STRING rows (doc_id, g) — MULTISET, not set:
     * `min` aggregation downstream is duplicate-insensitive, so no dedup
@@ -158,8 +149,7 @@ object Dedup {
     // at 100 TB caching per-doc shingle sets on executors is a memory
     // liability — recompute-from-scan is the spill-free posture.
     val spreadDocs = graft.Tables.spread(docs)
-    val shingleDf = shingleHashRows(spreadDocs)
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val shingleDf = shingleHashSets(spreadDocs)
     val sigs = minhashSignatures(shingleStringRows(spreadDocs))
     // Bucket on band keys; ids only through the self-join — the shingle
     // arrays (the heavy payload) are re-attached per-side AFTER the
@@ -394,8 +384,8 @@ object Dedup {
       // sizes are equal barring 64-bit collisions.
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       val docs = Tables.documents(s, d)
-      val sh = shingleHashRows(docs)
-        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("grams"))
+      val sh = shingleHashSets(docs)
+        .withColumnRenamed("sh", "grams")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("rk", row_number().over(w))
       val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"), col("grams").as("ga"))
