@@ -198,6 +198,92 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("hamming"))
   }
 
+  /** Collapse near-dup PAIRS into duplicate clusters: connected
+    * components by iterative min-label propagation over the symmetric
+    * edge set — each round every node adopts the smallest component id
+    * among itself and its neighbors; fixpoint = components labeled by
+    * their minimum doc_id (the survivor). Rounds = graph diameter (near-
+    * dup graphs are shallow: dup groups are cliques or short chains); at
+    * true scale the same invariant runs as the large-star/small-star
+    * alternation. Lineage is truncated per round (localCheckpoint) so the
+    * iterated join doesn't stack plans.
+    *
+    * Returns (doc_id, comp_id, cluster_size, is_keeper) for every doc
+    * that appears in at least one pair.
+    */
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val incoming = sym.join(labels, sym("a") === labels("node"))
+        .groupBy(col("b")).agg(min(col("comp")).as("in_comp"))
+      val next = labels.join(incoming, labels("node") === incoming("b"), "left")
+        .select(labels("node").as("node"),
+          least(col("comp"), coalesce(col("in_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select("node", "comp")
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), Seq("comp"))
+      .select(col("node").as("doc_id"), col("comp").as("comp_id"),
+        col("cluster_size"), (col("node") === col("comp")).as("is_keeper"))
+  }
+
+  /** The DuckDB CTE chain replaying the MinHash-LSH pipeline, ending in a
+    * `pairs(doc_id_a, doc_id_b, jaccard)` CTE — shared by the d3 oracle
+    * and d8's cluster oracle.
+    */
+  private def minhashOracleCtes: String = {
+    def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val hxs = (0 until MinhashK / 4).map(d => s"sha256('$d|' || g) AS hx$d").mkString(", ")
+    val mins = (0 until MinhashK).map(k =>
+      s"min(${parse15(s"substr(hx${k / 4}, ${15 * (k % 4) + 1}, 15)")}) AS m$k").mkString(", ")
+    val bandSel = (0 until MinhashBands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', ${(0 until MinhashBandRows)
+        .map(j => s"m${MinhashBandRows * b + j}").mkString(", ")}) AS bk FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+       |), gsets AS (
+       |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+       |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
+       |  FROM toks
+       |), gr AS (
+       |  SELECT doc_id, unnest(gs) AS g FROM gsets
+       |), gh AS (
+       |  SELECT doc_id, $hxs FROM gr
+       |), sig AS (
+       |  SELECT doc_id, $mins FROM gh GROUP BY doc_id
+       |), banded AS (
+       |  $bandSel
+       |), capped AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
+       |  WHERE nb <= 50
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
+       |), pairs AS (
+       |  SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM (
+       |    SELECT c.da, c.db,
+       |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |        / len(list_distinct(ga.gs || gb.gs)) AS jaccard
+       |    FROM cand c
+       |    JOIN gsets ga ON ga.doc_id = c.da
+       |    JOIN gsets gb ON gb.doc_id = c.db)
+       |  WHERE jaccard >= 0.5
+       |)""".stripMargin
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact dedup: first-wins survivor per content hash ---------------
@@ -259,47 +345,37 @@ object Dedup {
     // bucket-for-bucket, not approximately. (The gram-hash Jaccard on the
     // Spark side equals string-set Jaccard barring 64-bit collisions —
     // the d5 precedent.)
-    sql("d3_minhash_pairs", {
-      def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
-      val hxs = (0 until MinhashK / 4).map(d => s"sha256('$d|' || g) AS hx$d").mkString(", ")
-      val mins = (0 until MinhashK).map(k =>
-        s"min(${parse15(s"substr(hx${k / 4}, ${15 * (k % 4) + 1}, 15)")}) AS m$k").mkString(", ")
-      val bandSel = (0 until MinhashBands).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws(',', ${(0 until MinhashBandRows)
-          .map(j => s"m${MinhashBandRows * b + j}").mkString(", ")}) AS bk FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
-         |), gsets AS (
-         |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
-         |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
-         |  FROM toks
-         |), gr AS (
-         |  SELECT doc_id, unnest(gs) AS g FROM gsets
-         |), gh AS (
-         |  SELECT doc_id, $hxs FROM gr
-         |), sig AS (
-         |  SELECT doc_id, $mins FROM gh GROUP BY doc_id
-         |), banded AS (
-         |  $bandSel
-         |), capped AS (
-         |  SELECT doc_id, band, bk FROM (
-         |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
-         |  WHERE nb <= 50
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM capped a JOIN capped b ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
-         |)
-         |SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM (
-         |  SELECT c.da, c.db,
-         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-         |      / len(list_distinct(ga.gs || gb.gs)) AS jaccard
-         |  FROM cand c
-         |  JOIN gsets ga ON ga.doc_id = c.da
-         |  JOIN gsets gb ON gb.doc_id = c.db)
-         |WHERE jaccard >= 0.5""".stripMargin
-    }) { (s, d) =>
+    sql("d3_minhash_pairs",
+      s"""WITH $minhashOracleCtes
+         |SELECT doc_id_a, doc_id_b, jaccard FROM pairs""".stripMargin) { (s, d) =>
       minhashPairs(Tables.documents(s, d))
+    },
+
+    // ---- near-dup CLUSTERS: connected components over the pair graph -----
+    // The step that turns a pair list into keep/drop decisions: components
+    // by iterative min-label propagation (converges in O(diameter) rounds;
+    // the production-scale variant is the large-star/small-star
+    // alternation, same invariant). Oracle: DuckDB recursive-CTE
+    // transitive closure over the SAME replayed LSH pairs.
+    sql("d8_dedup_clusters",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+         |)
+         |SELECT c.doc_id, CAST(c.comp_id AS BIGINT) AS comp_id,
+         |  CAST(n.sz AS BIGINT) AS cluster_size,
+         |  c.doc_id = c.comp_id AS is_keeper
+         |FROM comp c
+         |JOIN (SELECT comp_id, count(*) AS sz FROM comp GROUP BY comp_id) n
+         |  USING (comp_id)""".stripMargin) { (s, d) =>
+      dedupClusters(minhashPairs(Tables.documents(s, d)))
     },
 
     // ---- SimHash near-dup pairs -----------------------------------------

@@ -593,6 +593,21 @@ object Functions {
           |  FROM q59_lineitem l WHERE l.l_orderkey = o.o_orderkey
           |  ORDER BY l_quantity DESC, l_partkey, l_suppkey, l_extendedprice, l_linenumber
           |  LIMIT 1) t""".stripMargin)
+    },
+
+    // ---- deterministic hash sample ---------------------------------------
+    // Reproducible ~5% sample keyed by a content hash — unlike
+    // TABLESAMPLE/rand(), the same rows are selected on every run, every
+    // engine, every partition layout (the property training-data holdouts
+    // and A/B slices need). Cross-engine via the sha256-prefix hash60.
+    sql("q61_deterministic_sample", {
+      val h = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15), j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders WHERE $h % 20 = 0""".stripMargin
+    }) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(graft.llm.Dedup.hash60(col("o_orderkey").cast("string")) % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }
   )
 }

@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashPairs(many, maxBucket = 100).count() === 60L * 59 / 2)
   }
 
+  test("dedupClusters: chains collapse to min-labeled components") {
+    // a 4-node chain (transitivity across pairs), a 2-clique, a singleton pair
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 0.9), (3L, 4L, 0.8), (10L, 11L, 0.7))
+      .toDF("doc_id_a", "doc_id_b", "jaccard")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._1 == 1L)) // chain merges transitively
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._2 == 4L))
+    assert(out(10L) === ((10L, 2L, true)) && out(11L) === ((10L, 2L, false)))
+    assert(out.count(_._2._3) === 2) // one keeper per component
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
