@@ -241,6 +241,38 @@ object TextStats {
         (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_token_ratio"))
     },
 
+    // ---- sequence packing: bin docs into fixed token budgets -------------
+    // The training-batch prep step: greedy-by-order packing of documents
+    // into ~2048-token bins, deterministic (ordered by doc_id) and
+    // partitioned by source so the running sum distributes — each
+    // source's packing is independent, no global sequential scan. A doc
+    // larger than the budget gets its own bin (ceil semantics of the
+    // running sum keep both engines identical: integer arithmetic only).
+    sql("t9_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
+        |FROM r""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        bpeishCount(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
+    },
+
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
     // Winnowing-style content fingerprint: rolling char 8-grams → hash →
     // keep the 8 smallest distinct hashes (the sketch) → digest. The gram
