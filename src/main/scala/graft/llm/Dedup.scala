@@ -212,7 +212,13 @@ object Dedup {
     * that appears in at least one pair.
     */
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // one distributed job computes the (small) pair graph — checkpointed
+    // BEFORE the symmetric flip, which would otherwise evaluate the whole
+    // LSH pipeline once per union branch. Every round after that works on
+    // checkpointed data only; lazy round checkpoints make the convergence
+    // count the single action that materializes a round.
     val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .localCheckpoint()
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
@@ -227,7 +233,7 @@ object Dedup {
         .select(labels("node").as("node"),
           least(col("comp"), coalesce(col("in_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("comp") =!= col("prev")).count()
       labels = next.select("node", "comp")
       rounds += 1
