@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{OpQuery, Tables}
-import graft.OpQuery.{rowsOnly, sql}
+import graft.OpQuery.sql
 
 /** Multimodal-column plumbing (builder-prompt north-star): media as opaque
   * `binary` columns with a typed metadata struct, batch-shaped

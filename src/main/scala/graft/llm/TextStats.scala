@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{OpQuery, Tables}
-import graft.OpQuery.{rowsOnly, sql}
+import graft.OpQuery.sql
 
 /** Text-analysis operators for LLM training-data pipelines: token counting,
   * quality scoring, language ID, fingerprinting (builder-prompt north-star;

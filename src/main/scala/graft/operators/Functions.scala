@@ -608,6 +608,23 @@ object Functions {
       Tables.orders(s, d)
         .filter(graft.llm.Dedup.hash60(col("o_orderkey").cast("string")) % 20 === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // ---- stratified deterministic sample ---------------------------------
+    // Per-stratum rates over the documents corpus — the language-mix
+    // rebalancing step of a training-data pipeline (keep all scarce
+    // languages, downsample the dominant one), with the same
+    // reproducibility guarantee as q61: membership is a pure function of
+    // (doc_id, stratum), not of run or partition layout.
+    sql("q62_stratified_sample", {
+      val h = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 80 END)""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(graft.llm.Dedup.hash60(col("doc_id").cast("string")) % 100 <
+          when(col("lang") === "en", lit(20)).otherwise(lit(80)))
+        .select(col("doc_id"), col("lang"))
     }
   )
 }
