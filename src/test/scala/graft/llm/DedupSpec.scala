@@ -71,6 +71,31 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._2._3) === 2) // one keeper per component
   }
 
+  test("property: dedupClusters equals driver union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(nd => nd -> nodes.filter(m => find(m) == find(nd)).min).toMap
+      val got = Dedup.dedupClusters(
+        edges.toDF("doc_id_a", "doc_id_b").withColumn("jaccard", lit(1.0)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
