@@ -21,12 +21,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup outside timing: session init, codegen compiler, file listing.
+    // Warmup outside timing: session init, file listing.
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $t failed: ${e.getMessage}")
       }
+    }
+    // Steady-state protocol: one untimed pass over every query first —
+    // single-run timings otherwise charge one-time Janino codegen
+    // compilation (hundreds of ms per generated stage) to whichever query
+    // compiles it. The timed pass below then measures the engine, not the
+    // compiler.
+    SparkEntry.registry.foreach { q =>
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.registry.map { q =>
