@@ -5,18 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{OpQuery, Tables}
-import graft.OpQuery.{rowsOnly, sql}
+import graft.OpQuery.sql
 
 /** Deduplication operators for LLM training corpora (builder-prompt
   * north-star; SURVEY.md §2.10): exact (hash), MinHash+LSH near-dup,
-  * SimHash near-dup. Design for 100 TB:
+  * SimHash near-dup, embedding-cosine near-dup, cluster formation.
+  * Design for 100 TB:
   *  - exact dedup shuffles once on the content hash (not the text);
   *  - MinHash/SimHash candidate generation is a *bucketed* self-join —
   *    only rows sharing an LSH band key ever meet, and oversized buckets
   *    (degenerate shingles) are dropped by a frequency cap, so the join
   *    can't go quadratic;
-  *  - signatures are fixed-width arrays computed scan-side in one pass
-  *    (Catalyst HOFs, no UDFs).
+  *  - signatures are fixed-width column vectors computed scan-side in
+  *    one codegen'd pass (no UDFs, no HOFs — both measured slower), with
+  *    sha256-prefix hashes that DuckDB reproduces exactly, so every
+  *    pipeline here carries a FULL oracle.
   */
 object Dedup {
 
@@ -238,6 +241,10 @@ object Dedup {
       labels = next.select("node", "comp")
       rounds += 1
     }
+    // a capped-out loop would return NOT-YET-MERGED components as if
+    // final — refuse rather than silently under-cluster
+    require(changed == 0,
+      s"dedupClusters did not converge within $maxRounds rounds (graph diameter too large)")
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("comp_id"),
@@ -442,6 +449,69 @@ object Dedup {
         .select(col("vec_id_a"), col("vec_id_b"), col("label").cast("long").as("label"),
           round(graft.llm.Similarity.cosine(col("ea"), col("eb")), 6).as("sim"))
         .filter(col("sim") >= 0.4)
+    },
+
+    // ---- END-TO-END corpus clean: the composed LLM-dedup pipeline --------
+    // What a training-data run actually executes, as ONE operator: exact
+    // dedup (first-wins per content hash) → near-dup cluster losers
+    // (MinHash-LSH + components) → quality cut (non-alpha ratio), with
+    // that precedence. Every doc gets a keep/drop verdict and the reason.
+    // The oracle composes the same three stages (the LSH replay + a
+    // recursive-CTE closure + window/scalar SQL) — a full end-to-end
+    // hash-match of the pipeline, not just its parts.
+    sql("t10_corpus_clean",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), near_losers AS (
+         |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+         |), exact_dups AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn > 1
+         |), q AS (
+         |  SELECT doc_id, (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+         |    * 1.0 / greatest(length(text), 1) AS na
+         |  FROM documents
+         |)
+         |SELECT doc_id, reason, reason = 'kept' AS kept FROM (
+         |  SELECT d.doc_id,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN q.na > 0.19 THEN 'low_quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM documents d
+         |  LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
+         |  LEFT JOIN near_losers n ON n.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id) v""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      val exactDups = docs
+        .select(col("doc_id"), contentHash(col("text")).as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col("doc_id"), lit(true).as("__exact"))
+      val nearLosers = dedupClusters(minhashPairs(docs))
+        .filter(!col("is_keeper"))
+        .select(col("doc_id"), lit(true).as("__near"))
+      val quality = docs.select(col("doc_id"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
+          / greatest(length(col("text")), lit(1))).as("__na"))
+      docs.select(col("doc_id"))
+        .join(exactDups, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("__exact").isNotNull, "exact_dup")
+            .when(col("__near").isNotNull, "near_dup")
+            .when(col("__na") > 0.19, "low_quality")
+            .otherwise("kept").as("reason"))
+        .withColumn("kept", col("reason") === "kept")
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------
