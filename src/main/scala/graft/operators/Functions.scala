@@ -625,6 +625,39 @@ object Functions {
         .filter(graft.llm.Dedup.hash60(col("doc_id").cast("string")) % 100 <
           when(col("lang") === "en", lit(20)).otherwise(lit(80)))
         .select(col("doc_id"), col("lang"))
+    },
+
+    // ---- SCD type-2 merge: dimension history maintenance -----------------
+    // Apply a change set to a dimension WITHOUT losing history: superseded
+    // rows survive with is_current=false, new versions append — the
+    // "slowly changing dimension" upsert (vs the ledger's in-place S4
+    // merge). Change set here: a deterministic price bump on every 7th
+    // part. Scale shape: one keyed left join (broadcastable change set)
+    // plus a union — no full-table rewrite beyond the touched partition
+    // files in a real lakehouse sink.
+    sql("q63_scd2_merge",
+      """WITH upd AS (
+        |  SELECT p_partkey, p_retailprice + 1.0 AS new_price
+        |  FROM part WHERE p_partkey % 7 = 0
+        |)
+        |SELECT p.p_partkey, p.p_retailprice AS price,
+        |  CAST(0 AS BIGINT) AS version, (u.p_partkey IS NULL) AS is_current
+        |FROM part p LEFT JOIN upd u ON u.p_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT p_partkey, new_price AS price, CAST(1 AS BIGINT) AS version,
+        |  true AS is_current
+        |FROM upd""".stripMargin) { (s, d) =>
+      val part = Tables.part(s, d)
+      val upd = part.filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey"), (col("p_retailprice") + lit(1.0)).as("new_price"))
+      val closed = part
+        .join(broadcast(upd.select(col("p_partkey"), lit(true).as("__u"))),
+          Seq("p_partkey"), "left")
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          lit(0L).as("version"), col("__u").isNull.as("is_current"))
+      val fresh = upd.select(col("p_partkey"), col("new_price").as("price"),
+        lit(1L).as("version"), lit(true).as("is_current"))
+      closed.unionByName(fresh)
     }
   )
 }
