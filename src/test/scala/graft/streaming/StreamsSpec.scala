@@ -126,6 +126,46 @@ class StreamsSpec extends SparkSpec {
       .distinct().count() === 2)
   }
 
+  test("stream-static join enriches a stream against a static dimension") {
+    val src = tmpDir("ss-src")
+    val dim = Seq(("101", "Tour"), ("102", "Mini")).toDF("inventory_id", "model")
+    Files.writeString(Paths.get(src, "a.txt"), Seq("101,2", "102,3", "999,1").mkString("\n"))
+    val stream = spark.readStream.text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as("inventory_id"), col("p").getItem(1).cast("int").as("qty"))
+      .join(dim, Seq("inventory_id"), "left") // static side re-read per micro-batch
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ss_out").collect()
+      .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got === Set(("101", 2, "Tour"), ("102", 3, "Mini"), ("999", 1, null)))
+  }
+
+  test("stream-stream join honors the event-time interval bound") {
+    val srcA = tmpDir("ssj-imp")
+    val srcB = tmpDir("ssj-clk")
+    Files.writeString(Paths.get(srcA, "imp.txt"), "ad1,2024-01-01 10:00:00")
+    Files.writeString(Paths.get(srcB, "clk.txt"),
+      Seq("ad1,2024-01-01 10:05:00",   // within 10 min of the impression → joins
+        "ad1,2024-01-01 11:00:00").mkString("\n")) // outside the bound → dropped
+    def side(dir: String, id: String, ts: String) = spark.readStream.text(dir)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as(id), col("p").getItem(1).cast("timestamp").as(ts))
+    val imp = side(srcA, "ad_id", "imp_ts").withWatermark("imp_ts", "1 hour")
+    val clk = side(srcB, "clk_ad", "clk_ts").withWatermark("clk_ts", "1 hour")
+    val joined = imp.join(clk,
+      expr("ad_id = clk_ad AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(3).toString)).toSeq
+    assert(got === Seq(("ad1", "2024-01-01 10:05:00.0")))
+  }
+
   private def movementWebhook(inv: String, status: String, prev: String): String =
     s"""{"record":{"Status":{"value":"$status"},"Previous_Status":{"value":"$prev"},
        |"bag_model":{"value":"Tour"},"inventory_id":{"value":"$inv"}}}""".stripMargin.replace("\n", "")
