@@ -202,48 +202,80 @@ object Dedup {
   }
 
   /** Collapse near-dup PAIRS into duplicate clusters: connected
-    * components by iterative min-label propagation over the symmetric
-    * edge set — each round every node adopts the smallest component id
-    * among itself and its neighbors; fixpoint = components labeled by
-    * their minimum doc_id (the survivor). Rounds = graph diameter (near-
-    * dup graphs are shallow: dup groups are cliques or short chains); at
-    * true scale the same invariant runs as the large-star/small-star
-    * alternation. Lineage is truncated per round (localCheckpoint) so the
-    * iterated join doesn't stack plans.
+    * components by min-label propagation WITH pointer jumping (the
+    * two-hop / "hash-to-min" trick: each round a node adopts the least of
+    * its own label, its neighbors' labels, AND its current label's label
+    * — path compression). Plain propagation needs O(diameter) rounds and
+    * the large-star/small-star alternation halves that; pointer jumping
+    * converges in O(log diameter), strictly fewer for any chain longer
+    * than a clique. Fixpoint = components labeled by their minimum doc_id
+    * (the survivor).
+    *
+    * Cluster-scale execution mechanics (NOT localCheckpoint, which pins
+    * blocks on executors with no fault tolerance — one executor loss
+    * during a long propagation would abort the whole job at 100 TB):
+    *  - the pair pipeline (the expensive LSH scan) is evaluated ONCE and
+    *    spilled to parquet under `spillDir`; every round re-reads that —
+    *    the recompute-over-cache posture, durable if `spillDir` is a
+    *    reliable FS (HDFS/S3 in production; defaults to the session
+    *    checkpoint dir, then local tmp for tests);
+    *  - each convergence window (2 pointer-jump rounds chained lazily)
+    *    spills its labels to parquet, so lineage never stacks and a lost
+    *    executor only re-runs one short window from durable inputs;
+    *  - convergence is checked once per window — half the driver syncs of
+    *    a per-round count, and the check is a `limit 1` scan of the spill
+    *    it just wrote, not a separate materialization.
     *
     * Returns (doc_id, comp_id, cluster_size, is_keeper) for every doc
-    * that appears in at least one pair.
+    * that appears in at least one pair. The returned plan reads the final
+    * spill, so `spillDir` must outlive consumption of the result.
     */
-  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    // one distributed job computes the (small) pair graph — checkpointed
-    // BEFORE the symmetric flip, which would otherwise evaluate the whole
-    // LSH pipeline once per union branch. Every round after that works on
-    // checkpointed data only; lazy round checkpoints make the convergence
-    // count the single action that materializes a round.
-    val edges = pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
-      .localCheckpoint()
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50,
+      spillDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val base = spillDir
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill")
+    val runDir = s"$base/cc-${java.util.UUID.randomUUID()}"
+
+    pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .write.mode("overwrite").parquet(s"$runDir/edges")
+    val edges = spark.read.parquet(s"$runDir/edges")
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
-    var changed = 1L
+    val roundsPerCheck = 2
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val incoming = sym.join(labels, sym("a") === labels("node"))
-        .groupBy(col("b")).agg(min(col("comp")).as("in_comp"))
-      val next = labels.join(incoming, labels("node") === incoming("b"), "left")
-        .select(labels("node").as("node"),
-          least(col("comp"), coalesce(col("in_comp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint(eager = false)
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.select("node", "comp")
-      rounds += 1
+    while (!converged && rounds < maxRounds) {
+      var cur = labels.withColumn("prev", col("comp"))
+      for (_ <- 0 until roundsPerCheck) {
+        val in = sym
+          .join(cur.select(col("node").as("n1"), col("comp").as("c1")),
+            sym("a") === col("n1"))
+          .groupBy(col("b")).agg(min(col("c1")).as("in_comp"))
+          .select(col("b").as("in_node"), col("in_comp"))
+        val hop = cur.join(in, cur("node") === col("in_node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("in_comp"), col("comp"))).as("comp"),
+            col("prev"))
+        val jump = cur.select(col("node").as("jn"), col("comp").as("jc"))
+        cur = hop.join(jump, hop("comp") === col("jn"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("jc"), col("comp"))).as("comp"),
+            col("prev"))
+        rounds += 1
+      }
+      val slot = s"$runDir/labels-r$rounds"
+      cur.write.mode("overwrite").parquet(slot)
+      val spilled = spark.read.parquet(slot)
+      converged = spilled.filter(col("comp") =!= col("prev")).isEmpty
+      labels = spilled.select("node", "comp")
     }
     // a capped-out loop would return NOT-YET-MERGED components as if
     // final — refuse rather than silently under-cluster
-    require(changed == 0,
+    require(converged,
       s"dedupClusters did not converge within $maxRounds rounds (graph diameter too large)")
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), Seq("comp"))
@@ -366,10 +398,10 @@ object Dedup {
 
     // ---- near-dup CLUSTERS: connected components over the pair graph -----
     // The step that turns a pair list into keep/drop decisions: components
-    // by iterative min-label propagation (converges in O(diameter) rounds;
-    // the production-scale variant is the large-star/small-star
-    // alternation, same invariant). Oracle: DuckDB recursive-CTE
-    // transitive closure over the SAME replayed LSH pairs.
+    // by min-label propagation with pointer jumping (O(log diameter)
+    // rounds, durable parquet spills — see [[dedupClusters]]). Oracle:
+    // DuckDB recursive-CTE transitive closure over the SAME replayed LSH
+    // pairs.
     sql("d8_dedup_clusters",
       s"""WITH RECURSIVE $minhashOracleCtes,
          |edges AS (

@@ -228,6 +228,29 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Attach global recall-vs-exact as a constant `recall` column and FAIL
+    * the query (raise_error) if it falls below `minRecall` — so the
+    * rows-only correctness gate carries the quantitative criterion inside
+    * the harness itself, not only in SimilaritySpec. Both inputs are
+    * (qid, vid, ...) top-k sets; recall = |approx ∩ exact| / |exact|,
+    * deterministic (integer counts) and constant across rows.
+    */
+  def withRecallGate(approx: DataFrame, exact: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hits = approx.select(col("qid"), col("vid"))
+      .join(exact.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    val recall = hits.crossJoin(total)
+      .select(round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+    approx.crossJoin(broadcast(recall))
+      .withColumn("recall",
+        when(col("recall") < minRecall,
+          raise_error(concat(lit(s"ANN recall below $minRecall: "),
+            col("recall").cast("string"))))
+          .otherwise(col("recall")))
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact brute-force cosine top-5 for 8 probe queries --------------
@@ -260,19 +283,25 @@ object Similarity {
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     },
 
-    // ---- LSH-bucketed approximate top-5 (rows-only; recall measured in
-    //      SimilaritySpec against the brute-force baseline) ----------------
+    // ---- LSH-bucketed approximate top-5 (rows-only gate, but the query
+    //      itself computes recall vs the exact baseline and raise_errors
+    //      below 0.45 — the quantitative criterion rides in the harness;
+    //      SimilaritySpec holds the tuning analysis) ----------------------
     rowsOnly("s2_ann_lsh") { (s, d) =>
       val e = Tables.embeddings(s, d)
-      lshTopK(e.filter(col("vec_id") < 8), e, 5)
-        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      val q = e.filter(col("vec_id") < 8)
+      withRecallGate(lshTopK(q, e, 5), bruteTopK(q, e, 5), minRecall = 0.45)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("recall"))
     },
 
-    // ---- IVF approximate top-5 (rows-only; recall in SimilaritySpec) -----
+    // ---- IVF approximate top-5 (rows-only gate + in-query recall ≥ 0.70
+    //      raise_error criterion, same pattern as s2) ---------------------
     rowsOnly("s4_ann_ivf") { (s, d) =>
       val e = Tables.embeddings(s, d)
-      ivfTopK(e.filter(col("vec_id") < 8), e, 5, cacheKey = Some(d))
-        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      val q = e.filter(col("vec_id") < 8)
+      withRecallGate(ivfTopK(q, e, 5, cacheKey = Some(d)), bruteTopK(q, e, 5),
+        minRecall = 0.70)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("recall"))
     },
 
     // ---- brute-force top-k via the bounded Aggregator UDAF ---------------

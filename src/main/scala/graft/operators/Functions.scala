@@ -170,12 +170,24 @@ object Functions {
 
     // ---- sketch aggregates (approx_count_distinct: engine-specific
     //      estimates → rows-only; DedupSpec-style tolerance in FunctionsSpec)
+    // rows-only (the HLL sketch is engine-specific), but the query carries
+    // its own quantitative criterion: relative error vs the exact count is
+    // emitted as a column and raise_errors above 10% (2× the default 5%
+    // rsd) — the gate's evidence lives in the harness, not only in a spec.
     rowsOnly("q39_approx_distinct") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("rel_err", {
+          val err = round(abs(col("approx_parts") - col("exact_parts"))
+            .cast("double") / col("exact_parts"), 4)
+          when(err > 0.10,
+            raise_error(concat(lit("approx_count_distinct error above 10%: "),
+              err.cast("string"))))
+            .otherwise(err)
+        })
     },
 
     // ---- S2/S8: permissive parse + dead-letter split ---------------------

@@ -50,6 +50,37 @@ object Streams {
   def streamTumbling(stream: DataFrame): DataFrame =
     tumblingAgg(stream.withWatermark("ts", "30 minutes"))
 
+  /** Stream-static enrichment (§2.9): the stream side joins a static
+    * dimension, re-read per micro-batch in streaming mode. The dim is
+    * broadcast, so the (unbounded) stream side never shuffles — the only
+    * viable plan at 100 TB of stream. Identical DataFrame code serves
+    * batch and streaming; StreamsSpec ("stream-static join enriches…")
+    * proves the streaming form of this plan shape.
+    */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+
+  /** Stream-stream interval join (§2.9): each view pairs with the same
+    * user's clicks within the 12 hours after it. In streaming both
+    * sides carry watermarks and the time bound lets Spark expire join
+    * state (StreamsSpec "stream-stream join honors the event-time
+    * interval bound" proves that form); in batch the same predicate plans
+    * as an equi shuffle join on user_id with the range as residual — no
+    * cartesian, no unbounded state.
+    */
+  def intervalPairJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id"), col("ts").as("vts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("cts"))
+    v.join(c,
+        col("user_id") === col("c_user") &&
+          col("cts") > col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 12 HOURS"))
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
   /** Run the EP2 process-movement pipeline incrementally: each micro-batch
     * of webhook JSON merges its counter deltas into the keyed state via
     * `foreachBatch`, guarded by [[IdempotentMerge]] — the merge is keyed
@@ -61,8 +92,8 @@ object Streams {
     *
     * @param getState  () => current inventory snapshot
     * @param setState  merged inventory writer (e.g. Delta/parquet upsert in
-    *                  prod; in-memory swap in tests). The ledger carries an
-    *                  `__applied_batches` bookkeeping column (see
+    *                  prod; in-memory swap in tests). The ledger carries a
+    *                  `__max_applied_batch` high-watermark column (see
     *                  [[IdempotentMerge.BatchCol]]).
     * @param sink      per-app credentials + reader options (backpressure:
     *                  `maxFilesPerTrigger`) + checkpoint location
@@ -178,6 +209,27 @@ object Streams {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, d) =>
       sessionAgg(Tables.events(s, d))
+    },
+
+    // ---- stream-static join, batch-equivalent plan (§2.9) ----------------
+    sql("st4_stream_static_join",
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e
+        |LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin) { (s, d) =>
+      staticEnrich(Tables.events(s, d),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+    },
+
+    // ---- stream-stream interval join, batch-equivalent plan (§2.9) -------
+    sql("st5_stream_stream_join",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      intervalPairJoin(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
     }
   )
 }

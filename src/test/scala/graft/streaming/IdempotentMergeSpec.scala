@@ -14,13 +14,15 @@ class IdempotentMergeSpec extends SparkSpec {
     val s1 = IdempotentMerge(state0, batchId = 7L)(addOne)
     val s2 = IdempotentMerge(s1, batchId = 7L)(addOne)      // replay → no-op
     val s3 = IdempotentMerge(s2, batchId = 8L)(addOne)      // fresh → applies
+    val s4 = IdempotentMerge(s3, batchId = 7L)(addOne)      // stale replay → no-op
     def qty(df: org.apache.spark.sql.DataFrame): Int =
       df.select("qty").as[Int].head()
     assert(qty(s1) === 11)
     assert(qty(s2) === 11, "replayed batch must not double-apply")
     assert(qty(s3) === 12)
-    // bookkeeping records both batch ids exactly once
-    val applied = s3.select(IdempotentMerge.BatchCol).as[Seq[Long]].head().sorted
-    assert(applied === Seq(7L, 8L))
+    assert(qty(s4) === 12, "a stale batch id below the watermark must not re-apply")
+    // bookkeeping is a scalar high-watermark, not a per-row id array
+    val applied = s4.select(IdempotentMerge.BatchCol).as[Long].head()
+    assert(applied === 8L)
   }
 }

@@ -120,10 +120,8 @@ class StreamsSpec extends SparkSpec {
     val got = state.drop(IdempotentMerge.BatchCol)
       .orderBy("inventory_id").collect().map(_.toSeq)
     assert(got === expected)
-    // both micro-batches were recorded as applied
-    assert(state.select(org.apache.spark.sql.functions.explode(
-      org.apache.spark.sql.functions.col(IdempotentMerge.BatchCol)))
-      .distinct().count() === 2)
+    // the watermark records the last applied micro-batch (ids 0, 1)
+    assert(state.select(max(col(IdempotentMerge.BatchCol))).as[Long].head() === 1L)
   }
 
   test("stream-static join enriches a stream against a static dimension") {
@@ -249,11 +247,10 @@ class StreamsSpec extends SparkSpec {
     val q = Streams.runProcessMovementStream(spark, src, () => state, materialize _,
       Trigger.AvailableNow(), sink)
     q.awaitTermination(60000)
-    // the applied-batch ledger counts the micro-batches: 3 files at one
-    // file per trigger → 3 distinct batch ids (≥2 proves admission control)
-    val nBatches = state
-      .select(explode(col(IdempotentMerge.BatchCol)).as("b"))
-      .distinct().count()
-    assert(nBatches === 3)
+    // the applied-batch watermark counts the micro-batches: 3 files at one
+    // file per trigger → batch ids 0..2, watermark 2 (≥1 proves admission
+    // control; a single batch would leave it at 0)
+    val watermark = state.select(max(col(IdempotentMerge.BatchCol))).as[Long].head()
+    assert(watermark === 2L)
   }
 }
