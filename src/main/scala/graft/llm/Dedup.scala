@@ -250,7 +250,13 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       var cur = labels.withColumn("prev", col("comp"))
-      for (_ <- 0 until roundsPerCheck) {
+      for (i <- 0 until roundsPerCheck) {
+        // snapshot labels entering the window's LAST round: "no change
+        // across that single round" is the fixpoint test, and snapshotting
+        // late means a window whose final round is already a no-op detects
+        // convergence without an extra confirmation window
+        if (i == roundsPerCheck - 1)
+          cur = cur.select(col("node"), col("comp"), col("comp").as("prev"))
         val in = sym
           .join(cur.select(col("node").as("n1"), col("comp").as("c1")),
             sym("a") === col("n1"))

@@ -284,8 +284,10 @@ object TextStats {
     //
     // Scale shape: explode gram positions (codegen'd generate + substr +
     // sha2 — the HOF `transform` formulation ran interpreted), then ONE
-    // shuffle keyed by doc_id with a partially-aggregated collect_set
-    // bounded by the doc's gram count.
+    // shuffle keyed by doc_id whose payload is bounded at 8 values per
+    // (task, doc): the bottom-k sketch is a typed Aggregator
+    // ([[graft.functions.BottomKDistinct]]) with partial aggregation, not
+    // a collect_set of every distinct gram.
     sql("t5_fingerprint", {
       val sk = (0 until 8).map(k => s"sketch[${k + 1}] AS s$k").mkString(", ")
       val fp = (1 to 8).map(k => s"sketch[$k]").mkString(", ")
@@ -307,8 +309,10 @@ object TextStats {
           explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
         .select(col("doc_id"),
           substring(sha2(col("text").substr(col("i"), lit(8)), 256), 1, 15).as("gk"))
+      val bottomK = udaf(new graft.functions.BottomKDistinct(8),
+        org.apache.spark.sql.Encoders.STRING)
       val sk = grams.groupBy(col("doc_id"))
-        .agg(slice(array_sort(collect_set(col("gk"))), 1, 8).as("sketch"))
+        .agg(bottomK(col("gk")).as("sketch"))
       val sCols = (0 until 8).map(k => get(col("sketch"), lit(k)).as(s"s$k"))
       sk.select(col("doc_id") +: sCols: _*)
         .withColumn("fingerprint",
