@@ -62,13 +62,19 @@ object Dedup {
     * count rather than CPU. The DuckDB oracle builds identical gram
     * strings via `array_to_string(ts[i:i+2])`.
     */
-  def shingleStringRows(docs: DataFrame): DataFrame =
+  def shingleStringRows(docs: DataFrame): DataFrame = tokenNgramRows(docs, 3)
+
+  /** Word n-gram strings as rows (doc_id, g) — multiset; the [[shingleStringRows]]
+    * generalization used by the boilerplate (n=8) and decontamination
+    * (n=13) operators.
+    */
+  def tokenNgramRows(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - 2, lit(1)))).as("i"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"),
         col("ts"))
-      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(3)), " ").as("g"))
+      .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("g"))
 
   /** Number of minhash functions / LSH shape: 16 bands × 2 rows. The
     * (1/bands)^(1/rows) = 0.25 S-curve threshold catches J ≥ 0.5 pairs
@@ -550,6 +556,89 @@ object Dedup {
             .when(col("__na") > 0.19, "low_quality")
             .otherwise("kept").as("reason"))
         .withColumn("kept", col("reason") === "kept")
+    },
+
+    // ---- hot-n-gram boilerplate coverage (the line-dedup analogue) -------
+    // The C4/RefinedWeb repeated-span trick: word 8-grams occurring in
+    // ≥ 2 distinct docs are boilerplate; each doc reports its coverage
+    // and a drop flag at ≥ 50%. Scale shape: the corpus shuffles 8-byte
+    // xxhash64 gram keys (never gram strings — count equality vs the
+    // string oracle is the d5 precedent); hot-set membership is a
+    // semi-join on the same key; the ≥50% flag is integer arithmetic
+    // (n_hot*2 >= n_grams), no float boundary.
+    sql("d9_hot_ngram_boilerplate",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+7], ' ')
+        |    FOR i IN range(1, greatest(len(ts) - 7, 1) + 1)]) AS g
+        |  FROM toks
+        |), hot AS (
+        |  SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+        |), pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams, n_hot,
+        |  round(n_hot * 1.0 / n_grams, 6) AS boilerplate_ratio,
+        |  n_hot * 2 >= n_grams AS is_boilerplate
+        |FROM pd""".stripMargin) { (s, d) =>
+      val grams = tokenNgramRows(Tables.documents(s, d), 8)
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .distinct()
+      val hot = grams.groupBy(col("gh"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("gh")
+      val hotPerDoc = grams.join(hot, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(hotPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+        .withColumn("boilerplate_ratio",
+          round(col("n_hot") * lit(1.0) / col("n_grams"), 6))
+        .withColumn("is_boilerplate", col("n_hot") * 2 >= col("n_grams"))
+    },
+
+    // ---- benchmark decontamination: 13-gram overlap vs the eval set ------
+    // The GPT-3-style contamination sweep: a training doc sharing any
+    // word 13-gram with the benchmark suite is flagged (here the "suite"
+    // is the deterministic doc_id % 10 == 0 subset; in production it's an
+    // external KB-scale eval set). Scale shape: the bench gram-hash set
+    // BROADCASTS (eval suites are tiny), so the 100 TB training side
+    // streams scan-side through a broadcast semi-join — its only shuffle
+    // is the per-doc count.
+    sql("d10_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+12], ' ')
+        |    FOR i IN range(1, greatest(len(ts) - 12, 1) + 1)]) AS g
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0
+        |), hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        |  FROM g WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated,
+        |  h.doc_id IS NOT NULL AS is_contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = tokenNgramRows(docs, 13)
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+      val hits = grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      docs.select("doc_id").filter(col("doc_id") % 10 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          col("n_contaminated").isNotNull.as("is_contaminated"))
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------

@@ -41,6 +41,23 @@ object TextStats {
       Seq("le", "les", "et", "une", "est", "dans", "du", "pas", "pour", "sur").map(("fr", _)) ++
       Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这").map(("zh", _))
 
+  /** Fixed 32-token context windows with stride 24 (8-token overlap) per
+    * doc — see the `t11_chunking` registry notes. A window is emitted only
+    * if it contributes at least one new token: k = 0 .. ⌊(n_tok−9)/24⌋.
+    */
+  def chunk(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          greatest(floor((size(col("ts")) - (window - stride) - 1) / stride.toDouble),
+            lit(0L)))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        slice(col("ts"), (col("k") * stride + 1).cast("int"), lit(window)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- corpus stats per language (metadata aggregation) ----------------
@@ -271,6 +288,29 @@ object TextStats {
       t.withColumn("cum", sum(col("n_tok")).over(w))
         .select(col("doc_id"), col("source"), col("n_tok"),
           floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
+    },
+
+    // ---- context chunking: 32-token windows with 8-token overlap ---------
+    // The long-document prep step: split each doc into fixed token
+    // windows (stride 24, so consecutive chunks share 8 tokens of
+    // context). A chunk is emitted only if it contributes at least one
+    // new token (k == 0 or n_tok >= 24k+9), so short docs yield exactly
+    // one chunk and no chunk is a subset of its predecessor. Pure
+    // scan-side row amplification — no shuffle at all; at 100 TB this is
+    // map-only work at scan bandwidth.
+    sql("t11_chunking",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), k AS (
+        |  SELECT doc_id, ts,
+        |    unnest(range(0, greatest((len(ts) - 9) // 24, 0) + 1)) AS k
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  CAST(len(ts[k*24+1:k*24+32]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ts[k*24+1:k*24+32], ' ') AS chunk_text
+        |FROM k""".stripMargin) { (s, d) =>
+      chunk(Tables.documents(s, d))
     },
 
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----

@@ -96,6 +96,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-ngram boilerplate: shared 8-gram spans flagged, unique docs clean") {
+    val span = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val bdocs = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$span iota kappa lambda mu nu xi omicron pi"),
+      (3L, "wholly unique content with no shared spans at all here today ok fine")
+    ).toDF("doc_id", "text")
+    val q = Dedup.registry.find(_.name == "d9_hot_ngram_boilerplate").get
+    // run the registered plan shape on the planted corpus via the helper
+    val grams = Dedup.tokenNgramRows(bdocs, 8)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
+    val hot = grams.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val nHot = grams.join(hot, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+      .as[(Long, Long)].collect().toMap
+    // docs 1/2 share the 12-token span → 5 shared 8-grams each; doc 3 none
+    assert(nHot.getOrElse(1L, 0L) === 5L)
+    assert(nHot.getOrElse(2L, 0L) === 5L)
+    assert(nHot.getOrElse(3L, 0L) === 0L)
+  }
+
+  test("decontamination: train doc sharing a 13-gram with a bench doc is flagged") {
+    val span = (1 to 13).map(i => s"eval$i").mkString(" ")
+    val cdocs = Seq(
+      (10L, s"$span plus benchmark answer key material here"),  // bench (10 % 10 == 0)
+      (11L, s"training doc that copied $span verbatim sadly"),  // contaminated
+      (13L, "clean training doc with original words only throughout the text")
+    ).toDF("doc_id", "text")
+    val grams = Dedup.tokenNgramRows(cdocs, 13)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
+    val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+    val hits = grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits.getOrElse(11L, 0L) >= 1L, "copied 13-gram must be caught")
+    assert(hits.getOrElse(13L, 0L) === 0L, "original doc must be clean")
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
