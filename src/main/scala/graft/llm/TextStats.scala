@@ -313,6 +313,71 @@ object TextStats {
       chunk(Tables.documents(s, d))
     },
 
+    // ---- source mixture weights: temperature-scaled sampling -------------
+    // The data-mixing step of every LLM training run: per-source token
+    // share p_i, re-weighted as p_i^τ / Σ p_j^τ (τ = 0.7 — upsamples
+    // small high-quality sources, the GPT-3/LLaMA recipe). All-integer
+    // token counts; the float work happens on |sources| rows (tiny), so
+    // the 6-dp rounding is far from any boundary. Scale: one partial-agg
+    // shuffle on source, then arithmetic on the handful of group rows.
+    sql("t12_source_mixture",
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT sum(n_tok) AS tot FROM c),
+        |p AS (SELECT source, n_tok, n_tok * 1.0 / tot AS p FROM c, t),
+        |z AS (SELECT sum(pow(p, 0.7)) AS z FROM p)
+        |SELECT source, n_tok, round(p, 6) AS token_share,
+        |  round(pow(p, 0.7) / z, 6) AS mixture_weight
+        |FROM p, z""".stripMargin) { (s, d) =>
+      val c = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
+      val tot = c.agg(sum(col("n_tok")).as("tot"))
+      val p = c.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tok") / col("tot"))
+      val z = p.agg(sum(pow(col("p"), 0.7)).as("z"))
+      p.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tok"),
+          round(col("p"), 6).as("token_share"),
+          round(pow(col("p"), 0.7) / col("z"), 6).as("mixture_weight"))
+    },
+
+    // ---- unigram log-prob quality score (perplexity proxy) ---------------
+    // The CCNet-style quality signal (a KenLM stand-in the container can
+    // hold): score each doc by its mean token log-probability under the
+    // corpus unigram distribution — repetitive/boilerplate docs score
+    // high, rare-token noise scores low. Scale: the vocab aggregate is a
+    // partial-agg shuffle on token; the scoring join keys on the token
+    // (a real vocab is ~1M rows — broadcastable); per-doc mean is one
+    // more partial agg. 6-dp rounding absorbs partial-sum order.
+    sql("t13_unigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), vc AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+        |), tot AS (SELECT sum(c) AS n FROM vc),
+        |sc AS (
+        |  SELECT doc_id, ln(c * 1.0 / n) AS lp FROM tok JOIN vc USING (t), tot
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  round(sum(lp) / count(*), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      val vc = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum(col("c")).as("n"))
+      tok.join(broadcast(vc), Seq("t"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), log(col("c") * lit(1.0) / col("n")).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    },
+
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
     // Winnowing-style content fingerprint: rolling char 8-grams → hash →
     // keep the 8 smallest distinct hashes (the sketch) → digest. The gram

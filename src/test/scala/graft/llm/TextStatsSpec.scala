@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
 import graft.SparkSpec
 
 class TextStatsSpec extends SparkSpec {
@@ -33,6 +34,43 @@ class TextStatsSpec extends SparkSpec {
     // coverage: the union of chunk tokens is exactly the document
     assert(c4.flatten.distinct.sortBy(t => t.drop(1).toInt) ===
       (1 to 100).map(i => s"t$i"))
+  }
+
+  test("source mixture: weights sum to 1 and temperature flattens shares") {
+    val out = TextStats.registry.find(_.name == "t12_source_mixture").get
+      .run(spark, sf)
+      .select(col("source"), col("n_tok"), col("token_share"), col("mixture_weight"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.map(_._4).sum === 1.0 +- 1e-4, "mixture weights must sum to 1")
+    assert(out.map(_._3).sum === 1.0 +- 1e-4, "token shares must sum to 1")
+    // temperature 0.7 < 1 flattens: the largest source is down-weighted
+    // relative to its share, the smallest is up-weighted
+    val largest = out.maxBy(_._2)
+    val smallest = out.minBy(_._2)
+    assert(largest._4 < largest._3 || out.map(_._2).distinct.length == 1)
+    assert(smallest._4 > smallest._3 || out.map(_._2).distinct.length == 1)
+    // weight order preserves size order (x^0.7 is monotone)
+    assert(out.sortBy(_._2).map(_._1) === out.sortBy(_._4).map(_._1))
+  }
+
+  test("unigram logprob: matches a driver-side computation of the corpus LM") {
+    val out = TextStats.registry.find(_.name == "t13_unigram_logprob").get
+      .run(spark, sf)
+      .select(col("doc_id"), col("n_tok"), col("avg_logprob"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum.toDouble
+    assert(out.keySet === toks.keySet)
+    toks.foreach { case (id, ts) =>
+      val expected = ts.map(t => math.log(counts(t) / n)).sum / ts.length
+      assert(out(id)._1 === ts.length.toLong)
+      assert(out(id)._2 === (math.rint(expected * 1e6) / 1e6) +- 2e-6,
+        s"doc $id logprob mismatch")
+    }
+    assert(out.values.forall(_._2 < 0.0))
   }
 
   test("chunking: every chunk contributes at least one new token") {
