@@ -87,6 +87,33 @@ class PartitioningSpec extends SparkSpec {
     assert(Tables.spread(wide) eq wide) // already parallel: untouched, no shuffle
   }
 
+  test("d10 decontamination broadcasts the benchmark gram set") {
+    // the training side must stream through a broadcast semi-join — an
+    // exchange-both-sides plan would shuffle the 100 TB side on gram hash
+    val q = SparkEntry.registry.find(_.name == "d10_decontaminate").get
+    val df = q.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench gram set not broadcast:\n${plan.take(800)}")
+  }
+
+  test("d8 cluster propagation spills to parquet, not localCheckpoint") {
+    // the round path must read durable spills: the returned plan's scan
+    // sources are parquet files (re-runnable after executor loss), and no
+    // RDD checkpoint blocks appear anywhere in it
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 0.9))
+      .toDF("doc_id_a", "doc_id_b", "jaccard")
+    val out = graft.llm.Dedup.dedupClusters(pairs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"),
+      s"final labels must come from a durable spill:\n${plan.take(800)}")
+    assert(!plan.contains("ExistingRDD") && !plan.contains("LogicalRDD"),
+      s"localCheckpoint-style RDD scan leaked into the round path:\n${plan.take(800)}")
+  }
+
   test("q46 global ranking runs with NO single-partition exchange") {
     // the two-pass rank must never funnel the table through one task —
     // the physical plan carries range partitioning plus per-partition
