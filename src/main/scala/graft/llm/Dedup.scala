@@ -289,6 +289,16 @@ object Dedup {
     // final — refuse rather than silently under-cluster
     require(converged,
       s"dedupClusters did not converge within $maxRounds rounds (graph diameter too large)")
+    // only the FINAL labels spill feeds the returned plan — drop the edge
+    // spill and superseded round slots (best-effort; a retention policy
+    // owns the run dir in production)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(runDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(runDir))
+        .filter(_.getPath.getName != s"labels-r$rounds")
+        .foreach(st => fs.delete(st.getPath, true))
+    } catch { case _: Throwable => () }
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("comp_id"),
