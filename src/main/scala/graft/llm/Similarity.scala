@@ -345,6 +345,40 @@ object Similarity {
         .select(col("qid"), col("t.vid").as("vid"), round(col("t.sim"), 6).as("sim"))
     },
 
+    // ---- int8 embedding quantization with reconstruction-error gate ------
+    // The embedding-store compression step at 100 TB scale: per-vector
+    // affine int8 quantization (scale = (max−min)/255, 4× smaller than
+    // f32). Rows-only gate, but the query computes its own criterion:
+    // the worst per-element reconstruction error normalized by scale
+    // must be ≤ 0.5 (the provable round-to-nearest bound) or the job
+    // raise_errors. Shape: explode elements scan-side, two partial-agg
+    // shuffles on vec_id (stats, then codes) — no HOFs (interpreted),
+    // no driver work.
+    rowsOnly("s6_quantize_embeddings") { (s, d) =>
+      val elems = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("x").cast("double").as("x"))
+      val stats = elems.groupBy(col("vec_id"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      val coded = elems.join(stats, Seq("vec_id"))
+        .withColumn("q", when(col("scale") === 0, lit(0L))
+          .otherwise(round((col("x") - col("mn")) / col("scale"), 0).cast("long")))
+        .withColumn("err", when(col("scale") === 0, lit(0.0))
+          .otherwise(abs(col("x") - (col("mn") + col("q") * col("scale"))) / col("scale")))
+      coded.groupBy(col("vec_id"))
+        .agg(round(min(col("mn")), 6).as("mn"),
+          round(max(col("mx")), 6).as("mx"),
+          sum(col("q")).as("code_sum"),
+          max(col("err")).as("max_norm_err"))
+        .withColumn("max_norm_err",
+          when(col("max_norm_err") > 0.5 + 1e-9,
+            raise_error(concat(
+              lit("quantization reconstruction error above scale/2: "),
+              col("max_norm_err").cast("string"))))
+            .otherwise(round(col("max_norm_err"), 6)))
+    },
+
     // ---- pairwise similarity of consecutive vectors (exact, oracle) ------
     sql("s3_pairwise_cosine",
       """WITH elems AS (

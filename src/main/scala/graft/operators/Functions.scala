@@ -170,6 +170,34 @@ object Functions {
 
     // ---- sketch aggregates (approx_count_distinct: engine-specific
     //      estimates → rows-only; DedupSpec-style tolerance in FunctionsSpec)
+    // rows-only (the GK sketch is engine-specific), with the q39-style
+    // in-harness criterion: approx vs exact median per group, raise_error
+    // above 1% relative error. The sketch is THE 100 TB percentile path —
+    // mergeable, bounded memory — where exact percentile must shuffle and
+    // sort every value. The raw sketch estimate is deliberately NOT an
+    // output column: GK merge results vary with the partition layout
+    // (measured: 5th significant digit across local[4/16/32]), so the
+    // query exposes the deterministic exact value plus the accuracy
+    // verdict, and the layout-sensitive estimate stays internal to the
+    // gate. (approx_count_distinct has no such problem — HLL register
+    // maxima are order- and partition-insensitive.)
+    rowsOnly("q64_approx_percentile") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"))
+        .withColumn("rel_err_2dp", {
+          val err = abs(col("approx_p50") - col("exact_p50")) / col("exact_p50")
+          when(err > 0.01,
+            raise_error(concat(lit("approx_percentile error above 1%: "),
+              err.cast("string"))))
+            .otherwise(round(err, 2))
+        })
+        .drop("approx_p50")
+    },
+
     // rows-only (the HLL sketch is engine-specific), but the query carries
     // its own quantitative criterion: relative error vs the exact count is
     // emitted as a column and raise_errors above 10% (2× the default 5%
