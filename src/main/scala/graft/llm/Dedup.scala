@@ -64,6 +64,45 @@ object Dedup {
     */
   def shingleStringRows(docs: DataFrame): DataFrame = tokenNgramRows(docs, 3)
 
+  /** Per-doc hot-8-gram boilerplate coverage — see the `d9` registry
+    * notes. `spread` fans the single-file test scan out before the
+    * row-amplifying gram explode (no-op at real scale).
+    */
+  def hotNgramCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = tokenNgramRows(Tables.spread(docs), n)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val hot = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= minDocs).select("gh")
+    val hotPerDoc = grams.join(hot, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_hot") * lit(1.0) / col("n_grams"), 6))
+      .withColumn("is_boilerplate", col("n_hot") * 2 >= col("n_grams"))
+  }
+
+  /** 13-gram benchmark-overlap contamination flags for training docs —
+    * see the `d10` registry notes.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 13): DataFrame = {
+    val grams = tokenNgramRows(Tables.spread(docs), n)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+    val hits = grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    docs.select("doc_id").filter(col("doc_id") % 10 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("n_contaminated").isNotNull.as("is_contaminated"))
+  }
+
   /** Word n-gram strings as rows (doc_id, g) — multiset; the [[shingleStringRows]]
     * generalization used by the boilerplate (n=8) and decontamination
     * (n=13) operators.
@@ -290,15 +329,17 @@ object Dedup {
     require(converged,
       s"dedupClusters did not converge within $maxRounds rounds (graph diameter too large)")
     // only the FINAL labels spill feeds the returned plan — drop the edge
-    // spill and superseded round slots (best-effort; a retention policy
-    // owns the run dir in production)
+    // spill and superseded round slots. The final slot itself must outlive
+    // consumption of the result, so each invocation leaves one small
+    // parquet dir behind; a retention policy owns the run dir in
+    // production (spillDir is the knob).
     try {
       val fs = new org.apache.hadoop.fs.Path(runDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(new org.apache.hadoop.fs.Path(runDir))
         .filter(_.getPath.getName != s"labels-r$rounds")
         .foreach(st => fs.delete(st.getPath, true))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     labels.join(broadcast(sizes), Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("comp_id"),
@@ -594,20 +635,7 @@ object Dedup {
         |  round(n_hot * 1.0 / n_grams, 6) AS boilerplate_ratio,
         |  n_hot * 2 >= n_grams AS is_boilerplate
         |FROM pd""".stripMargin) { (s, d) =>
-      val grams = tokenNgramRows(Tables.documents(s, d), 8)
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        .distinct()
-      val hot = grams.groupBy(col("gh"))
-        .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("gh")
-      val hotPerDoc = grams.join(hot, Seq("gh"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
-      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        .join(hotPerDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_hot"), lit(0L)).as("n_hot"))
-        .withColumn("boilerplate_ratio",
-          round(col("n_hot") * lit(1.0) / col("n_grams"), 6))
-        .withColumn("is_boilerplate", col("n_hot") * 2 >= col("n_grams"))
+      hotNgramCoverage(Tables.documents(s, d))
     },
 
     // ---- benchmark decontamination: 13-gram overlap vs the eval set ------
@@ -636,19 +664,7 @@ object Dedup {
         |  h.doc_id IS NOT NULL AS is_contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val grams = tokenNgramRows(docs, 13)
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-        .distinct()
-      val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
-      val hits = grams.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench), Seq("gh"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-      docs.select("doc_id").filter(col("doc_id") % 10 =!= 0)
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          col("n_contaminated").isNotNull.as("is_contaminated"))
+      decontaminate(Tables.documents(s, d))
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------

@@ -241,14 +241,21 @@ object Similarity {
       .join(exact.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val total = exact.agg(count(lit(1)).as("n_exact"))
+    // gate on the UNROUNDED ratio (0.44996 must not round up past a 0.45
+    // threshold), and treat an empty exact baseline as a failure rather
+    // than letting a null ratio slip through the comparison
     val recall = hits.crossJoin(total)
-      .select(round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"))
+      .select((col("n_hit").cast("double") / col("n_exact")).as("recall_raw"),
+        col("n_exact"))
     approx.crossJoin(broadcast(recall))
       .withColumn("recall",
-        when(col("recall") < minRecall,
-          raise_error(concat(lit(s"ANN recall below $minRecall: "),
-            col("recall").cast("string"))))
-          .otherwise(col("recall")))
+        when(col("n_exact") === 0,
+          raise_error(lit("ANN recall gate: exact baseline returned 0 rows")))
+          .when(col("recall_raw") < minRecall,
+            raise_error(concat(lit(s"ANN recall below $minRecall: "),
+              col("recall_raw").cast("string"))))
+          .otherwise(round(col("recall_raw"), 4)))
+      .drop("recall_raw", "n_exact")
   }
 
   def registry: Seq[OpQuery] = Seq(

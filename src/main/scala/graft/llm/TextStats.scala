@@ -46,7 +46,7 @@ object TextStats {
     * if it contributes at least one new token: k = 0 .. ⌊(n_tok−9)/24⌋.
     */
   def chunk(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
-    docs
+    Tables.spread(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .select(col("doc_id"), col("ts"),
         explode(sequence(lit(0L),
@@ -331,7 +331,7 @@ object TextStats {
         |SELECT source, n_tok, round(p, 6) AS token_share,
         |  round(pow(p, 0.7) / z, 6) AS mixture_weight
         |FROM p, z""".stripMargin) { (s, d) =>
-      val c = Tables.documents(s, d)
+      val c = Tables.spread(Tables.documents(s, d))
         .select(col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
@@ -366,7 +366,7 @@ object TextStats {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |  round(sum(lp) / count(*), 6) AS avg_logprob
         |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
-      val tok = Tables.documents(s, d)
+      val tok = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
       val vc = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
       val tot = vc.agg(sum(col("c")).as("n"))

@@ -189,6 +189,9 @@ object Functions {
             .as("approx_p50"),
           percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"))
         .withColumn("rel_err_2dp", {
+          // 2-dp rounding keeps the emitted column deterministic: the
+          // layout wobble is ~1e-4 relative while the nearest rounding
+          // boundary is 0.005 — 1.5 orders of magnitude of margin
           val err = abs(col("approx_p50") - col("exact_p50")) / col("exact_p50")
           when(err > 0.01,
             raise_error(concat(lit("approx_percentile error above 1%: "),

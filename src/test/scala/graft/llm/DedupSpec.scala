@@ -103,19 +103,19 @@ class DedupSpec extends SparkSpec {
       (2L, s"$span iota kappa lambda mu nu xi omicron pi"),
       (3L, "wholly unique content with no shared spans at all here today ok fine")
     ).toDF("doc_id", "text")
-    val q = Dedup.registry.find(_.name == "d9_hot_ngram_boilerplate").get
-    // run the registered plan shape on the planted corpus via the helper
-    val grams = Dedup.tokenNgramRows(bdocs, 8)
-      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
-    val hot = grams.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("gh")
-    val nHot = grams.join(hot, Seq("gh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
-      .as[(Long, Long)].collect().toMap
+    // run the REGISTERED pipeline (the registry delegates to this fn)
+    val out = Dedup.hotNgramCoverage(bdocs)
+      .select(col("doc_id"), col("n_hot"), col("is_boilerplate"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     // docs 1/2 share the 12-token span → 5 shared 8-grams each; doc 3 none
-    assert(nHot.getOrElse(1L, 0L) === 5L)
-    assert(nHot.getOrElse(2L, 0L) === 5L)
-    assert(nHot.getOrElse(3L, 0L) === 0L)
+    assert(out(1L) === ((5L, false)))
+    assert(out(2L) === ((5L, false)))
+    assert(out(3L) === ((0L, false)))
+    // a doc that is pure boilerplate trips the ≥50% flag
+    val allShared = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    assert(Dedup.hotNgramCoverage(allShared)
+      .select(col("is_boilerplate")).as[Boolean].collect().forall(identity))
   }
 
   test("decontamination: train doc sharing a 13-gram with a bench doc is flagged") {
@@ -125,15 +125,14 @@ class DedupSpec extends SparkSpec {
       (11L, s"training doc that copied $span verbatim sadly"),  // contaminated
       (13L, "clean training doc with original words only throughout the text")
     ).toDF("doc_id", "text")
-    val grams = Dedup.tokenNgramRows(cdocs, 13)
-      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
-    val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
-    val hits = grams.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(bench), Seq("gh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().toMap
-    assert(hits.getOrElse(11L, 0L) >= 1L, "copied 13-gram must be caught")
-    assert(hits.getOrElse(13L, 0L) === 0L, "original doc must be clean")
+    // run the REGISTERED pipeline (the registry delegates to this fn)
+    val out = Dedup.decontaminate(cdocs)
+      .select(col("doc_id"), col("n_contaminated"), col("is_contaminated"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(10L), "bench docs are not scored as training docs")
+    assert(out(11L)._1 >= 1L && out(11L)._2, "copied 13-gram must be caught")
+    assert(out(13L) === ((0L, false)), "original doc must be clean")
   }
 
   test("exact dedup keeps lowest doc_id per hash") {

@@ -252,5 +252,11 @@ class StreamsSpec extends SparkSpec {
     // control; a single batch would leave it at 0)
     val watermark = state.select(max(col(IdempotentMerge.BatchCol))).as[Long].head()
     assert(watermark === 2L)
+    // and all three merges actually applied (not just the last): each
+    // Warehouse←Office event moves one unit office → warehouse
+    val counters = state.filter(col("inventory_id") === "101")
+      .select(col("qty_office").cast("long"), col("qty_warehouse").cast("long"))
+      .as[(Long, Long)].head()
+    assert(counters === ((2L, 3L)), "three micro-batches must each apply once")
   }
 }

@@ -13,10 +13,16 @@ import sys
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
-    names = sorted(n for n in os.listdir(a) if os.path.isdir(os.path.join(a, n)))
+
+    def dirs(root):
+        return {n for n in os.listdir(root) if os.path.isdir(os.path.join(root, n))}
+
+    # union of both sides: a query written by only ONE run is itself a
+    # determinism failure (e.g. a raise_error gate firing on one layout)
+    names = sorted(dirs(a) | dirs(b))
     bad = []
     for n in names:
-        if not os.path.isdir(os.path.join(b, n)):
+        if not (os.path.isdir(os.path.join(a, n)) and os.path.isdir(os.path.join(b, n))):
             bad.append(n)
             print(f"MISS  {n}")
             continue
