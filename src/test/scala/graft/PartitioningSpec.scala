@@ -114,6 +114,42 @@ class PartitioningSpec extends SparkSpec {
       s"localCheckpoint-style RDD scan leaked into the round path:\n${plan.take(800)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever for selective fact⋈fact joins: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered build
+    // side and pushes `might_contain` into the fact scan, dropping
+    // non-joining rows BEFORE the shuffle. The size thresholds are tuned
+    // for cluster scale (application side ≥ 10 GB by default — i.e. it
+    // engages exactly in the regime we design for); at test scale we
+    // lower them to pin the plan shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val got = j.collect().map(_.toSeq).toSet
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n${plan.take(800)}")
+      // pruning must not change results
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+        .collect().map(_.toSeq).toSet
+      assert(got === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q46 global ranking runs with NO single-partition exchange") {
     // the two-pass rank must never funnel the table through one task —
     // the physical plan carries range partitioning plus per-partition
