@@ -63,4 +63,41 @@ class CheckpointSpec extends SparkSpec {
     assert(r.getAs[Long]("qty_warehouse") === 0L) // +1 (b1) -1 (b2)
     assert(r.getAs[Long]("qty_art") === 1L)
   }
+
+  test("parquet ledger: merged state and idempotency watermark survive a process restart") {
+    val src = Files.createTempDirectory("pl-src").toString
+    val ckpt = Files.createTempDirectory("pl-ckpt").toString
+    val ldir = Files.createTempDirectory("pl-ledger").toString
+    def webhook(inv: String, status: String, prev: String): String =
+      s"""{"record":{"Status":{"value":"$status"},"Previous_Status":{"value":"$prev"},"bag_model":{"value":"T"},"inventory_id":{"value":"$inv"}}}"""
+    val inventory0 = Seq(("101", 10, 5, 0, 0, 0, 0, 0))
+      .toDF("inventory_id", "general_stock_qty", "qty_office", "qty_warehouse",
+        "qty_art", "qty_embroidery", "qty_sewer", "qty_completed")
+    // a NEW ledger object per run simulates a process restart: the only
+    // carried state is what the parquet commit protocol persisted
+    def mkLedger() = new ParquetLedger(spark, ldir, inventory0)
+    def run(ledger: ParquetLedger, sink: SinkConfig): Unit = {
+      val q = Streams.runProcessMovementStream(spark, src,
+        () => ledger.get(), ledger.set _, Trigger.AvailableNow(), sink)
+      q.awaitTermination(60000)
+      ()
+    }
+    val checkpointed = SinkConfig(checkpointLocation = Some(ckpt))
+    Files.writeString(Paths.get(src, "b1.json"), webhook("101", "Warehouse", "Office"))
+    run(mkLedger(), checkpointed)
+    Files.writeString(Paths.get(src, "b2.json"), webhook("101", "Art", "Warehouse"))
+    run(mkLedger(), checkpointed) // restart: only b2 is new
+    val afterRestart = mkLedger().get()
+    val r = afterRestart.orderBy("inventory_id").collect()(0)
+    assert(r.getAs[Long]("qty_office") === 4L, "b1 re-applied after restart!")
+    assert(r.getAs[Long]("qty_warehouse") === 0L)
+    assert(r.getAs[Long]("qty_art") === 1L)
+    // lost checkpoint, same ledger: everything re-delivered as batchId 0 —
+    // the watermark PERSISTED IN THE PARQUET makes the replay a no-op
+    run(mkLedger(), SinkConfig())
+    val afterReplay = mkLedger().get().orderBy("inventory_id").collect()(0)
+    assert(afterReplay.getAs[Long]("qty_office") === 4L,
+      "replay after checkpoint loss double-applied despite the persisted watermark")
+    assert(afterReplay.getAs[Long]("qty_art") === 1L)
+  }
 }
