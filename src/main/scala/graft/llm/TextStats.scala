@@ -378,6 +378,35 @@ object TextStats {
           round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
     },
 
+    // ---- deterministic training order: seeded shard + position -----------
+    // Reproducible corpus shuffling for training: each doc's order is a
+    // pure function of (doc_id, seed) via the cross-engine sha256-prefix
+    // hash — identical on any engine, any partitioning, any day, the
+    // property a resumable training run needs. Docs land in 8 shards
+    // (hash mod) and are ordered within a shard by (hash, doc_id) — a
+    // window keyed by shard, so at 100 TB the sort is per-shard, not
+    // global; shard count scales with the cluster.
+    sql("t14_training_order", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT doc_id, $parse15 AS h60
+         |  FROM (SELECT doc_id, substr(sha256('shuffle42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+         |        FROM documents) t
+         |)
+         |SELECT doc_id, CAST(h60 % 8 AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h60 % 8 ORDER BY h60, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.Dedup.hash60(concat(lit("shuffle42|"), col("doc_id").cast("string")))
+            .as("h60"))
+        .withColumn("shard", col("h60") % 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h60"), col("doc_id"))
+      h.select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+    },
+
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----
     // Winnowing-style content fingerprint: rolling char 8-grams → hash →
     // keep the 8 smallest distinct hashes (the sketch) → digest. The gram
