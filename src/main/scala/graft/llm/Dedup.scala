@@ -609,6 +609,108 @@ object Dedup {
         .withColumn("kept", col("reason") === "kept")
     },
 
+    // ---- FULL corpus clean: all five drop stages composed ----------------
+    // t10 extended with the round-4 stages — the complete modern
+    // training-data pipeline as ONE hash-matched query: exact dedup →
+    // near-dup cluster losers → benchmark decontamination → boilerplate
+    // cut → quality cut, with that precedence, one verdict per doc. The
+    // oracle composes the LSH replay, the recursive-CTE closure, the
+    // 13-gram bench overlap, the hot-8-gram coverage, and the quality
+    // scalar end-to-end. Cost is the sum of the stages (each re-derives
+    // its grams from the scan — the recompute-over-cache posture); a
+    // production run at 100 TB would materialize the tokenization once
+    // and fan the gram stages out from that artifact, which changes I/O,
+    // not the per-stage plans.
+    sql("t15_corpus_clean_full",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), near_losers AS (
+         |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+         |), exact_dups AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM documents) t WHERE rn > 1
+         |), cg AS (
+         |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+12], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - 12, 1) + 1)]) AS g
+         |  FROM toks
+         |), bench AS (
+         |  SELECT DISTINCT g FROM cg WHERE doc_id % 10 = 0
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM cg
+         |  WHERE doc_id % 10 <> 0 AND g IN (SELECT g FROM bench)
+         |), bg AS (
+         |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+7], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - 7, 1) + 1)]) AS g
+         |  FROM toks
+         |), hot AS (
+         |  SELECT g FROM bg GROUP BY g HAVING count(*) >= 2
+         |), bp AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |      CAST(sum(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+         |    FROM bg GROUP BY doc_id) t
+         |  WHERE n_hot * 2 >= n_grams
+         |), q AS (
+         |  SELECT doc_id, (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+         |    * 1.0 / greatest(length(text), 1) AS na
+         |  FROM documents
+         |)
+         |SELECT doc_id, reason, reason = 'kept' AS kept FROM (
+         |  SELECT d.doc_id,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN b.doc_id IS NOT NULL THEN 'boilerplate'
+         |         WHEN q.na > 0.19 THEN 'low_quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM documents d
+         |  LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
+         |  LEFT JOIN near_losers n ON n.doc_id = d.doc_id
+         |  LEFT JOIN cont c ON c.doc_id = d.doc_id
+         |  LEFT JOIN bp b ON b.doc_id = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id) v""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      val exactDups = docs
+        .select(col("doc_id"), contentHash(col("text")).as("__h"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col("doc_id"), lit(true).as("__exact"))
+      val nearLosers = dedupClusters(minhashPairs(docs))
+        .filter(!col("is_keeper"))
+        .select(col("doc_id"), lit(true).as("__near"))
+      val contaminated = decontaminate(docs)
+        .filter(col("is_contaminated"))
+        .select(col("doc_id"), lit(true).as("__cont"))
+      val boiler = hotNgramCoverage(docs)
+        .filter(col("is_boilerplate"))
+        .select(col("doc_id"), lit(true).as("__boiler"))
+      val quality = docs.select(col("doc_id"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
+          / greatest(length(col("text")), lit(1))).as("__na"))
+      docs.select(col("doc_id"))
+        .join(exactDups, Seq("doc_id"), "left")
+        .join(nearLosers, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(boiler, Seq("doc_id"), "left")
+        .join(quality, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("__exact").isNotNull, "exact_dup")
+            .when(col("__near").isNotNull, "near_dup")
+            .when(col("__cont").isNotNull, "contaminated")
+            .when(col("__boiler").isNotNull, "boilerplate")
+            .when(col("__na") > 0.19, "low_quality")
+            .otherwise("kept").as("reason"))
+        .withColumn("kept", col("reason") === "kept")
+    },
+
     // ---- hot-n-gram boilerplate coverage (the line-dedup analogue) -------
     // The C4/RefinedWeb repeated-span trick: word 8-grams occurring in
     // ≥ 2 distinct docs are boilerplate; each doc reports its coverage
