@@ -30,10 +30,14 @@ object Dedup {
     * as an integer — fixed width, always positive, and computable
     * identically in DuckDB (a strpos hex parse), which is what lets the
     * MinHash and SimHash pipelines carry FULL oracles instead of
-    * rows-only gates. All codegen'd builtins.
+    * rows-only gates. Computed by the native [[graft.functions.Sha256Chunks]]
+    * expression — bit-identical to `conv(substring(sha2(c,256),1,15),16,10)`
+    * but digest-bytes-to-long with a thread-local MessageDigest (the
+    * builtin `sha2` allocates one per call and materializes the 64-char
+    * hex string this path immediately re-parses).
     */
   def hash60(c: Column): Column =
-    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+    get(graft.functions.Sha256Chunks.sha256Chunks(c, 1), lit(0))
 
   /** Distinct word 3-gram shingles of a text column. */
   def shingles(text: Column): Column =
@@ -143,10 +147,10 @@ object Dedup {
   def minhashSignatures(gramRows: DataFrame): DataFrame = {
     val nDigests = MinhashK / 4
     val hx = gramRows.select(col("doc_id") +: (0 until nDigests).map(d =>
-      sha2(concat_ws("|", lit(d.toString), col("g")), 256).as(s"hx$d")): _*)
+      graft.functions.Sha256Chunks
+        .sha256Chunks(concat_ws("|", lit(d.toString), col("g")), 4).as(s"c$d")): _*)
     val hs = hx.select(col("doc_id") +: (0 until MinhashK).map(k =>
-      conv(substring(col(s"hx${k / 4}"), 15 * (k % 4) + 1, 15), 16, 10)
-        .cast("long").as(s"h$k")): _*)
+      get(col(s"c${k / 4}"), lit(k % 4)).as(s"h$k")): _*)
     val mins = (0 until MinhashK).map(k => min(col(s"h$k")).as(s"m$k"))
     hs.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
