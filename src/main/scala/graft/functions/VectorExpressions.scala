@@ -156,5 +156,8 @@ object VectorExpressions {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.registerFunction(spark, "cosine_f32", es => CosineSimF32(es(0), es(1)))
     Shim.registerFunction(spark, "array_dot", es => ArrayDot(es(0), es(1)))
+    // second arg must be a literal chunk count (it shapes the output type)
+    Shim.registerFunction(spark, "sha256_chunks", es =>
+      Sha256Chunks(es(0), es(1).eval(null).asInstanceOf[Number].intValue))
   }
 }

@@ -20,6 +20,15 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 23.0) < 1e-12)
   }
 
+  test("sha256_chunks callable from spark.sql, matches the builtin composition") {
+    VectorExpressions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT sha256_chunks('abc', 2)[0] AS h0,
+        |       CAST(conv(substring(sha2('abc', 256), 1, 15), 16, 10) AS BIGINT) AS b0""".stripMargin)
+      .head()
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
   test("registered function runs over a real table in SQL") {
     VectorExpressions.registerSql(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")
