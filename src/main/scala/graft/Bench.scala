@@ -6,11 +6,24 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, forcing full materialization of all output
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
+  *
+  * Measurement protocol: one untimed warm-up pass, then
+  * `SPARK_GRAFT_REPS` (default 3) timed reps per query; the reported
+  * per-query number is the MEDIAN, with min/max spread alongside — a
+  * single run on a shared machine swings 2-3× on load (adjudicated by
+  * hand in rounds 3 and 4; the median makes the artifact the evidence).
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,18 +51,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Rep loops are per-query (not query-loop-inside-rep-loop) so each
+    // query's reps run back-to-back under comparable machine load — the
+    // spread then reflects noise, not drift across a long pass.
     val results = SparkEntry.registry.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (q.name, median(times), times.min, times.max)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = "%.4f".format(v)
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx) =>
+      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"max\":" + fmt(mx) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

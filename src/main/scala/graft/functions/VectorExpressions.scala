@@ -156,8 +156,17 @@ object VectorExpressions {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.registerFunction(spark, "cosine_f32", es => CosineSimF32(es(0), es(1)))
     Shim.registerFunction(spark, "array_dot", es => ArrayDot(es(0), es(1)))
-    // second arg must be a literal chunk count (it shapes the output type)
-    Shim.registerFunction(spark, "sha256_chunks", es =>
-      Sha256Chunks(es(0), es(1).eval(null).asInstanceOf[Number].intValue))
+    // second arg must be a literal chunk count (it shapes the output
+    // type, which is fixed at analysis time) — reject non-foldable or
+    // null counts with an analysis error instead of an opaque runtime NPE
+    Shim.registerFunction(spark, "sha256_chunks", es => {
+      val n = if (es.length == 2 && es(1).foldable) es(1).eval(null) else null
+      n match {
+        case num: Number => Sha256Chunks(es(0), num.intValue)
+        case _ => throw Shim.analysisException(
+          "sha256_chunks(expr, n): the chunk count must be a non-null " +
+            "integer literal (it fixes the output array length at plan time)")
+      }
+    })
   }
 }

@@ -72,8 +72,12 @@ object Dedup {
     * notes. `spread` fans the single-file test scan out before the
     * row-amplifying gram explode (no-op at real scale).
     */
-  def hotNgramCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val grams = tokenNgramRows(Tables.spread(docs), n)
+  def hotNgramCoverage(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame =
+    hotNgramCoverageTok(tokenize(docs), n, minDocs)
+
+  /** [[hotNgramCoverage]] from a pre-tokenized (doc_id, ts) frame. */
+  def hotNgramCoverageTok(toks: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val grams = tokenNgramRowsFromTokens(Tables.spread(toks), n)
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .distinct()
     val hot = grams.groupBy(col("gh"))
@@ -91,33 +95,61 @@ object Dedup {
 
   /** 13-gram benchmark-overlap contamination flags for training docs —
     * see the `d10` registry notes.
+    *
+    * @param broadcastBench PRECONDITION of the default: the benchmark
+    *   suite is a small external input (eval sets are KB–MB scale — the
+    *   documented contract), so its gram set broadcasts and the 100 TB
+    *   training side streams through a broadcast semi-join without
+    *   shuffling. Pass `false` whenever the bench set is corpus-derived
+    *   or otherwise unbounded (as in this demo registry, which carves it
+    *   out of the corpus itself): the semi-join then shuffles both sides
+    *   on the 8-byte gram hash instead of collecting an unbounded set on
+    *   the driver.
     */
-  def decontaminate(docs: DataFrame, n: Int = 13): DataFrame = {
-    val grams = tokenNgramRows(Tables.spread(docs), n)
+  def decontaminate(docs: DataFrame, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame =
+    decontaminateTok(tokenize(docs), n, broadcastBench)
+
+  /** [[decontaminate]] from a pre-tokenized (doc_id, ts) frame. */
+  def decontaminateTok(toks: DataFrame, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    val grams = tokenNgramRowsFromTokens(Tables.spread(toks), n)
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       .distinct()
-    val bench = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+    val benchPlain = grams.filter(col("doc_id") % 10 === 0).select("gh").distinct()
+    val bench = if (broadcastBench) broadcast(benchPlain) else benchPlain
     val hits = grams.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .join(bench, Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    docs.select("doc_id").filter(col("doc_id") % 10 =!= 0)
+    toks.select("doc_id").filter(col("doc_id") % 10 =!= 0)
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         col("n_contaminated").isNotNull.as("is_contaminated"))
   }
 
-  /** Word n-gram strings as rows (doc_id, g) — multiset; the [[shingleStringRows]]
-    * generalization used by the boilerplate (n=8) and decontamination
-    * (n=13) operators.
+  /** Whitespace tokenization as a (doc_id, ts: array<string>) frame — the
+    * shared pre-pass every gram operator derives from. [[corpusCleanFull]]
+    * materializes this ONCE per corpus so the five-stage pipeline scans
+    * the raw text a single time.
     */
-  def tokenNgramRows(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+
+  /** Word n-gram strings as rows (doc_id, g) from a pre-tokenized frame —
+    * multiset; the [[shingleStringRows]] generalization used by the
+    * boilerplate (n=8) and decontamination (n=13) operators.
+    */
+  def tokenNgramRowsFromTokens(toks: DataFrame, n: Int): DataFrame =
+    toks
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"),
         col("ts"))
       .select(col("doc_id"), array_join(slice(col("ts"), col("i"), lit(n)), " ").as("g"))
+
+  /** [[tokenNgramRowsFromTokens]] over raw text (tokenizes inline). */
+  def tokenNgramRows(docs: DataFrame, n: Int): DataFrame =
+    tokenNgramRowsFromTokens(tokenize(docs), n)
 
   /** Number of minhash functions / LSH shape: 16 bands × 2 rows. The
     * (1/bands)^(1/rows) = 0.25 S-curve threshold catches J ≥ 0.5 pairs
@@ -195,14 +227,26 @@ object Dedup {
     *                  that keeps the self-join from going quadratic.
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      maxBucket: Int = 50): DataFrame =
+    minhashPairsTok(tokenize(docs), minJaccard, maxBucket)
+
+  /** [[minhashPairs]] from a pre-tokenized (doc_id, ts) frame — lets
+    * [[corpusCleanFull]] feed every gram stage from one materialized
+    * tokenization.
+    */
+  def minhashPairsTok(toks: DataFrame, minJaccard: Double = 0.5,
       maxBucket: Int = 50): DataFrame = {
-    // Shingle hash rows feed three consumers (signatures + both sides of
+    // Shingle gram rows feed three consumers (signatures + both sides of
     // the verification join) and are deliberately RECOMPUTED per consumer:
     // at 100 TB caching per-doc shingle sets on executors is a memory
-    // liability — recompute-from-scan is the spill-free posture.
-    val spreadDocs = graft.Tables.spread(docs)
-    val shingleDf = shingleHashSets(spreadDocs)
-    val sigs = minhashSignatures(shingleStringRows(spreadDocs))
+    // liability — recompute-from-source is the spill-free posture (the
+    // source being the raw scan here, or the token artifact under t15).
+    val spreadToks = graft.Tables.spread(toks)
+    def gramRows = tokenNgramRowsFromTokens(spreadToks, 3)
+    val shingleDf = gramRows
+      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val sigs = minhashSignatures(gramRows)
     // Bucket on band keys; ids only through the self-join — the shingle
     // arrays (the heavy payload) are re-attached per-side AFTER the
     // candidate set is known, so the shuffle moves keys, not content.
@@ -229,19 +273,47 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 4×15-bit band blocking, Hamming ≤ maxHamming.
-    * For maxHamming ≤ 3 the banding is LOSSLESS (pigeonhole: ≤ 3 flipped
-    * bits can touch at most 3 of the 4 bands, so one band always matches
-    * exactly), which is why the full all-pairs DuckDB oracle is a valid
-    * gate for the bucketed plan.
+  /** SimHash near-dup pairs: `bands`×`bandBits`-bit band blocking over the
+    * 60-bit signature, Hamming ≤ maxHamming.
+    *
+    * Losslessness (pigeonhole): ≤ maxHamming flipped bits can touch at
+    * most maxHamming of the bands, so with `bands ≥ maxHamming + 1` at
+    * least one band matches exactly — which is why the full all-pairs
+    * DuckDB oracle is a valid gate for the bucketed plan. Constraints
+    * (enforced): `bands ≥ maxHamming + 1` and `bands · bandBits ≤ 60`.
+    * The default 4×15 is the widest banding 60 bits allow for
+    * hamming ≤ 3; the band-key space is 2^bandBits PER BAND, so expected
+    * bucket occupancy grows as N/2^bandBits — at corpus scale the right
+    * move is a wider signature (e.g. a 128-bit simhash → 4×32 banding),
+    * not fewer/narrower bands, since narrowing bands weakens the hamming
+    * guarantee.
+    *
+    * @param maxBucket band buckets larger than this are DROPPED (the d3
+    *   skew guard, `minhashPairs`): a degenerate bucket — boilerplate or
+    *   empty text collapsing to one signature, or sheer N outgrowing the
+    *   2^bandBits key space — would otherwise self-join quadratically
+    *   (O(N²/2^bandBits) candidate pairs by construction). A dropped
+    *   bucket can lose true pairs, so the cap is sized far above organic
+    *   occupancy at test scale; at 10⁹+ docs treat a tripped cap as the
+    *   signal to widen the signature.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      bandBits: Int = 15, maxBucket: Int = 1000): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"banding loses pairs: need bands ($bands) >= maxHamming + 1 (${maxHamming + 1})")
+    require(bands * bandBits <= 60,
+      s"bands * bandBits (${bands * bandBits}) exceeds the 60-bit signature")
     val sigs = simhashSignatures(graft.Tables.spread(docs))
+    val mask = (1L << bandBits) - 1
     val banded = sigs.select(col("doc_id"), col("sh60"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh60, b * 15) & 32767L AS key))")).as("bk"))
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftright(sh60, b * $bandBits) & ${mask}L AS key))")).as("bk"))
       .select(col("doc_id"), col("sh60"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh60").as("ha"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh60").as("hb"))
+    val sized = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val a = sized.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh60").as("ha"))
+    val b = sized.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh60").as("hb"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
@@ -279,12 +351,29 @@ object Dedup {
     * that appears in at least one pair. The returned plan reads the final
     * spill, so `spillDir` must outlive consumption of the result.
     */
+  /** Resolve a durable spill base: explicit dir, else the session
+    * checkpoint dir, else — LOCAL MODE ONLY — java.io.tmpdir. The tmpdir
+    * fallback is DRIVER-LOCAL, only valid when executors share the
+    * driver's filesystem (local mode / tests); on a real cluster an
+    * unshared file:/tmp would break (or silently partial-read) the
+    * write/read cycle, so refuse loudly.
+    */
+  private def spillBase(spark: SparkSession, spillDir: Option[String],
+      what: String): String =
+    spillDir
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse {
+        require(spark.sparkContext.isLocal,
+          s"$what on a cluster needs a shared, durable spill location: " +
+            "pass spillDir or set SparkContext.setCheckpointDir (HDFS/S3); " +
+            "java.io.tmpdir is driver-local and unreadable from executors")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill"
+      }
+
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50,
       spillDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    val base = spillDir
-      .orElse(spark.sparkContext.getCheckpointDir)
-      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill")
+    val base = spillBase(spark, spillDir, "dedupClusters")
     val runDir = s"$base/cc-${java.util.UUID.randomUUID()}"
 
     pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
@@ -344,10 +433,70 @@ object Dedup {
         .filter(_.getPath.getName != s"labels-r$rounds")
         .foreach(st => fs.delete(st.getPath, true))
     } catch { case scala.util.control.NonFatal(_) => () }
+    // SHUFFLE join, deliberately not broadcast: `sizes` has one row per
+    // CLUSTER — corpus-derived and unbounded (hundreds of millions of
+    // near-dup clusters at 100 TB). Both sides key on comp (sizes is
+    // already hash-partitioned by comp from its own aggregation), so the
+    // plain join is the natural plan; AQE still broadcasts when small.
     val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(broadcast(sizes), Seq("comp"))
+    labels.join(sizes, Seq("comp"))
       .select(col("node").as("doc_id"), col("comp").as("comp_id"),
         col("cluster_size"), (col("node") === col("comp")).as("is_keeper"))
+  }
+
+  /** The full five-stage corpus clean (the `t15` registry entry): exact
+    * dedup → near-dup cluster losers → benchmark decontamination →
+    * boilerplate cut → quality cut, with that precedence, one verdict per
+    * doc — with the shared tokenization MATERIALIZED ONCE. A single
+    * pre-pass scans the raw corpus and writes a compact artifact
+    * `(doc_id, content hash, non-alpha ratio, token array)`; every
+    * downstream stage derives from that artifact, so at 100 TB the raw
+    * text is scanned + decoded ONCE instead of once per gram stage (the
+    * t10 posture), and the per-stage plans are unchanged. Like
+    * [[dedupClusters]], the returned plan reads the artifact — the spill
+    * must outlive consumption of the result; a retention policy owns the
+    * run dir in production (`spillDir` is the knob).
+    */
+  def corpusCleanFull(docs: DataFrame, spillDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val base = spillBase(spark, spillDir, "corpusCleanFull")
+    val tokDir = s"$base/tok-${java.util.UUID.randomUUID()}"
+    docs.select(col("doc_id"),
+        contentHash(col("text")).as("__h"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
+          / greatest(length(col("text")), lit(1))).as("__na"),
+        split(trim(col("text")), "\\s+").as("ts"))
+      .write.mode("overwrite").parquet(tokDir)
+    val art = spark.read.parquet(tokDir)
+    val toks = art.select(col("doc_id"), col("ts"))
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    val exactDups = art
+      .select(col("doc_id"), col("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"), lit(true).as("__exact"))
+    val nearLosers = dedupClusters(minhashPairsTok(toks), spillDir = spillDir)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id"), lit(true).as("__near"))
+    val contaminated = decontaminateTok(toks)
+      .filter(col("is_contaminated"))
+      .select(col("doc_id"), lit(true).as("__cont"))
+    val boiler = hotNgramCoverageTok(toks)
+      .filter(col("is_boilerplate"))
+      .select(col("doc_id"), lit(true).as("__boiler"))
+    art.select(col("doc_id"), col("__na"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact").isNotNull, "exact_dup")
+          .when(col("__near").isNotNull, "near_dup")
+          .when(col("__cont").isNotNull, "contaminated")
+          .when(col("__boiler").isNotNull, "boilerplate")
+          .when(col("__na") > 0.19, "low_quality")
+          .otherwise("kept").as("reason"))
+      .withColumn("kept", col("reason") === "kept")
   }
 
   /** The DuckDB CTE chain replaying the MinHash-LSH pipeline, ending in a
@@ -620,11 +769,10 @@ object Dedup {
     // cut → quality cut, with that precedence, one verdict per doc. The
     // oracle composes the LSH replay, the recursive-CTE closure, the
     // 13-gram bench overlap, the hot-8-gram coverage, and the quality
-    // scalar end-to-end. Cost is the sum of the stages (each re-derives
-    // its grams from the scan — the recompute-over-cache posture); a
-    // production run at 100 TB would materialize the tokenization once
-    // and fan the gram stages out from that artifact, which changes I/O,
-    // not the per-stage plans.
+    // scalar end-to-end. The Spark side materializes the shared
+    // tokenization ONCE ([[corpusCleanFull]]): one raw-corpus scan writes
+    // a (doc_id, hash, quality, tokens) artifact and all five stages fan
+    // out from it — at 100 TB that's one decode of the corpus, not five.
     sql("t15_corpus_clean_full",
       s"""WITH RECURSIVE $minhashOracleCtes,
          |edges AS (
@@ -680,39 +828,7 @@ object Dedup {
          |  LEFT JOIN cont c ON c.doc_id = d.doc_id
          |  LEFT JOIN bp b ON b.doc_id = d.doc_id
          |  JOIN q ON q.doc_id = d.doc_id) v""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-      val exactDups = docs
-        .select(col("doc_id"), contentHash(col("text")).as("__h"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1)
-        .select(col("doc_id"), lit(true).as("__exact"))
-      val nearLosers = dedupClusters(minhashPairs(docs))
-        .filter(!col("is_keeper"))
-        .select(col("doc_id"), lit(true).as("__near"))
-      val contaminated = decontaminate(docs)
-        .filter(col("is_contaminated"))
-        .select(col("doc_id"), lit(true).as("__cont"))
-      val boiler = hotNgramCoverage(docs)
-        .filter(col("is_boilerplate"))
-        .select(col("doc_id"), lit(true).as("__boiler"))
-      val quality = docs.select(col("doc_id"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
-          / greatest(length(col("text")), lit(1))).as("__na"))
-      docs.select(col("doc_id"))
-        .join(exactDups, Seq("doc_id"), "left")
-        .join(nearLosers, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
-        .join(boiler, Seq("doc_id"), "left")
-        .join(quality, Seq("doc_id"))
-        .select(col("doc_id"),
-          when(col("__exact").isNotNull, "exact_dup")
-            .when(col("__near").isNotNull, "near_dup")
-            .when(col("__cont").isNotNull, "contaminated")
-            .when(col("__boiler").isNotNull, "boilerplate")
-            .when(col("__na") > 0.19, "low_quality")
-            .otherwise("kept").as("reason"))
-        .withColumn("kept", col("reason") === "kept")
+      corpusCleanFull(Tables.documents(s, d))
     },
 
     // ---- hot-n-gram boilerplate coverage (the line-dedup analogue) -------
@@ -751,7 +867,11 @@ object Dedup {
     // external KB-scale eval set). Scale shape: the bench gram-hash set
     // BROADCASTS (eval suites are tiny), so the 100 TB training side
     // streams scan-side through a broadcast semi-join — its only shuffle
-    // is the per-doc count.
+    // is the per-doc count. The hint is now a caller-owned knob
+    // (`broadcastBench`): it is asserted true here ONLY because this
+    // demo's carved-out set is KB-scale at test SFs — a caller whose
+    // bench set is corpus-derived/unbounded must pass false and take the
+    // keyed shuffle semi-join instead.
     sql("d10_decontaminate",
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
@@ -770,7 +890,7 @@ object Dedup {
         |  h.doc_id IS NOT NULL AS is_contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) { (s, d) =>
-      decontaminate(Tables.documents(s, d))
+      decontaminate(Tables.documents(s, d), broadcastBench = true)
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------

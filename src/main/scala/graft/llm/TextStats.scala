@@ -41,6 +41,29 @@ object TextStats {
       Seq("le", "les", "et", "une", "est", "dans", "du", "pas", "pour", "sur").map(("fr", _)) ++
       Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这").map(("zh", _))
 
+  /** Deterministic training order — see the `t14_training_order` registry
+    * notes. Each doc's shard and position are a pure function of
+    * (doc_id, seed) via the cross-engine sha256-prefix hash.
+    *
+    * @param shards number of shards, i.e. the parallelism of the final
+    *   per-shard sort — tie it to the target cluster's task slots (a 100
+    *   TB run wants thousands; the registry default 8 matches the fixed
+    *   oracle). Shard assignment is h60 mod shards, so the same seed
+    *   with a different shard count still yields a deterministic order.
+    */
+  def trainingOrder(docs: DataFrame, shards: Int = 8,
+      seed: String = "shuffle42"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = docs
+      .select(col("doc_id"),
+        graft.llm.Dedup.hash60(concat(lit(s"$seed|"), col("doc_id").cast("string")))
+          .as("h60"))
+      .withColumn("shard", col("h60") % shards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h60"), col("doc_id"))
+    h.select(col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
   /** Fixed 32-token context windows with stride 24 (8-token overlap) per
     * doc — see the `t11_chunking` registry notes. A window is emitted only
     * if it contributes at least one new token: k = 0 .. ⌊(n_tok−9)/24⌋.
@@ -177,7 +200,12 @@ object TextStats {
     // weighting, restricted to terms appearing in < 40% of docs (stopword
     // cut) and scores rounded to 6dp (ln differs between libms in the
     // last ulp). Shape at scale: explode → two keyed aggregations, both
-    // map-side combined; the docfreq dim broadcasts back.
+    // map-side combined; tf⋈df is a SHUFFLE join on term — the docfreq
+    // side is the corpus vocabulary, which grows with corpus size
+    // (Heaps' law: typos/URLs/numbers), so it must never carry a
+    // broadcast hint (AQE still broadcasts when genuinely small). Both
+    // sides arrive already hash-partitioned by term from their own
+    // aggregations, so the join adds no extra exchange.
     sql("t6_tfidf",
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -199,7 +227,7 @@ object TextStats {
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      tf.join(broadcast(df), Seq("term"))
+      tf.join(df, Seq("term"))
         .crossJoin(broadcast(n))
         .filter(col("df") < lit(0.4) * col("n_docs"))
         .select(col("doc_id"), col("term"), col("tf"),
@@ -318,8 +346,12 @@ object TextStats {
     // share p_i, re-weighted as p_i^τ / Σ p_j^τ (τ = 0.7 — upsamples
     // small high-quality sources, the GPT-3/LLaMA recipe). All-integer
     // token counts; the float work happens on |sources| rows (tiny), so
-    // the 6-dp rounding is far from any boundary. Scale: one partial-agg
-    // shuffle on source, then arithmetic on the handful of group rows.
+    // the 6-dp rounding is far from any boundary. Scale: ONE corpus scan
+    // → one partial-agg shuffle on source; the corpus-wide total and the
+    // normalizer z are then unpartitioned-window sums over the |sources|
+    // aggregate rows — a SinglePartition exchange of a handful of rows,
+    // never a second scan (the naive CTE shape re-scans the corpus per
+    // derived aggregate).
     sql("t12_source_mixture",
       """WITH c AS (
         |  SELECT source,
@@ -335,11 +367,9 @@ object TextStats {
         .select(col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
-      val tot = c.agg(sum(col("n_tok")).as("tot"))
-      val p = c.crossJoin(broadcast(tot))
-        .withColumn("p", col("n_tok") / col("tot"))
-      val z = p.agg(sum(pow(col("p"), 0.7)).as("z"))
-      p.crossJoin(broadcast(z))
+      val w = Window.partitionBy() // |sources| rows — one tiny partition
+      c.withColumn("p", col("n_tok") / sum(col("n_tok")).over(w))
+        .withColumn("z", sum(pow(col("p"), 0.7)).over(w))
         .select(col("source"), col("n_tok"),
           round(col("p"), 6).as("token_share"),
           round(pow(col("p"), 0.7) / col("z"), 6).as("mixture_weight"))
@@ -350,9 +380,12 @@ object TextStats {
     // hold): score each doc by its mean token log-probability under the
     // corpus unigram distribution — repetitive/boilerplate docs score
     // high, rare-token noise scores low. Scale: the vocab aggregate is a
-    // partial-agg shuffle on token; the scoring join keys on the token
-    // (a real vocab is ~1M rows — broadcastable); per-doc mean is one
-    // more partial agg. 6-dp rounding absorbs partial-sum order.
+    // partial-agg shuffle on token; the scoring join is a SHUFFLE join
+    // on the token — the vocab is corpus-derived and open (Heaps' law:
+    // distinct tokens keep growing with corpus size), so no broadcast
+    // hint; the token stream is already keyed by t on both sides and
+    // AQE will still broadcast a genuinely small vocab. Per-doc mean is
+    // one more partial agg. 6-dp rounding absorbs partial-sum order.
     sql("t13_unigram_logprob",
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
@@ -370,7 +403,7 @@ object TextStats {
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
       val vc = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
       val tot = vc.agg(sum(col("c")).as("n"))
-      tok.join(broadcast(vc), Seq("t"))
+      tok.join(vc, Seq("t"))
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), log(col("c") * lit(1.0) / col("n")).as("lp"))
         .groupBy(col("doc_id"))
@@ -397,14 +430,7 @@ object TextStats {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY h60 % 8 ORDER BY h60, doc_id) AS BIGINT) AS pos
          |FROM h""".stripMargin
     }) { (s, d) =>
-      val h = Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.llm.Dedup.hash60(concat(lit("shuffle42|"), col("doc_id").cast("string")))
-            .as("h60"))
-        .withColumn("shard", col("h60") % 8)
-      val w = Window.partitionBy(col("shard")).orderBy(col("h60"), col("doc_id"))
-      h.select(col("doc_id"), col("shard"),
-        row_number().over(w).cast("long").as("pos"))
+      trainingOrder(Tables.documents(s, d))
     },
 
     // ---- document fingerprint: bottom-k sketch of char 8-gram hashes -----

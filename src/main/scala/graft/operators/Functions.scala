@@ -212,12 +212,15 @@ object Functions {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .withColumn("rel_err", {
-          val err = round(abs(col("approx_parts") - col("exact_parts"))
-            .cast("double") / col("exact_parts"), 4)
+          // gate on the RAW error, round only the emitted column (the q64
+          // pattern) — rounding first would let errors in (0.10, 0.10005]
+          // slip past the threshold
+          val err = abs(col("approx_parts") - col("exact_parts"))
+            .cast("double") / col("exact_parts")
           when(err > 0.10,
             raise_error(concat(lit("approx_count_distinct error above 10%: "),
               err.cast("string"))))
-            .otherwise(err)
+            .otherwise(round(err, 4))
         })
     },
 

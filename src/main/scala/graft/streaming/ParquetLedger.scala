@@ -14,6 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exactly-once, and a re-delivered batch after a lost checkpoint is
   * still a no-op because the watermark rides in the parquet itself.
   *
+  * The pointer flip is delete-then-rename (not atomic on every FS): a
+  * crash in the window between the two leaves no CURRENT file. Each
+  * version therefore also carries a `_GRAFT_COMMITTED` marker written
+  * after its parquet job completes and before the pointer flip, and a
+  * reader that finds no (valid) pointer recovers the highest marked
+  * version instead of silently falling back to `initial` — so the crash
+  * window can only ever surface the snapshot being committed or its
+  * predecessor, never lose committed state.
+  *
   * At cluster scale a transactional table format (Delta/Iceberg) owns
   * this commit protocol; this is the same idea with a pointer file, and
   * the delete+rename pointer flip assumes a single writer (true for a
@@ -24,25 +33,48 @@ class ParquetLedger(spark: SparkSession, dir: String, initial: DataFrame) {
   private val root = new Path(dir)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def pointer = new Path(root, "CURRENT")
+  private def versionDir(v: Int) = new Path(root, s"v$v")
+  private def marker(v: Int) = new Path(versionDir(v), "_GRAFT_COMMITTED")
 
-  private def currentVersion: Option[Int] =
-    if (!fs.exists(pointer)) None
-    else {
-      val in = fs.open(pointer)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
-      finally in.close()
-    }
+  /** Highest fully-committed version: the pointer when it exists AND
+    * names a marked version; otherwise a recovery scan over `v<N>` dirs
+    * for the highest commit marker (covers a crash between the pointer
+    * delete and rename, and a torn/corrupt pointer write).
+    */
+  private def currentVersion: Option[Int] = {
+    val fromPointer =
+      if (!fs.exists(pointer)) None
+      else {
+        val in = fs.open(pointer)
+        val read =
+          try scala.util.Try(new String(in.readAllBytes(), "UTF-8").trim.toInt).toOption
+          finally in.close()
+        read.filter(v => fs.exists(marker(v)))
+      }
+    fromPointer.orElse(recoverVersion)
+  }
+
+  private def recoverVersion: Option[Int] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .filter(v => fs.exists(marker(v)))
+      .sorted.lastOption
 
   /** Latest committed snapshot, or the initial state before any commit. */
   def get(): DataFrame = currentVersion match {
-    case Some(v) => spark.read.parquet(new Path(root, s"v$v").toString)
+    case Some(v) => spark.read.parquet(versionDir(v).toString)
     case None    => initial
   }
 
-  /** Commit a new snapshot: write `v<N+1>` fully, then flip the pointer. */
+  /** Commit a new snapshot: write `v<N+1>` fully, mark it committed,
+    * then flip the pointer.
+    */
   def set(df: DataFrame): Unit = {
     val next = currentVersion.getOrElse(-1) + 1
-    df.write.mode("overwrite").parquet(new Path(root, s"v$next").toString)
+    df.write.mode("overwrite").parquet(versionDir(next).toString)
+    fs.create(marker(next), true).close()
     val tmp = new Path(root, "CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()

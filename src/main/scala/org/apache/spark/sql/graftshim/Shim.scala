@@ -23,6 +23,15 @@ object Shim {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Build an [[org.apache.spark.sql.AnalysisException]] with a plain
+    * message (its string constructor is `private[sql]` in Spark 4 —
+    * analysis-time argument errors from registered functions should
+    * surface as analysis errors, not opaque NPE/cast failures).
+    */
+  def analysisException(msg: String): org.apache.spark.sql.AnalysisException =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
   /** Materialize a logical plan as a DataFrame (test support for optimizer
     * rules; `Dataset.ofRows` is `private[sql]`).
     */

@@ -150,6 +150,55 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("corpus-derived join sides carry NO broadcast hint (t6/t13/d8)") {
+    // t6's docfreq table, t13's unigram vocab, and d8's per-cluster sizes
+    // are all corpus-derived and unbounded (Heaps' law / cluster count
+    // grows with N) — a broadcast hint on them is a driver OOM at 100 TB.
+    // With auto-broadcast disabled, only a HINT can produce a
+    // BroadcastHashJoin: assert none does. (The surviving broadcasts in
+    // these queries are BroadcastNestedLoopJoin cross-joins of 1-row
+    // global aggregates — bounded by construction.)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      for (name <- Seq("t6_tfidf", "t13_unigram_logprob")) {
+        val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name still hints a corpus-derived broadcast:\n${plan.take(800)}")
+      }
+      import spark.implicits._
+      val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 0.9))
+        .toDF("doc_id_a", "doc_id_b", "jaccard")
+      val out = graft.llm.Dedup.dedupClusters(pairs)
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"d8 still hints broadcasting per-cluster sizes:\n${plan.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("t12 source mixture reads the corpus exactly once") {
+    // the corpus-wide total and the normalizer z are unpartitioned-window
+    // sums over the |sources| aggregate rows — never a second scan
+    val q = SparkEntry.registry.find(_.name == "t12_source_mixture").get
+    val df = q.run(spark, sf)
+    df.collect()
+    // AQE's string repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"t12 scans the corpus $scans times:\n${plan.take(800)}")
+  }
+
   test("q46 global ranking runs with NO single-partition exchange") {
     // the two-pass rank must never funnel the table through one task —
     // the physical plan carries range partitioning plus per-partition

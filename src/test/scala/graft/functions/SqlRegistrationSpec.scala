@@ -29,6 +29,20 @@ class SqlRegistrationSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1))
   }
 
+  test("sha256_chunks rejects non-literal / null chunk counts at analysis") {
+    VectorExpressions.registerSql(spark)
+    // a column reference is not foldable — must be an analysis error with
+    // a clear message, not an opaque runtime NPE/cast failure
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sha256_chunks('abc', id) FROM range(3)").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sha256_chunks('abc', NULL)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("registered function runs over a real table in SQL") {
     VectorExpressions.registerSql(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb")

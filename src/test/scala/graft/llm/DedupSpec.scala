@@ -58,6 +58,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashPairs(many, maxBucket = 100).count() === 60L * 59 / 2)
   }
 
+  test("simhash bucket cap drops degenerate band buckets (skew guard)") {
+    // 60 identical docs collapse to ONE simhash signature: every band
+    // bucket holds all 60 → with a cap of 50 the quadratic self-join is
+    // refused (0 pairs instead of 1770); lifted, all pairs reappear
+    val many = (1L to 60L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(many, maxBucket = 50).count() === 0)
+    assert(Dedup.simhashPairs(many, maxBucket = 100).count() === 60L * 59 / 2)
+  }
+
+  test("simhash banding parameters enforce the pigeonhole constraint") {
+    // bands < maxHamming + 1 would silently LOSE pairs; bands*bandBits
+    // beyond the 60-bit signature would band on garbage bits
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 3, bands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, bands = 4, bandBits = 16)
+    }
+    // a legal non-default banding (5 bands × 12 bits covers hamming ≤ 4)
+    // still finds the identical-doc pair
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 4, bands = 5, bandBits = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("dedupClusters: chains collapse to min-labeled components") {
     // a 4-node chain (transitivity across pairs), a 2-clique, a singleton pair
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 0.9), (3L, 4L, 0.8), (10L, 11L, 0.7))

@@ -100,4 +100,24 @@ class CheckpointSpec extends SparkSpec {
       "replay after checkpoint loss double-applied despite the persisted watermark")
     assert(afterReplay.getAs[Long]("qty_art") === 1L)
   }
+
+  test("parquet ledger recovers committed state when the pointer file is lost") {
+    // the delete-then-rename pointer flip has a crash window with NO
+    // CURRENT file — a reader must recover the highest committed version
+    // from the per-version markers, not silently fall back to `initial`
+    val ldir = Files.createTempDirectory("pl-crash").toString
+    val initial = Seq(("k", 0L)).toDF("key", "v")
+    val ledger = new ParquetLedger(spark, ldir, initial)
+    ledger.set(Seq(("k", 1L)).toDF("key", "v"))
+    ledger.set(Seq(("k", 2L)).toDF("key", "v"))
+    // simulate the crash window: CURRENT deleted, rename never happened
+    Files.delete(Paths.get(ldir, "CURRENT"))
+    val recovered = new ParquetLedger(spark, ldir, initial)
+    assert(recovered.get().collect().head.getLong(1) === 2L,
+      "lost pointer fell back to initial instead of the committed v1 snapshot")
+    // and the next commit continues the version chain instead of clobbering
+    recovered.set(Seq(("k", 3L)).toDF("key", "v"))
+    assert(new ParquetLedger(spark, ldir, initial).get()
+      .collect().head.getLong(1) === 3L)
+  }
 }
