@@ -199,6 +199,19 @@ class PartitioningSpec extends SparkSpec {
     assert(scans === 1, s"t12 scans the corpus $scans times:\n${plan.take(800)}")
   }
 
+  test("t15 stages read the materialized token artifact, not the raw corpus") {
+    // corpusCleanFull's pre-pass is the ONLY raw-corpus scan: the five
+    // stages in the returned plan must all read the (hash, quality,
+    // tokens) artifact — at 100 TB that's one decode of the corpus
+    val q = SparkEntry.registry.find(_.name == "t15_corpus_clean_full").get
+    val df = q.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), plan.take(500))
+    assert(!plan.contains(sf),
+      s"a stage still re-scans the raw corpus under $sf:\n${plan.take(800)}")
+  }
+
   test("q46 global ranking runs with NO single-partition exchange") {
     // the two-pass rank must never funnel the table through one task —
     // the physical plan carries range partitioning plus per-partition
