@@ -696,8 +696,9 @@ object Functions {
       val part = Tables.part(s, d)
       val upd = part.filter(col("p_partkey") % 7 === 0)
         .select(col("p_partkey"), (col("p_retailprice") + lit(1.0)).as("new_price"))
+      // upd is a fixed fraction of part — SF-scaling: no broadcast hint
       val closed = part
-        .join(broadcast(upd.select(col("p_partkey"), lit(true).as("__u"))),
+        .join(upd.select(col("p_partkey"), lit(true).as("__u")),
           Seq("p_partkey"), "left")
         .select(col("p_partkey"), col("p_retailprice").as("price"),
           lit(0L).as("version"), col("__u").isNull.as("is_current"))

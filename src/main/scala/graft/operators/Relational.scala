@@ -14,8 +14,12 @@ import graft.OpQuery.sql
   * facts via AQE) and whole-stage codegen.
   *
   * Scale notes applied throughout:
-  *  - dims (region/nation/supplier/part/customer) are `broadcast()` when
-  *    joined to the lineitem/orders facts — no shuffle of the big side;
+  *  - join strategy for dims: region/nation are FIXED-size (5/25 rows)
+  *    and may carry broadcast hints; customer/supplier/part SCALE with
+  *    the data volume (TPC-H SF-linear — multi-TB at the 100 TB point),
+  *    so their joins carry NO hint — AQE broadcast-converts them while
+  *    they are genuinely small and degrades to a keyed shuffle join at
+  *    scale, instead of an unconditional driver-side collect;
   *  - aggregates go through partial (map-side) aggregation automatically;
   *  - window functions partition by high-cardinality keys; no global
   *    (unpartitioned) windows;
@@ -95,7 +99,7 @@ object Relational {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("o_custkey"))
       Tables.orders(s, d)
-        .join(broadcast(cust), Seq("o_custkey"))
+        .join(cust, Seq("o_custkey")) // customer is SF-scaling: no hint
         .select(col("o_orderkey").as("l_orderkey"))
         .join(Tables.lineitem(s, d), Seq("l_orderkey"))
         .groupBy(col("l_orderkey").as("o_orderkey"))
@@ -122,11 +126,14 @@ object Relational {
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey"), col("n_name"))
       val supp = Tables.supplier(s, d)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      // dim embeds customer and supp IS supplier — both SF-scaling: no
+      // hints (region/nation alone would broadcast, but the customer join
+      // dominates the dim's size)
       Tables.orders(s, d)
-        .join(broadcast(dim), Seq("o_custkey"))
+        .join(dim, Seq("o_custkey"))
         .select(col("o_orderkey").as("l_orderkey"), col("c_nationkey"), col("n_name"))
         .join(Tables.lineitem(s, d), Seq("l_orderkey"))
-        .join(broadcast(supp), Seq("l_suppkey"))
+        .join(supp, Seq("l_suppkey"))
         .filter(col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(moneySum(disc, 4).as("revenue"))
@@ -139,8 +146,8 @@ object Relational {
         |  ${moneySumSql("l_extendedprice")} / count(*) AS avg_price
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY p_brand""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+      Tables.lineitem(s, d) // part is SF-scaling: no hint, AQE decides
+        .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
           Seq("l_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(col("l_quantity")).as("sum_qty"),

@@ -49,8 +49,11 @@ object Analog {
         .filter(col("rn") === 1)
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_quantity")).cast("long").as("delta"))
+      // deltas has one row per purchased part — SF-scaling, and already
+      // hash-partitioned by l_partkey from its aggregation: plain keyed
+      // join (AQE broadcast-converts while small)
       Tables.part(s, d)
-        .join(broadcast(deltas), col("l_partkey") === col("p_partkey"))
+        .join(deltas, col("l_partkey") === col("p_partkey"))
         .select(col("p_partkey"),
           col("p_size").cast("long").as("stock_before"),
           col("delta"),

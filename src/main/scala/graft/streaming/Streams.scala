@@ -51,15 +51,22 @@ object Streams {
     tumblingAgg(stream.withWatermark("ts", "30 minutes"))
 
   /** Stream-static enrichment (§2.9): the stream side joins a static
-    * dimension, re-read per micro-batch in streaming mode. The dim is
-    * broadcast, so the (unbounded) stream side never shuffles — the only
-    * viable plan at 100 TB of stream. Identical DataFrame code serves
-    * batch and streaming; StreamsSpec ("stream-static join enriches…")
-    * proves the streaming form of this plan shape.
+    * dimension, re-read per micro-batch in streaming mode. By default the
+    * dim is broadcast, so the (unbounded) stream side never shuffles —
+    * the right plan when the dim fits executors (the usual enrichment
+    * contract). PRECONDITION of the default: the dim is bounded (a
+    * lookup/reference table, not an SF-scaling fact) — pass
+    * `broadcastDim = false` for a large dim and each micro-batch plans a
+    * keyed shuffle join of the (bounded) batch against it instead.
+    * Identical DataFrame code serves batch and streaming; StreamsSpec
+    * ("stream-static join enriches…") proves the streaming form.
     */
-  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+  def staticEnrich(events: DataFrame, dim: DataFrame,
+      broadcastDim: Boolean = true): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    events.join(d, events("user_id") === dim("c_custkey"), "left")
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+  }
 
   /** Stream-stream interval join (§2.9): each view pairs with the same
     * user's clicks within the 12 hours after it. In streaming both

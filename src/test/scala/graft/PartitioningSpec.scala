@@ -150,10 +150,12 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
-  test("corpus-derived join sides carry NO broadcast hint (t6/t13/d8)") {
+  test("corpus-derived join sides carry NO broadcast hint (t6/t13/d8 + SF-scaling dims)") {
     // t6's docfreq table, t13's unigram vocab, and d8's per-cluster sizes
-    // are all corpus-derived and unbounded (Heaps' law / cluster count
-    // grows with N) — a broadcast hint on them is a driver OOM at 100 TB.
+    // are corpus-derived and unbounded (Heaps' law / cluster count grows
+    // with N); customer/supplier/part and frames derived from them
+    // (q03/q04/q05, ep1's deltas, q63's update set) scale with the data
+    // volume — a broadcast hint on any of them is a driver OOM at 100 TB.
     // With auto-broadcast disabled, only a HINT can produce a
     // BroadcastHashJoin: assert none does. (The surviving broadcasts in
     // these queries are BroadcastNestedLoopJoin cross-joins of 1-row
@@ -164,7 +166,9 @@ class PartitioningSpec extends SparkSpec {
       .map(k => k -> spark.conf.getOption(k))
     saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
     try {
-      for (name <- Seq("t6_tfidf", "t13_unigram_logprob")) {
+      for (name <- Seq("t6_tfidf", "t13_unigram_logprob",
+          "q03_revenue_by_order", "q04_revenue_by_nation",
+          "q05_parts_by_brand", "ep1_order_approval", "q63_scd2_merge")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString
