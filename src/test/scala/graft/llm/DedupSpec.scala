@@ -160,6 +160,65 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) === ((0L, false)), "original doc must be clean")
   }
 
+  test("corpusCleanFull (tokenize-once) equals the independently-composed stages") {
+    // the tokenize-once artifact must not change any stage's semantics:
+    // compare verdicts against the five stages computed directly from raw
+    // text, on a corpus that fires every drop reason
+    val r = new scala.util.Random(7)
+    val vocab = for (a <- 'a' to 'j'; b <- 'a' to 'h') yield s"$a${b}word"
+    def prose(n: Int) = Seq.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val base = prose(60)
+    val evalSpan = ('a' to 'm').map(c => s"${c}eval").mkString(" ")
+    // 20 shared tokens → 13 of ~16 8-grams shared (≥ 50% coverage fires)
+    val sharedSpan = ('a' to 't').map(c => s"${c}boiler").mkString(" ")
+    val planted = Seq(
+      1L -> base, 2L -> base,                         // 2 = exact_dup
+      3L -> base.replace(base.split(" ")(30), "EDITED"), // near-dup of 1
+      10L -> s"$evalSpan ${prose(20)}",               // bench doc (10 % 10 == 0)
+      11L -> s"${prose(10)} $evalSpan ${prose(10)}",  // contaminated
+      12L -> s"$sharedSpan ${prose(3)}", 13L -> s"$sharedSpan ${prose(4)}", // boilerplate
+      14L -> "1234567 9999999 !!! ??? 88888 //// 0000000 +++ 55555 :::::" // low_quality
+    )
+    val filler = (20L until 40L).filter(_ % 10 != 0).map(i => i -> prose(40))
+    val docs = (planted ++ filler).toDF("doc_id", "text")
+
+    val got = Dedup.corpusCleanFull(docs)
+      .select("doc_id", "reason").as[(Long, String)].collect().toMap
+
+    // stage flags recomputed from raw text via the docs-taking entry points
+    val exact = docs.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") > 1).select("doc_id").as[Long].collect().toSet
+    val near = Dedup.dedupClusters(Dedup.minhashPairs(docs))
+      .filter(!col("is_keeper")).select("doc_id").as[Long].collect().toSet
+    val cont = Dedup.decontaminate(docs).filter(col("is_contaminated"))
+      .select("doc_id").as[Long].collect().toSet
+    val boiler = Dedup.hotNgramCoverage(docs).filter(col("is_boilerplate"))
+      .select("doc_id").as[Long].collect().toSet
+    val lowQ = docs.filter(
+      (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
+        / greatest(length(col("text")), lit(1)) > 0.19)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = docs.select("doc_id").as[Long].collect().map { id =>
+      id -> (if (exact(id)) "exact_dup"
+        else if (near(id)) "near_dup"
+        else if (cont(id)) "contaminated"
+        else if (boiler(id)) "boilerplate"
+        else if (lowQ(id)) "low_quality"
+        else "kept")
+    }.toMap
+    assert(got === expected)
+    // and the plants actually exercised every reason
+    assert(got(2L) === "exact_dup" && got(3L) === "near_dup" &&
+      got(11L) === "contaminated" && got(14L) === "low_quality")
+    // 12/13 are ALSO near-dups of each other (20 of ~23 tokens shared):
+    // the cluster loser (13) takes the higher-precedence near_dup verdict
+    // and the keeper (12) falls through to boilerplate — the precedence
+    // chain exercised end-to-end
+    assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
