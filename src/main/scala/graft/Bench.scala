@@ -65,7 +65,9 @@ object Bench {
       }
       (q.name, median(times), times.min, times.max)
     }
-    def fmt(v: Double) = "%.4f".format(v)
+    // Locale.ROOT: default-locale format would emit comma decimals on
+    // e.g. de_DE JVMs and corrupt the JSON artifact
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx) =>

@@ -162,7 +162,11 @@ object VectorExpressions {
     Shim.registerFunction(spark, "sha256_chunks", es => {
       val n = if (es.length == 2 && es(1).foldable) es(1).eval(null) else null
       n match {
-        case num: Number => Sha256Chunks(es(0), num.intValue)
+        case num: Number if num.intValue >= 1 && num.intValue <= 4 =>
+          Sha256Chunks(es(0), num.intValue)
+        case num: Number => throw Shim.analysisException(
+          s"sha256_chunks(expr, n): the chunk count must be in [1, 4] " +
+            s"(60 bits per chunk from a 256-bit digest), got ${num.intValue}")
         case _ => throw Shim.analysisException(
           "sha256_chunks(expr, n): the chunk count must be a non-null " +
             "integer literal (it fixes the output array length at plan time)")

@@ -26,6 +26,26 @@ object Dedup {
   /** Content hash for exact dedup: SHA-256 of the raw text. */
   def contentHash(text: Column): Column = sha2(text, 256)
 
+  /** Non-alpha character ratio — the shared quality-cut signal (t10, t15
+    * and their oracles all use this exact expression; one definition so
+    * the 0.19 threshold semantics can never diverge between them).
+    */
+  def nonAlphaRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z]", ""))) * lit(1.0) /
+      greatest(length(text), lit(1))
+
+  /** Exact-dup loser ids from a (doc_id, h) frame: every doc after the
+    * first (lowest doc_id) per content hash — the first-wins window
+    * shared by d1/t10/t15.
+    */
+  def exactDupLosers(hashed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"), lit(true).as("__exact"))
+  }
+
   /** 60-bit cross-engine hash: the first 15 hex chars of SHA-256, parsed
     * as an integer — fixed width, always positive, and computable
     * identically in DuckDB (a strpos hex parse), which is what lets the
@@ -456,6 +476,13 @@ object Dedup {
     * [[dedupClusters]], the returned plan reads the artifact — the spill
     * must outlive consumption of the result; a retention policy owns the
     * run dir in production (`spillDir` is the knob).
+    *
+    * The decontamination stage deliberately passes
+    * `broadcastBench = false`: unlike d10's external-eval-suite contract,
+    * the bench gram set here is carved from the corpus ARTIFACT itself
+    * (doc_id % 10), i.e. corpus-derived and unbounded by construction —
+    * the keyed shuffle semi-join is the only shape that survives 100 TB
+    * (AQE still broadcast-converts it while small, as at test SFs).
     */
   def corpusCleanFull(docs: DataFrame, spillDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
@@ -463,22 +490,16 @@ object Dedup {
     val tokDir = s"$base/tok-${java.util.UUID.randomUUID()}"
     docs.select(col("doc_id"),
         contentHash(col("text")).as("__h"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
-          / greatest(length(col("text")), lit(1))).as("__na"),
+        nonAlphaRatio(col("text")).as("__na"),
         split(trim(col("text")), "\\s+").as("ts"))
       .write.mode("overwrite").parquet(tokDir)
     val art = spark.read.parquet(tokDir)
     val toks = art.select(col("doc_id"), col("ts"))
-    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-    val exactDups = art
-      .select(col("doc_id"), col("__h"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
-      .select(col("doc_id"), lit(true).as("__exact"))
+    val exactDups = exactDupLosers(art.select(col("doc_id"), col("__h")))
     val nearLosers = dedupClusters(minhashPairsTok(toks), spillDir = spillDir)
       .filter(!col("is_keeper"))
       .select(col("doc_id"), lit(true).as("__near"))
-    val contaminated = decontaminateTok(toks)
+    val contaminated = decontaminateTok(toks, broadcastBench = false)
       .filter(col("is_contaminated"))
       .select(col("doc_id"), lit(true).as("__cont"))
     val boiler = hotNgramCoverageTok(toks)
@@ -738,18 +759,12 @@ object Dedup {
          |  LEFT JOIN near_losers n ON n.doc_id = d.doc_id
          |  JOIN q ON q.doc_id = d.doc_id) v""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-      val exactDups = docs
-        .select(col("doc_id"), contentHash(col("text")).as("__h"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1)
-        .select(col("doc_id"), lit(true).as("__exact"))
+      val exactDups =
+        exactDupLosers(docs.select(col("doc_id"), contentHash(col("text")).as("__h")))
       val nearLosers = dedupClusters(minhashPairs(docs))
         .filter(!col("is_keeper"))
         .select(col("doc_id"), lit(true).as("__near"))
-      val quality = docs.select(col("doc_id"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z]", ""))) * lit(1.0)
-          / greatest(length(col("text")), lit(1))).as("__na"))
+      val quality = docs.select(col("doc_id"), nonAlphaRatio(col("text")).as("__na"))
       docs.select(col("doc_id"))
         .join(exactDups, Seq("doc_id"), "left")
         .join(nearLosers, Seq("doc_id"), "left")

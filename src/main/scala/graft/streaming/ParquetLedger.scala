@@ -36,10 +36,12 @@ class ParquetLedger(spark: SparkSession, dir: String, initial: DataFrame) {
   private def versionDir(v: Int) = new Path(root, s"v$v")
   private def marker(v: Int) = new Path(versionDir(v), "_GRAFT_COMMITTED")
 
-  /** Highest fully-committed version: the pointer when it exists AND
-    * names a marked version; otherwise a recovery scan over `v<N>` dirs
-    * for the highest commit marker (covers a crash between the pointer
-    * delete and rename, and a torn/corrupt pointer write).
+  /** Highest fully-committed version: the pointer when it exists and
+    * names a version whose directory is present (marker NOT required on
+    * this path — ledgers written before the marker existed stay
+    * readable); otherwise a recovery scan over `v<N>` dirs for the
+    * highest commit marker (covers a crash between the pointer delete
+    * and rename, and a torn/corrupt pointer write).
     */
   private def currentVersion: Option[Int] = {
     val fromPointer =
@@ -49,18 +51,19 @@ class ParquetLedger(spark: SparkSession, dir: String, initial: DataFrame) {
         val read =
           try scala.util.Try(new String(in.readAllBytes(), "UTF-8").trim.toInt).toOption
           finally in.close()
-        read.filter(v => fs.exists(marker(v)))
+        read.filter(v => fs.exists(versionDir(v)))
       }
     fromPointer.orElse(recoverVersion)
   }
 
-  private def recoverVersion: Option[Int] =
-    if (!fs.exists(root)) None
+  private def listVersions: Seq[Int] =
+    if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
-      .filter(v => fs.exists(marker(v)))
-      .sorted.lastOption
+
+  private def recoverVersion: Option[Int] =
+    listVersions.filter(v => fs.exists(marker(v))).sorted.lastOption
 
   /** Latest committed snapshot, or the initial state before any commit. */
   def get(): DataFrame = currentVersion match {
@@ -69,10 +72,12 @@ class ParquetLedger(spark: SparkSession, dir: String, initial: DataFrame) {
   }
 
   /** Commit a new snapshot: write `v<N+1>` fully, mark it committed,
-    * then flip the pointer.
+    * then flip the pointer. `next` tops every EXISTING version dir
+    * (marked or not), so a recovery that resolved an older version can
+    * never clobber a newer — possibly uncommitted — directory.
     */
   def set(df: DataFrame): Unit = {
-    val next = currentVersion.getOrElse(-1) + 1
+    val next = (currentVersion.toSeq ++ listVersions).foldLeft(-1)(_ max _) + 1
     df.write.mode("overwrite").parquet(versionDir(next).toString)
     fs.create(marker(next), true).close()
     val tmp = new Path(root, "CURRENT.tmp")

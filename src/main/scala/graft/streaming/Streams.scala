@@ -219,12 +219,19 @@ object Streams {
     },
 
     // ---- stream-static join, batch-equivalent plan (§2.9) ----------------
+    // broadcastDim asserted true: streaming enrichment broadcasts the dim
+    // whenever it fits executors (the usual contract; true at test SFs).
+    // customer is SF-scaling, so a 100 TB-regime deployment either passes
+    // false (per-batch keyed shuffle against the dim) or replaces the dim
+    // with a pre-bucketed / keyed-state lookup — staticEnrich's scaladoc
+    // owns that precondition.
     sql("st4_stream_static_join",
       """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e
         |LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin) { (s, d) =>
       staticEnrich(Tables.events(s, d),
-        Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        broadcastDim = true)
     },
 
     // ---- stream-stream interval join, batch-equivalent plan (§2.9) -------

@@ -24,13 +24,14 @@ object Shim {
       .createOrReplaceTempFunction(name, builder, "built-in")
 
   /** Build an [[org.apache.spark.sql.AnalysisException]] with a plain
-    * message (its string constructor is `private[sql]` in Spark 4 —
+    * message (its message constructors are non-public in Spark 4 —
     * analysis-time argument errors from registered functions should
-    * surface as analysis errors, not opaque NPE/cast failures).
+    * surface as analysis errors, not opaque NPE/cast failures). A plain
+    * message, NOT an error class: hijacking e.g. INTERNAL_ERROR would
+    * render a user mistake as "a bug in Spark, please report it".
     */
   def analysisException(msg: String): org.apache.spark.sql.AnalysisException =
-    new org.apache.spark.sql.AnalysisException(
-      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+    new PlainAnalysisException(msg)
 
   /** Materialize a logical plan as a DataFrame (test support for optimizer
     * rules; `Dataset.ofRows` is `private[sql]`).
@@ -40,3 +41,13 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Subclass bridge to AnalysisException's protected message-primary
+  * constructor (the error-class constructors require a REGISTERED error
+  * class; user-facing argument errors want the message verbatim).
+  */
+private[graftshim] class PlainAnalysisException(msg: String)
+  extends org.apache.spark.sql.AnalysisException(
+    message = msg, line = None, startPosition = None, cause = None,
+    errorClass = None, messageParameters = Map.empty,
+    context = Array.empty)

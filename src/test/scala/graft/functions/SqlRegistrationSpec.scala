@@ -41,6 +41,13 @@ class SqlRegistrationSpec extends SparkSpec {
       spark.sql("SELECT sha256_chunks('abc', NULL)").collect()
     }
     assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    // out-of-range literals are analysis errors too, not raw requires
+    for (bad <- Seq("0", "5", "-1")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT sha256_chunks('abc', $bad)").collect()
+      }
+      assert(e.getMessage.contains("[1, 4]"), e.getMessage)
+    }
   }
 
   test("registered function runs over a real table in SQL") {

@@ -101,6 +101,24 @@ class CheckpointSpec extends SparkSpec {
     assert(afterReplay.getAs[Long]("qty_art") === 1L)
   }
 
+  test("parquet ledger reads pre-marker ledger dirs and never clobbers their versions") {
+    // a ledger written by the pre-marker format has CURRENT + v<N> dirs
+    // but no _GRAFT_COMMITTED files: the pointer path must still resolve
+    // (marker not required there), and the next commit must top the
+    // existing versions rather than restart at v0
+    val ldir = Files.createTempDirectory("pl-legacy").toString
+    val initial = Seq(("k", 0L)).toDF("key", "v")
+    Seq(("k", 1L)).toDF("key", "v").write.parquet(s"$ldir/v0")
+    Seq(("k", 2L)).toDF("key", "v").write.parquet(s"$ldir/v1")
+    Files.writeString(Paths.get(ldir, "CURRENT"), "1")
+    val ledger = new ParquetLedger(spark, ldir, initial)
+    assert(ledger.get().collect().head.getLong(1) === 2L,
+      "pre-marker ledger state was discarded")
+    ledger.set(Seq(("k", 3L)).toDF("key", "v"))
+    assert(Files.exists(Paths.get(ldir, "v2")), "commit clobbered an existing version")
+    assert(ledger.get().collect().head.getLong(1) === 3L)
+  }
+
   test("parquet ledger recovers committed state when the pointer file is lost") {
     // the delete-then-rename pointer flip has a crash window with NO
     // CURRENT file — a reader must recover the highest committed version
