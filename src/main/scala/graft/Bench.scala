@@ -54,27 +54,41 @@ object Bench {
     // Rep loops are per-query (not query-loop-inside-rep-loop) so each
     // query's reps run back-to-back under comparable machine load — the
     // spread then reflects noise, not drift across a long pass.
+    // A rep whose query THROWS is not a measurement: its elapsed time is
+    // discarded (failure latency folded into a median would make a broken
+    // query look like a timed one), the error prints once, and a query
+    // with zero successful reps reports null.
     val results = SparkEntry.registry.map { q =>
-      val times = (1 to reps).map { _ =>
+      var reported = false
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        try {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!reported) {
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            reported = true
+          }
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      (q.name, median(times), times.min, times.max)
+      (q.name, times)
     }
     // Locale.ROOT: default-locale format would emit comma decimals on
     // e.g. de_DE JVMs and corrupt the JSON artifact
     def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx) =>
-      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"max\":" + fmt(mx) + "}"
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "null" else fmt(median(ts)))
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      if (ts.isEmpty) "\"" + k + "\":{\"failed\":true}"
+      else "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"max\":" + fmt(ts.max) +
+        (if (ts.length < reps) ",\"failed_reps\":" + (reps - ts.length) else "") + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.count(_._2.isEmpty)
+    val total = results.flatMap { case (_, ts) => if (ts.isEmpty) None else Some(median(ts)) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failed,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -379,8 +379,8 @@ object Dedup {
     * write/read cycle, so refuse loudly.
     */
   private def spillBase(spark: SparkSession, spillDir: Option[String],
-      what: String): String =
-    spillDir
+      what: String): String = {
+    val base = spillDir
       .orElse(spark.sparkContext.getCheckpointDir)
       .getOrElse {
         require(spark.sparkContext.isLocal,
@@ -389,12 +389,50 @@ object Dedup {
             "java.io.tmpdir is driver-local and unreadable from executors")
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill"
       }
+    pruneStaleRuns(spark, base)
+    base
+  }
+
+  /** One tag per JVM, embedded in every run-dir name: a pruner can then
+    * tell its own session's spills (whose returned plans may still be
+    * live) from earlier processes' leftovers.
+    */
+  private val sessionTag: String =
+    java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
+
+  private def runDirName(prefix: String): String =
+    s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
+
+  /** Best-effort GC of ABANDONED run dirs under the spill base. Each
+    * invocation of [[dedupClusters]]/[[corpusCleanFull]] must leave its
+    * final spill behind (the returned plan reads it lazily), so without
+    * this the local-mode tmpdir fallback accumulates one tokenized corpus
+    * copy per call across repeated runs/tests. Deletes only dirs that are
+    * (a) NOT this JVM's (live plans here may still read theirs) and
+    * (b) older than `graft.spill.ttl.minutes` (default 60) — a dir that
+    * old belongs to a dead process or an operator contract that already
+    * said retention is the caller's (`spillDir`) problem. Never throws.
+    */
+  private def pruneStaleRuns(spark: SparkSession, base: String): Unit =
+    try {
+      val ttlMs = sys.props.getOrElse("graft.spill.ttl.minutes", "60").toLong * 60000L
+      val cutoff = System.currentTimeMillis() - ttlMs
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val foreignRun = (n.startsWith("cc-") || n.startsWith("tok-")) &&
+          !n.contains(sessionTag)
+        if (foreignRun && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def dedupClusters(pairs: DataFrame, maxRounds: Int = 50,
       spillDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val base = spillBase(spark, spillDir, "dedupClusters")
-    val runDir = s"$base/cc-${java.util.UUID.randomUUID()}"
+    val runDir = s"$base/${runDirName("cc")}"
 
     pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
       .write.mode("overwrite").parquet(s"$runDir/edges")
@@ -487,7 +525,7 @@ object Dedup {
   def corpusCleanFull(docs: DataFrame, spillDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     val base = spillBase(spark, spillDir, "corpusCleanFull")
-    val tokDir = s"$base/tok-${java.util.UUID.randomUUID()}"
+    val tokDir = s"$base/${runDirName("tok")}"
     docs.select(col("doc_id"),
         contentHash(col("text")).as("__h"),
         nonAlphaRatio(col("text")).as("__na"),

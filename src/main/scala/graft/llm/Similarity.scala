@@ -95,16 +95,21 @@ object Similarity {
     * any signature-table bucket with the query, then exact cosine + top-k
     * within candidates. Multi-table OR-amplification controls recall.
     *
-    * Tuning note: defaults (32 tables × 8 bits) are sized for
+    * Tuning note: defaults (48 tables × 7 bits) are sized for
     * NEAR-UNIFORM embeddings (this synthetic corpus), where top-5
     * neighbors sit around cos≈0.4 and hyperplane LSH is close to its
-    * adversarial worst case — expect recall ≈0.5 at ~12% candidate rate.
-    * On real clustered embedding corpora (or for near-dup search at
-    * cos≥0.8, the LLM-dedup use case) the same defaults give high recall
-    * at far lower candidate rates; raise `bits` as similarity rises.
+    * adversarial worst case. Measured on this corpus at sf0.001/0.01/0.1:
+    * recall 0.80/0.83/0.80 at a ~31% unique-candidate rate
+    * (1−(1−2⁻⁷)⁴⁸); the prior (32 × 8) default measured recall
+    * 0.38–0.50 — below its own 0.45 gate at two SFs, caught the moment
+    * Bench stopped folding failed runs into medians. On real clustered
+    * embedding corpora (or near-dup search at cos≥0.8, the LLM-dedup use
+    * case) per-bit agreement rises from ~0.63 to ~0.9+, so raise `bits`
+    * (and drop `tables`) to push the candidate rate down — recall per
+    * candidate improves as similarity rises.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      dim: Int = 64, tables: Int = 32, bits: Int = 8): DataFrame = {
+      dim: Int = 64, tables: Int = 48, bits: Int = 7): DataFrame = {
     val spark = corpus.sparkSession
     val planes = planesDf(spark, hyperplanes(dim, tables, bits))
     val qb = withSigs(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),

@@ -42,18 +42,45 @@ class ParquetLedger(spark: SparkSession, dir: String, initial: DataFrame) {
     * readable); otherwise a recovery scan over `v<N>` dirs for the
     * highest commit marker (covers a crash between the pointer delete
     * and rename, and a torn/corrupt pointer write).
+    *
+    * Two pointer-failure modes are distinguished: a pointer that
+    * VANISHES between `exists` and `open` is a reader racing the
+    * writer's delete→rename flip — the marker scan is the designed
+    * recovery path. A pointer that is PRESENT but unreadable (torn
+    * write / dangling version) on a ledger with version dirs but no
+    * markers is a pre-marker ledger whose committed version can no
+    * longer be determined — that reader fails loudly rather than
+    * silently resetting committed state to `initial`.
     */
   private def currentVersion: Option[Int] = {
+    var sawPointer = false
     val fromPointer =
-      if (!fs.exists(pointer)) None
-      else {
-        val in = fs.open(pointer)
-        val read =
-          try scala.util.Try(new String(in.readAllBytes(), "UTF-8").trim.toInt).toOption
-          finally in.close()
-        read.filter(v => fs.exists(versionDir(v)))
+      try {
+        if (!fs.exists(pointer)) None
+        else {
+          sawPointer = true
+          val in = fs.open(pointer)
+          val txt = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          Some(txt.toInt).filter(v => fs.exists(versionDir(v)))
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // vanished between exists and open: the writer's pointer flip
+          // in flight — recover from the markers like a missing pointer
+          sawPointer = false; None
+        case _: NumberFormatException => None // torn/corrupt pointer write
       }
-    fromPointer.orElse(recoverVersion)
+    fromPointer.orElse(recoverVersion).orElse {
+      val existing = listVersions
+      if (sawPointer && existing.nonEmpty)
+        throw new IllegalStateException(
+          s"ParquetLedger at $dir: CURRENT exists but is unreadable or names a missing " +
+            s"version, no version carries a _GRAFT_COMMITTED marker, and version dirs " +
+            s"exist (${existing.sorted.map("v" + _).mkString(", ")}) — a pre-marker " +
+            "ledger with a torn pointer. Refusing to silently reset committed state to " +
+            "`initial`; repair CURRENT to the committed version or remove the stale dirs.")
+      None
+    }
   }
 
   private def listVersions: Seq[Int] =
