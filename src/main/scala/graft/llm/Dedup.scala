@@ -113,6 +113,61 @@ object Dedup {
       .withColumn("is_boilerplate", col("n_hot") * 2 >= col("n_grams"))
   }
 
+  /** Span-level duplicate coverage — the substring-dedup posture of
+    * suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed Spark-first: a token
+    * position is DUPLICATED when the word n-gram starting there occurs
+    * ≥ `minCount` times corpus-wide (multiset count — within-doc
+    * repetition counts, exactly as a suffix array would see it), and
+    * maximal overlapping gram intervals [i, i+n−1] merge into spans.
+    * Each doc reports merged-span count, duplicated-token coverage, and
+    * the coverage fraction — everything a span cutter or a
+    * drop-above-threshold policy needs.
+    *
+    * Scale shape: positional grams shuffle 8-byte xxhash64 keys (never
+    * gram strings); the hot-gram set is corpus-derived and unbounded, so
+    * membership is a keyed shuffle semi-join (NEVER broadcast — the d9
+    * posture); the span merge is one window pass per doc. Because every
+    * gram interval has the same length n, interval ends are monotone in
+    * starts, so the interval-union merge needs only lag(end): a new span
+    * starts exactly when i > prev_end + 1 — no running-max pass.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 13, minCount: Int = 2): DataFrame =
+    duplicateSpansTok(tokenize(docs), n, minCount)
+
+  /** [[duplicateSpans]] from a pre-tokenized (doc_id, ts) frame. */
+  def duplicateSpansTok(toks: DataFrame, n: Int = 13, minCount: Int = 2): DataFrame = {
+    val pos = Tables.spread(toks)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"),
+        col("ts"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        xxhash64(array_join(slice(col("ts"), col("i"), lit(n)), " ")).as("gh"))
+    val hot = pos.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount).select("gh")
+    val dup = pos.join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        least(col("i") + (n - 1), col("n_tokens")).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val prevEnd = lag(col("e"), 1).over(w)
+    val spans = dup
+      .withColumn("brk",
+        when(prevEnd.isNull, 1).when(col("i") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("e")) - min(col("i")) + 1).as("covered"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens") * lit(1.0) / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("has_dup", col("dup_tokens") > 0)
+  }
+
   /** 13-gram benchmark-overlap contamination flags for training docs —
     * see the `d10` registry notes.
     *
@@ -944,6 +999,54 @@ object Dedup {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) { (s, d) =>
       decontaminate(Tables.documents(s, d), broadcastBench = true)
+    },
+
+    // ---- span-level (substring) duplicate coverage -----------------------
+    // Suffix-array-style dedup (Lee et al. 2021) as positional 13-grams:
+    // a position whose gram repeats corpus-wide is duplicated; runs of
+    // overlapping duplicated gram intervals merge into spans (equal-width
+    // intervals ⇒ ends monotone ⇒ one lag(end) window pass). Hot-set
+    // membership is a keyed shuffle semi-join on the 8-byte gram hash —
+    // corpus-derived, never broadcast.
+    sql("d11_duplicate_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, i,
+        |    array_to_string(ts[i:i+12], ' ') AS g
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(range(1, greatest(len(ts) - 12, 1) + 1)) AS i
+        |        FROM toks) t
+        |), hot AS (
+        |  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, n_tokens, i, least(i + 12, n_tokens) AS e
+        |  FROM pos WHERE g IN (SELECT g FROM hot)
+        |), isl AS (
+        |  SELECT doc_id, i, e,
+        |    CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |           OR i > lag(e) OVER (PARTITION BY doc_id ORDER BY i) + 1
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grps AS (
+        |  SELECT doc_id, i, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, grp, max(e) - min(i) + 1 AS covered
+        |  FROM grps GROUP BY doc_id, grp
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(covered) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_spans, 0) AS n_spans,
+        |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |  round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(len(t.ts), 1), 6) AS dup_fraction,
+        |  coalesce(a.dup_tokens, 0) > 0 AS has_dup
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin) { (s, d) =>
+      duplicateSpans(Tables.documents(s, d))
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------

@@ -240,6 +240,79 @@ object Similarity {
     * (qid, vid, ...) top-k sets; recall = |approx ∩ exact| / |exact|,
     * deterministic (integer counts) and constant across rows.
     */
+  /** Seeded k-means cluster assignment over the embedding corpus — the
+    * semantic-clustering primitive (SemDeDup-style cluster-then-prune,
+    * cluster-balanced sampling, domain discovery). Fully deterministic
+    * and CROSS-ENGINE reproducible, which is what lets it carry a full
+    * DuckDB oracle where classic randomized k-means cannot:
+    *
+    *  - init: the k corpus vectors with the smallest sha256-prefix
+    *    [[Dedup.hash60]] of their vec_id (seeded, engine-independent,
+    *    and a distributed TakeOrdered — each task keeps ≤ k rows);
+    *  - assignment: argmin over k centroids of
+    *    ‖x‖² − 2·x·c + ‖c‖², each dot a codegen'd [[ArrayDot]] in
+    *    element order, ROUNDED to 6 dp before the argmin so both
+    *    engines rank identical values (cid breaks exact ties);
+    *  - update: per-(cluster, dim) mean as an EXACT DECIMAL(25,12) sum
+    *    divided by the count — bit-identical on any engine, any
+    *    partitioning (the moneySum trick applied to centroid drift —
+    *    a raw double sum would diverge in the last ulp and cascade
+    *    through the next assignment).
+    *
+    * Scale shape: each round is one broadcast of k·dim doubles (the
+    * centroid frame — bounded by the PARAMETER k, never corpus-derived),
+    * one scan with k codegen'd dots per row, one partial-agg shuffle
+    * keyed (cid, dim) of decimal sums, and a k·dim-row collect (the
+    * model artifact, like [[trainCodebook]]). Rounds are sequential by
+    * nature of Lloyd's; `iters` bounds them.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.arrayDot
+    val e = emb.select(col("vec_id"), col("embedding"))
+
+    val seeds = e
+      .select(col("vec_id"), col("embedding"),
+        Dedup.hash60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .collect()
+      .sortBy(r => (r.getLong(2), r.getLong(0)))
+    var cents: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](1).map(_.toDouble))
+    }
+
+    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = cs.toDF("cid", "cvec")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          round(arrayDot(col("embedding"), col("embedding"))
+            - lit(2.0) * arrayDot(col("embedding"), col("cvec"))
+            + arrayDot(col("cvec"), col("cvec")), 6).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    for (_ <- 0 until iters) {
+      val comps = assign(cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double") /
+          count(lit(1))).as("c"))
+        .collect()
+      val updated = comps.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      // an emptied cluster keeps its previous centroid (trainCodebook's
+      // rule; the oracle mirrors it with a coalesce over the prior round)
+      cents = cents.map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
+    }
+
+    assign(cents)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"), col("dist"))
+  }
+
   def withRecallGate(approx: DataFrame, exact: DataFrame,
       minRecall: Double): DataFrame = {
     val hits = approx.select(col("qid"), col("vid"))
@@ -413,6 +486,57 @@ object Similarity {
       val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
       a.join(b, Seq("vec_id"))
         .select(col("vec_id"), round(cosine(col("ea"), col("eb")), 6).as("next_sim"))
+    },
+
+    // ---- seeded k-means cluster assignment (semantic clustering) ---------
+    // SemDeDup-style routing with a FULL oracle: deterministic seeded
+    // init (k smallest cross-engine hashes), one exact-decimal Lloyd
+    // update, assignment re-ranked against the updated centroids. The
+    // oracle unrolls the round in SQL — seeds, distances, argmin,
+    // decimal-exact centroid means, final argmin — and hash-matches
+    // because every arithmetic step is pinned cross-engine (6-dp
+    // rounded distances, DECIMAL(25,12) sums, one double division).
+    sql("s7_kmeans_clusters", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH e AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |         CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), seeds AS (
+         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+         |  FROM (SELECT vec_id, $parse15 AS h60
+         |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+         |              FROM embeddings) t) h
+         |), c0 AS (
+         |  SELECT s.cid, e.i, e.x AS c
+         |  FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.cid < 8
+         |), d0 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+         |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+         |), a0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d0) r WHERE rn = 1
+         |), c1m AS (
+         |  SELECT a.cid, e.i,
+         |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+         |  FROM e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+         |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+         |), d1 AS (
+         |  SELECT e.vec_id, c.cid,
+         |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+         |  FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+         |)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d1) r WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
     }
   )
 }

@@ -411,6 +411,82 @@ object TextStats {
           round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
     },
 
+    // ---- quality bucketing + deterministic curriculum sampling -----------
+    // The DataComp/DCLM-style quality pipeline tail: score every doc by
+    // the t13 perplexity proxy, cut the corpus into quintiles at exact
+    // percentile boundaries, and keep a deterministic per-bucket sample
+    // (keep rate rising with quality: 20/40/60/80/100%) — the seeded
+    // cross-engine hash makes the keep decision a pure function of
+    // doc_id, reproducible on any engine/partitioning (the t14/q61
+    // property). Scale notes: the scoring is the t13 shape (keyed
+    // shuffle joins, no vocab broadcast); the four cut points are ONE
+    // 4-double row (bounded — broadcast is correct); exact percentile
+    // funnels values to one reducer, so at 100 TB the cuts come from
+    // approx_percentile or a bounded deterministic sample instead (the
+    // q64 posture) — exact here because it is what DuckDB can replay.
+    sql("t16_quality_buckets", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents
+         |), vc AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+         |), tot AS (SELECT sum(c) AS n FROM vc),
+         |lp AS (
+         |  SELECT doc_id, round(sum(ln(c * 1.0 / n)) / count(*), 6) AS avg_logprob
+         |  FROM tok JOIN vc USING (t), tot GROUP BY doc_id
+         |), cuts AS (
+         |  SELECT quantile_cont(avg_logprob, 0.2) AS c1,
+         |         quantile_cont(avg_logprob, 0.4) AS c2,
+         |         quantile_cont(avg_logprob, 0.6) AS c3,
+         |         quantile_cont(avg_logprob, 0.8) AS c4
+         |  FROM lp
+         |), b AS (
+         |  SELECT doc_id, avg_logprob,
+         |    CAST((CASE WHEN avg_logprob > c1 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN avg_logprob > c2 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN avg_logprob > c3 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN avg_logprob > c4 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM lp, cuts
+         |), h AS (
+         |  SELECT doc_id, $parse15 AS h60
+         |  FROM (SELECT doc_id, substr(sha256('qb42|' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+         |        FROM documents) t
+         |)
+         |SELECT b.doc_id, b.avg_logprob, b.bucket,
+         |  CAST([20,40,60,80,100][CAST(b.bucket AS INT) + 1] AS BIGINT) AS keep_pct,
+         |  h.h60 % 100 < [20,40,60,80,100][CAST(b.bucket AS INT) + 1] AS keep
+         |FROM b JOIN h ON h.doc_id = b.doc_id""".stripMargin
+    }) { (s, d) =>
+      val tok = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      val vc = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum(col("c")).as("n"))
+      val lp = tok.join(vc, Seq("t"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), log(col("c") * lit(1.0) / col("n")).as("lpt"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("lpt")) / count(lit(1)), 6).as("avg_logprob"))
+      val cuts = lp.agg(
+        percentile(col("avg_logprob"), lit(0.2)).as("c1"),
+        percentile(col("avg_logprob"), lit(0.4)).as("c2"),
+        percentile(col("avg_logprob"), lit(0.6)).as("c3"),
+        percentile(col("avg_logprob"), lit(0.8)).as("c4"))
+      val rates = array(lit(20L), lit(40L), lit(60L), lit(80L), lit(100L))
+      lp.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          (col("avg_logprob") > col("c1")).cast("long")
+            + (col("avg_logprob") > col("c2")).cast("long")
+            + (col("avg_logprob") > col("c3")).cast("long")
+            + (col("avg_logprob") > col("c4")).cast("long"))
+        .withColumn("keep_pct", element_at(rates, (col("bucket") + 1).cast("int")))
+        .withColumn("keep",
+          graft.llm.Dedup.hash60(concat(lit("qb42|"), col("doc_id").cast("string")))
+            % 100 < col("keep_pct"))
+        .select(col("doc_id"), col("avg_logprob"), col("bucket"),
+          col("keep_pct"), col("keep"))
+    },
+
     // ---- deterministic training order: seeded shard + position -----------
     // Reproducible corpus shuffling for training: each doc's order is a
     // pure function of (doc_id, seed) via the cross-engine sha256-prefix

@@ -88,6 +88,28 @@ object Streams {
       .select(col("view_id"), col("click_id"), col("user_id"))
   }
 
+  /** First-wins ingestion dedup — exactly-once-ify an at-least-once
+    * delivery stream at the SOURCE: keep the earliest delivery per
+    * event_id ([[IdempotentMerge]] guards the SINK side; together they
+    * bracket the reference's webhook-retry double-apply). Batch form:
+    * one window keyed by event_id (a single keyed shuffle — scales).
+    * Streaming form: [[streamDedup]] keeps watermark-bounded keyed
+    * state via dropDuplicatesWithinWatermark, so a retry arriving
+    * within the delay horizon is dropped and state for settled keys is
+    * expired rather than growing with the stream (StreamsSpec proves
+    * the drop).
+    */
+  def firstDelivery(delivered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_id")).orderBy(col("ts"))
+    delivered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming form of [[firstDelivery]] — see its scaladoc. */
+  def streamDedup(stream: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the EP2 process-movement pipeline incrementally: each micro-batch
     * of webhook JSON merges its counter deltas into the keyed state via
     * `foreachBatch`, guarded by [[IdempotentMerge]] — the merge is keyed
@@ -232,6 +254,33 @@ object Streams {
       staticEnrich(Tables.events(s, d),
         Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
         broadcastDim = true)
+    },
+
+    // ---- streaming ingestion dedup, batch-equivalent plan (§2.9) ---------
+    // At-least-once delivery simulated deterministically: every 7th event
+    // is re-delivered an hour later (a webhook retry); first-wins per
+    // event_id must keep every ORIGINAL and drop every retry — the hash
+    // gate fails if the window keeps the wrong delivery.
+    sql("st6_stream_dedup",
+      """WITH delivered AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |  UNION ALL
+        |  SELECT event_id, ts + INTERVAL '1 hour' AS ts, user_id, event_type,
+        |         value, props
+        |  FROM events WHERE event_id % 7 = 0
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |  FROM delivered
+        |)
+        |SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |  value, props
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val retries = ev.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      firstDelivery(ev.unionByName(retries))
     },
 
     // ---- stream-stream interval join, batch-equivalent plan (§2.9) -------

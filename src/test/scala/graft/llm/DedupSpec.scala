@@ -219,6 +219,41 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("duplicate spans: shared runs merge into intervals, coverage is a union") {
+    // doc 1 and 2 share two 15-token runs (A at positions 1-15, B at
+    // 21-35 in doc 1) separated by 5 unique tokens; doc 3 is unrelated.
+    // With n=5 grams: A yields hot gram starts 1..11 (one span covering
+    // tokens 1..15), B likewise. The 5-token unique gap (< n would merge;
+    // here gap ≥ n keeps them separate) must produce TWO spans per doc,
+    // and coverage must be the interval UNION (overlapping gram intervals
+    // within a run never double-count).
+    val runA = (0 until 15).map(i => s"alpha$i")
+    val runB = (0 until 15).map(i => s"beta$i")
+    def mid(tag: String) = (0 until 5).map(i => s"${tag}gap$i")
+    val d1 = (runA ++ mid("one") ++ runB).mkString(" ")
+    val d2 = (runA ++ mid("two") ++ runB).mkString(" ")
+    val d3 = (0 until 35).map(i => s"unique${i}z").mkString(" ")
+    val corpus = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((35L, 2L, 30L, true)),
+      s"doc 1: expected 2 spans covering 30 of 35 tokens, got ${out(1L)}")
+    assert(out(2L) === ((35L, 2L, 30L, true)))
+    assert(out(3L) === ((35L, 0L, 0L, false)), "unrelated doc must be clean")
+    // WITHIN-doc repetition is hot too (multiset count, the suffix-array
+    // view): runA twice back-to-back makes gram starts 1..11 and 16..26
+    // hot; start 16 == prev_end(15)+1, so the two runs merge into ONE
+    // span covering the whole 30-token repeated region.
+    val d4 = (runA ++ runA ++ mid("tail")).mkString(" ")
+    val merged = Dedup.duplicateSpans(
+      Seq((1L, d4), (2L, d3)).toDF("doc_id", "text"), n = 5)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(merged.getLong(2) === 1L,
+      "adjacent duplicated intervals must merge into ONE span")
+    assert(merged.getLong(3) === 30L, "merged coverage is the union, not the sum")
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get

@@ -65,6 +65,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(8, 2, 4) === Similarity.hyperplanes(8, 2, 4))
   }
 
+  test("kmeans assignment: total within-cluster distance never increases with iters") {
+    val e = Tables.embeddings(spark, sf)
+    // dist is the squared L2 to the assigned centroid, so summing it is
+    // the k-means inertia; Lloyd's update must be monotone non-increasing
+    val inertia = (0 to 3).map { it =>
+      Similarity.kmeansAssign(e, k = 8, iters = it)
+        .agg(sum(col("dist"))).collect()(0).getDouble(0)
+    }
+    info(s"inertia by iters: ${inertia.mkString(", ")}")
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"inertia increased: $a -> $b")
+    }
+    // well-formed assignment: each vector exactly once, all k clusters used
+    val out = Similarity.kmeansAssign(e, k = 8, iters = 1)
+    assert(out.count() === e.count())
+    assert(out.select("vec_id").distinct().count() === e.count())
+    assert(out.select("cluster_id").distinct().count() === 8)
+  }
+
   test("IVF ANN: recall beats LSH on this corpus at a bounded scan fraction") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 16)

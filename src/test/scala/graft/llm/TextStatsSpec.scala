@@ -73,6 +73,29 @@ class TextStatsSpec extends SparkSpec {
     assert(out.values.forall(_._2 < 0.0))
   }
 
+  test("quality buckets: quintiles are balanced and keep rate rises with quality") {
+    val q = TextStats.registry.find(_.name == "t16_quality_buckets").get
+    val rows = q.run(spark, sf)
+      .select("doc_id", "bucket", "keep_pct", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val n = rows.length
+    val byBucket = rows.groupBy(_._2)
+    assert(byBucket.keySet === Set(0L, 1L, 2L, 3L, 4L), "all five quintiles populated")
+    // exact percentile cuts: each quintile holds ~20% (ties can skew a bit)
+    byBucket.values.foreach(b =>
+      assert(math.abs(b.length - n / 5.0) / n < 0.05, s"unbalanced quintile: ${b.length}/$n"))
+    // the declared rate is monotone in quality, and the realized keep
+    // fraction tracks it (hash mod 100 is near-uniform)
+    val rates = byBucket.view.mapValues(_.head._3).toMap
+    assert(rates === Map(0L -> 20L, 1L -> 40L, 2L -> 60L, 3L -> 80L, 4L -> 100L))
+    byBucket.foreach { case (bk, docs) =>
+      val kept = docs.count(_._4).toDouble / docs.length
+      assert(math.abs(kept - rates(bk) / 100.0) < 0.2,
+        s"bucket $bk keep fraction $kept far from ${rates(bk)}%")
+    }
+    assert(byBucket(4L).forall(_._4), "top quintile keeps everything")
+  }
+
   test("chunking: every chunk contributes at least one new token") {
     // 41 tokens: chunk 1 would start at 25 and cover 25..41 (17 tokens, 9
     // of them new); a doc of 32 + 8 = 40 tokens must NOT emit chunk 1

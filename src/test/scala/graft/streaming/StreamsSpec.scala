@@ -164,6 +164,32 @@ class StreamsSpec extends SparkSpec {
     assert(got === Seq(("ad1", "2024-01-01 10:05:00.0")))
   }
 
+  test("streaming dedup drops a re-delivered event id within the watermark") {
+    val src = tmpDir("dedup-src")
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "ts_s")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(src)
+    write(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00")))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Streams.streamDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // a webhook retry of event 1 five minutes later (inside the 30-min
+      // watermark horizon → keyed state still remembers it → dropped),
+      // plus a genuinely new event that must pass
+      write(Seq((1L, "2024-01-01 10:05:00"), (3L, "2024-01-01 10:06:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(out.sorted === Seq(1L, 2L, 3L), s"retry leaked or an event was lost: $out")
+  }
+
   private def movementWebhook(inv: String, status: String, prev: String): String =
     s"""{"record":{"Status":{"value":"$status"},"Previous_Status":{"value":"$prev"},
        |"bag_model":{"value":"Tour"},"inventory_id":{"value":"$inv"}}}""".stripMargin.replace("\n", "")
