@@ -166,9 +166,12 @@ class PartitioningSpec extends SparkSpec {
       .map(k => k -> spark.conf.getOption(k))
     saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
     try {
+      // d11's hot-gram set and t16's vocab are corpus-derived too; their
+      // only broadcasts must be 1-row bounded frames (nested-loop, not BHJ)
       for (name <- Seq("t6_tfidf", "t13_unigram_logprob",
           "q03_revenue_by_order", "q04_revenue_by_nation",
-          "q05_parts_by_brand", "ep1_order_approval", "q63_scd2_merge")) {
+          "q05_parts_by_brand", "ep1_order_approval", "q63_scd2_merge",
+          "d11_duplicate_spans", "t16_quality_buckets")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -84,16 +84,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("cluster_id").distinct().count() === 8)
   }
 
-  test("IVF ANN: recall beats LSH on this corpus at a bounded scan fraction") {
+  test("IVF ANN: recall clears the s4 gate at the default scan fraction") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 16)
     val brute = Similarity.bruteTopK(q, e, 5).select("qid", "vid")
       .as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(q, e, 5, nlist = 16, nprobe = 4)
+    val ivf = Similarity.ivfTopK(q, e, 5)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    info(s"IVF recall = $recall (nprobe/nlist = 4/16 → ~25% scan fraction)")
-    assert(recall >= 0.5)
+    info(s"IVF recall = $recall (defaults: nprobe/nlist = 4/8 → ~50% scan on uniform data)")
+    assert(recall >= 0.6)
     // every query must return a full k (cells are never empty at k=5)
     val perQuery = ivf.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perQuery.values.forall(_ === 5))
