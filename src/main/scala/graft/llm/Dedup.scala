@@ -113,6 +113,64 @@ object Dedup {
       .withColumn("is_boilerplate", col("n_hot") * 2 >= col("n_grams"))
   }
 
+  /** Cross-snapshot (incremental) dedup — the continuous-crawl posture:
+    * a NEW batch of docs is deduped AGAINST an existing cleaned snapshot,
+    * asymmetrically (snapshot docs are never dropped; a new doc is
+    * judged, the snapshot only consulted). A new doc is `exact_dup` when
+    * its content hash exists in the snapshot; else `near_dup` when it
+    * shares a capped MinHash-LSH band bucket with a snapshot doc AND the
+    * exact shingle Jaccard verifies ≥ `minJaccard`; else `kept`. This is
+    * what an ingestion tick runs between [[Streams.firstDelivery]]
+    * (delivery dedup) and the snapshot merge — the d3 machinery turned
+    * one-sided.
+    *
+    * Scale shape: content hashes meet in a keyed shuffle semi-join (the
+    * snapshot is corpus-sized — NEVER broadcast); band buckets are capped
+    * PER SIDE (`maxBucket`, the d3 skew guard) so the cross join is
+    * bounded per bucket; ids-only through the candidate join, shingle
+    * sets re-attached per side after; one keyed shuffle per stage.
+    */
+  def dedupAgainstSnapshot(newDocs: DataFrame, snapshot: DataFrame,
+      minJaccard: Double = 0.5, maxBucket: Int = 50): DataFrame = {
+    val exact = newDocs.select(col("doc_id"), contentHash(col("text")).as("__h"))
+      .join(snapshot.select(contentHash(col("text")).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__exact"))
+
+    def capped(docs: DataFrame): DataFrame = {
+      val sigs = minhashSignatures(shingleStringRows(graft.Tables.spread(docs)))
+      sigs.select(col("doc_id"), explode(bandKeyEntries).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
+        .filter(col("__n") <= maxBucket)
+        .drop("__n")
+    }
+    val cand = capped(newDocs)
+      .select(col("band"), col("bandkey"), col("doc_id").as("nd"))
+      .join(capped(snapshot)
+        .select(col("band"), col("bandkey"), col("doc_id").as("sd")),
+        Seq("band", "bandkey"))
+      .select(col("nd"), col("sd")).dropDuplicates("nd", "sd")
+    val near = cand
+      .join(shingleHashSets(newDocs)
+        .select(col("doc_id").as("nd"), col("sh").as("sh_a")), Seq("nd"))
+      .join(shingleHashSets(snapshot)
+        .select(col("doc_id").as("sd"), col("sh").as("sh_b")), Seq("sd"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("nd").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact").isNotNull, "exact_dup")
+          .when(col("__near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"))
+      .withColumn("is_new_content", col("verdict") === "kept")
+  }
+
   /** Span-level duplicate coverage — the substring-dedup posture of
     * suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better"), re-expressed Spark-first: a token
@@ -617,7 +675,12 @@ object Dedup {
     * `pairs(doc_id_a, doc_id_b, jaccard)` CTE — shared by the d3 oracle
     * and d8's cluster oracle.
     */
-  private def minhashOracleCtes: String = {
+  /** The DuckDB CTE prefix replaying minhash signatures + band keys for
+    * every document (`toks` → `gsets` → `gr` → `gh` → `sig` → `banded`)
+    * — shared by the symmetric pair oracle ([[minhashOracleCtes]]) and
+    * the asymmetric cross-snapshot oracle (d12).
+    */
+  private def minhashSigCtes: String = {
     def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val hxs = (0 until MinhashK / 4).map(d => s"sha256('$d|' || g) AS hx$d").mkString(", ")
     val mins = (0 until MinhashK).map(k =>
@@ -640,7 +703,11 @@ object Dedup {
        |  SELECT doc_id, $mins FROM gh GROUP BY doc_id
        |), banded AS (
        |  $bandSel
-       |), capped AS (
+       |)""".stripMargin
+  }
+
+  private def minhashOracleCtes: String = {
+    s"""$minhashSigCtes, capped AS (
        |  SELECT doc_id, band, bk FROM (
        |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
        |  WHERE nb <= 50
@@ -1047,6 +1114,52 @@ object Dedup {
         |  coalesce(a.dup_tokens, 0) > 0 AS has_dup
         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin) { (s, d) =>
       duplicateSpans(Tables.documents(s, d))
+    },
+
+    // ---- cross-snapshot incremental dedup ---------------------------------
+    // The continuous-crawl tick: the new batch (doc_id % 4 = 3 here; a
+    // fresh crawl in production) deduped against the cleaned snapshot
+    // (the rest), asymmetric — exact hash first, then capped LSH bucket
+    // candidates verified at exact Jaccard >= 0.5. The oracle shares the
+    // d3 signature CTE chain and splits sides by the same predicate.
+    sql("d12_snapshot_dedup",
+      s"""WITH $minhashSigCtes, cappedN AS (
+         |  SELECT doc_id, band, bk FROM (
+         |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb
+         |    FROM banded WHERE doc_id % 4 = 3) t WHERE nb <= 50
+         |), cappedS AS (
+         |  SELECT doc_id, band, bk FROM (
+         |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb
+         |    FROM banded WHERE doc_id % 4 <> 3) t WHERE nb <= 50
+         |), exact AS (
+         |  SELECT doc_id FROM (SELECT doc_id, sha256(text) AS h FROM documents
+         |                      WHERE doc_id % 4 = 3) n
+         |  WHERE h IN (SELECT DISTINCT sha256(text) FROM documents WHERE doc_id % 4 <> 3)
+         |), cand AS (
+         |  SELECT DISTINCT n.doc_id AS nd, s.doc_id AS sd
+         |  FROM cappedN n JOIN cappedS s ON n.band = s.band AND n.bk = s.bk
+         |), near AS (
+         |  SELECT DISTINCT nd AS doc_id FROM (
+         |    SELECT c.nd,
+         |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |        / len(list_distinct(ga.gs || gb.gs)) AS j
+         |    FROM cand c
+         |    JOIN gsets ga ON ga.doc_id = c.nd
+         |    JOIN gsets gb ON gb.doc_id = c.sd) t
+         |  WHERE j >= 0.5
+         |)
+         |SELECT n.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |       ELSE 'kept' END AS verdict,
+         |  e.doc_id IS NULL AND nr.doc_id IS NULL AS is_new_content
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) n
+         |LEFT JOIN exact e ON e.doc_id = n.doc_id
+         |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      dedupAgainstSnapshot(
+        docs.filter(col("doc_id") % 4 === 3),
+        docs.filter(col("doc_id") % 4 =!= 3))
     },
 
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------

@@ -219,6 +219,27 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("snapshot dedup is asymmetric: new docs judged, snapshot consulted only") {
+    val snapshot = Seq(
+      (1L, base),
+      (2L, "some other snapshot document that describes cluster scheduling and memory tuning")
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, base),                             // exact copy of snapshot 1
+      (11L, base.replace("lazy", "sleepy")),   // near-dup of snapshot 1
+      (12L, "entirely novel content never seen before about streaming watermarks and state stores"),
+      (13L, base.replace("lazy", "sleepy"))    // near-dup too — but of a SNAPSHOT doc, not of 11
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstSnapshot(newBatch, snapshot)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "kept", 13L -> "near_dup"))
+    // asymmetry: 11 and 13 duplicate EACH OTHER exactly, but within-batch
+    // pairs are not this operator's job (d1/d3 own that) — both are
+    // judged against the snapshot alone, and snapshot ids never appear
+    assert(!out.contains(1L) && !out.contains(2L))
+  }
+
   test("duplicate spans: shared runs merge into intervals, coverage is a union") {
     // doc 1 and 2 share two 15-token runs (A at positions 1-15, B at
     // 21-35 in doc 1) separated by 5 unique tokens; doc 3 is unrelated.
