@@ -492,19 +492,21 @@ object Dedup {
     * write/read cycle, so refuse loudly.
     */
   private def spillBase(spark: SparkSession, spillDir: Option[String],
-      what: String): String = {
-    val base = spillDir
+      what: String): String =
+    spillDir
       .orElse(spark.sparkContext.getCheckpointDir)
       .getOrElse {
         require(spark.sparkContext.isLocal,
           s"$what on a cluster needs a shared, durable spill location: " +
             "pass spillDir or set SparkContext.setCheckpointDir (HDFS/S3); " +
             "java.io.tmpdir is driver-local and unreadable from executors")
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill"
+        val base = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-cc-spill"
+        // GC only on THIS fallback path: an explicit spillDir/checkpoint
+        // dir is caller-owned (their retention policy; another process's
+        // >TTL spill may still be live there), but nobody owns /tmp
+        pruneStaleRuns(spark, base)
+        base
       }
-    pruneStaleRuns(spark, base)
-    base
-  }
 
   /** One tag per JVM, embedded in every run-dir name: a pruner can then
     * tell its own session's spills (whose returned plans may still be
@@ -516,15 +518,15 @@ object Dedup {
   private def runDirName(prefix: String): String =
     s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
 
-  /** Best-effort GC of ABANDONED run dirs under the spill base. Each
-    * invocation of [[dedupClusters]]/[[corpusCleanFull]] must leave its
-    * final spill behind (the returned plan reads it lazily), so without
-    * this the local-mode tmpdir fallback accumulates one tokenized corpus
-    * copy per call across repeated runs/tests. Deletes only dirs that are
-    * (a) NOT this JVM's (live plans here may still read theirs) and
-    * (b) older than `graft.spill.ttl.minutes` (default 60) — a dir that
-    * old belongs to a dead process or an operator contract that already
-    * said retention is the caller's (`spillDir`) problem. Never throws.
+  /** Best-effort GC of ABANDONED run dirs under the TMPDIR-FALLBACK spill
+    * base (explicit spillDir / checkpoint dirs are caller-owned and never
+    * touched). Each invocation of [[dedupClusters]]/[[corpusCleanFull]]
+    * must leave its final spill behind (the returned plan reads it
+    * lazily), so without this the local-mode fallback accumulates one
+    * tokenized corpus copy per call across repeated runs/tests. Deletes
+    * only dirs that are (a) NOT this JVM's (live plans here may still
+    * read theirs) and (b) older than `graft.spill.ttl.minutes` (default
+    * 60) — in /tmp that old means a dead process. Never throws.
     */
   private def pruneStaleRuns(spark: SparkSession, base: String): Unit =
     try {
