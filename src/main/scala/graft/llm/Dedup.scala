@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{OpQuery, Tables}
-import graft.OpQuery.sql
+import graft.OpQuery.{rowsOnly, sql}
 
 /** Deduplication operators for LLM training corpora (builder-prompt
   * north-star; SURVEY.md §2.10): exact (hash), MinHash+LSH near-dup,
@@ -169,6 +169,56 @@ object Dedup {
           .when(col("__near").isNotNull, "near_dup")
           .otherwise("kept").as("verdict"))
       .withColumn("is_new_content", col("verdict") === "kept")
+  }
+
+  /** Bloom-filter membership prefilter — the 100 TB "seen before?" front
+    * of [[dedupAgainstSnapshot]]'s exact stage: ONE mergeable bloom
+    * sketch over the snapshot's content keys (a model artifact of a few
+    * MB per billion items at 1% fpp, independent of corpus size;
+    * OR-merged partial aggregates make the bits partition-order
+    * invariant), probed scan-side by every new doc — the new side never
+    * shuffles at all. `might_contain` has NO false negatives, so a miss
+    * is certainly-new and skips the exact join; only hits (true dups +
+    * ~fpp of the rest) proceed. Registered rows-only (the sketch bits
+    * are Spark-specific), with both guarantees gated IN-QUERY: any false
+    * negative raise_errors unconditionally, and the measured
+    * false-positive rate among true non-dups raise_errors above 5×fpp.
+    */
+  def bloomPrefilter(newDocs: DataFrame, snapshot: DataFrame, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val snapKeys = snapshot.select(xxhash64(col("text")).as("kh"),
+      contentHash(col("text")).as("__h"))
+    // sizing needs an item estimate: caller-provided, else one count job
+    // (metadata-only on parquet; at 100 TB pass the catalog's row count)
+    val n = expectedItems.getOrElse(snapshot.count())
+    val bloomBits: Array[Byte] = snapKeys
+      .agg(graft.functions.BloomSketch
+        .bloomAgg(col("kh"), math.max(n, 1L), fpp).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val scored = newDocs.select(col("doc_id"),
+        contentHash(col("text")).as("__h"), xxhash64(col("text")).as("kh"))
+      .withColumn("bloom_hit",
+        graft.functions.BloomSketch.mightContain(lit(bloomBits), col("kh")))
+    val exact = scored
+      .join(snapKeys.select("__h").distinct(), Seq("__h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__exact"))
+    val flagged = scored.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        col("__exact").isNotNull.as("is_dup"))
+    val stats = flagged.agg(
+      sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("is_dup") && col("bloom_hit"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("is_dup"), 1L).otherwise(0L)).as("nneg"))
+    val fprRaw = col("fp") * lit(1.0) / greatest(col("nneg"), lit(1L))
+    flagged.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("bloom_hit"), col("is_dup"),
+        when(col("fn") > 0,
+          raise_error(concat(lit("bloom sketch false negative(s): "),
+            col("fn").cast("string"))))
+          .when(fprRaw > lit(5 * fpp),
+            raise_error(concat(lit(s"bloom FPR above ${5 * fpp}: "),
+              fprRaw.cast("string"))))
+          .otherwise(round(fprRaw, 6)).as("fpr"))
   }
 
   /** Span-level duplicate coverage — the substring-dedup posture of
@@ -1160,6 +1210,18 @@ object Dedup {
          |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       dedupAgainstSnapshot(
+        docs.filter(col("doc_id") % 4 === 3),
+        docs.filter(col("doc_id") % 4 =!= 3))
+    },
+
+    // ---- bloom membership prefilter (sketch front of d12's exact stage) --
+    // Rows-only: the sketch bits are Spark's sketch library, not DuckDB-
+    // replayable — but both bloom guarantees ride IN the query: a false
+    // negative (impossible by construction; the gate would catch a broken
+    // sketch) and an FPR above 5×fpp both raise_error.
+    rowsOnly("d13_bloom_prefilter") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      bloomPrefilter(
         docs.filter(col("doc_id") % 4 === 3),
         docs.filter(col("doc_id") % 4 =!= 3))
     },

@@ -219,6 +219,26 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("bloom prefilter: no false negatives, measured FPR within the gate") {
+    val snapshot = (1L to 200L)
+      .map(i => (i, s"snapshot document number $i with some shared prose"))
+      .toDF("doc_id", "text")
+    val newBatch = ((1L to 50L)
+      .map(i => (1000L + i, s"snapshot document number $i with some shared prose")) ++
+      (1L to 150L)
+        .map(i => (2000L + i, s"genuinely new crawl document $i about other matters")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomPrefilter(newBatch, snapshot).collect()
+    val hits = out.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the hard bloom guarantee (also raise_error-gated inside the query):
+    // every true duplicate must hit the sketch
+    (1001L to 1050L).foreach(id => assert(hits(id), s"false negative for doc $id"))
+    // the emitted fpr is the measured global rate; the in-query gate
+    // bounds it at 5x the configured fpp (0.05 for the 0.01 default)
+    assert(out.head.getDouble(3) <= 0.05)
+    assert(out.length === 200)
+  }
+
   test("snapshot dedup is asymmetric: new docs judged, snapshot consulted only") {
     val snapshot = Seq(
       (1L, base),
