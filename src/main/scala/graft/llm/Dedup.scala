@@ -1226,6 +1226,120 @@ object Dedup {
         docs.filter(col("doc_id") % 4 =!= 3))
     },
 
+    // ---- semantic dedup: k-means blocks + within-cluster cosine ----------
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    // then drop any vector whose cluster holds a SMALLER-id vector with
+    // cosine ≥ τ — pairwise comparison happens only inside a cluster.
+    // Unlike d7 (blocks on a GIVEN label), the blocking key here is
+    // LEARNED (s7's seeded k-means, shared CTE chain), which is the
+    // posture for unlabeled corpora. Scale shape: assignment is s7's
+    // (k·dim-bounded centroid broadcast); the pairwise stage is a
+    // self-join keyed on cluster_id — a keyed shuffle whose per-key cost
+    // is C(n_c, 2), bounded by sizing k ~ N/target_cluster_size at real
+    // scale (SemDeDup's own remedy: 50k clusters for 100M docs). Verdict
+    // is a semi-join back on vec_id.
+    sql("d14_semantic_dedup",
+      s"""WITH ${graft.llm.Similarity.kmeansCtes},
+         |norms AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
+         |), losers AS (
+         |  SELECT DISTINCT vb AS vec_id FROM (
+         |    SELECT a.vec_id AS vb,
+         |      round(sum(ea.x * eb.x) / (na.nrm * nb.nrm), 6) AS sim
+         |    FROM afin a JOIN afin b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |    JOIN e ea ON ea.vec_id = a.vec_id
+         |    JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+         |    JOIN norms na ON na.vec_id = a.vec_id
+         |    JOIN norms nb ON nb.vec_id = b.vec_id
+         |    GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm) p
+         |  WHERE sim >= 0.4
+         |)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+         |  l.vec_id IS NULL AS keep
+         |FROM afin a LEFT JOIN losers l ON l.vec_id = a.vec_id""".stripMargin) { (s, d) =>
+      val assign = graft.llm.Similarity
+        .kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
+        .select(col("vec_id"), col("cluster_id"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val withVec = assign.join(e, Seq("vec_id"))
+      val hi = withVec.select(col("cluster_id"), col("vec_id").as("vb"),
+        col("embedding").as("ea"))
+      val lo = withVec.select(col("cluster_id"), col("vec_id").as("va"),
+        col("embedding").as("eb"))
+      val losers = hi.join(lo, Seq("cluster_id"))
+        .filter(col("va") < col("vb"))
+        .select(col("vb"),
+          round(graft.llm.Similarity.cosine(col("ea"), col("eb")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .select(col("vb").as("vec_id"))
+        .distinct()
+      assign.join(losers.withColumn("__loser", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster_id"), col("__loser").isNull.as("keep"))
+    },
+
+    // ---- content-defined chunking + chunk-level dedup --------------------
+    // CDC (the rsync/LBFS posture, used for chunk-sharing dedup of crawl
+    // snapshots): a chunk boundary falls wherever the rolling 8-char
+    // window's hash ≡ 0 (mod 64) — boundaries move WITH content, so an
+    // insertion early in a doc re-chunks only the surrounding chunk, not
+    // every downstream fixed-size window (t11 is the fixed-size
+    // contrast). Chunk identity is a content hash; `shared` marks chunks
+    // appearing in >1 doc or >1 position — the unit of cross-snapshot
+    // storage dedup. The boundary hash is the cross-engine sha256-prefix
+    // (hash60), so DuckDB replays boundaries bit-identically. Scale
+    // shape: position explode (t5's codegen'd shape) → per-doc window on
+    // doc_id (one keyed shuffle) → chunk-hash counts via a window keyed
+    // on chash (corpus-derived, keyed shuffle — never broadcast).
+    sql("d15_cdc_chunks", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(gk, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, text, i, $parse15 % 64 = 0 AS is_b
+         |  FROM (SELECT doc_id, text, i,
+         |          substr(sha256(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 15) AS gk
+         |        FROM pos) t
+         |), bounds AS (
+         |  SELECT doc_id, text, CAST(i AS BIGINT) AS e FROM b WHERE is_b
+         |  UNION ALL
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS e FROM documents
+         |), uniq AS (SELECT DISTINCT doc_id, text, e FROM bounds),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+         |  FROM uniq
+         |), ch AS (
+         |  SELECT doc_id, s AS start_pos, e - s + 1 AS len,
+         |    substr(sha256(substr(text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))), 1, 15) AS chash
+         |  FROM chunks c JOIN documents d USING (doc_id) WHERE e >= s
+         |)
+         |SELECT doc_id, start_pos, len, chash,
+         |  CAST(count(*) OVER (PARTITION BY chash) AS BIGINT) > 1 AS shared
+         |FROM ch""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bounds = Tables.spread(docs)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(8), greatest(length(col("text")), lit(8)))).as("i"))
+        .filter(col("i") <= length(col("text")))
+        .filter(hash60(col("text").substr(col("i") - 7, lit(8))) % 64 === 0)
+        .select(col("doc_id"), col("i").cast("long").as("e"))
+        .unionByName(docs.select(col("doc_id"), length(col("text")).cast("long").as("e")))
+        .distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+      val chunks = bounds
+        .withColumn("s", coalesce(lag(col("e"), 1).over(w), lit(0L)) + 1)
+        .filter(col("e") >= col("s"))
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("s").as("start_pos"), (col("e") - col("s") + 1).as("len"),
+          substring(sha2(col("text").substr(col("s").cast("int"),
+            (col("e") - col("s") + 1).cast("int")), 256), 1, 15).as("chash"))
+      chunks
+        .withColumn("shared",
+          count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
+    },
+
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------
     // The standalone exact-similarity op (no LSH): pairs within a bounded
     // blocking key (source), similarity = |∩|/|∪| of word 3-gram sets.

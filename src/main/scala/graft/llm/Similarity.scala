@@ -507,47 +507,59 @@ object Similarity {
     // decimal-exact centroid means, final argmin — and hash-matches
     // because every arithmetic step is pinned cross-engine (6-dp
     // rounded distances, DECIMAL(25,12) sums, one double division).
-    sql("s7_kmeans_clusters", {
-      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
-      s"""WITH e AS (
-         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
-         |         CAST(unnest(embedding) AS DOUBLE) AS x
-         |  FROM embeddings
-         |), seeds AS (
-         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
-         |  FROM (SELECT vec_id, $parse15 AS h60
-         |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
-         |              FROM embeddings) t) h
-         |), c0 AS (
-         |  SELECT s.cid, e.i, e.x AS c
-         |  FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.cid < 8
-         |), d0 AS (
-         |  SELECT e.vec_id, c.cid,
-         |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
-         |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
-         |), a0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d0) r WHERE rn = 1
-         |), c1m AS (
-         |  SELECT a.cid, e.i,
-         |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
-         |  FROM e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
-         |), c1 AS (
-         |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
-         |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
-         |), d1 AS (
-         |  SELECT e.vec_id, c.cid,
-         |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
-         |  FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
-         |)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist FROM (
-         |  SELECT vec_id, cid, dist,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |  FROM d1) r WHERE rn = 1""".stripMargin
-    }) { (s, d) =>
+    sql("s7_kmeans_clusters",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist FROM afin""".stripMargin
+    ) { (s, d) =>
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
     }
   )
+
+  /** The s7 k-means round unrolled as DuckDB CTEs, shared with d14's
+    * semantic-dedup oracle (its blocking key is these clusters). Ends with
+    * `afin(vec_id, cid, dist)` — the final assignment after one
+    * decimal-exact Lloyd update — plus `e(vec_id, i, x)`, the exploded
+    * double elements, for downstream pairwise math.
+    */
+  lazy val kmeansCtes: String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    s"""e AS (
+       |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.cid < 8
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), afin AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |)""".stripMargin
+  }
 }

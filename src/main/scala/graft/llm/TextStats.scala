@@ -553,6 +553,58 @@ object TextStats {
       sk.select(col("doc_id") +: sCols: _*)
         .withColumn("fingerprint",
           sha2(concat_ws(",", (0 until 8).map(k => col(s"s$k")): _*), 256))
+    },
+
+    // ---- bigram LM perplexity proxy (t13's sequential upgrade) -----------
+    // Per-doc mean log P(w2 | w1) under an add-0.5-smoothed bigram model
+    // trained on the corpus itself — the CCNet/Gopher-style perplexity
+    // filter, one Markov order up from t13 (which scores tokens
+    // independently and so can't see scrambled word order). Bigrams come
+    // from ONE window pass (lead over doc position — same shuffle key as
+    // every per-doc stage); the bigram and unigram count tables are
+    // CORPUS-DERIVED and meet the token stream in keyed shuffle joins,
+    // never broadcast (the d9/t13 posture — at 100 TB the bigram
+    // vocabulary is itself TB-scale). The only broadcast is the 1-row
+    // vocabulary size. 6-dp rounding absorbs partial-sum order.
+    sql("t17_bigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), big AS (
+        |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |), bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+        |), uc AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1
+        |), v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz FROM tok),
+        |sc AS (
+        |  SELECT g.doc_id, ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.vsz)) AS lp
+        |  FROM big g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        |  JOIN uc ON uc.w1 = g.w1, v
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(lp) / count(*), 6) AS avg_logprob
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = toks
+        .withColumn("w2", lead(col("t"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("t").as("w1"), col("w2"))
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = toks.agg(countDistinct(col("t")).as("vsz"))
+      big.join(bc, Seq("w1", "w2"))
+        .join(uc, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("vsz"))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
     }
   )
 }

@@ -705,6 +705,135 @@ object Functions {
       val fresh = upd.select(col("p_partkey"), col("new_price").as("price"),
         lit(1L).as("version"), lit(true).as("is_current"))
       closed.unionByName(fresh)
+    },
+
+    // ---- batch sessionization (gap-based) --------------------------------
+    // The batch twin of st3's session_window: per user, a >30-min silence
+    // starts a new session; session ids are a running sum of boundary
+    // flags. Timestamps compared as MICROSECOND LONGS (unix_micros /
+    // epoch_us) so the boundary test is exact integer math on both
+    // engines — no float epoch, no truncation skew. Scale shape: ONE
+    // shuffle on user_id serves both window passes (lag and the running
+    // sum share the same partitioning) and the final groupBy is
+    // partial-aggregated within the already-hashed partitions. Per-user
+    // event counts are human-scale (thousands), so no skew path needed.
+    sql("q65_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, value, us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, value, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) - min(us) AS duration_us,
+        |  round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L ||
+            lag(col("us"), 1).over(w).isNull, lit(1)).otherwise(lit(0)))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          round(sum(col("value")), 6).as("total_value"))
+    },
+
+    // ---- incremental aggregation (materialized-view maintenance) ---------
+    // The refresh tick of a 100 TB rollup: the base partition (event_id %
+    // 10 <= 7, standing in for "already materialized") and the delta
+    // batch are aggregated SEPARATELY, then merged ALGEBRAICALLY —
+    // counts add, sums add, min/max fold — so a real refresh touches only
+    // the delta and the affected (event_type, day) rows, never rescanning
+    // the base fact table. avg is derived from the merged (sum, count)
+    // pair, never averaged-of-averages. The ORACLE is the full recompute
+    // over all events: equality proves the merge is lossless. Scale
+    // shape: two partial aggs keyed the same way + one merge agg on the
+    // (tiny) rollup key space.
+    sql("q66_incremental_agg",
+      """SELECT event_type,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("value"))
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val base = partial(ev.filter(col("event_id") % 10 <= 7))
+      val delta = partial(ev.filter(col("event_id") % 10 > 7))
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), round(sum(col("total")), 6).as("total"),
+          min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+          round(sum(col("total")) / sum(col("n")), 6).as("avg_value"))
+    },
+
+    // ---- gap fill with last observation carried forward (LOCF) -----------
+    // Time-series densification: every (user, day) cell of a fixed spine
+    // gets the user's last observed daily purchase total — the as-of/
+    // backfill primitive feature stores need (q42 is the join form; this
+    // is the grid form). Scale shape: the day spine is PARAMETER-bounded
+    // (30 rows — broadcast is correct); the user dim scales, so the grid
+    // is users × days built by broadcasting the SPINE, never the users;
+    // the fill itself is one window keyed by user_id (same shuffle as
+    // the grid's groupBy). NULLs before a user's first observation stay
+    // NULL by LOCF's definition.
+    sql("q67_locf_fill",
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |), u AS (SELECT DISTINCT user_id FROM events),
+        |obs AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    round(sum(value), 6) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT u.user_id, d.day, o.v
+        |  FROM u CROSS JOIN days d
+        |  LEFT JOIN obs o ON o.user_id = u.user_id AND o.day = d.day
+        |)
+        |SELECT user_id, day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS v_filled,
+        |  v IS NOT NULL AS observed
+        |FROM grid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = s.range(0, 30)
+        .select(expr("timestampadd(DAY, id, timestamp'2024-01-01')").as("day"))
+      val ev = Tables.events(s, d)
+      val users = ev.select(col("user_id")).distinct()
+      val obs = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v").isNotNull.as("observed"))
     }
   )
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-6 batch operators: q65 sessionize,
+  * q66 incremental agg, t17 bigram logprob, d14 semantic dedup. Each test
+  * re-derives the operator's defining property from raw data or from the
+  * operator's own output — independent of the DuckDB oracle path.
+  */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+
+  test("q65 sessionize: partition of events, non-negative spans, gap law") {
+    val out = run("q65_sessionize").cache()
+    try {
+      // sessions PARTITION the event set: counts add up to the raw total
+      val total = out.agg(sum(col("n_events"))).head.getLong(0)
+      val raw = Tables.events(spark, sf).count()
+      assert(total === raw, s"sessions cover $total of $raw events")
+      // no negative durations
+      assert(out.filter(col("duration_us") < 0).isEmpty)
+      // gap law: consecutive sessions of one user are > 30 min apart
+      // (end of previous to start of next), else they'd have merged
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      val gaps = out
+        .withColumn("prev_end", lag(col("start_us") + col("duration_us"), 1).over(w))
+        .filter(col("prev_end").isNotNull)
+        .filter(col("start_us") - col("prev_end") <= 1800000000L)
+      assert(gaps.isEmpty, "adjacent sessions within the 30-min gap did not merge")
+    } finally out.unpersist()
+  }
+
+  test("q66 incremental agg: algebraic merge equals full recompute") {
+    val out = run("q66_incremental_agg")
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        round(sum(col("value")) / count(lit(1)), 6).as("avg_value"))
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty,
+      "merged base+delta rollup diverges from the full recompute")
+  }
+
+  test("t17 bigram logprob: one bigram per adjacent pair, probs are log-valid") {
+    val out = run("t17_bigram_logprob").cache()
+    try {
+      // n_bigrams == n_tokens - 1, re-derived from the raw corpus
+      val toks = Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          (size(split(trim(col("text")), "\\s+")) - 1).as("want"))
+      val joined = out.join(toks, Seq("doc_id"))
+      assert(joined.filter(col("n_bigrams") =!= col("want")).isEmpty,
+        "bigram count is not tokens-1 for some doc")
+      // smoothed log-probs are strictly negative and finite
+      assert(out.filter(col("avg_logprob") >= 0 || isnan(col("avg_logprob"))
+        || col("avg_logprob").isNull).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("d14 semantic dedup: verdicts equal brute-force within-cluster check") {
+    val out = run("d14_semantic_dedup").cache()
+    try {
+      // re-derive losers by brute force from the operator's own cluster
+      // assignment + raw embeddings (small at sf0.001)
+      val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      val assigned = out.select(col("vec_id"), col("cluster_id")).join(e, Seq("vec_id"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("vb"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("va"),
+        col("embedding").as("eb"))
+      val losers = a.join(b, Seq("cluster_id"))
+        .filter(col("va") < col("vb"))
+        .filter(round(graft.llm.Similarity.cosine(col("ea"), col("eb")), 6) >= 0.4)
+        .select(col("vb")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val kept = out.filter(col("keep")).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      val dropped = out.filter(!col("keep")).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(dropped === losers, "dropped set != brute-force similar-pair losers")
+      assert((kept & losers).isEmpty)
+      // the smallest vec_id of every cluster always survives
+      val minPerCluster = out.groupBy(col("cluster_id"))
+        .agg(min(col("vec_id")).as("m"))
+        .collect().map(_.getLong(1)).toSet
+      assert((minPerCluster & dropped).isEmpty, "a cluster's min vec_id was dropped")
+    } finally out.unpersist()
+  }
+
+  test("q67 LOCF: full grid, observed cells exact, fill carries only forward") {
+    val out = run("q67_locf_fill").cache()
+    try {
+      val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+      assert(out.count() === nUsers * 30, "grid is not users x 30 days")
+      // observed rows carry their own value
+      val obs = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("want"))
+      assert(out.filter(col("observed")).join(obs, Seq("user_id", "day"))
+        .filter(col("v_filled") =!= col("want")).isEmpty,
+        "an observed cell does not carry its own day total")
+      // fill never precedes the first observation, never gaps after it
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bad = out
+        .withColumn("seen", max(col("observed").cast("int")).over(w))
+        .filter((col("seen") === 0 && col("v_filled").isNotNull) ||
+          (col("seen") === 1 && col("v_filled").isNull))
+      assert(bad.isEmpty, "LOCF filled before first observation or gapped after it")
+    } finally out.unpersist()
+  }
+
+  test("d15 CDC chunks: tile each doc exactly; hashes match an independent digest") {
+    val out = run("d15_cdc_chunks").cache()
+    try {
+      // chunks tile the text: lengths sum to doc length, starts begin at 1,
+      // consecutive chunks abut (start == prev start + prev len)
+      val lens = Tables.documents(spark, sf)
+        .select(col("doc_id"), length(col("text")).cast("long").as("want"))
+      val cover = out.groupBy(col("doc_id"))
+        .agg(sum(col("len")).as("got"), min(col("start_pos")).as("first"))
+        .join(lens, Seq("doc_id"))
+      assert(cover.filter(col("got") =!= col("want") || col("first") =!= 1).isEmpty,
+        "chunks do not tile some document")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("start_pos"))
+      val abut = out
+        .withColumn("prev_end", lag(col("start_pos") + col("len"), 1).over(w))
+        .filter(col("prev_end").isNotNull && col("start_pos") =!= col("prev_end"))
+      assert(abut.isEmpty, "adjacent chunks overlap or gap")
+      // chunk hash = sha256 prefix of the substring, re-derived with the
+      // JDK digest (independent of the Spark expression tree)
+      val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      out.orderBy(col("doc_id"), col("start_pos")).limit(200).collect().foreach { r =>
+        val (id, s0, l0) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+        val sub = texts(id).substring(s0 - 1, s0 - 1 + l0)
+        val hex = md.digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        assert(hex === r.getString(3), s"chunk hash mismatch for doc $id @$s0")
+      }
+      // shared flag == "this chunk hash occurs more than once corpus-wide"
+      val counts = out.groupBy(col("chash")).agg(count(lit(1)).as("c"))
+      assert(out.join(counts, Seq("chash"))
+        .filter(col("shared") =!= (col("c") > 1)).isEmpty,
+        "shared flag diverges from the chash occurrence count")
+      // a duplicated text produces an identical chunk-hash multiset
+      // (sf0.001 may hold no exact dups — then the property is vacuous)
+      val dupPairs = Tables.documents(spark, sf)
+        .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(col("ids")).collect()
+      dupPairs.headOption.foreach { row =>
+        val pair = row.getSeq[Long](0).take(2)
+        val h0 = out.filter(col("doc_id") === pair(0))
+          .select(col("chash")).collect().map(_.getString(0)).sorted.toSeq
+        val h1 = out.filter(col("doc_id") === pair(1))
+          .select(col("chash")).collect().map(_.getString(0)).sorted.toSeq
+        assert(h0 === h1, "identical docs chunked differently")
+      }
+    } finally out.unpersist()
+  }
+}

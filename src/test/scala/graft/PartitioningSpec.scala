@@ -171,7 +171,8 @@ class PartitioningSpec extends SparkSpec {
       for (name <- Seq("t6_tfidf", "t13_unigram_logprob",
           "q03_revenue_by_order", "q04_revenue_by_nation",
           "q05_parts_by_brand", "ep1_order_approval", "q63_scd2_merge",
-          "d11_duplicate_spans", "t16_quality_buckets", "d12_snapshot_dedup")) {
+          "d11_duplicate_spans", "t16_quality_buckets", "d12_snapshot_dedup",
+          "t17_bigram_logprob", "d14_semantic_dedup")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString
