@@ -211,6 +211,111 @@ object Multimodal {
           (id, resized.length, frames.length, frames.map(_.length).sum)
         })
         .toDF("doc_id", "resized_bytes", "n_frames", "frame_bytes_total")
+    },
+
+    // ---- perceptual-hash near-dup (media dedup without exact bytes) ------
+    // pHash posture over the stub decoder: a 64-bit signature from byte-
+    // position sums (bit i set iff the bytes at positions ≡ i mod 64 sum
+    // above the per-slot mean — all INTEGER math, so both engines agree
+    // bit for bit), banded 4×16 (d4's pigeonhole: hamming ≤ 3 ⇒ some
+    // band equal — lossless), candidates verified at exact hamming.
+    // The hash lives in two 32-bit halves (a 1<<63 BIGINT shift
+    // overflows in the oracle; hamming = popcount(xor) per half, summed).
+    // Scale shape: signature via mapPartitions (the decode seam, embar-
+    // rassingly parallel); band buckets are CORPUS-DERIVED and meet in a
+    // keyed shuffle self-join with the d3/d4 bucket cap (≤ 50) bounding
+    // degenerate buckets; exact verify only on candidates.
+    sql("m4_phash_neardup",
+      """WITH b AS (
+        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+        |         octet_length(coalesce(encode(text), encode(''))) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, n,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+        |      FOR i IN range(n) ] AS bytes
+        |  FROM b
+        |), sums AS (
+        |  SELECT doc_id,
+        |    [ CAST(coalesce(list_sum([bytes[j + 1] FOR j IN range(n) IF j % 64 = i]), 0) AS BIGINT)
+        |      FOR i IN range(64) ] AS s,
+        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS tot
+        |  FROM e
+        |), ph AS (
+        |  SELECT doc_id,
+        |    list_sum([ CASE WHEN s[i + 1] * 64 > tot THEN 1::BIGINT << i ELSE 0 END
+        |      FOR i IN range(32) ]) AS lo,
+        |    list_sum([ CASE WHEN s[i + 33] * 64 > tot THEN 1::BIGINT << i ELSE 0 END
+        |      FOR i IN range(32) ]) AS hi
+        |  FROM sums
+        |), bands AS (
+        |  SELECT doc_id, lo, hi, band,
+        |    CASE WHEN band < 2 THEN (lo >> (band * 16)) & 65535
+        |         ELSE (hi >> ((band - 2) * 16)) & 65535 END AS bk
+        |  FROM ph, unnest(range(4)) AS t(band)
+        |), capped AS (
+        |  SELECT doc_id, lo, hi, band, bk FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS nb FROM bands)
+        |  WHERE nb <= 50
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |    a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
+        |)
+        |SELECT da AS doc_id_a, db AS doc_id_b,
+        |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val ph = mediaTable(Tables.spread(Tables.documents(s, d)))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val slots = new Array[Long](64)
+          var tot = 0L
+          var j = 0
+          while (j < p.length) {
+            val v = (p(j) & 0xff).toLong
+            slots(j % 64) += v
+            tot += v
+            j += 1
+          }
+          def half(off: Int): Long = {
+            var acc = 0L
+            var i = 0
+            while (i < 32) {
+              if (slots(off + i) * 64 > tot) acc |= 1L << i
+              i += 1
+            }
+            acc
+          }
+          (id, half(0), half(32))
+        })
+        .toDF("doc_id", "lo", "hi")
+      val bands = ph.select(col("doc_id"), col("lo"), col("hi"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bk",
+          when(col("band") < 2, expr("(lo >> (band * 16)) & 65535"))
+            .otherwise(expr("(hi >> ((band - 2) * 16)) & 65535")))
+      val capped = bands
+        .withColumn("nb", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
+        .filter(col("nb") <= 50)
+        .drop("nb")
+      val a = capped.select(col("band"), col("bk"), col("doc_id").as("da"),
+        col("lo").as("la"), col("hi").as("ha"))
+      val b = capped.select(col("band"), col("bk"), col("doc_id").as("db"),
+        col("lo").as("lb"), col("hi").as("hb"))
+      a.join(b, Seq("band", "bk"))
+        .filter(col("db") > col("da"))
+        .select(col("da"), col("db"), col("la"), col("ha"), col("lb"), col("hb"))
+        .distinct()
+        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+          expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
     }
   )
 }

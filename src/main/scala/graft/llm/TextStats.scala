@@ -605,6 +605,45 @@ object TextStats {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    },
+
+    // ---- n-gram novelty: curriculum signal for corpus ordering -----------
+    // Per doc, the fraction of its distinct word 5-grams whose FIRST
+    // corpus occurrence (min doc_id) is this doc — near-1 means fresh
+    // content, near-0 means the doc restates earlier material (the
+    // doc_id-order novelty curve used to sequence training data, and a
+    // soft dedup signal between d1's exact and d3's near match). Scale
+    // shape: the first-occurrence table is corpus-derived — grams meet
+    // it in a KEYED shuffle join on the 8-byte xxhash64 gram key (d9's
+    // posture, never broadcast); per-doc fraction is one partial agg.
+    // The oracle joins on gram STRINGS — equal results barring 64-bit
+    // collisions (the d9/d11 precedent).
+    sql("t18_ngram_novelty",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(ts[i:i+4], ' ')
+        |    FOR i IN range(1, greatest(len(ts) - 4, 1) + 1)])) AS gr
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |        FROM documents) t
+        |), firsts AS (
+        |  SELECT gr, min(doc_id) AS first_doc FROM g GROUP BY gr
+        |)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(CAST(count(*) FILTER (f.first_doc = g.doc_id) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN firsts f ON f.gr = g.gr
+        |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      val grams = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(
+            |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 4, 1)),
+            |  i -> xxhash64(array_join(slice(split(trim(text), '\\s+'), i, 5), ' '))))"""
+            .stripMargin)).as("gh"))
+      val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firsts, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          round(sum((col("first_doc") === col("doc_id")).cast("double"))
+            / count(lit(1)), 6).as("novelty"))
     }
   )
 }

@@ -834,6 +834,39 @@ object Functions {
         .select(col("user_id"), col("day"),
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
           col("v").isNotNull.as("observed"))
+    },
+
+    // ---- cumulative distinct count (growth curve) ------------------------
+    // "Distinct users ever seen, per event type, by day" — the DAU/
+    // retention growth primitive. Naive cumulative COUNT(DISTINCT) over
+    // an expanding window re-scans history per day; this is the
+    // scale form: distinct-ness is resolved ONCE by the (event_type,
+    // user) first-seen aggregation (the only big shuffle), then the
+    // curve is a running sum over the tiny (type, day) rollup, windowed
+    // per event_type — no expanding-window rescan, no global sort.
+    sql("q68_cumulative_distinct",
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS day
+        |  FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM per""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .select(col("event_type"), col("day"), col("new_users"),
+          sum(col("new_users")).over(w).cast("long").as("cum_users"))
     }
   )
 }

@@ -165,4 +165,73 @@ class OperatorInvariantsSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("q68 cumulative distinct: curve ends at the true distinct count, monotone") {
+    val out = run("q68_cumulative_distinct").cache()
+    try {
+      val finals = out.groupBy(col("event_type"))
+        .agg(max(col("cum_users")).as("got"), sum(col("new_users")).as("summed"))
+      val truth = Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("want"))
+      assert(finals.join(truth, Seq("event_type"))
+        .filter(col("got") =!= col("want") || col("summed") =!= col("want")).isEmpty,
+        "growth curve does not end at the true distinct-user count")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val dips = out.withColumn("prev", lag(col("cum_users"), 1).over(w))
+        .filter(col("prev").isNotNull && col("cum_users") < col("prev"))
+      assert(dips.isEmpty, "cumulative curve dips")
+    } finally out.unpersist()
+  }
+
+  test("t18 novelty: first doc fully novel, exact re-statement fully stale") {
+    val out = run("t18_ngram_novelty").cache()
+    try {
+      assert(out.filter(col("novelty") < 0 || col("novelty") > 1).isEmpty)
+      val first = out.orderBy(col("doc_id")).head
+      assert(first.getDouble(2) === 1.0, "the first doc must be 100% novel")
+      // any doc whose text equals an EARLIER doc's text scores novelty 0
+      val dups = Tables.documents(spark, sf)
+        .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2).select(col("ids")).collect()
+      dups.foreach { r =>
+        val laters = r.getSeq[Long](0).sorted.drop(1)
+        laters.foreach { id =>
+          val nov = out.filter(col("doc_id") === id).head.getDouble(2)
+          assert(nov === 0.0, s"doc $id restates an earlier doc but scores $nov")
+        }
+      }
+    } finally out.unpersist()
+  }
+
+  test("m4 phash near-dup: hammings verified against a direct recompute") {
+    val out = run("m4_phash_neardup").cache()
+    try {
+      assert(out.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty)
+      assert(out.filter(col("doc_id_a") >= col("doc_id_b")).isEmpty)
+      // recompute signatures straight from the text bytes (independent of
+      // the operator's mapPartitions) and check each reported hamming
+      val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+      def sig(s: String): (Long, Long) = {
+        val p = s.getBytes("UTF-8")
+        val slots = new Array[Long](64)
+        var tot = 0L
+        p.indices.foreach { j =>
+          val v = (p(j) & 0xff).toLong; slots(j % 64) += v; tot += v
+        }
+        def half(off: Int) = (0 until 32).foldLeft(0L) { (acc, i) =>
+          if (slots(off + i) * 64 > tot) acc | (1L << i) else acc
+        }
+        (half(0), half(32))
+      }
+      out.collect().foreach { r =>
+        val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (la, ha) = sig(texts(a)); val (lb, hb) = sig(texts(b))
+        val want = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        assert(h === want.toLong, s"pair ($a,$b) hamming $h != recomputed $want")
+      }
+    } finally out.unpersist()
+  }
 }
