@@ -867,6 +867,120 @@ object Functions {
         .agg(count(lit(1)).as("new_users"))
         .select(col("event_type"), col("day"), col("new_users"),
           sum(col("new_users")).over(w).cast("long").as("cum_users"))
+    },
+
+    // ---- ordered event funnel (view → click → purchase) ------------------
+    // Per user, the furthest stage reached under a 24h conversion window
+    // per hop: first view, first click within 24h AFTER it, first
+    // purchase within 24h after THAT — order matters (a purchase before
+    // the click doesn't count), which is what separates a funnel from
+    // three independent filters. Timestamps compared as microsecond
+    // longs (exact integer math, the q65 rule). Scale shape: three
+    // per-user min-aggregations and left joins, ALL keyed on user_id —
+    // one shuffle partitioning serves every stage; no window over the
+    // raw event stream, no cross-user state.
+    sql("q69_event_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), fv AS (
+        |  SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), fc AS (
+        |  SELECT e.user_id, min(e.us) AS t2
+        |  FROM e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.us > fv.t1
+        |    AND e.us <= fv.t1 + 86400000000
+        |  GROUP BY e.user_id
+        |), fp AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM e JOIN fc ON fc.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > fc.t2
+        |    AND e.us <= fc.t2 + 86400000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN fp.user_id IS NOT NULL THEN 3
+        |            WHEN fc.user_id IS NOT NULL THEN 2
+        |            WHEN fv.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN fv ON fv.user_id = u.user_id
+        |LEFT JOIN fc ON fc.user_id = u.user_id
+        |LEFT JOIN fp ON fp.user_id = u.user_id""".stripMargin) { (s, d) =>
+      val winUs = 86400000000L
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val fv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val fc = e.filter(col("event_type") === "click")
+        .join(fv, Seq("user_id"))
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .join(fc, Seq("user_id"))
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      e.select(col("user_id")).distinct()
+        .join(fv.select(col("user_id"), lit(1).as("__v")), Seq("user_id"), "left")
+        .join(fc.select(col("user_id"), lit(1).as("__c")), Seq("user_id"), "left")
+        .join(fp.select(col("user_id"), lit(1).as("__p")), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("__p").isNotNull, 3L)
+            .when(col("__c").isNotNull, 2L)
+            .when(col("__v").isNotNull, 1L)
+            .otherwise(0L).as("stage"))
+    },
+
+    // ---- cohort retention matrix -----------------------------------------
+    // Users cohorted by first-seen day; retention = fraction of the
+    // cohort active again exactly N days later (N ∈ {1, 7, 14}). Scale
+    // shape: activity distinct-ness resolved ONCE by the (user, day)
+    // dedup (the q68 rule), cohorts by one user-keyed min-agg, then the
+    // offset membership is a keyed join back on (user, day) — the offset
+    // list is 3 literal rows (bounded broadcast). The output is a tiny
+    // (cohort × offset) matrix; no per-day corpus re-scan.
+    sql("q70_retention_cohorts",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS c0 FROM ud GROUP BY user_id
+        |), offs AS (SELECT unnest([1, 7, 14]) AS off),
+        |ret AS (
+        |  SELECT c.c0, o.off,
+        |    CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+        |  FROM cohort c
+        |  JOIN offs o ON true
+        |  JOIN ud ON ud.user_id = c.user_id
+        |    AND ud.day = c.c0 + to_days(CAST(o.off AS INTEGER))
+        |  GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT c0, CAST(count(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY c0
+        |)
+        |SELECT s.c0 AS cohort_day, CAST(o.off AS BIGINT) AS retention_day,
+        |  s.n_cohort, coalesce(r.n_active, 0) AS n_active,
+        |  round(coalesce(r.n_active, 0) * 1.0 / s.n_cohort, 6) AS rate
+        |FROM sizes s CROSS JOIN offs o
+        |LEFT JOIN ret r ON r.c0 = s.c0 AND r.off = o.off""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+      val offs = Seq(1, 7, 14).toDF("off")
+      val ret = cohort.crossJoin(broadcast(offs))
+        .withColumn("rday", expr("timestampadd(DAY, off, c0)"))
+        .join(ud.withColumnRenamed("day", "rday"), Seq("user_id", "rday"))
+        .groupBy(col("c0"), col("off"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("n_cohort"))
+      sizes.crossJoin(broadcast(offs))
+        .join(ret, Seq("c0", "off"), "left")
+        .select(col("c0").as("cohort_day"), col("off").cast("long").as("retention_day"),
+          col("n_cohort"), coalesce(col("n_active"), lit(0L)).as("n_active"),
+          round(coalesce(col("n_active"), lit(0L)) * lit(1.0) / col("n_cohort"), 6)
+            .as("rate"))
     }
   )
 }

@@ -234,4 +234,41 @@ class OperatorInvariantsSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("q69 funnel: stages equal a driver-side sequential replay") {
+    val got = run("q69_event_funnel")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: per user, scan events in time order
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val win = 86400000000L
+    val want = rows.groupBy(_._1).map { case (u, evs) =>
+      val sorted = evs.sortBy(_._3)
+      val t1 = sorted.collectFirst { case (_, "view", t) => t }
+      val t2 = t1.flatMap(v => sorted.collectFirst {
+        case (_, "click", t) if t > v && t <= v + win => t })
+      val t3 = t2.flatMap(c => sorted.collectFirst {
+        case (_, "purchase", t) if t > c && t <= c + win => t })
+      u -> (if (t3.isDefined) 3L else if (t2.isDefined) 2L
+            else if (t1.isDefined) 1L else 0L)
+    }
+    assert(got === want, "funnel stages diverge from the sequential replay")
+  }
+
+  test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
+    val out = run("q70_retention_cohorts").cache()
+    try {
+      assert(out.filter(col("n_active") > col("n_cohort")).isEmpty)
+      assert(out.filter(
+        abs(col("rate") - round(col("n_active") / col("n_cohort"), 6)) > 1e-9).isEmpty)
+      // each cohort size counted once per offset; cohort sizes sum to the
+      // distinct-user total for every offset slice
+      val total = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+      val perOff = out.groupBy(col("retention_day"))
+        .agg(sum(col("n_cohort")).as("s")).collect()
+      perOff.foreach(r => assert(r.getLong(1) === total,
+        s"cohort sizes at offset ${r.getLong(0)} sum to ${r.getLong(1)}, not $total"))
+    } finally out.unpersist()
+  }
 }
