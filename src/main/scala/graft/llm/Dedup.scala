@@ -1340,6 +1340,47 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
     },
 
+    // ---- containment (asymmetric near-dup: quote/superset inclusion) -----
+    // Broder's second resemblance measure: |A∩B| / min(|A|,|B|) — near 1
+    // when the SMALLER doc is included in the larger even though Jaccard
+    // is low (a quoted article inside a long page scores ~|A|/|B| on
+    // Jaccard and ~1.0 on containment — the partial-inclusion dup class
+    // d3/d5 miss by design). Same bounded blocking as d5 (adjacent
+    // same-source pairs), intersection over hashed 3-gram SETS; sizes
+    // ship alongside so the direction of inclusion is readable.
+    sql("d16_containment",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+        |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents) t
+        |)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(len(a.grams) AS BIGINT) AS n_grams_a,
+        |  CAST(len(b.grams) AS BIGINT) AS n_grams_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / least(len(a.grams), len(b.grams)), 6) AS containment
+        |FROM sh a JOIN sh b ON a.source = b.source AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val docs = Tables.documents(s, d)
+      val sh = shingleHashSets(docs)
+        .withColumnRenamed("sh", "grams")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+      val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"),
+        col("grams").as("ga"))
+      val b = sh.select(col("source"), (col("rk") - 1).as("rk"),
+        col("doc_id").as("doc_id_b"), col("grams").as("gb"))
+      a.join(b, Seq("source", "rk"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          size(col("ga")).cast("long").as("n_grams_a"),
+          size(col("gb")).cast("long").as("n_grams_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            least(size(col("ga")), size(col("gb"))), 6).as("containment"))
+    },
+
     // ---- n-gram Jaccard similarity for adjacent same-source docs ---------
     // The standalone exact-similarity op (no LSH): pairs within a bounded
     // blocking key (source), similarity = |∩|/|∪| of word 3-gram sets.

@@ -981,6 +981,31 @@ object Functions {
           col("n_cohort"), coalesce(col("n_active"), lit(0L)).as("n_active"),
           round(coalesce(col("n_active"), lit(0L)) * lit(1.0) / col("n_cohort"), 6)
             .as("rate"))
+    },
+
+    // ---- mode aggregation (most frequent value per group) ----------------
+    // "Dominant action per user": the mode of event_type, tie-broken
+    // deterministically (higher count wins, then lexicographic value) —
+    // Spark has no mode() aggregate; the scale form is this two-phase
+    // count-then-rank: ONE keyed shuffle for the (user, value) counts (a
+    // partial agg halves it map-side) and a per-user window over ≤
+    // |value domain| rows — never a per-group sort of raw events.
+    sql("q71_mode_per_group",
+      """SELECT user_id, event_type AS mode_event, n FROM (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY count(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("mode_event"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type").as("mode_event"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("mode_event"), col("n"))
     }
   )
 }

@@ -256,6 +256,31 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got === want, "funnel stages diverge from the sequential replay")
   }
 
+  test("d16 containment: bounds and the containment >= jaccard law") {
+    val cont = run("d16_containment")
+    val jac = run("d5_ngram_jaccard")
+    val joined = cont.join(jac, Seq("doc_id_a", "doc_id_b"))
+    assert(joined.count() === cont.count(),
+      "d16 and d5 disagree on the blocked pair set")
+    // |∩|/min(|A|,|B|) ≥ |∩|/|A∪B| always; both in [0,1]
+    assert(joined.filter(col("containment") < col("jaccard") - 1e-9).isEmpty,
+      "containment fell below jaccard for some pair")
+    assert(cont.filter(col("containment") < 0 || col("containment") > 1).isEmpty)
+  }
+
+  test("q71 mode: the reported value really is each user's most frequent") {
+    val out = run("q71_mode_per_group")
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    val maxes = counts.groupBy(col("user_id")).agg(max(col("c")).as("cmax"))
+    val checked = out.join(maxes, Seq("user_id"))
+      .join(counts.withColumnRenamed("event_type", "mode_event"),
+        Seq("user_id", "mode_event"))
+    assert(checked.count() === out.count(), "a mode value the user never produced")
+    assert(checked.filter(col("n") =!= col("cmax") || col("c") =!= col("n")).isEmpty,
+      "mode count is not the user's max count")
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {
