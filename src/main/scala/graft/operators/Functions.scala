@@ -908,28 +908,36 @@ object Functions {
         |LEFT JOIN fv ON fv.user_id = u.user_id
         |LEFT JOIN fc ON fc.user_id = u.user_id
         |LEFT JOIN fp ON fp.user_id = u.user_id""".stripMargin) { (s, d) =>
-      val winUs = 86400000000L
-      val e = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      val fv = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
-      val fc = e.filter(col("event_type") === "click")
-        .join(fv, Seq("user_id"))
-        .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
-        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
-      val fp = e.filter(col("event_type") === "purchase")
-        .join(fc, Seq("user_id"))
-        .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
-        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-      e.select(col("user_id")).distinct()
-        .join(fv.select(col("user_id"), lit(1).as("__v")), Seq("user_id"), "left")
-        .join(fc.select(col("user_id"), lit(1).as("__c")), Seq("user_id"), "left")
-        .join(fp.select(col("user_id"), lit(1).as("__p")), Seq("user_id"), "left")
-        .select(col("user_id"),
-          when(col("__p").isNotNull, 3L)
-            .when(col("__c").isNotNull, 2L)
-            .when(col("__v").isNotNull, 1L)
-            .otherwise(0L).as("stage"))
+      // Spark plan: NOT the oracle's four-scan form — the corpus is read
+      // ONCE, shuffled ONCE on user_id, and the funnel is a left-to-right
+      // fold over each user's time-sorted events (per-user event counts
+      // are human-scale, the q65 assumption). The fold takes the FIRST
+      // qualifying event per hop in sort order, which is exactly the
+      // oracle's min-over-window — a qualifying click sorts strictly
+      // after the view that set t1 (us > t1), so state is always current.
+      // No event_type pre-filter: a user whose only events are OTHER
+      // types must still surface at stage 0 (the fold skips those rows).
+      val packed = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(unix_micros(col("ts")).as("us"), col("event_type").as("et"))))
+          .as("evs"))
+      packed.select(col("user_id"), expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+          |               't3', CAST(NULL AS BIGINT)),
+          |  (s, x) -> named_struct(
+          |    't1', CASE WHEN s.t1 IS NULL AND x.et = 'view' THEN x.us ELSE s.t1 END,
+          |    't2', CASE WHEN s.t2 IS NULL AND s.t1 IS NOT NULL AND x.et = 'click'
+          |                AND x.us > s.t1 AND x.us <= s.t1 + 86400000000
+          |               THEN x.us ELSE s.t2 END,
+          |    't3', CASE WHEN s.t3 IS NULL AND s.t2 IS NOT NULL AND x.et = 'purchase'
+          |                AND x.us > s.t2 AND x.us <= s.t2 + 86400000000
+          |               THEN x.us ELSE s.t3 END),
+          |  s -> CASE WHEN s.t3 IS NOT NULL THEN CAST(3 AS BIGINT)
+          |            WHEN s.t2 IS NOT NULL THEN CAST(2 AS BIGINT)
+          |            WHEN s.t1 IS NOT NULL THEN CAST(1 AS BIGINT)
+          |            ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("stage"))
     },
 
     // ---- cohort retention matrix -----------------------------------------

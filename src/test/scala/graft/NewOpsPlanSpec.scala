@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape checks for the round-6-continuation operators:
+  * shuffle counts stay at the keyed minimum and no corpus-derived side
+  * acquires a broadcast. (The PartitioningSpec no-BHJ test covers
+  * t17/d14; this pins the exchange budget of the event-analytics ops.)
+  */
+class NewOpsPlanSpec extends SparkSpec {
+
+  private def shuffles(name: String): (Int, String) = {
+    val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case _ => p.children.map(count).sum
+      }
+      self + kids
+    }
+    (count(plan), plan.toString)
+  }
+
+  test("q65 sessionize: both window passes and the rollup ride ONE shuffle") {
+    val (n, plan) = shuffles("q65_sessionize")
+    assert(n <= 1, s"q65 shuffles $n times — windows/rollup lost the shared " +
+      s"user_id partitioning:\n${plan.take(1200)}")
+  }
+
+  test("q68 cumulative distinct: two keyed aggs, no more") {
+    val (n, plan) = shuffles("q68_cumulative_distinct")
+    // (type,user) first-seen agg + (type,day) rollup; window reuses the
+    // rollup's partitioning
+    assert(n <= 2, s"q68 shuffles $n times:\n${plan.take(1200)}")
+  }
+
+  test("q71 mode: count agg + per-group rank stay within two shuffles") {
+    val (n, plan) = shuffles("q71_mode_per_group")
+    assert(n <= 2, s"q71 shuffles $n times:\n${plan.take(1200)}")
+  }
+
+  test("q69 funnel: ONE corpus scan, ONE shuffle (sorted-fold form)") {
+    // the oracle's 4-scan/3-join formulation is what DuckDB replays; the
+    // Spark plan must be the single-pass fold — at 100 TB the difference
+    // is 4 corpus reads vs 1
+    val df = SparkEntry.registry.find(_.name == "q69_event_funnel").get.run(spark, sf)
+    df.collect()
+    val (n, plan) = {
+      val p = df.queryExecution.executedPlan
+      def count(q: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = q match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+        val kids = q match {
+          case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+          case _ => q.children.map(count).sum
+        }
+        self + kids
+      }
+      (count(p), p.toString)
+    }
+    assert(n <= 1, s"q69 shuffles $n times:\n${plan.take(1200)}")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => 1
+    }.sum
+    assert(scans === 1, s"q69 scans the corpus $scans times")
+  }
+}
