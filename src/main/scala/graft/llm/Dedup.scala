@@ -1340,6 +1340,35 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
     },
 
+    // ---- soft dedup: downweight copies instead of dropping them ----------
+    // The sampling-weight alternative to d1's hard drop (used when exact
+    // copies carry signal about document importance): every doc keeps a
+    // weight of 1/n_copies so a group of n duplicates contributes ONE
+    // document's worth of training mass in expectation, and the min-id
+    // member is flagged canonical. Scale shape: one keyed shuffle on the
+    // content hash; both the count and the rank ride the same window
+    // partitioning.
+    sql("d17_soft_dedup_weights",
+      """SELECT doc_id, content_hash,
+        |  CAST(n_copies AS BIGINT) AS n_copies,
+        |  round(1.0 / n_copies, 6) AS weight,
+        |  rn = 1 AS is_canonical
+        |FROM (
+        |  SELECT doc_id, sha256(text) AS content_hash,
+        |    count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+        |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("content_hash"))
+      val wo = w.orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wo))
+        .select(col("doc_id"), col("content_hash"), col("n_copies"),
+          round(lit(1.0) / col("n_copies"), 6).as("weight"),
+          (col("rn") === 1).as("is_canonical"))
+    },
+
     // ---- containment (asymmetric near-dup: quote/superset inclusion) -----
     // Broder's second resemblance measure: |A∩B| / min(|A|,|B|) — near 1
     // when the SMALLER doc is included in the larger even though Jaccard

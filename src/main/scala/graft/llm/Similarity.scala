@@ -512,6 +512,54 @@ object Similarity {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist FROM afin""".stripMargin
     ) { (s, d) =>
       kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
+    },
+
+    // ---- hard-negative mining (contrastive-training data prep) -----------
+    // For each anchor (deterministic 1-in-20 sample), the single most
+    // similar vector with a DIFFERENT label — the "hardest negative" a
+    // contrastive/retrieval trainer wants next to each positive. Ranked
+    // on the 6-dp-ROUNDED similarity with a vec_id tiebreak so the
+    // argmax is bit-stable across engines (the d14/s7 rule, stricter
+    // than s1's raw-double rank). Scale shape: brute anchors × corpus
+    // here (the exact form DuckDB can replay); at real scale anchors
+    // probe the s2/s4 ANN indexes for candidates and only the candidate
+    // set is exact-ranked — the label filter rides the candidate join
+    // either way.
+    sql("s8_hard_negatives",
+      """WITH elems AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid, a.label AS ql, b.label AS vl,
+        |         sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.label <> b.label
+        |  WHERE a.vec_id % 20 = 0
+        |  GROUP BY 1, 2, 3, 4
+        |), sims AS (
+        |  SELECT d.qid, d.vid, round(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+        |               JOIN norms nv ON nv.vec_id = d.vid
+        |)
+        |SELECT qid AS anchor_id, vid AS hard_neg_id, sim FROM (
+        |  SELECT qid, vid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+        |  FROM sims) t WHERE rn = 1""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vid"), col("label").as("vl"),
+        col("embedding").as("eb"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+      a.join(b, col("ql") =!= col("vl"))
+        .select(col("qid"), col("vid"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid").as("anchor_id"), col("vid").as("hard_neg_id"), col("sim"))
     }
   )
 

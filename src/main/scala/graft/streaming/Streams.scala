@@ -99,6 +99,50 @@ object Streams {
     * expired rather than growing with the stream (StreamsSpec proves
     * the drop).
     */
+  /** Per-user funnel progress for the streaming form of q69: the first
+    * qualifying timestamp of each hop, microseconds. */
+  final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long]) {
+    def stage: Long =
+      if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L
+  }
+  final case class FunnelEvent(userId: Long, et: String, us: Long)
+
+  /** One funnel hop: identical to q69's batch fold — each event can
+    * advance at most the single hop its type matches, judged against the
+    * PRE-event state, so batch and stream replay the same transitions.
+    */
+  def funnelAdvance(s: FunnelState, et: String, us: Long, winUs: Long): FunnelState =
+    FunnelState(
+      t1 = if (s.t1.isEmpty && et == "view") Some(us) else s.t1,
+      t2 = if (s.t2.isEmpty && et == "click" &&
+        s.t1.exists(t => us > t && us <= t + winUs)) Some(us) else s.t2,
+      t3 = if (s.t3.isEmpty && et == "purchase" &&
+        s.t2.exists(t => us > t && us <= t + winUs)) Some(us) else s.t3)
+
+  /** Streaming funnel: q69 as `mapGroupsWithState` — per-user hop
+    * timestamps live in Spark-managed keyed state; each micro-batch's
+    * events are folded in event-time order on top of the carried state,
+    * and the user's CURRENT stage is emitted (Update mode). Assumes
+    * batches arrive in event-time order per user (the webhook-retry
+    * horizon is st6's problem; an out-of-order hop event older than a
+    * completed hop is ignored, matching the batch fold's first-wins
+    * rule). State is 3 optional longs per user — bounded, watermark-free.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      winUs: Long = 86400000000L): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
+          val init = gs.getOption.getOrElse(FunnelState(None, None, None))
+          val fin = rows.toSeq.sortBy(e => (e.us, e.et))
+            .foldLeft(init)((s, e) => funnelAdvance(s, e.et, e.us, winUs))
+          gs.update(fin)
+          (uid, fin.stage)
+      }
+  }
+
   def firstDelivery(delivered: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_id")).orderBy(col("ts"))
     delivered.withColumn("__rn", row_number().over(w))

@@ -281,6 +281,53 @@ class OperatorInvariantsSpec extends SparkSpec {
       "mode count is not the user's max count")
   }
 
+  test("d17 soft dedup: group mass sums to one, one canonical per group") {
+    val out = run("d17_soft_dedup_weights").cache()
+    try {
+      val groups = out.groupBy(col("content_hash"))
+        .agg(sum(col("weight")).as("mass"),
+          sum(col("is_canonical").cast("long")).as("canon"),
+          count(lit(1)).as("n"), max(col("n_copies")).as("nc"))
+      // rounded weights still sum to 1 within rounding slack (n * 5e-7)
+      assert(groups.filter(abs(col("mass") - 1.0) > col("n") * 5e-7).isEmpty,
+        "a duplicate group's sampling mass drifted from 1.0")
+      assert(groups.filter(col("canon") =!= 1).isEmpty,
+        "a group has zero or multiple canonicals")
+      assert(groups.filter(col("n") =!= col("nc")).isEmpty,
+        "n_copies disagrees with the actual group size")
+    } finally out.unpersist()
+  }
+
+  test("s8 hard negatives: label differs and no better negative exists") {
+    val out = run("s8_hard_negatives").cache()
+    try {
+      val e = Tables.embeddings(spark, sf)
+      val labels = e.select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.foreach { case (a, n, _) =>
+        assert(labels(a) !== labels(n), s"hard negative $n shares anchor $a's label")
+      }
+      // no cross-label vector beats the reported (sim, vec_id) rank
+      val a = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("ql"),
+          col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vid"), col("label").as("vl"),
+        col("embedding").as("eb"))
+      val best = a.join(b, col("ql") =!= col("vl"))
+        .select(col("qid"), col("vid"),
+          round(graft.llm.Similarity.cosine(col("ea"), col("eb")), 6).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.minBy(p => (-p._3, p._2))).toMap
+      pairs.foreach { case (aid, nid, sim) =>
+        val (_, wantId, wantSim) = best(aid)
+        assert((nid, sim) === ((wantId, wantSim)),
+          s"anchor $aid: reported ($nid, $sim), brute force says ($wantId, $wantSim)")
+      }
+    } finally out.unpersist()
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {

@@ -131,4 +131,49 @@ class StatefulSpec extends SparkSpec {
     val got = spark.table("dedup_out").collect().map(_.getString(0)).toSeq
     assert(got.sorted === Seq("e1", "e2", "e3")) // e2 replay dropped
   }
+
+  test("streaming funnel over two micro-batches equals the q69 batch fold") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.FunnelEvent
+    val sfDir = sf
+    // real corpus events, split into two event-time-ordered batches at
+    // the median timestamp — hop state must CARRY across the boundary
+    // (a view in batch 1 converting on a click in batch 2 still counts)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3)
+    val cut = ev(ev.length / 2)._3
+    val src = Files.createTempDirectory("funnel-src").toString
+    def write(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(src, file),
+        rows.map { case (u, t, us) => s"$u,$t,$us" }.mkString("\n"))
+    write("b1.txt", ev.filter(_._3 <= cut).toSeq)
+
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).cast("long").as("userId"),
+        col("p").getItem(1).as("et"),
+        col("p").getItem(2).cast("long").as("us"))
+      .as[FunnelEvent]
+    val q = Streams.funnelStream(stream).toDF("user_id", "stage").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      write("b2.txt", ev.filter(_._3 > cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode appends per-batch rows; the LAST row per user is final
+    val rows = spark.table("funnel_out").collect()
+    val streamed = rows.zipWithIndex.groupBy(_._1.getLong(0)).view
+      .mapValues(_.maxBy(_._2)._1.getLong(1)).toMap
+    val batch = graft.SparkEntry.registry.find(_.name == "q69_event_funnel").get
+      .run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "streaming funnel state diverged from the batch fold across the batch cut")
+  }
 }
