@@ -403,6 +403,28 @@ object Dedup {
       .select(col("doc_id"), sh60.as("sh60"))
   }
 
+  /** LSH candidate pairs from a signature frame. Buckets on band keys;
+    * ids only through the self-join — the shingle arrays (the heavy
+    * payload) are re-attached per-side AFTER the candidate set is known,
+    * so the shuffle moves keys, not content. Shared by d3's verified
+    * pairs and d18's estimator-calibration pairs.
+    */
+  private def candidatesFromSigs(sigs: DataFrame, maxBucket: Int): DataFrame = {
+    val buckets = sigs
+      .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+    val sized = buckets
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
+      .join(sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
+        Seq("band", "bandkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     *
     * @param maxBucket LSH buckets larger than this are dropped (degenerate
@@ -430,22 +452,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("g")).as("sh"))
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
     val sigs = minhashSignatures(gramRows)
-    // Bucket on band keys; ids only through the self-join — the shingle
-    // arrays (the heavy payload) are re-attached per-side AFTER the
-    // candidate set is known, so the shuffle moves keys, not content.
-    val buckets = sigs
-      .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-    val sized = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-    val candidates = sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
-      .join(sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
-        Seq("band", "bandkey"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
+    val candidates = candidatesFromSigs(sigs, maxBucket)
     candidates
       .join(shingleDf.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")), Seq("doc_id_a"))
       .join(shingleDf.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")), Seq("doc_id_b"))
@@ -758,7 +765,11 @@ object Dedup {
        |)""".stripMargin
   }
 
-  private def minhashOracleCtes: String = {
+  /** Sig CTEs + capped band buckets + the distinct candidate pair set —
+    * the unfiltered front of the LSH pipeline, shared by d3's verified
+    * pairs and d18's estimator calibration.
+    */
+  private def minhashCandCtes: String =
     s"""$minhashSigCtes, capped AS (
        |  SELECT doc_id, band, bk FROM (
        |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
@@ -766,7 +777,10 @@ object Dedup {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
-       |), pairs AS (
+       |)""".stripMargin
+
+  private def minhashOracleCtes: String = {
+    s"""$minhashCandCtes, pairs AS (
        |  SELECT da AS doc_id_a, db AS doc_id_b, jaccard FROM (
        |    SELECT c.da, c.db,
        |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
@@ -1338,6 +1352,62 @@ object Dedup {
       chunks
         .withColumn("shared",
           count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
+    },
+
+    // ---- minhash estimator calibration (estimate vs exact, per pair) -----
+    // For every LSH candidate pair, BOTH the signature-match Jaccard
+    // estimate (matching components / 32 — the only similarity a
+    // signature-only system ever sees) and the exact shingle Jaccard,
+    // with the absolute error: the measurement that justifies k=32 and
+    // the 0.5 verify threshold, produced by the pipeline itself. The
+    // estimate is an integer/32 — exactly representable, bit-stable.
+    // Scale shape: d3's candidate chain (capped buckets, ids-only
+    // self-join); signatures re-attach per side AFTER candidates.
+    sql("d18_minhash_estimate", {
+      val matches = (0 until MinhashK)
+        .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCandCtes, est AS (
+         |  SELECT c.da, c.db, round(($matches) / 32.0, 6) AS sig_est
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
+         |               JOIN sig sb ON sb.doc_id = c.db
+         |), ex AS (
+         |  SELECT c.da, c.db,
+         |    round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |  FROM cand c JOIN gsets ga ON ga.doc_id = c.da
+         |               JOIN gsets gb ON gb.doc_id = c.db
+         |)
+         |SELECT e.da AS doc_id_a, e.db AS doc_id_b, e.sig_est, x.jaccard,
+         |  round(abs(e.sig_est - x.jaccard), 6) AS abs_err
+         |FROM est e JOIN ex x ON x.da = e.da AND x.db = e.db""".stripMargin
+    }) { (s, d) =>
+      val spreadToks = graft.Tables.spread(tokenize(Tables.documents(s, d)))
+      def gramRows = tokenNgramRowsFromTokens(spreadToks, 3)
+      val sigs = minhashSignatures(gramRows)
+      val candidates = candidatesFromSigs(sigs, maxBucket = 50)
+      val matchCount = (0 until MinhashK)
+        .map(k => when(col(s"ma$k") === col(s"mb$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val sigA = sigs.select(col("doc_id").as("doc_id_a") +:
+        (0 until MinhashK).map(k => col(s"m$k").as(s"ma$k")): _*)
+      val sigB = sigs.select(col("doc_id").as("doc_id_b") +:
+        (0 until MinhashK).map(k => col(s"m$k").as(s"mb$k")): _*)
+      val shingleDf = gramRows
+        .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+      candidates
+        .join(sigA, Seq("doc_id_a")).join(sigB, Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(matchCount.cast("double") / MinhashK, 6).as("sig_est"))
+        .join(shingleDf.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+          Seq("doc_id_a"))
+        .join(shingleDf.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+          Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"), col("sig_est"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .withColumn("abs_err", round(abs(col("sig_est") - col("jaccard")), 6))
     },
 
     // ---- soft dedup: downweight copies instead of dropping them ----------

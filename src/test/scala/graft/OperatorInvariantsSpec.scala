@@ -328,6 +328,24 @@ class OperatorInvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("d18 minhash calibration: estimates quantized to 1/32, d3 pairs covered") {
+    val out = run("d18_minhash_estimate").cache()
+    try {
+      assert(out.filter(col("sig_est") < 0 || col("sig_est") > 1).isEmpty)
+      // the signature estimate is matching-components/32 exactly
+      assert(out.filter(abs(col("sig_est") * 32 - round(col("sig_est") * 32, 0)) > 1e-6)
+        .isEmpty, "an estimate is not a multiple of 1/32")
+      // d3's verified pairs are exactly this candidate set filtered at 0.5
+      val d3 = run("d3_minhash_pairs").select(col("doc_id_a"), col("doc_id_b"))
+      val covered = d3.join(out.filter(col("jaccard") >= 0.5)
+        .select(col("doc_id_a"), col("doc_id_b")), Seq("doc_id_a", "doc_id_b"))
+      assert(covered.count() === d3.count(),
+        "a d3 pair is missing from the calibration set")
+      assert(out.filter(col("jaccard") >= 0.5).count() === d3.count(),
+        "the calibration set has >=0.5 pairs d3 does not")
+    } finally out.unpersist()
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {
