@@ -1014,6 +1014,40 @@ object Functions {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("mode_event"), col("n"))
+    },
+
+    // ---- rolling 7-day active users (trailing-window distinct) -----------
+    // Exact trailing-7-day DAU per day. The oracle states it as a range
+    // join (day-6 … day]; the Spark plan is the SCALE form: each (user,
+    // activity-day) row map-side EXPLODES to the ≤7 report days it
+    // covers, then one keyed distinct-count per day — no non-equi join,
+    // no per-day history rescan, shuffle keyed on (report day, user).
+    // Report days are clamped to days that exist in the corpus via a
+    // semi-join against the (bounded, calendar-sized) day set. At
+    // larger windows the remedy is bitmap/HLL state per day — the q39
+    // posture — this is the exact form DuckDB can replay.
+    sql("q72_rolling_dau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+        |  FROM events
+        |), days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS dau7
+        |FROM days d JOIN ud u
+        |  ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+        |GROUP BY d.day""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("aday")).distinct()
+      val days = ud.select(col("aday").as("day")).distinct()
+      val covered = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("aday"))
+        .select(col("user_id"),
+          expr("timestampadd(DAY, i, aday)").as("day"))
+      covered
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau7"))
     }
   )
 }

@@ -99,6 +99,28 @@ object Streams {
     * expired rather than growing with the stream (StreamsSpec proves
     * the drop).
     */
+  /** Per-window event-type counts ranked to the top 3 — the "trending"
+    * query. Batch and streaming share the COUNT stage ([[trendingCounts]]);
+    * the rank runs post-aggregation (in streaming: over the update-mode
+    * sink's latest rows, since a rank inside the stream would re-emit
+    * whole windows on every update). Counts shuffle keyed on
+    * (window, type) with map-side partial agg; the rank's window
+    * partitions by win_start — never a global sort.
+    */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  def streamTrendingCounts(stream: DataFrame): DataFrame =
+    trendingCounts(stream.withWatermark("ts", "1 day"))
+
+  def rankTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-user funnel progress for the streaming form of q69: the first
     * qualifying timestamp of each hop, microseconds. */
   final case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long]) {
@@ -246,6 +268,20 @@ object Streams {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       tumblingAgg(Tables.events(s, d))
+    },
+
+    // ---- windowed trending top-k, batch-equivalent plan (§2.9) -----------
+    sql("st7_trending_topk",
+      """WITH w AS (
+        |  SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS win_start,
+        |         event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT win_start, event_type, n, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY win_start
+        |    ORDER BY n DESC, event_type) AS rn
+        |  FROM w) t WHERE rn <= 3""".stripMargin) { (s, d) =>
+      rankTopK(trendingCounts(Tables.events(s, d)))
     },
 
     // ---- sliding windows: each event lands in two 1h/30m windows ---------

@@ -346,6 +346,20 @@ class OperatorInvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q72 rolling DAU: explode form equals a direct range join") {
+    val out = run("q72_rolling_dau")
+    // the oracle-shaped range join, built independently in Spark
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("uday")).distinct()
+    val days = ud.select(col("uday").as("day")).distinct()
+    val want = days.join(ud,
+        col("uday") <= col("day") &&
+          col("uday") > col("day") - expr("INTERVAL 7 DAY"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau7"))
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
+      "map-side day-explode diverges from the trailing-window range join")
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {

@@ -35,6 +35,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming trending counts + sink-side rank == batch st7 top-k") {
+    val src = tmpDir("trend-src")
+    val events = Tables.events(spark, sf)
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = Streams.streamTrendingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trend_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the rank runs OVER the sink (the streaming contract: counts stream,
+    // top-k is a view on the latest counts)
+    val streamed = Streams.rankTopK(spark.table("trend_out"))
+      .select("win_start", "event_type", "n", "rank")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.registry.find(_.name == "st7_trending_topk").get
+      .run(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("watermark drops events later than 30 minutes behind max event time") {
     val src = tmpDir("late-src")
     val schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
