@@ -1354,6 +1354,71 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
     },
 
+    // ---- sorted-neighborhood near-dup (the non-LSH blocking family) ------
+    // Hernández–Stolfo sorted neighborhood: order the corpus by a
+    // content-derived key (min char-8-gram sha-prefix hash — near-dups
+    // share most grams, so with probability ≈ |∩|/|∪| they share the
+    // MINIMUM and sort adjacent), then compare only rank neighbors
+    // (window w = 2). One sort + a rank-band self-join replaces LSH's
+    // band explosion — cheaper per doc, lower recall (measured here:
+    // ~36% of d3's verified pairs at sf0.01 — the classic SNM tradeoff;
+    // multi-pass with different keys is the standard recall remedy).
+    // The global ordering uses the q46 two-pass distributed rank
+    // (Relational.globalRowNumber) — no single-partition Window.
+    sql("d19_sorted_neighborhood", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(sha256(substr(text, CAST(i AS INTEGER), 8)), 1, 15) AS hx
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+         |        FROM documents) t
+         |), keyed AS (
+         |  SELECT doc_id, min($parse15) AS skey FROM g GROUP BY doc_id
+         |), ordered AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rk FROM keyed
+         |), gsets AS (
+         |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |        FROM documents) x
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, b.rk - a.rk AS dist
+         |  FROM ordered a JOIN ordered b ON b.rk > a.rk AND b.rk <= a.rk + 2
+         |)
+         |SELECT p.doc_id_a, p.doc_id_b, CAST(p.dist AS BIGINT) AS window_dist,
+         |  round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |    / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |FROM pairs p JOIN gsets ga ON ga.doc_id = p.doc_id_a
+         |             JOIN gsets gb ON gb.doc_id = p.doc_id_b""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keyed = Tables.spread(docs)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"),
+          col("text"))
+        .select(col("doc_id"),
+          hash60(col("text").substr(col("i"), lit(8))).as("gh"))
+        .groupBy(col("doc_id")).agg(min(col("gh")).as("skey"))
+      val ordered = graft.operators.Relational
+        .globalRowNumber(keyed, Seq(col("skey"), col("doc_id")), "rk")
+        .select(col("doc_id"), col("rk"))
+      // rank-band join as TWO keyed equi-joins (dist 1 and 2) — a
+      // range predicate here would plan a nested-loop cross product
+      val a = ordered.select(col("rk"), col("doc_id").as("doc_id_a"))
+      val pairs = Seq(1, 2).map { dlt =>
+        a.join(ordered.select((col("rk") - dlt).as("rk"), col("doc_id").as("doc_id_b")),
+            Seq("rk"))
+          .select(col("doc_id_a"), col("doc_id_b"), lit(dlt.toLong).as("window_dist"))
+      }.reduce(_ unionByName _)
+      val sets = shingleHashSets(docs)
+      pairs
+        .join(sets.select(col("doc_id").as("doc_id_a"), col("sh").as("ga")), Seq("doc_id_a"))
+        .join(sets.select(col("doc_id").as("doc_id_b"), col("sh").as("gb")), Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"), col("window_dist"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+    },
+
     // ---- minhash estimator calibration (estimate vs exact, per pair) -----
     // For every LSH candidate pair, BOTH the signature-match Jaccard
     // estimate (matching components / 32 — the only similarity a

@@ -644,6 +644,54 @@ object TextStats {
         .agg(count(lit(1)).as("n_grams"),
           round(sum((col("first_doc") === col("doc_id")).cast("double"))
             / count(lit(1)), 6).as("novelty"))
+    },
+
+    // ---- Zipf fit: the corpus-statistics health check --------------------
+    // OLS of ln(freq) on ln(rank) over the top-1000 tokens — natural text
+    // sits near slope -1; a corpus drifting toward 0 (flat) signals
+    // boilerplate/template flooding, steeper signals vocabulary collapse.
+    // The regression runs over AT MOST 1000 aggregate rows (orderBy +
+    // limit is a distributed TakeOrdered; the rank window then touches
+    // only those bounded rows), so nothing here scales with the corpus
+    // except the token count — one keyed shuffle. Slope/intercept/r²
+    // from the closed-form sums, 6-dp rounded to absorb engine-order ulp.
+    sql("t19_zipf_fit",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+        |), vc AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+        |), ranked AS (
+        |  SELECT ln(ROW_NUMBER() OVER (ORDER BY c DESC, t)) AS lr, ln(c) AS lf
+        |  FROM vc ORDER BY c DESC, t LIMIT 1000
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(lf, lr), 6) AS zipf_slope,
+        |  round(regr_intercept(lf, lr), 6) AS zipf_intercept,
+        |  round(regr_r2(lf, lr), 6) AS r2
+        |FROM ranked""".stripMargin) { (s, d) =>
+      val vc = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val top = vc.orderBy(col("c").desc, col("t")).limit(1000)
+      val w = Window.orderBy(col("c").desc, col("t"))
+      val ranked = top
+        .withColumn("lr", log(row_number().over(w).cast("double")))
+        .withColumn("lf", log(col("c").cast("double")))
+      ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("lr")).as("sx"), sum(col("lf")).as("sy"),
+        sum(col("lr") * col("lr")).as("sxx"),
+        sum(col("lf") * col("lf")).as("syy"),
+        sum(col("lr") * col("lf")).as("sxy"))
+        .select(col("n").as("n_tokens"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+            .as("zipf_intercept"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     }
   )
 }

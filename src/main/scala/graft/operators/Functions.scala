@@ -1048,6 +1048,64 @@ object Functions {
         .join(days, Seq("day"), "left_semi")
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("dau7"))
+    },
+
+    // ---- Pareto coverage (top-p mass selection) --------------------------
+    // Which users make up the first 80% of purchase value — the Pareto
+    // cut that powers "focus on the head" sampling and abuse triage, and
+    // the same top-p primitive nucleus sampling uses over token mass.
+    // The running total is EXACT DECIMAL over the 6-dp per-user values
+    // and the 80% test is a decimal cross-multiply ((cum−v)·10 < t·8),
+    // so the boundary row cannot flip on double summation order — both
+    // engines fold identical decimals in the identical window order.
+    // The cumulative window runs over the AGGREGATED user domain (one
+    // row per user), not raw events; its global order uses the value-
+    // descending sort the output needs anyway.
+    sql("q73_pareto_coverage",
+      """WITH uv AS (
+        |  SELECT user_id, CAST(round(sum(value), 6) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), tot AS (SELECT sum(v) AS t FROM uv),
+        |c AS (
+        |  SELECT user_id, v,
+        |    sum(v) OVER (ORDER BY v DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM uv
+        |)
+        |SELECT user_id, CAST(v AS DOUBLE) AS value,
+        |  round(CAST(cum AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share,
+        |  (cum - v) * 10 < t.t * 8 AS in_top80
+        |FROM c, tot t""".stripMargin) { (s, d) =>
+      // two-pass distributed prefix sum (the q46/globalRowNumber shape,
+      // with partition SUBTOTALS as the offsets): no single-partition
+      // Window even though the domain is already aggregated — exact
+      // decimal folds make the result independent of the partitioning
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val uv = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 6).cast("decimal(18,6)").as("v"))
+      val tot = uv.agg(sum(col("v")).as("t"))
+      val base = uv.repartitionByRange(col("v").desc, col("user_id"))
+        .withColumn("__pid", spark_partition_id())
+      val w = Window.partitionBy(col("__pid"))
+        .orderBy(col("v").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = base.withColumn("__lcum", sum(col("v")).over(w))
+      val parts = local.groupBy(col("__pid"))
+        .agg(sum(col("v")).as("__psum"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
+      var acc = java.math.BigDecimal.ZERO
+      val offsets = parts.map { case (pid, p) =>
+        val o = acc; acc = acc.add(p); (pid, o)
+      }.toSeq
+      local
+        .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+        .withColumn("cum", col("__lcum") + col("__off"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("v").cast("double").as("value"),
+          round(col("cum").cast("double") / col("t").cast("double"), 6).as("cum_share"),
+          ((col("cum") - col("v")) * 10 < col("t") * 8).as("in_top80"))
     }
   )
 }

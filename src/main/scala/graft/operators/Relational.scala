@@ -485,4 +485,29 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"), moneySum(col("l_extendedprice")).as("sum_price"))
     }
   )
+
+  /** Distributed global row_number over a UNIQUE total order — the q46
+    * two-pass pattern factored for reuse (d19's sorted-neighborhood
+    * ordering): range-repartition on the sort key so partition ids
+    * follow the total order, rank locally within each range, then shift
+    * by the count of all earlier partitions. The offset table is
+    * #partitions rows (the one sanctioned driver round-trip) and rejoins
+    * as a broadcast — no single-partition Window anywhere.
+    */
+  def globalRowNumber(df: org.apache.spark.sql.DataFrame,
+      sort: Seq[Column], as: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.repartitionByRange(sort: _*).withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+    val local = base.withColumn("__lrn", row_number().over(w))
+    val parts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = parts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toSeq
+    local.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn(as, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+  }
 }

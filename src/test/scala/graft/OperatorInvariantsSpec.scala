@@ -360,6 +360,59 @@ class OperatorInvariantsSpec extends SparkSpec {
       "map-side day-explode diverges from the trailing-window range join")
   }
 
+  test("t19 zipf: slope negative, fit matches a driver-side OLS") {
+    val r = run("t19_zipf_fit").head
+    val (n, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(slope < 0, "frequency must fall with rank")
+    assert(r2 >= 0 && r2 <= 1)
+    // independent OLS over the same ranked points
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(p => (-p._2, p._1)).take(1000)
+    assert(n === counts.length.toLong)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val m = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - m) < 1e-4, s"slope $slope vs OLS $m")
+    assert(math.abs(intercept - (sy - m * sx) / n) < 1e-4)
+  }
+
+  test("q73 pareto: the top-80 set is the minimal value-desc prefix") {
+    val rows = run("q73_pareto_coverage")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(3)))
+      .sortBy(p => (-p._2, p._1))
+    val total = rows.map(_._2).sum
+    val flags = rows.map(_._3)
+    // prefix property: once false, never true again
+    assert(!flags.zip(flags.tail).exists { case (a, b) => !a && b },
+      "in_top80 is not a prefix of the value-desc order")
+    val k = flags.count(identity)
+    val mass = rows.take(k).map(_._2).sum
+    assert(mass / total >= 0.8 - 1e-9, "selected mass below 80%")
+    if (k > 1)
+      assert((mass - rows(k - 1)._2) / total < 0.8, "selection is not minimal")
+  }
+
+  test("d19 sorted neighborhood: full window coverage, 2n-3 pairs") {
+    val out = run("d19_sorted_neighborhood").cache()
+    try {
+      val n = Tables.documents(spark, sf).count()
+      assert(out.count() === 2 * n - 3, "rank-band pair count is not 2n-3")
+      assert(out.filter(!col("window_dist").isin(1L, 2L)).isEmpty)
+      assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1).isEmpty)
+      // every doc participates (interior docs twice per side)
+      val participants = out.select(col("doc_id_a").as("d"))
+        .unionByName(out.select(col("doc_id_b").as("d"))).distinct().count()
+      assert(participants === n, "a document fell out of the neighborhood pass")
+    } finally out.unpersist()
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {
