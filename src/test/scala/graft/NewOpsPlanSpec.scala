@@ -46,6 +46,39 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(n <= 2, s"q71 shuffles $n times:\n${plan.take(1200)}")
   }
 
+  test("q66 incremental agg: partial aggregations are map-side combined") {
+    val df = SparkEntry.registry.find(_.name == "q66_incremental_agg").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both branches and the merge must show partial_ aggregate modes —
+    // a merge re-agg without partials ships raw rows at 100 TB
+    assert(plan.contains("partial_"), s"no partial aggregation in q66:\n${plan.take(900)}")
+  }
+
+  test("d17 soft dedup: ONE shuffle serves count, rank, and the verdict") {
+    val (n, plan) = shuffles("d17_soft_dedup_weights")
+    assert(n <= 1, s"d17 shuffles $n times — count/rank lost the shared " +
+      s"content_hash partitioning:\n${plan.take(1200)}")
+  }
+
+  test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {
+    val df = SparkEntry.registry.find(_.name == "q72_rolling_dau").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q72 planned a cross-product range join:\n${plan.take(1200)}")
+  }
+
+  test("d19 sorted neighborhood: no cross-product from the rank band") {
+    val df = SparkEntry.registry.find(_.name == "d19_sorted_neighborhood").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the w=2 band must be the two keyed equi-joins, and the only
+    // broadcasts the bounded offset tables — never a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"d19 planned a cross-product:\n${plan.take(1200)}")
+  }
+
   test("q69 funnel: ONE corpus scan, ONE shuffle (sorted-fold form)") {
     // the oracle's 4-scan/3-join formulation is what DuckDB replays; the
     // Spark plan must be the single-pass fold — at 100 TB the difference
