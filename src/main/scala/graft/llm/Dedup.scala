@@ -698,7 +698,14 @@ object Dedup {
     val spark = docs.sparkSession
     val base = spillBase(spark, spillDir, "corpusCleanFull")
     val tokDir = s"$base/${runDirName("tok")}"
-    docs.select(col("doc_id"),
+    // spread BEFORE the artifact write: a single-file corpus scan would
+    // otherwise run the tokenize+hash job on one task AND land the
+    // artifact as one file, so every downstream stage would begin from a
+    // one-partition scan and pay its own full-token-array repartition.
+    // Spread here, and (a) the write parallelizes, (b) the artifact is
+    // multi-file so downstream scans start wide, (c) the per-stage
+    // spread() calls become no-ops.
+    Tables.spread(docs).select(col("doc_id"),
         contentHash(col("text")).as("__h"),
         nonAlphaRatio(col("text")).as("__na"),
         split(trim(col("text")), "\\s+").as("ts"))
