@@ -1426,6 +1426,87 @@ object Dedup {
             size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
     },
 
+    // ---- multi-pass sorted neighborhood (the SNM recall remedy) ----------
+    // d19 with the standard fix for single-ordering blindness: TWO
+    // independent orderings (min char-8-gram hash under two hash
+    // prefixes), each contributing its w=2 rank band; candidates are the
+    // DISTINCT union, verified at exact Jaccard. A near-dup pair is
+    // found if EITHER ordering sorts it adjacent — recall 1-(1-p)^k for
+    // k passes at per-pass probability p (measured here: 9 → 10 of d3's
+    // 25 verified pairs at sf0.01; the synthetic corpus's near-dups sit
+    // at Jaccard ≈ 0.5, the worst case for min-gram agreement). Each
+    // pass is the d19 shape: distributed two-pass rank, keyed equi-join
+    // bands — cost is linear in passes, never quadratic in docs.
+    sql("d20_snm_multipass", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH g AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS gr
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+         |        FROM documents) t
+         |), k1 AS (
+         |  SELECT doc_id, min($parse15) AS skey, 1 AS pass
+         |  FROM (SELECT doc_id, substr(sha256(gr), 1, 15) AS hx FROM g) h
+         |  GROUP BY doc_id
+         |), k2 AS (
+         |  SELECT doc_id, min($parse15) AS skey, 2 AS pass
+         |  FROM (SELECT doc_id, substr(sha256('2|' || gr), 1, 15) AS hx FROM g) h
+         |  GROUP BY doc_id
+         |), keyed AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2),
+         |ordered AS (
+         |  SELECT doc_id, pass,
+         |    ROW_NUMBER() OVER (PARTITION BY pass ORDER BY skey, doc_id) AS rk
+         |  FROM keyed
+         |), cand AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_id_a,
+         |         greatest(a.doc_id, b.doc_id) AS doc_id_b
+         |  FROM ordered a JOIN ordered b
+         |    ON a.pass = b.pass AND (b.rk = a.rk + 1 OR b.rk = a.rk + 2)
+         |), gsets AS (
+         |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |        FROM documents) x
+         |)
+         |SELECT c.doc_id_a, c.doc_id_b,
+         |  round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |    / len(list_distinct(ga.gs || gb.gs)), 6) AS jaccard
+         |FROM cand c JOIN gsets ga ON ga.doc_id = c.doc_id_a
+         |            JOIN gsets gb ON gb.doc_id = c.doc_id_b""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val grams = Tables.spread(docs)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("text").substr(col("i"), lit(8)).as("gr"))
+      def passPairs(keyExpr: Column): DataFrame = {
+        val keyed = grams
+          .select(col("doc_id"), keyExpr.as("gh"))
+          .groupBy(col("doc_id")).agg(min(col("gh")).as("skey"))
+        val ordered = graft.operators.Relational
+          .globalRowNumber(keyed, Seq(col("skey"), col("doc_id")), "rk")
+          .select(col("doc_id"), col("rk"))
+        val a = ordered.select(col("rk"), col("doc_id").as("da"))
+        Seq(1, 2).map { dlt =>
+          a.join(ordered.select((col("rk") - dlt).as("rk"), col("doc_id").as("db")),
+              Seq("rk"))
+            .select(least(col("da"), col("db")).as("doc_id_a"),
+              greatest(col("da"), col("db")).as("doc_id_b"))
+        }.reduce(_ unionByName _)
+      }
+      val cand = passPairs(hash60(col("gr")))
+        .unionByName(passPairs(hash60(concat(lit("2|"), col("gr")))))
+        .distinct()
+      val sets = shingleHashSets(docs)
+      cand
+        .join(sets.select(col("doc_id").as("doc_id_a"), col("sh").as("ga")), Seq("doc_id_a"))
+        .join(sets.select(col("doc_id").as("doc_id_b"), col("sh").as("gb")), Seq("doc_id_b"))
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+    },
+
     // ---- minhash estimator calibration (estimate vs exact, per pair) -----
     // For every LSH candidate pair, BOTH the signature-match Jaccard
     // estimate (matching components / 32 — the only similarity a

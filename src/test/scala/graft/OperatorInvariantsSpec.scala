@@ -413,6 +413,26 @@ class OperatorInvariantsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("d20 multipass SNM: superset of single-pass, never loses a true pair") {
+    val multi = run("d20_snm_multipass").cache()
+    // d19 orients pairs by RANK (lower rank first), d20 by doc_id —
+    // normalize before comparing
+    val single = run("d19_sorted_neighborhood")
+      .select(least(col("doc_id_a"), col("doc_id_b")).as("doc_id_a"),
+        greatest(col("doc_id_a"), col("doc_id_b")).as("doc_id_b"), col("jaccard"))
+    try {
+      // pass 1 uses d19's exact ordering — its pairs must all reappear
+      val missing = single.join(multi.select(col("doc_id_a"), col("doc_id_b")),
+        Seq("doc_id_a", "doc_id_b"), "left_anti")
+      assert(missing.isEmpty, "a single-pass pair vanished from the union")
+      // found true pairs can only grow with passes
+      val m = multi.filter(col("jaccard") >= 0.5).count()
+      val s1 = single.filter(col("jaccard") >= 0.5).count()
+      assert(m >= s1, s"multipass found $m true pairs, single pass $s1")
+      assert(multi.filter(col("doc_id_a") >= col("doc_id_b")).isEmpty)
+    } finally multi.unpersist()
+  }
+
   test("q70 retention: rates are n_active/n_cohort, cohorts partition users") {
     val out = run("q70_retention_cohorts").cache()
     try {
