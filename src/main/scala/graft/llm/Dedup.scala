@@ -1615,12 +1615,14 @@ object Dedup {
         |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / least(len(a.grams), len(b.grams)), 6) AS containment
         |FROM sh a JOIN sh b ON a.source = b.source AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      // Two-pass distributed per-source rank (Relational.groupedRowNumber):
+      // a partitionBy(source) window is one task per source at scale.
       val docs = Tables.documents(s, d)
-      val sh = shingleHashSets(docs)
-        .withColumnRenamed("sh", "grams")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
+      val sh = graft.operators.Relational.groupedRowNumber(
+        shingleHashSets(docs)
+          .withColumnRenamed("sh", "grams")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        Seq("source"), Seq(col("doc_id")), "rk")
       val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"),
         col("grams").as("ga"))
       val b = sh.select(col("source"), (col("rk") - 1).as("rk"),
@@ -1652,13 +1654,14 @@ object Dedup {
         |  ON a.source = b.source AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
       // Spark side works on hashed shingle sets (identical Jaccard values,
       // no string building); the oracle builds the string grams — set
-      // sizes are equal barring 64-bit collisions.
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      // sizes are equal barring 64-bit collisions. Rank is the two-pass
+      // distributed per-source row number (see d16).
       val docs = Tables.documents(s, d)
-      val sh = shingleHashSets(docs)
-        .withColumnRenamed("sh", "grams")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
+      val sh = graft.operators.Relational.groupedRowNumber(
+        shingleHashSets(docs)
+          .withColumnRenamed("sh", "grams")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        Seq("source"), Seq(col("doc_id")), "rk")
       val a = sh.select(col("source"), col("rk"), col("doc_id").as("doc_id_a"), col("grams").as("ga"))
       val b = sh.select(col("source"), (col("rk") - 1).as("rk"),
         col("doc_id").as("doc_id_b"), col("grams").as("gb"))

@@ -307,13 +307,14 @@ object TextStats {
         |SELECT doc_id, source, n_tok,
         |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
         |FROM r""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      // Two-pass distributed cumsum (Relational.groupedRunningSum): a
+      // partitionBy(source) window would put each source's whole extent
+      // on one task — multi-TB sorts at the 100 TB point.
       val t = Tables.documents(s, d).select(
         col("doc_id"), col("source"),
         bpeishCount(col("text")).as("n_tok"))
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("cum", sum(col("n_tok")).over(w))
+      graft.operators.Relational
+        .groupedRunningSum(t, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum")
         .select(col("doc_id"), col("source"), col("n_tok"),
           floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
     },
@@ -348,10 +349,11 @@ object TextStats {
     // token counts; the float work happens on |sources| rows (tiny), so
     // the 6-dp rounding is far from any boundary. Scale: ONE corpus scan
     // → one partial-agg shuffle on source; the corpus-wide total and the
-    // normalizer z are then unpartitioned-window sums over the |sources|
-    // aggregate rows — a SinglePartition exchange of a handful of rows,
-    // never a second scan (the naive CTE shape re-scans the corpus per
-    // derived aggregate).
+    // normalizer z are 1-row aggregates of the |sources| frame rejoined
+    // as broadcast cross-joins (exchange reuse keeps the corpus agg
+    // single-scan — plan-asserted) — no unpartitioned Window, so no
+    // single-partition WindowExec and no per-run warning flood in the
+    // 100×-scale logs.
     sql("t12_source_mixture",
       """WITH c AS (
         |  SELECT source,
@@ -367,9 +369,11 @@ object TextStats {
         .select(col("source"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
         .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
-      val w = Window.partitionBy() // |sources| rows — one tiny partition
-      c.withColumn("p", col("n_tok") / sum(col("n_tok")).over(w))
-        .withColumn("z", sum(pow(col("p"), 0.7)).over(w))
+      val tot = c.agg(sum(col("n_tok")).as("tot"))
+      val p = c.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tok") / col("tot"))
+      val z = p.agg(sum(pow(col("p"), 0.7)).as("z"))
+      p.crossJoin(broadcast(z))
         .select(col("source"), col("n_tok"),
           round(col("p"), 6).as("token_share"),
           round(pow(col("p"), 0.7) / col("z"), 6).as("mixture_weight"))
@@ -673,9 +677,17 @@ object TextStats {
         .select(explode(split(trim(col("text")), "\\s+")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
       val top = vc.orderBy(col("c").desc, col("t")).limit(1000)
-      val w = Window.orderBy(col("c").desc, col("t"))
-      val ranked = top
-        .withColumn("lr", log(row_number().over(w).cast("double")))
+      // Rank via the two-pass distributed row number (constant group):
+      // an unpartitioned Window would be correct on ≤1000 post-limit
+      // rows but emits WindowExec's "No Partition Defined" warning on
+      // every execution — the r6 log tail was 100% this flood. (A
+      // foldable lit() partition key gets constant-folded back to an
+      // empty spec; groupedRowNumber partitions by spark_partition_id,
+      // which doesn't fold.)
+      val ranked = graft.operators.Relational.groupedRowNumber(
+          top.withColumn("__g", lit(0)),
+          Seq("__g"), Seq(col("c").desc, col("t")), "rk")
+        .withColumn("lr", log(col("rk").cast("double")))
         .withColumn("lf", log(col("c").cast("double")))
       ranked.agg(
         count(lit(1)).as("n"),

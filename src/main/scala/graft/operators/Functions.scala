@@ -341,29 +341,17 @@ object Functions {
         |  CAST(dense_rank() OVER w AS BIGINT) AS dr
         |FROM orders
         |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       // Two-pass distributed global ranking (no single-partition Window):
-      // range-repartition on the sort key so partition ids follow the
-      // total order, rank WITHIN each range, then shift each partition's
-      // local ranks by the count of all earlier partitions. The offset
-      // table is #partitions rows — the one sanctioned driver round-trip
-      // — and rejoins as a broadcast. (o_totalprice, o_orderkey) is a
-      // unique total order, so row_number == rank == dense_rank and
-      // ntile/percent_rank/cume_dist are closed forms of (rn, n).
-      import s.implicits._
+      // Relational.globalRowNumber carries the range backbone + offset
+      // shift. (o_totalprice, o_orderkey) is a unique total order, so
+      // row_number == rank == dense_rank and ntile/percent_rank/cume_dist
+      // are closed forms of (rn, n). n comes from a count() — a driver
+      // scalar, the same sanctioned round-trip class as the offsets.
       val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
-        .withColumn("__pid", spark_partition_id())
-      val w = Window.partitionBy(col("__pid"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val local = base.withColumn("__lrn", row_number().over(w))
-      val parts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offsets = parts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toSeq
-      val n = acc
-      val offDf = broadcast(offsets.toDF("__pid", "__off"))
+      val n = base.count()
+      val ranked = graft.operators.Relational.globalRowNumber(
+        base, Seq(col("o_totalprice"), col("o_orderkey")), "__rn")
       // ntile(4): the first n%4 buckets take floor(n/4)+1 rows each
       val q = n / 4
       val r = n % 4
@@ -372,14 +360,12 @@ object Functions {
         if (q == 0) rn // degenerate n<4: one row per bucket
         else when(rn <= lit(r * (q + 1)), floor((rn - 1) / lit(q + 1)) + 1)
           .otherwise(lit(r) + floor((rn - lit(r * (q + 1)) - 1) / lit(q)) + 1)
-      local.join(offDf, Seq("__pid"))
-        .withColumn("__rn", col("__lrn") + col("__off"))
-        .select(
-          col("o_orderkey"),
-          quartile.cast("long").as("price_quartile"),
-          ((rn - 1).cast("double") / lit((n - 1).max(1L).toDouble)).as("pr"),
-          (rn.cast("double") / lit(n.toDouble)).as("cd"),
-          rn.cast("long").as("dr"))
+      ranked.select(
+        col("o_orderkey"),
+        quartile.cast("long").as("price_quartile"),
+        ((rn - 1).cast("double") / lit((n - 1).max(1L).toDouble)).as("pr"),
+        (rn.cast("double") / lit(n.toDouble)).as("cd"),
+        rn.cast("long").as("dr"))
     },
 
     // ---- ordered string aggregation --------------------------------------
@@ -1075,33 +1061,17 @@ object Functions {
         |  round(CAST(cum AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share,
         |  (cum - v) * 10 < t.t * 8 AS in_top80
         |FROM c, tot t""".stripMargin) { (s, d) =>
-      // two-pass distributed prefix sum (the q46/globalRowNumber shape,
-      // with partition SUBTOTALS as the offsets): no single-partition
-      // Window even though the domain is already aggregated — exact
-      // decimal folds make the result independent of the partitioning
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
+      // two-pass distributed prefix sum (Relational.globalRunningSum,
+      // exact-decimal accumulation): no single-partition Window even
+      // though the domain is already aggregated — exact decimal folds
+      // make the result independent of the partitioning
       val uv = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(round(sum(col("value")), 6).cast("decimal(18,6)").as("v"))
       val tot = uv.agg(sum(col("v")).as("t"))
-      val base = uv.repartitionByRange(col("v").desc, col("user_id"))
-        .withColumn("__pid", spark_partition_id())
-      val w = Window.partitionBy(col("__pid"))
-        .orderBy(col("v").desc, col("user_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = base.withColumn("__lcum", sum(col("v")).over(w))
-      val parts = local.groupBy(col("__pid"))
-        .agg(sum(col("v")).as("__psum"))
-        .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
-      var acc = java.math.BigDecimal.ZERO
-      val offsets = parts.map { case (pid, p) =>
-        val o = acc; acc = acc.add(p); (pid, o)
-      }.toSeq
-      local
-        .join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
-        .withColumn("cum", col("__lcum") + col("__off"))
+      graft.operators.Relational
+        .globalRunningSum(uv, Seq(col("v").desc, col("user_id")), col("v"), "cum")
         .crossJoin(broadcast(tot))
         .select(col("user_id"), col("v").cast("double").as("value"),
           round(col("cum").cast("double") / col("t").cast("double"), 6).as("cum_share"),

@@ -488,26 +488,179 @@ object Relational {
 
   /** Distributed global row_number over a UNIQUE total order — the q46
     * two-pass pattern factored for reuse (d19's sorted-neighborhood
-    * ordering): range-repartition on the sort key so partition ids
-    * follow the total order, rank locally within each range, then shift
-    * by the count of all earlier partitions. The offset table is
-    * #partitions rows (the one sanctioned driver round-trip) and rejoins
-    * as a broadcast — no single-partition Window anywhere.
+    * ordering). See [[groupedRunningSum]] for the mechanism; this is the
+    * no-group, value = 1 case. Result column is LongType.
     */
   def globalRowNumber(df: org.apache.spark.sql.DataFrame,
-      sort: Seq[Column], as: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      sort: Seq[Column], as: String): org.apache.spark.sql.DataFrame =
+    groupedRunningSum(df, Nil, sort, lit(1L), as)
+
+  /** Global running sum of `value` (inclusive frame) over a total order
+    * — the no-group case of [[groupedRunningSum]]; carries exact
+    * DECIMAL accumulation when `value` is a decimal column (q73's
+    * boundary math must not depend on float fold order).
+    */
+  def globalRunningSum(df: org.apache.spark.sql.DataFrame, sort: Seq[Column],
+      value: Column, as: String): org.apache.spark.sql.DataFrame =
+    groupedRunningSum(df, Nil, sort, value, as)
+
+  /** Per-GROUP row_number in `sort` order, distributed (the `value = 1`
+    * specialization of [[groupedRunningSum]]; result column is LongType,
+    * vs `row_number()`'s int). `sort` must be unique within each group
+    * for the ranks to be deterministic.
+    */
+  def groupedRowNumber(df: org.apache.spark.sql.DataFrame, group: Seq[String],
+      sort: Seq[Column], as: String): org.apache.spark.sql.DataFrame =
+    groupedRunningSum(df, group, sort, lit(1L), as)
+
+  /** Per-GROUP running sum of `value` in `sort` order (frame = unbounded
+    * preceding → current row), distributed. A `Window.partitionBy(group)`
+    * puts each group's ENTIRE extent on one task, and for a
+    * fixed-cardinality group column (e.g. `source`: ~20 values in any
+    * corpus) that is N/20 rows — a multi-TB single-task sort at the
+    * 100 TB point. An unpartitioned Window is worse still. Here instead:
+    *
+    *   1. range-repartition on (group ++ sort) with an explicit partition
+    *      count, so rows are globally ordered and each group spans a
+    *      contiguous run of partitions (skew-immune: a dominant group
+    *      just spans more partitions);
+    *   2. per-partition running sums and per-(partition, group) subtotals
+    *      in ONE pass over the sorted partitions;
+    *   3. shift each (partition, group) run by the totals of the group's
+    *      earlier partitions — the offset table is at most #partitions +
+    *      #groups entries (the one sanctioned driver round-trip, same
+    *      class as a q44 salt table) and ships back as a broadcast.
+    *
+    * This is the one operator family implemented on RDD
+    * `mapPartitionsWithIndex` rather than DataFrame windows, deliberately:
+    * the two passes MUST agree on what "partition i" contains. Expressed
+    * as two DataFrame branches over a shared exchange, that agreement is
+    * an optimizer ACCIDENT — AQE may coalesce or local-read the shuffle
+    * differently per consumer, and `RangePartitioner` re-SAMPLES its
+    * bounds per execution, so separate executions see different row→
+    * partition maps (observed as wrong ranks at sf0.1; masked at smaller
+    * SFs where AQE coalesced the shuffle to one partition). Running both
+    * passes over the SAME materialized RDD pins the partitioner object —
+    * bounds are computed once — and the second pass reuses the first's
+    * shuffle files. Lineage stays intact (no checkpoint): a lost
+    * partition recomputes from the fixed bounds + fixed broadcast, so
+    * the result is deterministic under executor loss.
+    *
+    * `value` must be non-null, and integral (accumulated as Long) or
+    * decimal (accumulated as exact BigDecimal, emitted as
+    * DECIMAL(38, s) — float running sums would be fold-order-dependent).
+    */
+  def groupedRunningSum(df: org.apache.spark.sql.DataFrame, group: Seq[String],
+      sort: Seq[Column], value: Column, as: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.repartitionByRange(sort: _*).withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
-    val local = base.withColumn("__lrn", row_number().over(w))
-    val parts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = parts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }.toSeq
-    local.join(broadcast(offsets.toDF("__pid", "__off")), Seq("__pid"))
-      .withColumn(as, col("__lrn") + col("__off"))
-      .drop("__pid", "__lrn", "__off")
+    val valued = df.withColumn("__v", value)
+    val decScale = valued.schema("__v").dataType match {
+      case d: DecimalType => Some(d.scale)
+      case ByteType | ShortType | IntegerType | LongType => None
+      case other => throw new IllegalArgumentException(
+        s"groupedRunningSum needs an integral or decimal value, got $other")
+    }
+    val withV =
+      if (decScale.isDefined) valued else valued.withColumn("__v", col("__v").cast("long"))
+    // Explicit count: fixed, AQE-independent geometry (the partitioner is
+    // part of the algorithm here, not a tuning knob).
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val keys = group.map(col) ++ sort
+    val sorted = withV.repartitionByRange(numParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val gIdx = group.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex("__v")
+    val rdd = sorted.rdd // materialized ONCE; both passes share its partitioner
+
+    // function VALS, not defs: a nested def lifts to a method on the
+    // enclosing module and its closures would drag the whole (non-
+    // serializable) object into the task closure
+    val groupKey: Row => List[Any] = r => gIdx.map(r.get(_)).toList
+    val stripV: Seq[Any] => Seq[Any] = s => s.patch(vIdx, Nil, 1)
+
+    val outSchema = StructType(
+      schema.filterNot(_.name == "__v") :+
+        StructField(as, decScale.fold[DataType](LongType)(DecimalType(38, _)),
+          nullable = false))
+
+    val out = decScale match {
+      case None =>
+        // pass 1: per-(partition, group) totals — rows are sorted, so a
+        // group's rows are contiguous and one running variable suffices
+        val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val sums = List.newBuilder[(Int, List[Any], Long)]
+          var cur: List[Any] = null; var acc = 0L; var any = false
+          it.foreach { r =>
+            val k = groupKey(r)
+            if (!any || k != cur) {
+              if (any) sums += ((pid, cur, acc))
+              cur = k; acc = 0L; any = true
+            }
+            acc += r.getLong(vIdx)
+          }
+          if (any) sums += ((pid, cur, acc))
+          sums.result().iterator
+        }.collect()
+        val offsets: Map[(Int, List[Any]), Long] =
+          partials.groupBy(_._2).iterator.flatMap { case (k, arr) =>
+            var acc = 0L
+            arr.sortBy(_._1).map { case (pid, _, s) =>
+              val o = acc; acc += s; ((pid, k), o)
+            }
+          }.toMap
+        val bc = spark.sparkContext.broadcast(offsets)
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          var cur: List[Any] = null; var acc = 0L; var any = false
+          it.map { r =>
+            val k = groupKey(r)
+            if (!any || k != cur) {
+              cur = k; any = true
+              acc = bc.value.getOrElse((pid, k), 0L)
+            }
+            acc += r.getLong(vIdx)
+            Row.fromSeq(stripV(r.toSeq) :+ acc)
+          }
+        }
+      case Some(scale) =>
+        val zero = java.math.BigDecimal.ZERO.setScale(scale)
+        val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+          val sums = List.newBuilder[(Int, List[Any], java.math.BigDecimal)]
+          var cur: List[Any] = null; var acc = zero; var any = false
+          it.foreach { r =>
+            val k = groupKey(r)
+            if (!any || k != cur) {
+              if (any) sums += ((pid, cur, acc))
+              cur = k; acc = zero; any = true
+            }
+            acc = acc.add(r.getDecimal(vIdx))
+          }
+          if (any) sums += ((pid, cur, acc))
+          sums.result().iterator
+        }.collect()
+        val offsets: Map[(Int, List[Any]), java.math.BigDecimal] =
+          partials.groupBy(_._2).iterator.flatMap { case (k, arr) =>
+            var acc = zero
+            arr.sortBy(_._1).map { case (pid, _, s) =>
+              val o = acc; acc = acc.add(s); ((pid, k), o)
+            }
+          }.toMap
+        val bc = spark.sparkContext.broadcast(offsets)
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          var cur: List[Any] = null; var acc = zero; var any = false
+          it.map { r =>
+            val k = groupKey(r)
+            if (!any || k != cur) {
+              cur = k; any = true
+              acc = bc.value.getOrElse((pid, k), zero)
+            }
+            acc = acc.add(r.getDecimal(vIdx))
+            Row.fromSeq(stripV(r.toSeq) :+ acc)
+          }
+        }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 }

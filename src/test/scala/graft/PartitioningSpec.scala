@@ -194,8 +194,9 @@ class PartitioningSpec extends SparkSpec {
   }
 
   test("t12 source mixture reads the corpus exactly once") {
-    // the corpus-wide total and the normalizer z are unpartitioned-window
-    // sums over the |sources| aggregate rows — never a second scan
+    // the corpus-wide total and the normalizer z are 1-row aggregates of
+    // the |sources| frame rejoined by broadcast cross-join; exchange
+    // reuse must keep the corpus aggregate single-scan — never a rescan
     val q = SparkEntry.registry.find(_.name == "t12_source_mixture").get
     val df = q.run(spark, sf)
     df.collect()
@@ -236,17 +237,70 @@ class PartitioningSpec extends SparkSpec {
       s"unexpected scan source in t15 plan: $roots")
   }
 
-  test("q46 global ranking runs with NO single-partition exchange") {
-    // the two-pass rank must never funnel the table through one task —
-    // the physical plan carries range partitioning plus per-partition
-    // windows, and no Exchange SinglePartition anywhere
-    val q = SparkEntry.registry.find(_.name == "q46_window_distribution").get
-    val df = q.run(spark, sf)
-    df.collect() // materialize so AQE finalizes the plan
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      s"q46 still has a single-partition stage:\n${plan.take(800)}")
-    assert(plan.toLowerCase.contains("rangepartitioning"),
-      "expected a range repartition as the global-order backbone")
+  test("t9/d5/d16/q46/q73 rank/cumsum run two-pass: no Window, no single-partition stage") {
+    // `source` is a FIXED-cardinality column (~20 values in any corpus):
+    // a Window.partitionBy(source) puts N/20 rows on ONE task — a
+    // multi-TB single-task sort at the 100 TB point; an unpartitioned
+    // Window (q46/q73's global order) is worse. All five now run on
+    // Relational.groupedRunningSum's RDD two-pass, so their visible
+    // plans must carry NO Window operator at all and no SinglePartition
+    // exchange — the ranking work lives in the fixed-geometry range
+    // partitioning inside the RDD lineage.
+    for (name <- Seq("t9_sequence_packing", "d5_ngram_jaccard",
+        "d16_containment", "q46_window_distribution", "q73_pareto_coverage")) {
+      val q = SparkEntry.registry.find(_.name == name).get
+      val df = q.run(spark, sf)
+      df.collect()
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"$name still ranks via a Window operator (single task per group at scale)")
+      val full = df.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0)
+      // q73's corpus-wide total is a scalar aggregate — its final 1-row
+      // stage is SinglePartition by definition (bounded: partial sums
+      // upstream). Everything else must have no single-partition stage.
+      if (name != "q73_pareto_coverage")
+        assert(!plan.contains("SinglePartition"),
+          s"$name still has a single-partition stage:\n${plan.take(800)}")
+    }
+  }
+
+  test("groupedRunningSum: matches naive window, spreads groups over partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed synthetic frame: group g0 dominates — the primitive must
+    // still spread it over many partitions (a per-group window would
+    // put all 40k g0 rows on one task)
+    val df = spark.range(50000).select(
+      when(col("id") < 40000, lit("g0")).otherwise(concat(lit("g"), col("id") % 7)).as("g"),
+      col("id").as("k"),
+      (col("id") % 13 + 1).as("v"))
+    val got = graft.operators.Relational
+      .groupedRunningSum(df, Seq("g"), Seq(col("k")), col("v"), "cum")
+    // internal geometry: the ranked RDD keeps the session's shuffle
+    // parallelism, and the dominant group spans many partitions
+    assert(got.rdd.getNumPartitions ===
+      spark.sessionState.conf.numShufflePartitions)
+    val g0parts = got.filter(col("g") === "g0")
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(g0parts > 1, s"dominant group landed on $g0parts partition(s)")
+    // semantics: exactly the per-group inclusive running sum
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+    assert(got.select("g", "k", "v", "cum").collect().map(_.toSeq).toSet ===
+      want.select("g", "k", "v", "cum").collect().map(_.toSeq).toSet)
+    // rank specialization: unique longs 1..n per group
+    val rk = graft.operators.Relational
+      .groupedRowNumber(df, Seq("g"), Seq(col("k")), "rk")
+    val perGroup = rk.groupBy("g").agg(
+      count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"),
+      countDistinct("rk").as("d"))
+    perGroup.collect().foreach { r =>
+      assert(r.getLong(2) === 1L && r.getLong(3) === r.getLong(1) &&
+        r.getLong(4) === r.getLong(1), s"ranks not 1..n: $r")
+    }
   }
 }
