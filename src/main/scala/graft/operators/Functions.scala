@@ -895,35 +895,21 @@ object Functions {
         |LEFT JOIN fc ON fc.user_id = u.user_id
         |LEFT JOIN fp ON fp.user_id = u.user_id""".stripMargin) { (s, d) =>
       // Spark plan: NOT the oracle's four-scan form — the corpus is read
-      // ONCE, shuffled ONCE on user_id, and the funnel is a left-to-right
-      // fold over each user's time-sorted events (per-user event counts
-      // are human-scale, the q65 assumption). The fold takes the FIRST
-      // qualifying event per hop in sort order, which is exactly the
-      // oracle's min-over-window — a qualifying click sorts strictly
-      // after the view that set t1 (us > t1), so state is always current.
-      // No event_type pre-filter: a user whose only events are OTHER
-      // types must still surface at stage 0 (the fold skips those rows).
-      val packed = Tables.events(s, d)
+      // ONCE, shuffled ONCE on user_id, and the funnel folds through the
+      // BOUNDED FunnelAggregator (min view + bottom-K clicks/purchases,
+      // ≤ 2K+3 longs per user even mid-merge). The earlier collect_list
+      // fold was equivalent but materialized every event of a user in one
+      // aggregation buffer — an executor OOM for a single bot key at
+      // 100 TB. The sketch answers the funnel's "smallest event after t"
+      // questions exactly (kept = K smallest) and raises a loud in-query
+      // error in the one undeterminable configuration instead of
+      // guessing. No event_type pre-filter: a user whose only events are
+      // OTHER types must still surface at stage 0 (the aggregator keeps
+      // presence for those rows).
+      val funnel = udaf(new graft.functions.FunnelAggregator(86400000000L, 1000))
+      Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(
-          struct(unix_micros(col("ts")).as("us"), col("event_type").as("et"))))
-          .as("evs"))
-      packed.select(col("user_id"), expr(
-        """aggregate(evs,
-          |  named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
-          |               't3', CAST(NULL AS BIGINT)),
-          |  (s, x) -> named_struct(
-          |    't1', CASE WHEN s.t1 IS NULL AND x.et = 'view' THEN x.us ELSE s.t1 END,
-          |    't2', CASE WHEN s.t2 IS NULL AND s.t1 IS NOT NULL AND x.et = 'click'
-          |                AND x.us > s.t1 AND x.us <= s.t1 + 86400000000
-          |               THEN x.us ELSE s.t2 END,
-          |    't3', CASE WHEN s.t3 IS NULL AND s.t2 IS NOT NULL AND x.et = 'purchase'
-          |                AND x.us > s.t2 AND x.us <= s.t2 + 86400000000
-          |               THEN x.us ELSE s.t3 END),
-          |  s -> CASE WHEN s.t3 IS NOT NULL THEN CAST(3 AS BIGINT)
-          |            WHEN s.t2 IS NOT NULL THEN CAST(2 AS BIGINT)
-          |            WHEN s.t1 IS NOT NULL THEN CAST(1 AS BIGINT)
-          |            ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("stage"))
+        .agg(funnel(unix_micros(col("ts")), col("event_type")).as("stage"))
     },
 
     // ---- cohort retention matrix -----------------------------------------

@@ -256,6 +256,47 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(got === want, "funnel stages diverge from the sequential replay")
   }
 
+  test("q69 funnel: bounded aggregator survives a degenerate heavy user") {
+    import spark.implicits._
+    val win = 86400000000L
+    val funnel = udaf(new graft.functions.FunnelAggregator(win, 1000))
+    val base = 1700000000000000L
+    // one bot user with 100k clicks (all in the view's window) must fold
+    // in bounded state and still stage correctly; a plain-presence user
+    // lands at stage 1
+    val heavy = spark.range(100000).select(
+      lit(1L).as("user_id"), lit("click").as("et"),
+      (lit(base) + col("id") * 1000L + lit(1L)).as("us"))
+    val rest = Seq((1L, "view", base), (1L, "purchase", base + 2000000L),
+      (2L, "view", base), (2L, "other", base + 5L)).toDF("user_id", "et", "us")
+    val got = heavy.unionByName(rest)
+      .groupBy(col("user_id")).agg(funnel(col("us"), col("et")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L))
+    // the one undeterminable sketch configuration (more than cap clicks,
+    // all before the first view) fails LOUDLY, never silently misstages
+    val tiny = udaf(new graft.functions.FunnelAggregator(win, 10))
+    val bad = spark.range(11).select(
+      lit(3L).as("user_id"), lit("click").as("et"),
+      (lit(base) - col("id") - 1).as("us"))
+      .unionByName(Seq((3L, "view", base + 10L)).toDF("user_id", "et", "us"))
+    val ex = intercept[Throwable] {
+      bad.groupBy(col("user_id")).agg(tiny(col("us"), col("et")).as("stage")).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("funnel undetermined"), s"wrong failure: $msgs")
+    // the real query keeps the single-scan single-shuffle shape
+    val q = SparkEntry.registry.find(_.name == "q69_event_funnel").get
+    val df = q.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"q69 no longer one scan:\n${plan.take(600)}")
+    assert(" Exchange ".r.findAllIn(plan).length <= 1,
+      s"q69 no longer one shuffle:\n${plan.take(600)}")
+  }
+
   test("d16 containment: bounds and the containment >= jaccard law") {
     val cont = run("d16_containment")
     val jac = run("d5_ngram_jaccard")
