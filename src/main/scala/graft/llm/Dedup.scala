@@ -593,8 +593,9 @@ object Dedup {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
-        val foreignRun = (n.startsWith("cc-") || n.startsWith("tok-")) &&
-          !n.contains(sessionTag)
+        val foreignRun =
+          (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-")) &&
+            !n.contains(sessionTag)
         if (foreignRun && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
       }
@@ -1475,17 +1476,28 @@ object Dedup {
          |            JOIN gsets gb ON gb.doc_id = c.doc_id_b""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val grams = Tables.spread(docs)
+      // ONE char-gram pass emits BOTH orderings' sort keys (two min
+      // aggregates over the same exploded grams); the doc-level key table
+      // (3 longs/doc) is spilled to parquet so the two rank passes read
+      // that artifact instead of each re-running the gram explode — the
+      // dominant cost of this query, previously paid once per pass. Like
+      // dedupClusters, the returned plan reads the spill; retention is
+      // the spillDir/TTL policy.
+      val keyed = Tables.spread(docs)
         .select(col("doc_id"),
           explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"),
           col("text"))
         .select(col("doc_id"), col("text").substr(col("i"), lit(8)).as("gr"))
-      def passPairs(keyExpr: Column): DataFrame = {
-        val keyed = grams
-          .select(col("doc_id"), keyExpr.as("gh"))
-          .groupBy(col("doc_id")).agg(min(col("gh")).as("skey"))
+        .groupBy(col("doc_id"))
+        .agg(min(hash60(col("gr"))).as("k1"),
+          min(hash60(concat(lit("2|"), col("gr")))).as("k2"))
+      val keyDir = s"${spillBase(s, None, "d20_snm_multipass")}/${runDirName("snm")}"
+      keyed.write.mode("overwrite").parquet(keyDir)
+      val keyArt = s.read.parquet(keyDir)
+      def passPairs(key: String): DataFrame = {
         val ordered = graft.operators.Relational
-          .globalRowNumber(keyed, Seq(col("skey"), col("doc_id")), "rk")
+          .globalRowNumber(keyArt.select(col("doc_id"), col(key).as("skey")),
+            Seq(col("skey"), col("doc_id")), "rk")
           .select(col("doc_id"), col("rk"))
         val a = ordered.select(col("rk"), col("doc_id").as("da"))
         Seq(1, 2).map { dlt =>
@@ -1495,9 +1507,7 @@ object Dedup {
               greatest(col("da"), col("db")).as("doc_id_b"))
         }.reduce(_ unionByName _)
       }
-      val cand = passPairs(hash60(col("gr")))
-        .unionByName(passPairs(hash60(concat(lit("2|"), col("gr")))))
-        .distinct()
+      val cand = passPairs("k1").unionByName(passPairs("k2")).distinct()
       val sets = shingleHashSets(docs)
       cand
         .join(sets.select(col("doc_id").as("doc_id_a"), col("sh").as("ga")), Seq("doc_id_a"))
