@@ -104,6 +104,10 @@ object Bench {
       // Reps run back-to-back per query so the spread reflects noise at
       // one point in time, not drift across the whole pass.
       val times = (1 to extraReps).flatMap(_ => runOnce())
+      // each rep's spill-backed plans (t15/d8/d20) are consumed by the
+      // noop write above — reclaim them outside the timed region so reps
+      // don't accumulate one tokenized-corpus copy apiece
+      graft.llm.Dedup.releaseSpills(spark)
       QRes(q.name, cold, times, extraReps, cold.isDefined && overBudget)
     }
 

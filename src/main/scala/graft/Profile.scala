@@ -30,6 +30,7 @@ object Profile {
         catch { case e: Throwable => println(s"PROF ${q.name} rep$i FAILED: ${e.getMessage}") }
         println(f"PROF ${q.name} rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      graft.llm.Dedup.releaseSpills(spark)
     }
     spark.stop()
   }

@@ -575,6 +575,39 @@ object Dedup {
   private def runDirName(prefix: String): String =
     s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
 
+  /** Run dirs created by THIS session whose returned plans may still be
+    * live (the cc-/tok-/snm- spills). Recorded at creation so
+    * [[releaseSpills]] can reclaim them on the caller's say-so; other
+    * processes' leftovers belong to the TTL pruner / retention policy.
+    */
+  private val liveSpills = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def trackSpill(dir: String): String = { liveSpills.add(dir); dir }
+
+  /** Delete every spill directory this session has created so far. The
+    * CALLER asserts the plans those spills back are fully consumed — a
+    * released plan re-collected afterwards fails on missing files
+    * (loudly, never silently wrong). Verify/Bench call this after each
+    * query's output is materialized, so repeated invocations of
+    * [[corpusCleanFull]]/[[dedupClusters]] in one session do not
+    * accumulate one tokenized-corpus copy per call. Never throws; a dir
+    * that cannot be deleted stays for the retention policy. Returns the
+    * number of directories removed.
+    */
+  def releaseSpills(spark: SparkSession): Int = {
+    var n = 0
+    var dir = liveSpills.poll()
+    while (dir != null) {
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p) && fs.delete(p, true)) n += 1
+      } catch { case scala.util.control.NonFatal(_) => () }
+      dir = liveSpills.poll()
+    }
+    n
+  }
+
   /** Best-effort GC of ABANDONED run dirs under the TMPDIR-FALLBACK spill
     * base (explicit spillDir / checkpoint dirs are caller-owned and never
     * touched). Each invocation of [[dedupClusters]]/[[corpusCleanFull]]
@@ -605,7 +638,7 @@ object Dedup {
       spillDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val base = spillBase(spark, spillDir, "dedupClusters")
-    val runDir = s"$base/${runDirName("cc")}"
+    val runDir = trackSpill(s"$base/${runDirName("cc")}")
 
     pairs.select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
       .write.mode("overwrite").parquet(s"$runDir/edges")
@@ -698,7 +731,7 @@ object Dedup {
   def corpusCleanFull(docs: DataFrame, spillDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     val base = spillBase(spark, spillDir, "corpusCleanFull")
-    val tokDir = s"$base/${runDirName("tok")}"
+    val tokDir = trackSpill(s"$base/${runDirName("tok")}")
     // spread BEFORE the artifact write: a single-file corpus scan would
     // otherwise run the tokenize+hash job on one task AND land the
     // artifact as one file, so every downstream stage would begin from a
@@ -1491,7 +1524,7 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(hash60(col("gr"))).as("k1"),
           min(hash60(concat(lit("2|"), col("gr")))).as("k2"))
-      val keyDir = s"${spillBase(s, None, "d20_snm_multipass")}/${runDirName("snm")}"
+      val keyDir = trackSpill(s"${spillBase(s, None, "d20_snm_multipass")}/${runDirName("snm")}")
       keyed.write.mode("overwrite").parquet(keyDir)
       val keyArt = s.read.parquet(keyDir)
       def passPairs(key: String): DataFrame = {

@@ -219,6 +219,32 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("releaseSpills: repeated corpusCleanFull calls do not accumulate spills") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spill-test").toString
+    val docs = (1L to 30L).map(i => (i, s"some plain document number $i with words"))
+      .toDF("doc_id", "text")
+    def runDirs(): Seq[String] = {
+      val f = new java.io.File(dir)
+      Option(f.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(n => n.startsWith("tok-") || n.startsWith("cc-"))
+    }
+    // two full runs, each consumed, WITHOUT release: one tok + >=1 cc
+    // run dir per call stays behind (the returned plan reads them)
+    Dedup.corpusCleanFull(docs, spillDir = Some(dir)).collect()
+    Dedup.corpusCleanFull(docs, spillDir = Some(dir)).collect()
+    assert(runDirs().count(_.startsWith("tok-")) === 2,
+      s"expected one tok artifact per call, saw: ${runDirs()}")
+    // release after consumption reclaims every run dir of this session
+    val removed = Dedup.releaseSpills(spark)
+    assert(removed >= 2, s"expected >=2 dirs removed, got $removed")
+    assert(runDirs().isEmpty, s"spills survived release: ${runDirs()}")
+    // and the next call still works from a clean slate
+    val again = Dedup.corpusCleanFull(docs, spillDir = Some(dir))
+    assert(again.count() === 30L)
+    Dedup.releaseSpills(spark)
+    assert(runDirs().isEmpty)
+  }
+
   test("bloom prefilter: no false negatives, measured FPR within the gate") {
     val snapshot = (1L to 200L)
       .map(i => (i, s"snapshot document number $i with some shared prose"))
