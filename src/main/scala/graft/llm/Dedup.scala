@@ -131,7 +131,7 @@ object Dedup {
     * sets re-attached per side after; one keyed shuffle per stage.
     */
   def dedupAgainstSnapshot(newDocs: DataFrame, snapshot: DataFrame,
-      minJaccard: Double = 0.5, maxBucket: Int = 50): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val exact = newDocs.select(col("doc_id"), contentHash(col("text")).as("__h"))
       .join(snapshot.select(contentHash(col("text")).as("__h")).distinct(),
         Seq("__h"), "left_semi")
@@ -345,6 +345,12 @@ object Dedup {
   val MinhashBandRows = 2
   val MinhashBands: Int = MinhashK / MinhashBandRows // 16
 
+  /** Default LSH bucket cap (the d3 skew guard). Interpolated into the
+    * shared oracle CTEs so the DuckDB replay can never silently diverge
+    * from the Spark default.
+    */
+  val DefaultMaxBucket = 50
+
   /** MinHash signatures over string shingle rows: hash family h_k(g) =
     * 15-hex-char chunk (k mod 4) of sha256((k div 4) || '|' || g) — 60
     * independent bits per chunk, four chunks per digest, so
@@ -432,7 +438,7 @@ object Dedup {
     *                  that keeps the self-join from going quadratic.
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double = 0.5,
-      maxBucket: Int = 50): DataFrame =
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashPairsTok(tokenize(docs), minJaccard, maxBucket)
 
   /** [[minhashPairs]] from a pre-tokenized (doc_id, ts) frame — lets
@@ -440,7 +446,7 @@ object Dedup {
     * tokenization.
     */
   def minhashPairsTok(toks: DataFrame, minJaccard: Double = 0.5,
-      maxBucket: Int = 50): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Shingle gram rows feed three consumers (signatures + both sides of
     // the verification join) and are deliberately RECOMPUTED per consumer:
     // at 100 TB caching per-doc shingle sets on executors is a memory
@@ -814,7 +820,7 @@ object Dedup {
     s"""$minhashSigCtes, capped AS (
        |  SELECT doc_id, band, bk FROM (
        |    SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS nb FROM banded)
-       |  WHERE nb <= 50
+       |  WHERE nb <= $DefaultMaxBucket
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM capped a JOIN capped b ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
@@ -1294,7 +1300,7 @@ object Dedup {
     // scale (SemDeDup's own remedy: 50k clusters for 100M docs). Verdict
     // is a semi-join back on vec_id.
     sql("d14_semantic_dedup",
-      s"""WITH ${graft.llm.Similarity.kmeansCtes},
+      s"""WITH ${graft.llm.Similarity.kmeansCtes()},
          |norms AS (
          |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
          |), losers AS (
@@ -1313,7 +1319,8 @@ object Dedup {
          |  l.vec_id IS NULL AS keep
          |FROM afin a LEFT JOIN losers l ON l.vec_id = a.vec_id""".stripMargin) { (s, d) =>
       val assign = graft.llm.Similarity
-        .kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
+        .kmeansAssign(Tables.embeddings(s, d),
+          k = graft.llm.Similarity.KmeansRegistryK, iters = 1)
         .select(col("vec_id"), col("cluster_id"))
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val withVec = assign.join(e, Seq("vec_id"))
@@ -1564,7 +1571,7 @@ object Dedup {
         .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""WITH $minhashCandCtes, est AS (
-         |  SELECT c.da, c.db, round(($matches) / 32.0, 6) AS sig_est
+         |  SELECT c.da, c.db, round(($matches) / $MinhashK.0, 6) AS sig_est
          |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
          |               JOIN sig sb ON sb.doc_id = c.db
          |), ex AS (
@@ -1581,7 +1588,7 @@ object Dedup {
       val spreadToks = graft.Tables.spread(tokenize(Tables.documents(s, d)))
       def gramRows = tokenNgramRowsFromTokens(spreadToks, 3)
       val sigs = minhashSignatures(gramRows)
-      val candidates = candidatesFromSigs(sigs, maxBucket = 50)
+      val candidates = candidatesFromSigs(sigs, maxBucket = DefaultMaxBucket)
       val matchCount = (0 until MinhashK)
         .map(k => when(col(s"ma$k") === col(s"mb$k"), 1).otherwise(0))
         .reduce(_ + _)

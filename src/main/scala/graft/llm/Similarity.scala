@@ -508,10 +508,10 @@ object Similarity {
     // because every arithmetic step is pinned cross-engine (6-dp
     // rounded distances, DECIMAL(25,12) sums, one double division).
     sql("s7_kmeans_clusters",
-      s"""WITH $kmeansCtes
+      s"""WITH ${kmeansCtes()}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist FROM afin""".stripMargin
     ) { (s, d) =>
-      kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 1)
+      kmeansAssign(Tables.embeddings(s, d), k = KmeansRegistryK, iters = 1)
     },
 
     // ---- hard-negative mining (contrastive-training data prep) -----------
@@ -569,7 +569,13 @@ object Similarity {
     * decimal-exact Lloyd update — plus `e(vec_id, i, x)`, the exploded
     * double elements, for downstream pairwise math.
     */
-  lazy val kmeansCtes: String = {
+  /** Shared k for the s7/d14 registry queries: both the Spark
+    * `kmeansAssign(k = …)` calls and the oracle CTEs interpolate THIS
+    * value, so the two engines cannot silently diverge on k.
+    */
+  val KmeansRegistryK = 8
+
+  def kmeansCtes(k: Int = KmeansRegistryK): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     s"""e AS (
        |  SELECT vec_id, unnest(range(len(embedding))) AS i,
@@ -582,7 +588,7 @@ object Similarity {
        |              FROM embeddings) t) h
        |), c0 AS (
        |  SELECT s.cid, e.i, e.x AS c
-       |  FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.cid < 8
+       |  FROM seeds s JOIN e ON e.vec_id = s.vec_id WHERE s.cid < $k
        |), d0 AS (
        |  SELECT e.vec_id, c.cid,
        |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist

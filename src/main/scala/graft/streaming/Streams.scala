@@ -144,24 +144,52 @@ object Streams {
   /** Streaming funnel: q69 as `mapGroupsWithState` — per-user hop
     * timestamps live in Spark-managed keyed state; each micro-batch's
     * events are folded in event-time order on top of the carried state,
-    * and the user's CURRENT stage is emitted (Update mode). Assumes
-    * batches arrive in event-time order per user (the webhook-retry
-    * horizon is st6's problem; an out-of-order hop event older than a
-    * completed hop is ignored, matching the batch fold's first-wins
-    * rule). State is 3 optional longs per user — bounded, watermark-free.
+    * and the user's CURRENT stage is emitted (Update mode). State is 3
+    * optional longs per user; with `idleTimeout = Some(d)`, users idle
+    * for `d` of processing time expire (state bounded by the ACTIVE
+    * user set — the setting any 100 TB deployment wants, since
+    * NoTimeout state grows with lifetime user cardinality). On expiry
+    * the user's last stage is re-emitted and the state removed; a user
+    * re-appearing later restarts at stage 0 — that TTL boundary, and
+    * the cross-batch out-of-order boundary (a hop event delivered in an
+    * EARLIER micro-batch than its predecessor hop cannot advance the
+    * funnel, while the batch fold's global sort would count it), are
+    * the two documented divergences from q69 (StatefulSpec pins both).
+    * Within a batch, events fold in event-time order; an out-of-order
+    * hop older than a completed hop is ignored, matching the batch
+    * fold's first-wins rule.
+    *
+    * `idleTimeout = None` (the default) keeps NoTimeout semantics. The
+    * default is None for a HARNESS reason, not a scale one: with a
+    * processing-time timeout, every trigger legitimately requires
+    * another micro-batch (timers must be re-checked), so
+    * `processAllAvailable()` — the standard test/backfill
+    * synchronization point — never observes "no new data" and blocks
+    * forever. Callers that opt in must synchronize on sink contents,
+    * not on processAllAvailable.
     */
   def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
-      winUs: Long = 86400000000L): org.apache.spark.sql.Dataset[(Long, Long)] = {
+      winUs: Long = 86400000000L,
+      idleTimeout: Option[String] = None): org.apache.spark.sql.Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val mode = idleTimeout.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(mode) {
         (uid: Long, rows: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
-          val init = gs.getOption.getOrElse(FunnelState(None, None, None))
-          val fin = rows.toSeq.sortBy(e => (e.us, e.et))
-            .foldLeft(init)((s, e) => funnelAdvance(s, e.et, e.us, winUs))
-          gs.update(fin)
-          (uid, fin.stage)
+          if (gs.hasTimedOut) {
+            val last = gs.getOption.map(_.stage).getOrElse(0L)
+            gs.remove()
+            (uid, last)
+          } else {
+            val init = gs.getOption.getOrElse(FunnelState(None, None, None))
+            val fin = rows.toSeq.sortBy(e => (e.us, e.et))
+              .foldLeft(init)((s, e) => funnelAdvance(s, e.et, e.us, winUs))
+            gs.update(fin)
+            idleTimeout.foreach(gs.setTimeoutDuration)
+            (uid, fin.stage)
+          }
       }
   }
 

@@ -15,6 +15,13 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // checkpoint-file checksums guard against corruption on real
+      // cluster filesystems; over local /tmp they only multiply file ops,
+      // and each extra rename forks a `readlink` subprocess through
+      // Hadoop's RawLocalFileSystem — observed to stall a stateful-
+      // timeout commit for 15+ minutes in this JVM. Tests don't need
+      // corruption detection; production sessions keep the default.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

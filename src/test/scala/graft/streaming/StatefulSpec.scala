@@ -176,4 +176,70 @@ class StatefulSpec extends SparkSpec {
     assert(streamed === batch,
       "streaming funnel state diverged from the batch fold across the batch cut")
   }
+
+  test("funnel state TTL and the cross-batch out-of-order boundary") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.FunnelEvent
+    val src = Files.createTempDirectory("funnel-ttl-src").toString
+    def write(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(src, file),
+        rows.map { case (u, t, us) => s"$u,$t,$us" }.mkString("\n"))
+    val base = 1700000000000000L
+    // user 1: view in batch 1, then IDLE past the TTL — its state must
+    // expire, so the click in batch 3 folds from empty state (stage 0).
+    // user 7: click delivered in batch 1, its view only in batch 2 —
+    // cross-batch OUT-OF-ORDER. The batch fold's global sort would give
+    // stage 2; the stream cannot revisit the earlier batch's click, so
+    // it lands at stage 1. Both boundaries are the documented contract.
+    write("b1.txt", Seq((1L, "view", base), (7L, "click", base + 200L)))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).cast("long").as("userId"),
+        col("p").getItem(1).as("et"),
+        col("p").getItem(2).cast("long").as("us"))
+      .as[FunnelEvent]
+    val q = Streams.funnelStream(stream, idleTimeout = Some("1 second"))
+      .toDF("user_id", "stage").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_ttl_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    // With a processing-time timeout every trigger requires another
+    // batch (timers re-check), so processAllAvailable never latches "no
+    // new data" — synchronize on SINK CONTENTS with a deadline instead
+    // (the contract funnelStream's scaladoc documents for opt-in users).
+    def awaitRow(what: String)(pred: Map[Long, Long] => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ({
+        val rows = spark.table("funnel_ttl_out").collect()
+        val latest = rows.zipWithIndex.groupBy(_._1.getLong(0)).view
+          .mapValues(_.maxBy(_._2)._1.getLong(1)).toMap
+        if (pred(latest)) false
+        else if (System.nanoTime() > deadline)
+          fail(s"timed out waiting for $what; sink: $latest")
+        else { Thread.sleep(200); true }
+      }) ()
+    }
+    try {
+      awaitRow("batch 1 (view for 1, orphan click for 7)")(m =>
+        m.get(1L).contains(1L) && m.contains(7L))
+      Thread.sleep(1500) // let users 1 and 7 pass the 1s idle TTL
+      write("b2.txt", Seq((7L, "view", base + 100L)))
+      awaitRow("user 7's late view")(m => m.get(7L).contains(1L))
+      Thread.sleep(1500)
+      write("b3.txt", Seq((1L, "click", base + 300L), (9L, "view", base)))
+      awaitRow("batch 3 (click for expired 1, view for 9)")(m =>
+        m.contains(9L) && m.get(1L).contains(0L))
+    } finally q.stop()
+    val rows = spark.table("funnel_ttl_out").collect()
+    val latest = rows.zipWithIndex.groupBy(_._1.getLong(0)).view
+      .mapValues(_.maxBy(_._2)._1.getLong(1)).toMap
+    // TTL boundary: user 1's view expired before its click arrived
+    assert(latest(1L) === 0L, s"user 1 state should have expired: $latest")
+    // out-of-order boundary: user 7's earlier-batch click cannot advance
+    // the funnel once the view arrives (and its pre-view state also
+    // expired by batch 3, leaving the view-only stage)
+    assert(latest(7L) === 1L, s"user 7 should be view-only: $latest")
+    assert(latest(9L) === 1L)
+  }
 }
