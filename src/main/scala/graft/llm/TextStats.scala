@@ -33,6 +33,55 @@ object TextStats {
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as")
 
+  /** Shared bigram-LM CTE prefix (t17/t20's oracle front): ends with
+    * `sc(doc_id, lp)`, one row per bigram occurrence with its smoothed
+    * log-probability.
+    */
+  private val bigramLmCtes: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+      |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      |  FROM documents
+      |), big AS (
+      |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+      |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |), bc AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1
+      |), v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz FROM tok),
+      |sc AS (
+      |  SELECT g.doc_id, ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.vsz)) AS lp
+      |  FROM big g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      |  JOIN uc ON uc.w1 = g.w1, v
+      |)""".stripMargin
+
+  /** Per-doc mean bigram log-prob under the corpus-trained add-0.5
+    * smoothed LM — t17's frame, shared with t20's bucket assignment.
+    * Columns: (doc_id, n_bigrams, avg_logprob). See the t17 registry
+    * entry for the scale shape.
+    */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w2", lead(col("t"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("t").as("w1"), col("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("t")).as("vsz"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("vsz"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Per-language stopword dictionary for the language-ID heuristic. */
   val stopwordDict: Seq[(String, String)] =
     enStopwords.map(("en", _)) ++
@@ -571,44 +620,50 @@ object TextStats {
     // vocabulary is itself TB-scale). The only broadcast is the 1-row
     // vocabulary size. 6-dp rounding absorbs partial-sum order.
     sql("t17_bigram_logprob",
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
-        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
-        |  FROM documents
-        |), big AS (
-        |  SELECT a.doc_id, a.t AS w1, b.t AS w2
-        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |), bc AS (
-        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
-        |), uc AS (
-        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1
-        |), v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vsz FROM tok),
-        |sc AS (
-        |  SELECT g.doc_id, ln((bc.c2 + 0.5) / (uc.c1 + 0.5 * v.vsz)) AS lp
-        |  FROM big g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
-        |  JOIN uc ON uc.w1 = g.w1, v
-        |)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(sum(lp) / count(*), 6) AS avg_logprob
-        |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val big = toks
-        .withColumn("w2", lead(col("t"), 1).over(w))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("t").as("w1"), col("w2"))
-      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val v = toks.agg(countDistinct(col("t")).as("vsz"))
-      big.join(bc, Seq("w1", "w2"))
-        .join(uc, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("vsz"))).as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+      s"""WITH $bigramLmCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(sum(lp) / count(*), 6) AS avg_logprob
+         |FROM sc GROUP BY doc_id""".stripMargin) { (s, d) =>
+      bigramLogprob(s, d)
+    },
+
+    // ---- perplexity buckets: the CCNet head/middle/tail split ------------
+    // The standard corpus-quality partition: score every doc with the
+    // corpus-trained bigram LM (t17's frame, shared code AND shared
+    // oracle CTEs) and split the corpus at the terciles of avg_logprob —
+    // `head` (most fluent third) / `middle` / `tail` (candidates for
+    // down-sampling or drop). Thresholds are EXACT interpolated
+    // percentiles over the 6-dp-rounded scores (both engines interpolate
+    // rank q·(n−1) linearly; rounding both the inputs and the boundary
+    // pins cross-engine equality — the q38 precedent). Scale shape:
+    // t17's keyed shuffles plus ONE exact-percentile aggregation whose
+    // buffer is bounded by the distinct rounded scores; at 100 TB swap
+    // in approx_percentile (the q64 sketch path) — a 1-scalar change on
+    // the same plan. The 2-value threshold row rides a broadcast
+    // cross-join (parameter-bounded, never corpus-sized).
+    sql("t20_perplexity_buckets",
+      s"""WITH $bigramLmCtes, d AS (
+         |  SELECT doc_id, round(sum(lp) / count(*), 6) AS avg_logprob
+         |  FROM sc GROUP BY doc_id
+         |), th AS (
+         |  SELECT round(quantile_cont(avg_logprob, 1.0/3.0), 6) AS q33,
+         |         round(quantile_cont(avg_logprob, 2.0/3.0), 6) AS q67
+         |  FROM d
+         |)
+         |SELECT d.doc_id, d.avg_logprob,
+         |  CASE WHEN d.avg_logprob >= th.q67 THEN 'head'
+         |       WHEN d.avg_logprob >= th.q33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM d, th""".stripMargin) { (s, d) =>
+      val lp = bigramLogprob(s, d).select(col("doc_id"), col("avg_logprob"))
+      val th = lp.agg(
+        round(percentile(col("avg_logprob"), lit(1.0 / 3)), 6).as("q33"),
+        round(percentile(col("avg_logprob"), lit(2.0 / 3)), 6).as("q67"))
+      lp.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("avg_logprob"),
+          when(col("avg_logprob") >= col("q67"), "head")
+            .when(col("avg_logprob") >= col("q33"), "middle")
+            .otherwise("tail").as("bucket"))
     },
 
     // ---- n-gram novelty: curriculum signal for corpus ordering -----------

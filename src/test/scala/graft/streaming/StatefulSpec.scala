@@ -177,6 +177,116 @@ class StatefulSpec extends SparkSpec {
       "streaming funnel state diverged from the batch fold across the batch cut")
   }
 
+  test("ordered funnel equals the batch fold under seeded shuffled delivery") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.FunnelEvent
+    val sfDir = sf
+    // the SAME corpus as the in-order equality test, but delivery order
+    // is randomly shuffled ACROSS micro-batches — the configuration
+    // where plain funnelStream's documented boundary diverges; the
+    // watermark-buffered form must still match the batch fold exactly
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val shuffled = new scala.util.Random(11).shuffle(ev.toSeq)
+    val maxUs = ev.map(_._3).max
+    // equality holds for any delivery whose delay is within `lateness`;
+    // a full shuffle can displace an event by the whole corpus span, so
+    // the lateness horizon must cover it
+    val spanDays = ((maxUs - ev.map(_._3).min) / 86400000000L + 2).toString + " days"
+    val src = Files.createTempDirectory("funnel-ord-src").toString
+    def write(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(src, file),
+        rows.map { case (u, t, us) => s"$u,$t,$us" }.mkString("\n"))
+    val third = (shuffled.length + 2) / 3
+    shuffled.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      write(s"b$i.txt", chunk)
+    }
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).cast("long").as("userId"),
+        col("p").getItem(1).as("et"),
+        col("p").getItem(2).cast("long").as("us"))
+      .as[FunnelEvent]
+    val q = Streams.funnelStreamOrdered(stream, lateness = spanDays)
+      .toDF("user_id", "stage").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_ord_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // flush: one far-future dummy event advances the watermark past
+      // every real event, ripening all held state via event-time timers
+      write("flush.txt", Seq((-1L, "other", maxUs + 400L * 86400000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_ord_out").collect()
+    val streamed = rows.zipWithIndex.groupBy(_._1.getLong(0)).view
+      .mapValues(_.maxBy(_._2)._1.getLong(1)).toMap - (-1L)
+    val batch = graft.SparkEntry.registry.find(_.name == "q69_event_funnel").get
+      .run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "ordered streaming funnel diverged from the batch fold under shuffled delivery")
+  }
+
+  test("ordered funnel ripens incrementally and recovers the cross-batch hop") {
+    import graft.streaming.Streams
+    import graft.streaming.Streams.FunnelEvent
+    val src = Files.createTempDirectory("funnel-inc-src").toString
+    def write(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(src, file),
+        rows.map { case (u, t, us) => s"$u,$t,$us" }.mkString("\n"))
+    val base = 1700000000000000L
+    def t(i: Int): Long = base + i * 1000000L
+    // user 100's click is delivered a batch BEFORE its view — the exact
+    // shape plain funnelStream documents as divergent (it would land at
+    // stage 1: the orphan click is unusable by the time the view
+    // arrives, and the purchase finds no click). The ordered form
+    // buffers inside the 2 s lateness horizon and folds via event-time
+    // timers as the watermark advances. An event can never fold in its
+    // own arrival batch (kept means ts > wm, ripe means ts <= wm), so
+    // ripening is necessarily staged across batches: b3's junk event
+    // advances the watermark to t3, folding view+click (stage 2,
+    // purchase still held); the flush then completes the chain
+    // (stage 3). The intermediate 2 is asserted — partial per-user
+    // ripening, not one big flush.
+    write("b0.txt", Seq((100L, "click", t(2))))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).cast("long").as("userId"),
+        col("p").getItem(1).as("et"),
+        col("p").getItem(2).cast("long").as("us"))
+      .as[FunnelEvent]
+    val q = Streams.funnelStreamOrdered(stream, lateness = "2 seconds")
+      .toDF("user_id", "stage").writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_inc_out")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      write("b1.txt", Seq((100L, "view", t(1))))   // wm=t0: kept, held
+      q.processAllAvailable()
+      write("b2.txt", Seq((100L, "purchase", t(5))))
+      q.processAllAvailable()
+      write("b3.txt", Seq((400L, "other", t(8)))) // wm t3: view+click ripen
+      q.processAllAvailable()
+      write("b4.txt", Seq((999L, "other", t(8) + 3600L * 1000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("funnel_inc_out").collect()
+    val hundred = rows.filter(_.getLong(0) == 100L).map(_.getLong(1)).toSeq
+    val latest = rows.zipWithIndex.groupBy(_._1.getLong(0)).view
+      .mapValues(_.maxBy(_._2)._1.getLong(1)).toMap
+    assert(latest(100L) === 3L,
+      s"ordered funnel failed to recover the early-delivered click: $latest / $hundred")
+    assert(hundred.contains(2L),
+      s"no partial ripening observed (expected an intermediate stage 2): $hundred")
+    assert(latest(400L) === 0L) // other-type events establish presence only
+  }
+
   test("funnel state TTL and the cross-batch out-of-order boundary") {
     import graft.streaming.Streams
     import graft.streaming.Streams.FunnelEvent
