@@ -554,7 +554,7 @@ object Dedup {
     * unshared file:/tmp would break (or silently partial-read) the
     * write/read cycle, so refuse loudly.
     */
-  private def spillBase(spark: SparkSession, spillDir: Option[String],
+  private[llm] def spillBase(spark: SparkSession, spillDir: Option[String],
       what: String): String =
     spillDir
       .orElse(spark.sparkContext.getCheckpointDir)
@@ -578,7 +578,7 @@ object Dedup {
   private val sessionTag: String =
     java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
 
-  private def runDirName(prefix: String): String =
+  private[llm] def runDirName(prefix: String): String =
     s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
 
   /** Run dirs created by THIS session whose returned plans may still be
@@ -588,7 +588,7 @@ object Dedup {
     */
   private val liveSpills = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private def trackSpill(dir: String): String = { liveSpills.add(dir); dir }
+  private[llm] def trackSpill(dir: String): String = { liveSpills.add(dir); dir }
 
   /** Delete every spill directory this session has created so far. The
     * CALLER asserts the plans those spills back are fully consumed — a
@@ -633,7 +633,8 @@ object Dedup {
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
         val foreignRun =
-          (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-")) &&
+          (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-") ||
+            n.startsWith("lm-")) &&
             !n.contains(sessionTag)
         if (foreignRun && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)

@@ -655,7 +655,16 @@ object TextStats {
          |       WHEN d.avg_logprob >= th.q33 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM d, th""".stripMargin) { (s, d) =>
-      val lp = bigramLogprob(s, d).select(col("doc_id"), col("avg_logprob"))
+      // the lp frame feeds BOTH the threshold aggregate and the output
+      // row set; consumed twice from a live plan it would re-run the
+      // corpus-wide bigram pipeline (the dominant cost) once per
+      // consumer — spill the doc-level scores once (the d20 pattern;
+      // same session spill ledger, released by Verify/Bench per query)
+      val lmDir = Dedup.trackSpill(
+        s"${Dedup.spillBase(s, None, "t20_perplexity_buckets")}/${Dedup.runDirName("lm")}")
+      bigramLogprob(s, d).select(col("doc_id"), col("avg_logprob"))
+        .write.mode("overwrite").parquet(lmDir)
+      val lp = s.read.parquet(lmDir)
       val th = lp.agg(
         round(percentile(col("avg_logprob"), lit(1.0 / 3)), 6).as("q33"),
         round(percentile(col("avg_logprob"), lit(2.0 / 3)), 6).as("q67"))

@@ -489,4 +489,30 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"cohort sizes at offset ${r.getLong(0)} sum to ${r.getLong(1)}, not $total"))
     } finally out.unpersist()
   }
+
+  test("t20 perplexity buckets: terciles balanced, scores strictly ordered by bucket") {
+    val out = run("t20_perplexity_buckets").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = out.length
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // exact interpolated terciles: bucket sizes within rounding of n/3
+    byBucket.foreach { case (b, xs) =>
+      assert(math.abs(xs.length - n / 3.0) <= 2.0,
+        s"bucket $b has ${xs.length} of $n docs — not a tercile")
+    }
+    // the partition is BY SCORE: every head doc scores at least every
+    // middle doc, every middle at least every tail
+    assert(byBucket("head").min >= byBucket("middle").max,
+      "a middle doc outscores a head doc")
+    assert(byBucket("middle").min >= byBucket("tail").max,
+      "a tail doc outscores a middle doc")
+    // scores are t17's (shared frame): spot-check equality per doc
+    val t17 = run("t17_bigram_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach { case (id, lp, _) =>
+      assert(t17(id) === lp, s"t20 score diverges from t17 for doc $id")
+    }
+    graft.llm.Dedup.releaseSpills(spark)
+  }
 }

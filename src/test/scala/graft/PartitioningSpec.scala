@@ -303,4 +303,27 @@ class PartitioningSpec extends SparkSpec {
         r.getLong(4) === r.getLong(1), s"ranks not 1..n: $r")
     }
   }
+
+  test("t20 reads the lm score artifact twice, never the raw corpus twice") {
+    // The lp frame feeds both the percentile aggregate and the output
+    // rows. Without the spill, each consumer re-runs the corpus-wide
+    // bigram pipeline — 2x the dominant cost at 100 TB. The returned
+    // plan must read ONLY the doc-level lm- artifact (same root-path
+    // technique as the t15 assertion; plan strings truncate).
+    val q = SparkEntry.registry.find(_.name == "t20_perplexity_buckets").get
+    val df = q.run(spark, sf)
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.forall(_.contains("/lm-")),
+      s"t20's returned plan must scan only the lm artifact: $roots")
+    // and the artifact is genuinely consumed twice (threshold + output)
+    assert(roots.count(_.contains("/lm-")) === 2, s"expected 2 artifact reads: $roots")
+    graft.llm.Dedup.releaseSpills(spark)
+  }
 }
