@@ -41,6 +41,82 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosineF32(a, b)
 
+  /** s9 constants, shared by the Spark side and the oracle CTE builder
+    * so the two engines can never diverge on the greedy arithmetic.
+    */
+  val MmrLambda = 0.7
+  val MmrN = 10
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance diverse top-k: from each anchor's
+    * `n` nearest candidates, greedily select `k` maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard re-rank that
+    * keeps a retrieval/context set from collapsing onto near-duplicates
+    * (the selection step of a RAG context builder or a diverse
+    * few-shot-example miner). Greedy is inherently sequential in k, so
+    * the operator runs k bounded stages; each stage's pick spills to
+    * parquet (the recompute-over-cache posture) and the next stage reads
+    * the artifacts — plans stay LINEAR in k instead of re-deriving the
+    * whole selection tree 3^k times through self-references. All frames
+    * are (|anchors|·n)-scale and shuffle on qid (n² pairwise rows per
+    * anchor, n=10 → 90); nothing corpus² ever materializes. Selection
+    * ranks on 6-dp-ROUNDED scores with vid tiebreaks (the d14/s7
+    * bit-stability rule) so both engines pick identical sets.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, n: Int = MmrN,
+      k: Int = MmrK, lambda: Double = MmrLambda): DataFrame = {
+    val s = queries.sparkSession
+    val dir = Dedup.trackSpill(
+      s"${Dedup.spillBase(s, None, "mmrTopK")}/${Dedup.runDirName("mmr")}")
+    bruteTopK(queries, corpus, n)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("rel"))
+      .write.mode("overwrite").parquet(s"$dir/cand")
+    val cand = s.read.parquet(s"$dir/cand")
+    val ce = cand.select(col("qid"), col("vid"))
+      .join(corpus.select(col("vec_id").as("vid"), col("embedding").as("e")), Seq("vid"))
+    val av = ce.select(col("qid"), col("vid").as("va"), col("e").as("ea"))
+    val bv = ce.select(col("qid"), col("vid").as("vb"), col("e").as("eb"))
+    av.join(bv, Seq("qid")).filter(col("va") =!= col("vb"))
+      .select(col("qid"), col("va"), col("vb"),
+        round(cosine(col("ea"), col("eb")), 6).as("psim"))
+      .write.mode("overwrite").parquet(s"$dir/cpair")
+    val cpair = s.read.parquet(s"$dir/cpair")
+    // λ·rel over a 6-dp rel is an EXACT 7-decimal value — a systematic
+    // round-half boundary where double rounding diverges cross-engine
+    // (Spark rounds the shortest decimal rendering, DuckDB the binary
+    // value). The score arithmetic therefore runs in exact DECIMAL on
+    // both sides (the repo's boundary-math rule), cast to double after
+    // the 6-dp round.
+    val lamD = lit(scala.math.BigDecimal(lambda.toString))
+    val oneMinusD = lit(BigDecimal(1) - BigDecimal(lambda.toString))
+    def dec(c: Column): Column = c.cast("decimal(18,6)")
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vid"))
+    cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("vid"), col("rel"), lit(1L).as("mmr_rank"),
+        round(lamD * dec(col("rel")), 6).cast("double").as("score"))
+      .write.mode("overwrite").parquet(s"$dir/sel1")
+    for (step <- 2 to k) {
+      val selected = s.read.parquet((1 until step).map(i => s"$dir/sel$i"): _*)
+      val maxsim = cpair
+        .join(selected.select(col("qid"), col("vid").as("vb")), Seq("qid", "vb"))
+        .groupBy(col("qid"), col("va")).agg(max(col("psim")).as("maxsim"))
+        .withColumnRenamed("va", "vid")
+      val sc = cand
+        .join(selected.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
+        .join(maxsim, Seq("qid", "vid"))
+        .select(col("qid"), col("vid"), col("rel"),
+          round(lamD * dec(col("rel")) - oneMinusD * dec(col("maxsim")), 6)
+            .cast("double").as("score"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+      sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vid"), col("rel"),
+          lit(step.toLong).as("mmr_rank"), col("score"))
+        .write.mode("overwrite").parquet(s"$dir/sel$step")
+    }
+    s.read.parquet((1 to k).map(i => s"$dir/sel$i"): _*)
+      .select(col("qid"), col("vid"), col("mmr_rank"), col("rel"), col("score"))
+  }
+
   /** Brute-force cosine top-k: exact, O(|queries|·|corpus|) — the baseline
     * and the verifier for approximate variants.
     */
@@ -560,6 +636,79 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid").as("anchor_id"), col("vid").as("hard_neg_id"), col("sim"))
+    },
+
+    // ---- MMR diverse top-k (the context-set selection re-rank) -----------
+    // See [[mmrTopK]]. The oracle unrolls the k−1 greedy steps as CTEs
+    // (greedy has no closed relational form — the unroll IS the
+    // definition, bounded by the fixed k); λ, n and k interpolate from
+    // the SAME constants the Spark side uses, and (1 − λ) is written as
+    // an expression so both engines compute the identical double.
+    sql("s9_mmr_topk", {
+      // DECIMAL λ literals: duck's bare 0.7/0.3 are DECIMAL(2,1), so the
+      // score arithmetic is exact on both engines (see mmrTopK's note)
+      val lam = MmrLambda.toString
+      val oneMinus = (BigDecimal(1) - BigDecimal(MmrLambda.toString)).toString
+      val steps = (2 to MmrK).map { k =>
+        s"""sc$k AS (
+           |  SELECT c.qid, c.vid, c.rel,
+           |    CAST(round($lam * CAST(c.rel AS DECIMAL(18,6))
+           |      - $oneMinus * CAST(max(p.psim) AS DECIMAL(18,6)), 6) AS DOUBLE) AS score
+           |  FROM cand c
+           |  JOIN cpair p ON p.qid = c.qid AND p.va = c.vid
+           |  JOIN selu${k - 1} s ON s.qid = p.qid AND s.vid = p.vb
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} x
+           |                    WHERE x.qid = c.qid AND x.vid = c.vid)
+           |  GROUP BY c.qid, c.vid, c.rel
+           |), sel$k AS (
+           |  SELECT qid, vid, rel, CAST($k AS BIGINT) AS mmr_rank, score FROM (
+           |    SELECT qid, vid, rel, score,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+           |    FROM sc$k) t WHERE rn = 1
+           |), selu$k AS (SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH elems AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(range(len(embedding))) AS i
+         |  FROM embeddings
+         |), norms AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+         |  FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8
+         |  GROUP BY 1, 2
+         |), sims AS (
+         |  SELECT d.qid, d.vid, d.dot / (nq.nrm * nv.nrm) AS sim
+         |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+         |               JOIN norms nv ON nv.vec_id = d.vid
+         |), cand AS (
+         |  SELECT qid, vid, round(sim, 6) AS rel FROM (
+         |    SELECT qid, vid, sim,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+         |    FROM sims) t WHERE rn <= $MmrN
+         |), cpair AS (
+         |  SELECT a.qid, a.vid AS va, b.vid AS vb,
+         |    round(sum(ea.x * eb.x) / (na.nrm * nb.nrm), 6) AS psim
+         |  FROM cand a JOIN cand b ON b.qid = a.qid AND b.vid <> a.vid
+         |  JOIN elems ea ON ea.vec_id = a.vid
+         |  JOIN elems eb ON eb.vec_id = b.vid AND eb.i = ea.i
+         |  JOIN norms na ON na.vec_id = a.vid
+         |  JOIN norms nb ON nb.vec_id = b.vid
+         |  GROUP BY a.qid, a.vid, b.vid, na.nrm, nb.nrm
+         |), selu1 AS (
+         |  SELECT qid, vid, rel, CAST(1 AS BIGINT) AS mmr_rank,
+         |         CAST(round(${MmrLambda.toString} * CAST(rel AS DECIMAL(18,6)), 6)
+         |           AS DOUBLE) AS score
+         |  FROM (SELECT qid, vid, rel,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS rn
+         |        FROM cand) t WHERE rn = 1
+         |),
+         |$steps
+         |SELECT qid, vid, mmr_rank, rel, score FROM selu$MmrK""".stripMargin
+    }) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      mmrTopK(e.filter(col("vec_id") < 8), e)
     }
   )
 

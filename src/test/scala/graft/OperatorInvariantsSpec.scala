@@ -515,4 +515,38 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
     graft.llm.Dedup.releaseSpills(spark)
   }
+
+  test("s9 MMR: greedy structure — ranks, candidate membership, monotone scores") {
+    val out = run("s9_mmr_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 8, s"expected 8 anchors, got ${byQ.keySet}")
+    val e = graft.Tables.embeddings(spark, sf)
+    val cand = graft.llm.Similarity
+      .bruteTopK(e.filter(col("vec_id") < 8), e, graft.llm.Similarity.MmrN)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    byQ.foreach { case (qid, rows) =>
+      // exactly k picks, ranks 1..k, all distinct, all from the top-n pool
+      assert(rows.map(_._3).sorted.toSeq === (1L to graft.llm.Similarity.MmrK),
+        s"anchor $qid ranks: ${rows.map(_._3).toSeq}")
+      assert(rows.map(_._2).distinct.length === rows.length,
+        s"anchor $qid repeated a pick")
+      rows.foreach { case (_, vid, _, _, _) =>
+        assert(cand(qid).contains(vid),
+          s"anchor $qid picked $vid outside its top-${graft.llm.Similarity.MmrN} pool")
+      }
+      // the first pick is pure relevance; picks 2..k trade relevance for
+      // diversity, so rank-1 relevance dominates and greedy objective
+      // values never increase (the penalty set only grows)
+      val first = rows.find(_._3 == 1L).get
+      assert(rows.forall(_._4 <= first._4),
+        s"anchor $qid rank-1 is not the relevance argmax")
+      val scores = rows.sortBy(_._3).map(_._5)
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"anchor $qid scores increase with rank: ${scores.toSeq}")
+      }
+    }
+    graft.llm.Dedup.releaseSpills(spark)
+  }
 }
