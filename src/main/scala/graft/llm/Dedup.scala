@@ -634,7 +634,7 @@ object Dedup {
         val n = st.getPath.getName
         val foreignRun =
           (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-") ||
-            n.startsWith("lm-") || n.startsWith("mmr-")) &&
+            n.startsWith("lm-") || n.startsWith("mmr-") || n.startsWith("ivf-")) &&
             !n.contains(sessionTag)
         if (foreignRun && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)

@@ -117,6 +117,78 @@ object Similarity {
       .select(col("qid"), col("vid"), col("mmr_rank"), col("rel"), col("score"))
   }
 
+  /** The IVF tuning curve (s10): recall@k and scanned-candidate fraction
+    * of [[ivfTopK]] at EVERY nprobe in 1..nlist, against the brute-force
+    * baseline — the measurement a deployment reads to pick its
+    * recall/cost point (the s2/s4 gates prove one operating point; this
+    * produces the whole curve from the pipeline itself). Hard invariants
+    * ride IN-QUERY as raise_error gates (the s2/s4 style):
+    * candidate sets grow with nprobe (cells are a partition of the
+    * corpus), so recall and scanned fraction are mathematically
+    * NON-DECREASING, and at nprobe = nlist the probe covers every cell,
+    * so recall must be EXACTLY 1.0.
+    *
+    * Scale shape: the cell assignment (the IVF index itself) and the
+    * exact baseline materialize ONCE to parquet and every nprobe point
+    * reads them — at 100 TB the assignment spill IS the index build, and
+    * the per-point work is a keyed join against it. The curve (nlist
+    * rows) also spills so the monotonicity self-join reads the artifact
+    * instead of re-running nlist aggregate chains twice.
+    */
+  def ivfRecallSweep(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      nlist: Int = 8, seed: Long = 42L): DataFrame = {
+    val s = queries.sparkSession
+    val dir = Dedup.trackSpill(
+      s"${Dedup.spillBase(s, None, "ivfRecallSweep")}/${Dedup.runDirName("ivf")}")
+    val centers = trainCodebook(corpus, nlist, seed)
+    corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    val assigned = s.read.parquet(s"$dir/assigned")
+    bruteTopK(queries, corpus, k).select(col("qid"), col("vid"))
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    val exact = s.read.parquet(s"$dir/exact")
+    val cellSizes = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__csz"))
+    val nCorpus = corpus.count()
+    val nQueries = queries.count()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    (1 to nlist).map { nprobe =>
+      val probes = queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("__probe",
+          explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, nprobe)))
+        .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
+      val approx = assigned.join(broadcast(probes), Seq("__cell"))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+      val hit = approx.join(exact, Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val scanned = probes.join(broadcast(cellSizes), Seq("__cell"))
+        .agg(sum(col("__csz")).as("n_scanned"))
+      hit.crossJoin(scanned).select(
+        lit(nprobe.toLong).as("nprobe"),
+        (col("n_hit").cast("double") / lit(nQueries * k)).as("recall_raw"),
+        (col("n_scanned").cast("double") / lit(nCorpus * nQueries)).as("frac_raw"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/curve")
+    val curve = s.read.parquet(s"$dir/curve")
+    val prev = curve.select((col("nprobe") + 1).as("nprobe"),
+      col("recall_raw").as("prev_recall"), col("frac_raw").as("prev_frac"))
+    curve.join(prev, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        when(col("nprobe") === nlist && col("recall_raw") =!= 1.0,
+          raise_error(concat(lit("IVF full probe must be exact; recall = "),
+            col("recall_raw").cast("string"))))
+          .when(col("prev_recall").isNotNull && col("recall_raw") < col("prev_recall"),
+            raise_error(lit("IVF recall decreased with nprobe")))
+          .otherwise(round(col("recall_raw"), 4)).as("recall"),
+        when(col("prev_frac").isNotNull && col("frac_raw") < col("prev_frac"),
+          raise_error(lit("IVF scanned fraction decreased with nprobe")))
+          .otherwise(round(col("frac_raw"), 6)).as("cand_frac"))
+  }
+
   /** Brute-force cosine top-k: exact, O(|queries|·|corpus|) — the baseline
     * and the verifier for approximate variants.
     */
@@ -284,6 +356,20 @@ object Similarity {
     * Query-time work is all codegen'd expressions (assignment = argmin
     * over the broadcast codebook literals) — no ML-pipeline passes.
     */
+  /** Per-cell distance scores against a trained codebook: argmin of
+    * ||x − c||² computed as −2·x·c + ||c||² (the ||x||² term is constant
+    * per row and cancels in the ranking); ties break on cell id via
+    * struct ordering. Shared by [[ivfTopK]] and [[ivfRecallSweep]].
+    */
+  private def cellScores(centers: Seq[Seq[Double]])(e: Column): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
+      val cnorm2 = c.map(x => x * x).sum
+      struct(
+        (lit(-2.0) * graft.functions.VectorExpressions.arrayDot(e, typedLit(c)) +
+          lit(cnorm2)).as("score"),
+        lit(i).as("cid"))
+    }: _*)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 8, nprobe: Int = 4, seed: Long = 42L,
       cacheKey: Option[String] = None): DataFrame = {
@@ -293,22 +379,12 @@ object Similarity {
       case None => trainCodebook(corpus, nlist, seed)
     }
 
-    // nearest cells: argmin of ||x - c||² over the tiny codebook, computed
-    // as -2·x·c + ||c||² (the ||x||² term is constant per row and cancels
-    // in the ranking); ties break on cell id via struct ordering
-    def scored(e: Column) = array(centers.zipWithIndex.map { case (c, i) =>
-      val cnorm2 = c.map(x => x * x).sum
-      struct(
-        (lit(-2.0) * graft.functions.VectorExpressions.arrayDot(e, typedLit(c)) +
-          lit(cnorm2)).as("score"),
-        lit(i).as("cid"))
-    }: _*)
-
     val assigned = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-      array_min(scored(col("embedding"))).getField("cid").as("__cell"))
+      array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
     val qProbes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("__probe", explode(slice(array_sort(scored(col("qe"))), 1, nprobe)))
+      .withColumn("__probe",
+        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, nprobe)))
       .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
@@ -709,6 +785,17 @@ object Similarity {
     }) { (s, d) =>
       val e = Tables.embeddings(s, d)
       mmrTopK(e.filter(col("vec_id") < 8), e)
+    },
+
+    // ---- IVF recall/cost curve (the ANN tuning measurement) --------------
+    // See [[ivfRecallSweep]]. rows-only by design: the quantitative
+    // criteria (recall monotone in nprobe, scanned fraction monotone,
+    // EXACT 1.0 recall at full probe) ride in-query as raise_error
+    // gates — the s2/s4 pattern; a DuckDB replay of seeded k-means++
+    // training would only restate the Scala, not independently verify it.
+    OpQuery.rowsOnly("s10_ivf_recall_curve") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      ivfRecallSweep(e.filter(col("vec_id") < 8), e)
     }
   )
 

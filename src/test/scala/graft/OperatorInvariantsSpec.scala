@@ -549,4 +549,20 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
     graft.llm.Dedup.releaseSpills(spark)
   }
+
+  test("s10 IVF curve: one row per nprobe, monotone, exact at full probe") {
+    // the in-query raise_error gates enforce these during every Verify
+    // run; this spec re-derives them independently from the output rows
+    val rows = run("s10_ivf_recall_curve").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 8L), s"nprobe points: ${rows.map(_._1).toSeq}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall fell from $a to $b")
+      assert(b._3 >= a._3, s"scanned fraction fell from $a to $b")
+    }
+    assert(rows.last._2 === 1.0, "full probe is not exact")
+    assert(rows.last._3 === 1.0, "full probe does not scan the whole corpus")
+    assert(rows.head._3 < 0.5, "nprobe=1 should scan a minority of the corpus")
+    graft.llm.Dedup.releaseSpills(spark)
+  }
 }
