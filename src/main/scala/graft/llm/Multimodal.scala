@@ -70,6 +70,56 @@ object Multimodal {
     }
   }
 
+  /** m5 constants, shared by the stub and the oracle CTE string. */
+  val LmkFrame = 64     // bytes per "audio frame"
+  val LmkBands = 8      // energy bands per frame
+  val LmkMaxDelta = 2   // landmark pairs span 1..this many frames
+  val LmkBucketCap = 50 // inverted-index skew guard (the d3 cap)
+  val LmkMinShared = 5  // pairs below this many shared landmarks drop
+
+  /** ======= STUB — replace with a real spectral peak finder =======
+    * Deterministic fake "audio fingerprint" landmarks for one payload —
+    * the Shazam-style constellation scheme with byte-band energies
+    * standing in for FFT bins: frame the payload ([[LmkFrame]] bytes),
+    * take each frame's top-2 energy bands (ties to the lower band) as
+    * its state, and emit the DISTINCT hashed (state_a, state_b, delta)
+    * keys for frame pairs up to [[LmkMaxDelta]] apart. A real
+    * implementation swaps the band energies for spectrogram peaks; the
+    * landmark/key/matching contract is unchanged.
+    */
+  def audioLandmarkStub(payload: Array[Byte]): Array[Int] = {
+    val nF = if (payload == null) 0 else payload.length / LmkFrame
+    if (nF <= 0) return Array.empty
+    val states = new Array[Int](nF)
+    var f = 0
+    while (f < nF) {
+      val en = new Array[Long](LmkBands)
+      var j = f * LmkFrame
+      while (j < (f + 1) * LmkFrame) { en(j % LmkBands) += (payload(j) & 0xff).toLong; j += 1 }
+      var p1 = 0
+      var b = 1
+      while (b < LmkBands) { if (en(b) > en(p1)) p1 = b; b += 1 }
+      var p2 = -1
+      b = 0
+      while (b < LmkBands) { if (b != p1 && (p2 == -1 || en(b) > en(p2))) p2 = b; b += 1 }
+      states(f) = p1 * LmkBands + p2
+      f += 1
+    }
+    val keys = scala.collection.mutable.SortedSet.empty[Int]
+    val nStates = LmkBands * LmkBands
+    var i = 0
+    while (i < nF) {
+      var d = 1
+      while (d <= LmkMaxDelta) {
+        if (i + d < nF)
+          keys += (states(i) * nStates + states(i + d)) * LmkMaxDelta + (d - 1)
+        d += 1
+      }
+      i += 1
+    }
+    keys.toArray
+  }
+
   /** ======= STUB — replace with a real resampler =======
     * "Resize": deterministic stride-subsample of the payload to at most
     * `targetBytes` bytes — stands in for image resize (the byte-budget
@@ -316,6 +366,93 @@ object Multimodal {
         .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
           expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
+    },
+
+    // ---- audio-fingerprint near-dup (landmark constellation) -------------
+    // The Shazam-scheme shape m4's banded hamming can't give: matching
+    // via an INVERTED INDEX of hashed landmark keys (top-2-band states
+    // of frame pairs, [[audioLandmarkStub]] — the FFT-peak stand-in), so
+    // a pair matches on shared local structure rather than one global
+    // bit signature. Scale shape: landmark keys meet in ONE keyed
+    // shuffle with the d3 bucket cap (a hot landmark shared by
+    // everything is noise, not signal); ids-only through the self-join;
+    // sizes re-attach per side after. The oracle replays the stub's
+    // arithmetic byte-for-byte from the hex payload.
+    sql("m5_audio_fingerprint", {
+      val nStates = LmkBands * LmkBands
+      val deltas = (1 to LmkMaxDelta).mkString(", ")
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+         |         octet_length(coalesce(encode(text), encode(''))) AS n
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, n,
+         |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+         |      FOR i IN range(n) ] AS bytes
+         |  FROM b
+         |), fr AS (
+         |  SELECT doc_id, f, bnd,
+         |    coalesce(list_sum([bytes[j + 1] FOR j IN range(f*$LmkFrame, (f+1)*$LmkFrame)
+         |      IF j % $LmkBands = bnd]), 0) AS en
+         |  FROM e, unnest(range(n // $LmkFrame)) AS tf(f), unnest(range($LmkBands)) AS tb(bnd)
+         |), st AS (
+         |  SELECT doc_id, f,
+         |    max(CASE WHEN rn = 1 THEN bnd END) * $LmkBands
+         |      + max(CASE WHEN rn = 2 THEN bnd END) AS state
+         |  FROM (SELECT doc_id, f, bnd,
+         |          ROW_NUMBER() OVER (PARTITION BY doc_id, f ORDER BY en DESC, bnd) AS rn
+         |        FROM fr) r
+         |  WHERE rn <= 2 GROUP BY doc_id, f
+         |), lmk AS (
+         |  SELECT DISTINCT a.doc_id,
+         |    (a.state * $nStates + c.state) * $LmkMaxDelta + (c.f - a.f - 1) AS key
+         |  FROM st a JOIN st c ON c.doc_id = a.doc_id AND c.f - a.f IN ($deltas)
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS nk FROM lmk GROUP BY doc_id
+         |), capped AS (
+         |  SELECT doc_id, key FROM (
+         |    SELECT doc_id, key, count(*) OVER (PARTITION BY key) AS nb FROM lmk)
+         |  WHERE nb <= $LmkBucketCap
+         |), pairs AS (
+         |  SELECT a.doc_id AS da, c.doc_id AS db, count(*) AS shared
+         |  FROM capped a JOIN capped c ON c.key = a.key AND c.doc_id > a.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.da AS doc_id_a, p.db AS doc_id_b,
+         |  CAST(p.shared AS BIGINT) AS n_shared,
+         |  round(CAST(p.shared AS DOUBLE) / least(na.nk, nb.nk), 6) AS score
+         |FROM pairs p JOIN sizes na ON na.doc_id = p.da
+         |             JOIN sizes nb ON nb.doc_id = p.db
+         |WHERE p.shared >= $LmkMinShared""".stripMargin
+    }) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val lmk = mediaTable(Tables.spread(Tables.documents(s, d)))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, audioLandmarkStub(p)) })
+        .toDF("doc_id", "keys")
+      val ex = lmk.select(col("doc_id"), explode(col("keys")).as("key"))
+      val sizes = lmk.filter(size(col("keys")) > 0)
+        .select(col("doc_id"), size(col("keys")).cast("long").as("nk"))
+      val capped = ex
+        .withColumn("nb", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+        .filter(col("nb") <= LmkBucketCap)
+        .drop("nb")
+      val a = capped.select(col("key"), col("doc_id").as("da"))
+      val c = capped.select(col("key"), col("doc_id").as("db"))
+      a.join(c, Seq("key"))
+        .filter(col("db") > col("da"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= LmkMinShared)
+        .join(sizes.select(col("doc_id").as("da"), col("nk").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("nk").as("nb")), Seq("db"))
+        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+          col("shared").cast("long").as("n_shared"),
+          round(col("shared").cast("double") / least(col("na"), col("nb")), 6).as("score"))
     }
   )
 }

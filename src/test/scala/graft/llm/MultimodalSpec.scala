@@ -72,4 +72,35 @@ class MultimodalSpec extends SparkSpec {
     // 16-char docs have 9 grams → a full 8-slot sketch
     assert(rows(1L)._2 === 8)
   }
+
+  test("audio landmarks: identical payloads collide, short payloads stay silent") {
+    val r = new scala.util.Random(5)
+    // payload bytes must survive the text round-trip, so build from a-z
+    def txtBytes(n: Int) = Array.fill(n)((r.nextInt(26) + 'a').toByte)
+    val song = txtBytes(64 * 10) // 10 frames -> 17 landmark pairs
+    val other = txtBytes(64 * 10)
+    val tiny = txtBytes(40) // under one frame: no landmarks
+    // stub contract: sorted distinct keys inside the hashed key space
+    val k1 = Multimodal.audioLandmarkStub(song)
+    assert(k1.nonEmpty && k1.toSeq === k1.sorted.toSeq && k1.distinct.length === k1.length)
+    val space = Multimodal.LmkBands * Multimodal.LmkBands
+    assert(k1.forall(k => k >= 0 && k < space * space * Multimodal.LmkMaxDelta))
+    assert(Multimodal.audioLandmarkStub(tiny).isEmpty, "sub-frame payload must be silent")
+    assert(k1.toSeq === Multimodal.audioLandmarkStub(song.clone()).toSeq)
+    // the registry op end-to-end on a synthetic corpus: the planted dup
+    // (1,2) matches at score 1.0; the sub-frame doc never appears
+    val docs = Seq(
+      (1L, new String(song, "UTF-8")), (2L, new String(song, "UTF-8")),
+      (3L, new String(other, "UTF-8")), (4L, new String(tiny, "UTF-8"))
+    ).toDF("doc_id", "text").withColumn("source", lit("synth"))
+    val dir = java.nio.file.Files.createTempDirectory("m5docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val op = Multimodal.registry.find(_.name == "m5_audio_fingerprint").get
+    val out = op.run(spark, dir).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)) -> (r2.getLong(2), r2.getDouble(3))).toMap
+    assert(out.contains((1L, 2L)), s"planted dup not found: ${out.keySet}")
+    assert(out((1L, 2L))._2 === 1.0, s"identical payloads must score 1.0: $out")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "a sub-frame payload produced landmarks")
+  }
 }
