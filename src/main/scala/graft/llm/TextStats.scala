@@ -768,6 +768,78 @@ object TextStats {
           round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    },
+
+    // ---- token-budget mixture resampling ---------------------------------
+    // The step between t12's mixture WEIGHTS and an actual training set:
+    // given per-source mixture weights (here 3× for four boosted sources —
+    // the "upweight wiki/books, downsample crawl" recipe) and a global
+    // budget of HALF the corpus tokens, compute each source's acceptance
+    // threshold and take a deterministic hash sample at exactly that
+    // rate. Membership is a pure function of doc_id (q61's hash60
+    // contract): reruns, retries, and partition layout all select the
+    // same docs, and a source whose target exceeds its actual tokens is
+    // kept whole (threshold caps at the modulus). All threshold float
+    // math happens on |sources| rows in one fixed operation order, so
+    // Spark and DuckDB agree bit-for-bit; everything corpus-sized is
+    // integer. Scale: one partial-agg shuffle on source for the totals;
+    // the |sources|-row rate table meets the doc stream in a KEYED join
+    // on source (corpus-derived — no broadcast hint; AQE may still
+    // choose one at real scale), then one more partial agg. The two
+    // 1-row/`|sources|`-row frames ride broadcast cross-joins.
+    sql("t21_token_budget_sample", {
+      val h = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    $h AS hh
+         |  FROM documents
+         |), totals AS (
+         |  SELECT source, sum(n_tok) AS src_tok,
+         |    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         |         THEN 3 ELSE 1 END AS BIGINT) AS w
+         |  FROM docs GROUP BY source
+         |), grand AS (
+         |  SELECT sum(src_tok) AS tot_tok, sum(w) AS sum_w FROM totals
+         |), rates AS (
+         |  SELECT t.source, t.src_tok, t.w,
+         |    least(CAST(1000000 AS BIGINT),
+         |      CAST(floor((500000.0 * g.tot_tok * t.w) / g.sum_w / t.src_tok)
+         |        AS BIGINT)) AS thr
+         |  FROM totals t CROSS JOIN grand g
+         |), kept AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+         |    CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+         |  FROM docs d JOIN rates r ON r.source = d.source
+         |  WHERE d.hh % 1000000 < r.thr GROUP BY d.source
+         |)
+         |SELECT r.source, CAST(r.src_tok AS BIGINT) AS tokens_before, r.w,
+         |  r.thr, coalesce(k.kept_docs, 0) AS kept_docs,
+         |  coalesce(k.kept_tokens, 0) AS kept_tokens
+         |FROM rates r LEFT JOIN kept k ON k.source = r.source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+          Dedup.hash60(col("doc_id").cast("string")).as("hh"))
+      val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("w",
+          when(col("source").isin("src0", "src1", "src2", "src3"), lit(3L))
+            .otherwise(lit(1L)))
+      val grand = totals.agg(sum(col("src_tok")).as("tot_tok"),
+        sum(col("w")).as("sum_w"))
+      val rates = totals.crossJoin(broadcast(grand))
+        .withColumn("thr", least(lit(1000000L),
+          floor(lit(500000.0) * col("tot_tok") * col("w")
+            / col("sum_w") / col("src_tok")).cast("long")))
+      val kept = docs.join(rates.select(col("source"), col("thr")), Seq("source"))
+        .filter(col("hh") % 1000000L < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("src_tok").as("tokens_before"), col("w"),
+          col("thr"), coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     }
   )
 }

@@ -565,4 +565,48 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(rows.head._3 < 0.5, "nprobe=1 should scan a minority of the corpus")
     graft.llm.Dedup.releaseSpills(spark)
   }
+
+  test("t21 token budget: threshold law, cap semantics, independent membership") {
+    val out = run("t21_token_budget_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).distinct.length === out.length, "one row per source")
+    // full driver-side re-derivation: JDK SHA-256 (not the engine's
+    // Sha256Chunks expression), plain Scala tokenization and math
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def ntok(t: String): Long = t.trim.split("\\s+").length.toLong
+    def h60(sx: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val bySrc = docs.groupBy(_._2)
+    val srcTok = bySrc.view.mapValues(_.map(d => ntok(d._3)).sum).toMap
+    val tot = srcTok.values.sum
+    def wOf(s: String) = if (Set("src0", "src1", "src2", "src3")(s)) 3L else 1L
+    val sumW = bySrc.keys.toSeq.map(wOf).sum
+    assert(out.map(_._1).sorted === bySrc.keys.toArray.sorted)
+    out.foreach { case (srcName, before, w, thr, kd, kt) =>
+      assert(w === wOf(srcName), s"$srcName weight")
+      assert(before === srcTok(srcName), s"$srcName tokens_before")
+      val expThr = math.min(1000000L,
+        math.floor(500000.0 * tot * w / sumW / srcTok(srcName)).toLong)
+      assert(thr === expThr, s"$srcName threshold")
+      // membership is a pure function of doc_id — recompute the sample
+      val kept = bySrc(srcName).filter(d => h60(d._1.toString) % 1000000L < thr)
+      assert(kd === kept.length.toLong, s"$srcName kept_docs")
+      assert(kt === kept.map(d => ntok(d._3)).sum, s"$srcName kept_tokens")
+      // a source whose target exceeds its size is kept WHOLE
+      if (thr == 1000000L) {
+        assert(kd === bySrc(srcName).length.toLong, s"$srcName not kept whole")
+        assert(kt === before, s"$srcName tokens not kept whole")
+      }
+    }
+    // the boosted sources must hit the cap or sample above the uniform rate
+    val uniform = out.filter(_._3 == 1L).map(_._4)
+    out.filter(_._3 == 3L).foreach { case (srcName, _, _, thr, _, _) =>
+      assert(uniform.forall(thr > _) || thr == 1000000L,
+        s"boosted $srcName threshold $thr not above uniform thresholds")
+    }
+  }
 }
