@@ -840,6 +840,56 @@ object TextStats {
         .select(col("source"), col("src_tok").as("tokens_before"), col("w"),
           col("thr"), coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    },
+
+    // ---- certified-exact heavy hitters: sketch + recount -----------------
+    // Top-10 corpus tokens WITHOUT a full-vocabulary shuffle: pass 1
+    // reduces every partition to a ≤64-counter Misra–Gries sketch
+    // (merged associatively — O(m·partitions) map entries cross the
+    // wire, vs the open vocabulary t13/t19 must shuffle); pass 2
+    // recounts ONLY the sketch's candidate tokens exactly. The MG merge
+    // bound (undercount ≤ N/(m+1)) certifies the answer: any token
+    // absent from the sketch has true count ≤ N/(m+1), so if the
+    // recounted 10th count exceeds that bound the top-10 is provably
+    // the global top-10 — checked in-query; a corpus that breaks the
+    // certificate raises instead of returning silently-approximate
+    // rows. That makes the full exact-SQL oracle legitimate. The two
+    // bounded driver round-trips (1-row sketch, ≤10-row result rank)
+    // are the sanctioned scalar class; candidates reach pass 2 as ≤64
+    // literals, not a corpus-derived broadcast.
+    sql("t22_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), cts AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+        |)
+        |SELECT t AS token, cnt, CAST(rk AS BIGINT) AS rnk FROM (
+        |  SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rk
+        |  FROM cts) x
+        |WHERE rk <= 10""".stripMargin) { (s, d) =>
+      val m = 64
+      val k = 10
+      val mgf = udaf(new graft.functions.MisraGries(m),
+        org.apache.spark.sql.Encoders.STRING)
+      val tok = Tables.spread(Tables.documents(s, d))
+        .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      val skRow = tok.agg(mgf(col("t")).as("sk"), count(lit(1)).as("n")).head()
+      val cands = skRow.getMap[String, Long](0).keys.toSeq.sorted
+      val n = skRow.getLong(1)
+      val bound = n.toDouble / (m + 1)
+      val top = tok.filter(col("t").isin(cands: _*))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(k)
+      graft.operators.Relational.groupedRowNumber(
+          top.withColumn("__g", lit(0)),
+          Seq("__g"), Seq(col("cnt").desc, col("t")), "rnk")
+        .select(col("t").as("token"),
+          when(col("cnt").cast("double") <= lit(bound),
+            raise_error(concat(lit(s"MG certificate broken (bound $bound): "),
+              col("t"), lit(" cnt="), col("cnt").cast("string"))).cast("long"))
+            .otherwise(col("cnt")).as("cnt"),
+          col("rnk"))
     }
   )
 }
