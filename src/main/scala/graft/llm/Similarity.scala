@@ -476,6 +476,112 @@ object Similarity {
       .select(col("vec_id"), col("cid").cast("long").as("cluster_id"), col("dist"))
   }
 
+  /** Product-quantization ADC top-k (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
+    * IVFPQ memory path): split each vector into `mSub` subvectors,
+    * vector-quantize every subspace against its own `kCent`-centroid
+    * codebook (seeded deterministic init + one decimal-exact Lloyd
+    * round, the s7 recipe per subspace), and store each vector as `mSub`
+    * byte-sized codes — 64 floats (256 B) become 16 codes (16 B) at the
+    * registry parameters. Queries never touch raw corpus vectors:
+    * asymmetric distance = Σ_ss table[ss][code], where the per-query
+    * lookup tables hold EXACT query-to-centroid subdistances. At 100 TB
+    * that's the difference between scanning vectors and scanning codes;
+    * the codebook (mSub·kCent·subdim doubles — parameter-bounded, never
+    * corpus-sized) broadcasts, codes meet the ≤|probes|·mSub·kCent-row
+    * query tables in a keyed broadcast join, and the per-pair sum is one
+    * partial agg. Per-subspace distances are 6-dp rounded and ADC-summed
+    * in DECIMAL(18,6), so partial-sum order cannot flip a rank and the
+    * full pipeline carries an exact DuckDB oracle (`pqCtes`).
+    *
+    * On THIS corpus (near-uniform synthetic embeddings — the s4 note:
+    * neighbor gaps sit inside quantization noise by construction)
+    * recall@5 vs exact L2 is ~0.3–0.45; on clustered real embeddings PQ
+    * recall climbs steeply with mSub. The honest trade is measured in
+    * SimilaritySpec, not assumed.
+    */
+  def pqAdcTopK(emb: DataFrame, mSub: Int = PqRegistryM,
+      kCent: Int = PqRegistryK, topK: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorExpressions.arrayDot
+
+    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val sub = dim / mSub
+
+    // one row per (vector, subspace): the reusable double subvector frame
+    val sv = emb.select(col("vec_id"),
+        explode(expr(s"""transform(sequence(0, ${mSub - 1}),
+          m -> struct(CAST(m AS BIGINT) AS ss,
+            CAST(slice(embedding, m * $sub + 1, $sub) AS array<double>) AS v))"""))
+          .as("e"))
+      .select(col("vec_id"), col("e.ss").as("ss"), col("e.v").as("v"))
+
+    // deterministic seeds: the kCent hash-first vectors, every subspace
+    // (bounded collect: kCent rows — the s7 sanctioned class)
+    val seedRows = emb
+      .select(col("vec_id"), col("embedding"),
+        Dedup.hash60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(kCent)
+      .collect()
+      .sortBy(r => (r.getLong(2), r.getLong(0)))
+    var cents: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
+      case (r, cid) =>
+        val full = r.getSeq[Float](1).map(_.toDouble)
+        (0 until mSub).map(m => (m.toLong, cid.toLong, full.slice(m * sub, m * sub + sub)))
+    }
+
+    // per-(row, subspace, centroid) distance against a codebook —
+    // identical arithmetic to the oracle's d0/d1 CTEs
+    def dists(frame: DataFrame, cs: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+      val cdf = cs.toDF("ss", "cid", "cv")
+      frame.join(broadcast(cdf), Seq("ss"))
+        .select(col("vec_id"), col("ss"), col("cid"),
+          round(arrayDot(col("v"), col("v"))
+            - lit(2.0) * arrayDot(col("v"), col("cv"))
+            + arrayDot(col("cv"), col("cv")), 6).as("dist"))
+    }
+    def argmin(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("ss"))
+        .orderBy(col("dist"), col("cid"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    // one Lloyd round: decimal-exact per-position means; an emptied
+    // (subspace, centroid) cell keeps its seed (the trainCodebook rule)
+    val comps = argmin(dists(sv, cents))
+      .join(sv, Seq("vec_id", "ss"))
+      .select(col("ss"), col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("ss"), col("cid"), col("j"))
+      .agg((sum(col("x").cast("decimal(25,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .collect()
+    val updated = comps.groupBy(r => (r.getLong(0), r.getLong(1))).map {
+      case (key, rows) => key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+    }
+    cents = cents.map { case (ss, cid, prev) =>
+      (ss, cid, updated.getOrElse((ss, cid), prev))
+    }
+
+    // encode the corpus; build the probes' exact ADC lookup tables
+    val codes = argmin(dists(sv, cents)).select(col("vec_id"), col("ss"), col("cid"))
+    val qt = dists(sv.filter(col("vec_id") < 8), cents)
+      .select(col("vec_id").as("qid"), col("ss"), col("cid"), col("dist"))
+
+    // ADC: per (probe, vector) sum the mSub table entries in exact
+    // decimal; rank per probe (window over the fixed 8-probe set — the
+    // s1 baseline shape; the s5 bounded Aggregator is the >>k form)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+    codes.join(broadcast(qt), Seq("ss", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("vid"))
+      .agg(sum(col("dist").cast("decimal(18,6)")).cast("double").as("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("vid"), col("rnk"), col("adist"))
+  }
+
   def withRecallGate(approx: DataFrame, exact: DataFrame,
       minRecall: Double): DataFrame = {
     val hits = approx.select(col("qid"), col("vid"))
@@ -796,6 +902,15 @@ object Similarity {
     OpQuery.rowsOnly("s10_ivf_recall_curve") { (s, d) =>
       val e = Tables.embeddings(s, d)
       ivfRecallSweep(e.filter(col("vec_id") < 8), e)
+    },
+
+    // ---- product-quantization ADC top-5 ----------------------------------
+    // See [[pqAdcTopK]]. FULL oracle: DuckDB replays the per-subspace
+    // seeded Lloyd round, the code assignment, and the decimal ADC sums
+    // — every distance 6-dp rounded, every mean DECIMAL(25,12), every
+    // ADC sum DECIMAL(18,6), so both engines produce identical ranks.
+    sql("s11_pq_adc", pqCtes()) { (s, d) =>
+      pqAdcTopK(Tables.embeddings(s, d))
     }
   )
 
@@ -851,5 +966,78 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM d1) r WHERE rn = 1
        |)""".stripMargin
+  }
+
+  /** Shared parameters for `s11_pq_adc`: both `pqAdcTopK`'s defaults and
+    * the `pqCtes` oracle interpolate THESE, so the engines cannot
+    * silently diverge on the quantizer shape (the d18/kmeansCtes
+    * lesson).
+    */
+  val PqRegistryM = 16
+  val PqRegistryK = 16
+
+  /** The s11 PQ-ADC pipeline as one DuckDB query: per-subspace seeded
+    * k-means (one decimal-exact Lloyd round — `kmeansCtes` with a `ss`
+    * key), corpus encoding, exact per-probe lookup tables, decimal ADC
+    * sums, per-probe top-5. Mirrors [[pqAdcTopK]] operation for
+    * operation.
+    */
+  def pqCtes(m: Int = PqRegistryM, k: Int = PqRegistryK, topK: Int = 5): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         unnest(range(len(embedding))) AS i,
+       |         len(embedding) AS dl
+       |  FROM embeddings
+       |), es AS (
+       |  SELECT vec_id, CAST(i // (dl // $m) AS BIGINT) AS ss, i, x FROM el
+       |), seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT CAST(s.cid AS BIGINT) AS cid, es.ss, es.i, es.x AS c
+       |  FROM seeds s JOIN es ON es.vec_id = s.vec_id WHERE s.cid < $k
+       |), d0 AS (
+       |  SELECT es.vec_id, c.ss, c.cid,
+       |    round(sum(es.x * es.x) - 2 * sum(es.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM es JOIN c0 c ON c.i = es.i GROUP BY 1, 2, 3
+       |), a0 AS (
+       |  SELECT vec_id, ss, cid FROM (
+       |    SELECT vec_id, ss, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.ss, a.cid, es.i,
+       |    CAST(sum(CAST(es.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM es JOIN a0 a ON a.vec_id = es.vec_id AND a.ss = es.ss
+       |  GROUP BY 1, 2, 3
+       |), c1 AS (
+       |  SELECT c0.ss, c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m
+       |    ON c1m.ss = c0.ss AND c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT es.vec_id, c.ss, c.cid,
+       |    round(sum(es.x * es.x) - 2 * sum(es.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM es JOIN c1 c ON c.i = es.i GROUP BY 1, 2, 3
+       |), code AS (
+       |  SELECT vec_id, ss, cid FROM (
+       |    SELECT vec_id, ss, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), qt AS (
+       |  SELECT vec_id AS qid, ss, cid, dist FROM d1 WHERE vec_id < 8
+       |), ad AS (
+       |  SELECT t.qid, v.vec_id AS vid,
+       |    CAST(sum(CAST(t.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM code v JOIN qt t ON t.ss = v.ss AND t.cid = v.cid
+       |  WHERE v.vec_id <> t.qid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, vid, CAST(rn AS BIGINT) AS rnk, adist FROM (
+       |  SELECT qid, vid, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn
+       |  FROM ad) z WHERE rn <= $topK""".stripMargin
   }
 }
