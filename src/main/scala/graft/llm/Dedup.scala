@@ -1720,6 +1720,48 @@ object Dedup {
         .select(col("doc_id_a"), col("doc_id_b"),
           (size(array_intersect(col("ga"), col("gb"))).cast("double") /
             size(array_union(col("ga"), col("gb")))).as("jaccard"))
+    },
+
+    // ---- prefix dedup: truncation duplicates, keep the longest -----------
+    // Web-crawl reality between d1's exact hash and d3's MinHash: the
+    // same page captured at different truncation points (connection cut,
+    // render limit, pagination) shares its opening but not its hash, and
+    // token-level near-dup misses badly truncated pairs because Jaccard
+    // decays with the length gap. Block on the first-4-token prefix,
+    // keep the LONGEST capture per group (n_chars desc, doc_id tie),
+    // flag the rest. Scale: one scan; the prefix groupBy and the
+    // rank window are keyed on the prefix itself — an OPEN key space
+    // that grows with the corpus (no fixed-cardinality single-task
+    // window, unlike a source-keyed one), with group extents bounded by
+    // the duplicate multiplicity; the group-size table meets the doc
+    // stream in a keyed shuffle join (corpus-derived — never broadcast).
+    sql("d21_prefix_dedup",
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:4], ' ') AS pfx
+        |  FROM documents
+        |), g AS (
+        |  SELECT pfx, CAST(count(*) AS BIGINT) AS grp_size
+        |  FROM p GROUP BY pfx HAVING count(*) >= 2
+        |)
+        |SELECT p.doc_id, p.pfx, g.grp_size,
+        |  (ROW_NUMBER() OVER (PARTITION BY p.pfx
+        |     ORDER BY p.n_chars DESC, p.doc_id) = 1) AS kept
+        |FROM p JOIN g ON g.pfx = p.pfx""".stripMargin) { (s, d) =>
+      prefixDedup(Tables.documents(s, d))
     }
   )
+
+  /** See the `d21` registry notes. `docs` needs (doc_id, text, n_chars). */
+  def prefixDedup(docs: DataFrame, nPrefix: Int = 4): DataFrame = {
+    val p = docs.select(col("doc_id"), col("n_chars"),
+      array_join(slice(split(trim(col("text")), "\\s+"), 1, nPrefix), " ").as("pfx"))
+    val g = p.groupBy(col("pfx")).agg(count(lit(1)).as("grp_size"))
+      .filter(col("grp_size") >= 2)
+    val w = Window.partitionBy(col("pfx"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    p.join(g, Seq("pfx"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("pfx"), col("grp_size"), col("kept"))
+  }
 }

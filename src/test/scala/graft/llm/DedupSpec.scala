@@ -321,6 +321,31 @@ class DedupSpec extends SparkSpec {
     assert(merged.getLong(3) === 30L, "merged coverage is the union, not the sum")
   }
 
+  test("prefix dedup: truncation pairs grouped, longest capture kept") {
+    // one page captured at three truncation points + an unrelated doc
+    // sharing NO prefix + a shorter-prefix near-miss (differs at token 4)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two three", 37L),
+      (2L, "alpha beta gamma delta one", 26L),          // truncated capture
+      (3L, "alpha beta gamma delta", 22L),              // worse truncation
+      (4L, "alpha beta gamma OTHER tail tail tail", 37L), // 4th token differs
+      (5L, "totally different document here", 31L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.prefixDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // only the truncation family groups; the near-miss and singleton drop
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(out.forall(_._2 === 3L))
+    assert(out.filter(_._3).map(_._1).toSeq === Seq(1L), "longest must win")
+    // n_chars tie inside a group → lowest doc_id wins, deterministically
+    val tied = Seq(
+      (9L, "p q r s x", 9L), (7L, "p q r s y", 9L), (8L, "p q r s z", 9L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.prefixDedup(tied).filter(col("kept")).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(7L))
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
