@@ -878,9 +878,7 @@ object TextStats {
       val cands = skRow.getMap[String, Long](0).keys.toSeq.sorted
       val n = skRow.getLong(1)
       val bound = n.toDouble / (m + 1)
-      val top = tok.filter(col("t").isin(cands: _*))
-        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("t")).limit(k)
+      val top = candidateRecount(tok, cands, k)
       graft.operators.Relational.groupedRowNumber(
           top.withColumn("__g", lit(0)),
           Seq("__g"), Seq(col("cnt").desc, col("t")), "rnk")
@@ -892,4 +890,15 @@ object TextStats {
           col("rnk"))
     }
   )
+
+  /** `t22`'s exact-recount stage: count ONLY the sketch's candidate
+    * tokens (a ≤m literal IN filter — scan-side, never a join against a
+    * corpus-derived frame) and take the top k as a distributed
+    * TakeOrdered. Factored out so the plan-shape spec can pin the
+    * map-side combine and the literal filter on the production path.
+    */
+  def candidateRecount(tok: DataFrame, cands: Seq[String], k: Int): DataFrame =
+    tok.filter(col("t").isin(cands: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
 }

@@ -103,4 +103,40 @@ class NewOpsPlanSpec extends SparkSpec {
     }.sum
     assert(scans === 1, s"q69 scans the corpus $scans times")
   }
+
+  test("t22 heavy hitters: recount is map-side combined, candidates are literals") {
+    // the final frame is the ExistingRDD of the two-pass rank, so the
+    // recount's plan is pinned on the factored production stage itself
+    import org.apache.spark.sql.functions._
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+    val df = graft.llm.TextStats.candidateRecount(tok, Seq("table", "value", "a"), 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the exact recount must partial-aggregate before its shuffle, and
+    // the candidate restriction must be a literal In filter in the scan
+    // stage — never a join against a corpus-derived frame
+    assert(plan.contains("partial_"), s"t22 recount not map-side combined:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("Join"), s"t22 recount planned a join:\n${plan.take(900)}")
+    assert(plan.contains("t#") && (plan.contains(" IN ") || plan.contains("INSET")
+      || plan.contains("In(")), s"t22 candidate filter is not a literal IN:\n${plan.take(900)}")
+    // and the top-k is a distributed TakeOrdered, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t22 top-k is not TakeOrdered:\n${plan.take(900)}")
+  }
+
+  test("s11 PQ-ADC: keyed broadcast joins only, partial ADC aggregation") {
+    val df = SparkEntry.registry.find(_.name == "s11_pq_adc").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the codebook and query tables ride parameter-bounded BROADCAST
+    // HASH joins keyed on (ss[, cid]); a nested-loop anywhere means the
+    // equi-keys were lost and the join degenerated to all-pairs
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"s11 planned an all-pairs join:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s11 lost its bounded broadcast:\n${plan.take(1200)}")
+    assert(plan.contains("partial_"), s"s11 ADC sum not map-side combined:\n${plan.take(900)}")
+  }
 }
