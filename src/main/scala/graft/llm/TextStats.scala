@@ -888,8 +888,72 @@ object TextStats {
               col("t"), lit(" cnt="), col("cnt").cast("string"))).cast("long"))
             .otherwise(col("cnt")).as("cnt"),
           col("rnk"))
+    },
+
+    // ---- Gopher-style quality rules --------------------------------------
+    // The published rule battery (Rae et al., "Scaling Language Models:
+    // Gopher", 2021 §A1.1; the MassiveWeb filter): token-count range,
+    // mean-word-length range, stopword floor, and a single-token
+    // dominance cap (the "repetitive garbage" cut). Every rule compares
+    // INTEGERS (counts cross-multiplied against the thresholds — e.g.
+    // stopwords·100 ≥ n rather than ratio ≥ 0.01), so no float boundary
+    // exists for the engines to disagree on; the one emitted ratio is
+    // 6-dp display only. Scale: single scan → two keyed partial aggs
+    // ((doc, token) then doc) — the dominance rule rides the same
+    // shuffle as the count stats; nothing corpus-derived joins back.
+    sql("t23_gopher_rules", {
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+         |), f AS (
+         |  SELECT doc_id, sum(c) AS n, sum(c * len(t)) AS chars,
+         |    sum(CASE WHEN t IN $stopwordsInList THEN c ELSE 0 END) AS stop_c,
+         |    max(c) AS mx
+         |  FROM g GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+         |  round(chars * 1.0 / n, 6) AS mean_wlen,
+         |  (n BETWEEN 50 AND 100000) AS ok_ntok,
+         |  (chars >= 3 * n AND chars <= 10 * n) AS ok_wlen,
+         |  (stop_c * 100 >= n) AS ok_stop,
+         |  (mx * 10 <= n) AS ok_dom,
+         |  ((n BETWEEN 50 AND 100000) AND (chars >= 3 * n AND chars <= 10 * n)
+         |    AND (stop_c * 100 >= n) AND (mx * 10 <= n)) AS keep
+         |FROM f""".stripMargin
+    }) { (s, d) =>
+      gopherRules(Tables.documents(s, d))
     }
   )
+
+  /** See the `t23` registry notes. `docs` needs (doc_id, text). */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val f = g.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * length(col("t"))).as("chars"),
+      sum(when(col("t").isin(enStopwords: _*), col("c")).otherwise(0L)).as("stop_c"),
+      max(col("c")).as("mx"))
+    val okNtok = col("n").between(50, 100000)
+    val okWlen = col("chars") >= lit(3) * col("n") && col("chars") <= lit(10) * col("n")
+    val okStop = col("stop_c") * 100 >= col("n")
+    val okDom = col("mx") * 10 <= col("n")
+    f.select(col("doc_id"), col("n").as("n_tok"),
+      round(col("chars") * lit(1.0) / col("n"), 6).as("mean_wlen"),
+      okNtok.as("ok_ntok"), okWlen.as("ok_wlen"),
+      okStop.as("ok_stop"), okDom.as("ok_dom"),
+      (okNtok && okWlen && okStop && okDom).as("keep"))
+  }
+
+  /** `t23`'s stopword list as a SQL IN-list — interpolated from the same
+    * [[enStopwords]] the Spark side filters on, so the two engines
+    * cannot diverge on the rule set (the d18/kmeansCtes lesson).
+    */
+  private def stopwordsInList: String =
+    enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** `t22`'s exact-recount stage: count ONLY the sketch's candidate
     * tokens (a ≤m literal IN filter — scan-side, never a join against a

@@ -36,6 +36,29 @@ class TextStatsSpec extends SparkSpec {
       (1 to 100).map(i => s"t$i"))
   }
 
+  test("gopher rules: each rule trips independently on a targeted violation") {
+    val stop = "the a of to in is that it for on with as and an"  // 14 stopwords
+    val base = (1 to 4).map(i => s"w$i$stop").mkString(" ")       // 60 varied tokens
+    val docs = Seq(
+      // 60 tokens, mean len in range, stopwords present, no dominance
+      (1L, ((1 to 46).map(i => s"word$i") ++ stop.split(" ")).mkString(" ")),
+      (2L, (1 to 10).map(i => s"word$i").mkString(" ")),          // too short
+      (3L, ((1 to 46).map(_ => "ab") ++ stop.split(" ")).mkString(" ")), // dominance: 'ab' 46/60
+      (4L, ((1 to 46).map(i => s"word$i") ++ stop.split(" "))
+        .map(_.toUpperCase).mkString(" ")),                       // no stopwords (case-sensitive)
+      (5L, ((1 to 46).map(i => s"supercalifragilistic$i") ++ stop.split(" "))
+        .mkString(" "))                                           // mean word length > 10
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(out(1L) === ((true, true, true, true, true)), s"clean doc: ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._5, "short doc must fail ok_ntok")
+    assert(!out(3L)._4 && !out(3L)._5, "dominated doc must fail ok_dom")
+    assert(!out(4L)._3 && !out(4L)._5, "stopword-free doc must fail ok_stop")
+    assert(!out(5L)._2 && !out(5L)._5, "long-word doc must fail ok_wlen")
+  }
+
   test("source mixture: weights sum to 1 and temperature flattens shares") {
     val out = TextStats.registry.find(_.name == "t12_source_mixture").get
       .run(spark, sf)
