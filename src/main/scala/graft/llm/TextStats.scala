@@ -924,6 +924,59 @@ object TextStats {
          |FROM f""".stripMargin
     }) { (s, d) =>
       gopherRules(Tables.documents(s, d))
+    },
+
+    // ---- grouped heavy hitters: per-source certified top-3 ---------------
+    // t22's sketch in its most common production shape ("top terms per
+    // tenant"): ONE grouped aggregation carries a ≤64-counter
+    // Misra–Gries sketch per source — partial per (partition, group)
+    // before the shuffle, so the wire cost is O(m·|sources|·partitions)
+    // regardless of per-group vocabulary. The candidate table that
+    // comes back out is corpus-derived (≤ m rows per source) and meets
+    // the token stream in a KEYED shuffle join on (source, token) —
+    // never a broadcast, never per-group literals. The per-group
+    // certificate is t22's, integer-exact: every reported count must
+    // satisfy cnt·(m+1) > N_group or the query raises — which holds
+    // with ~2× margin at every SF here, and is what licenses the plain
+    // exact-SQL oracle. The rank window rides the POST-aggregation
+    // candidate frame (≤ m rows per group, parameter-bounded) — not a
+    // per-source window over the raw corpus (the t9/d5/d16 lesson).
+    sql("t24_grouped_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), cts AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+        |)
+        |SELECT source, t AS token, cnt, CAST(rn AS BIGINT) AS rnk FROM (
+        |  SELECT source, t, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, t) AS rn
+        |  FROM cts) x
+        |WHERE rn <= 3""".stripMargin) { (s, d) =>
+      val m = 64
+      val k = 3
+      val mgf = udaf(new graft.functions.MisraGries(m),
+        org.apache.spark.sql.Encoders.STRING)
+      val tok = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      val cands = tok.groupBy(col("source"))
+        .agg(mgf(col("t")).as("sk"), count(lit(1)).as("n"))
+        .select(col("source"), col("n"), explode(map_keys(col("sk"))).as("t"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("t"))
+      tok.join(cands, Seq("source", "t"))
+        .groupBy(col("source"), col("t"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("source"), col("t").as("token"),
+          when(col("cnt") * (m + 1) <= col("n"),
+            raise_error(concat(lit("grouped MG certificate broken: "),
+              col("source"), lit("/"), col("t"),
+              lit(" cnt="), col("cnt").cast("string"),
+              lit(" n="), col("n").cast("string"))).cast("long"))
+            .otherwise(col("cnt")).as("cnt"),
+          col("rnk"))
     }
   )
 

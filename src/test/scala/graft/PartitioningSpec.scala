@@ -173,9 +173,11 @@ class PartitioningSpec extends SparkSpec {
           "q05_parts_by_brand", "ep1_order_approval", "q63_scd2_merge",
           "d11_duplicate_spans", "t16_quality_buckets", "d12_snapshot_dedup",
           "t17_bigram_logprob", "d14_semantic_dedup",
-          // t21's |sources|-row rate table and d21's prefix group-size
-          // table are corpus-derived too — keyed joins only
-          "t21_token_budget_sample", "d21_prefix_dedup")) {
+          // t21's |sources|-row rate table, d21's prefix group-size
+          // table, and t24's per-source candidate table are
+          // corpus-derived too — keyed joins only
+          "t21_token_budget_sample", "d21_prefix_dedup",
+          "t24_grouped_heavy_hitters")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -59,6 +59,24 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("t24 equals the naive per-source top-3 on the corpus") {
+    val out = graft.SparkEntry.registry.find(_.name == "t24_grouped_heavy_hitters")
+      .get.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val naive = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cnt"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, t, c), i) => (t, c, i + 1L) }.toSeq).toMap
+    assert(out.map(_._1).distinct.length === naive.size, "one group per source")
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val got = rows.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq
+      assert(got === naive(src), s"source $src: $got vs ${naive(src)}")
+    }
+  }
+
   test("t22 equals the naive full-shuffle top-10 on the corpus") {
     val out = graft.SparkEntry.registry.find(_.name == "t22_heavy_hitters").get
       .run(spark, sf).collect()
