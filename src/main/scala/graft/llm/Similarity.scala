@@ -500,23 +500,50 @@ object Similarity {
     * recall climbs steeply with mSub. The honest trade is measured in
     * SimilaritySpec, not assumed.
     */
-  def pqAdcTopK(emb: DataFrame, mSub: Int = PqRegistryM,
-      kCent: Int = PqRegistryK, topK: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    import graft.functions.VectorExpressions.arrayDot
-
-    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
-    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
-    val sub = dim / mSub
-
-    // one row per (vector, subspace): the reusable double subvector frame
-    val sv = emb.select(col("vec_id"),
+  /** One row per (vector, subspace): the double subvector frame every PQ
+    * stage reads.
+    */
+  private def pqSubvectors(emb: DataFrame, mSub: Int, sub: Int): DataFrame =
+    emb.select(col("vec_id"),
         explode(expr(s"""transform(sequence(0, ${mSub - 1}),
           m -> struct(CAST(m AS BIGINT) AS ss,
             CAST(slice(embedding, m * $sub + 1, $sub) AS array<double>) AS v))"""))
           .as("e"))
       .select(col("vec_id"), col("e.ss").as("ss"), col("e.v").as("v"))
+
+  /** Per-(row, subspace, centroid) distance against a codebook —
+    * identical arithmetic to the oracle's d0/d1 CTEs.
+    */
+  private def pqDists(frame: DataFrame,
+      cs: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    import frame.sparkSession.implicits._
+    import graft.functions.VectorExpressions.arrayDot
+    val cdf = cs.toDF("ss", "cid", "cv")
+    frame.join(broadcast(cdf), Seq("ss"))
+      .select(col("vec_id"), col("ss"), col("cid"),
+        round(arrayDot(col("v"), col("v"))
+          - lit(2.0) * arrayDot(col("v"), col("cv"))
+          + arrayDot(col("cv"), col("cv")), 6).as("dist"))
+  }
+
+  private def pqArgmin(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("ss"))
+      .orderBy(col("dist"), col("cid"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Train the per-subspace codebooks (deterministic hash-first seeds +
+    * one decimal-exact Lloyd round; an emptied cell keeps its seed — the
+    * trainCodebook rule) and return the subvector frame alongside them.
+    * Shared by `s11`'s ADC search and `d22`'s coarse blocking, so the
+    * two registry queries quantize identically.
+    */
+  def pqTrain(emb: DataFrame, mSub: Int = PqRegistryM,
+      kCent: Int = PqRegistryK): (DataFrame, Seq[(Long, Long, Seq[Double])]) = {
+    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val sub = dim / mSub
+    val sv = pqSubvectors(emb, mSub, sub)
 
     // deterministic seeds: the kCent hash-first vectors, every subspace
     // (bounded collect: kCent rows — the s7 sanctioned class)
@@ -526,31 +553,15 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(kCent)
       .collect()
       .sortBy(r => (r.getLong(2), r.getLong(0)))
-    var cents: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
+    val seeds: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
       case (r, cid) =>
         val full = r.getSeq[Float](1).map(_.toDouble)
         (0 until mSub).map(m => (m.toLong, cid.toLong, full.slice(m * sub, m * sub + sub)))
     }
 
-    // per-(row, subspace, centroid) distance against a codebook —
-    // identical arithmetic to the oracle's d0/d1 CTEs
-    def dists(frame: DataFrame, cs: Seq[(Long, Long, Seq[Double])]): DataFrame = {
-      val cdf = cs.toDF("ss", "cid", "cv")
-      frame.join(broadcast(cdf), Seq("ss"))
-        .select(col("vec_id"), col("ss"), col("cid"),
-          round(arrayDot(col("v"), col("v"))
-            - lit(2.0) * arrayDot(col("v"), col("cv"))
-            + arrayDot(col("cv"), col("cv")), 6).as("dist"))
-    }
-    def argmin(d: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("ss"))
-        .orderBy(col("dist"), col("cid"))
-      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    }
-
-    // one Lloyd round: decimal-exact per-position means; an emptied
-    // (subspace, centroid) cell keeps its seed (the trainCodebook rule)
-    val comps = argmin(dists(sv, cents))
+    // one Lloyd round: decimal-exact per-position means (≤ mSub·kCent·sub
+    // rows collected — parameter-bounded)
+    val comps = pqArgmin(pqDists(sv, seeds))
       .join(sv, Seq("vec_id", "ss"))
       .select(col("ss"), col("cid"), posexplode(col("v")).as(Seq("j", "x")))
       .groupBy(col("ss"), col("cid"), col("j"))
@@ -560,13 +571,18 @@ object Similarity {
     val updated = comps.groupBy(r => (r.getLong(0), r.getLong(1))).map {
       case (key, rows) => key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
     }
-    cents = cents.map { case (ss, cid, prev) =>
+    (sv, seeds.map { case (ss, cid, prev) =>
       (ss, cid, updated.getOrElse((ss, cid), prev))
-    }
+    })
+  }
+
+  def pqAdcTopK(emb: DataFrame, mSub: Int = PqRegistryM,
+      kCent: Int = PqRegistryK, topK: Int = 5): DataFrame = {
+    val (sv, cents) = pqTrain(emb, mSub, kCent)
 
     // encode the corpus; build the probes' exact ADC lookup tables
-    val codes = argmin(dists(sv, cents)).select(col("vec_id"), col("ss"), col("cid"))
-    val qt = dists(sv.filter(col("vec_id") < 8), cents)
+    val codes = pqArgmin(pqDists(sv, cents)).select(col("vec_id"), col("ss"), col("cid"))
+    val qt = pqDists(sv.filter(col("vec_id") < 8), cents)
       .select(col("vec_id").as("qid"), col("ss"), col("cid"), col("dist"))
 
     // ADC: per (probe, vector) sum the mSub table entries in exact
@@ -580,6 +596,46 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("vid"), col("rnk"), col("adist"))
+  }
+
+  /** PQ-code coarse blocking for semantic near-dup (the FAISS
+    * coarse-quantizer posture, and d14's complement: learned k-means
+    * blocks there, PRODUCT-quantizer code blocks here — no new training
+    * pass, the `s11` codebooks reused verbatim): vectors agreeing on
+    * their first TWO subspace codes land in one bucket (16² = 256 cells),
+    * buckets are capped at `maxBucket` (the d3/d12 skew guard — a
+    * degenerate corpus cannot go quadratic), and only within-bucket
+    * pairs pay an exact cosine, kept at ≥ `minCos` on the 6-dp ROUNDED
+    * value (both engines compare the same rounded number — no raw-float
+    * boundary). Scale: codes are 2 small ints per vector; the bucket
+    * self-join is keyed on (c0, c1); raw embeddings re-attach per side
+    * AFTER the candidate set is fixed — ids-only through the join, the
+    * d3 discipline.
+    */
+  def pqBlockNearDup(emb: DataFrame, mSub: Int = PqRegistryM,
+      kCent: Int = PqRegistryK, minCos: Double = PqBlockMinCos,
+      maxBucket: Int = PqBlockMaxBucket): DataFrame = {
+    val (sv, cents) = pqTrain(emb, mSub, kCent)
+    val codes = pqArgmin(pqDists(sv, cents)).select(col("vec_id"), col("ss"), col("cid"))
+    val bk = codes.filter(col("ss") < 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("ss") === 0, col("cid"))).as("c0"),
+        max(when(col("ss") === 1, col("cid"))).as("c1"))
+    val wb = Window.partitionBy(col("c0"), col("c1"))
+    val capped = bk.withColumn("nb", count(lit(1)).over(wb))
+      .filter(col("nb") <= maxBucket).drop("nb")
+    val pairs = capped.select(col("c0"), col("c1"), col("vec_id").as("va"))
+      .join(capped.select(col("c0"), col("c1"), col("vec_id").as("vb")),
+        Seq("c0", "c1"))
+      .filter(col("va") < col("vb"))
+    val e = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(col("va").as("vec_id_a"), col("vb").as("vec_id_b"),
+        col("c0"), col("c1"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   def withRecallGate(approx: DataFrame, exact: DataFrame,
@@ -911,6 +967,15 @@ object Similarity {
     // ADC sum DECIMAL(18,6), so both engines produce identical ranks.
     sql("s11_pq_adc", pqCtes()) { (s, d) =>
       pqAdcTopK(Tables.embeddings(s, d))
+    },
+
+    // ---- PQ-code coarse blocking: semantic near-dup without training ----
+    // See [[pqBlockNearDup]]. FULL oracle: the shared PQ core CTEs plus
+    // bucket keys, cap, within-bucket exact cosine — both engines keep
+    // pairs at the same 6-dp rounded threshold. (Registered under the
+    // dedup family in spirit; lives here to share the s11 quantizer.)
+    sql("d22_pq_block_neardup", pqBlockCtes()) { (s, d) =>
+      pqBlockNearDup(Tables.embeddings(s, d))
     }
   )
 
@@ -975,16 +1040,22 @@ object Similarity {
     */
   val PqRegistryM = 16
   val PqRegistryK = 16
-
-  /** The s11 PQ-ADC pipeline as one DuckDB query: per-subspace seeded
-    * k-means (one decimal-exact Lloyd round — `kmeansCtes` with a `ss`
-    * key), corpus encoding, exact per-probe lookup tables, decimal ADC
-    * sums, per-probe top-5. Mirrors [[pqAdcTopK]] operation for
-    * operation.
+  /** d22's exact-cosine keep threshold and bucket cap — interpolated
+    * into both the Spark defaults and the oracle string.
     */
-  def pqCtes(m: Int = PqRegistryM, k: Int = PqRegistryK, topK: Int = 5): String = {
+  val PqBlockMinCos = 0.35
+  val PqBlockMaxBucket = 50
+
+  /** The shared PQ core as DuckDB CTEs (no WITH prefix): subvector
+    * elements `es`, seeded per-subspace k-means with one decimal-exact
+    * Lloyd round, final codebook `c1`, per-(vector, subspace, centroid)
+    * distances `d1`, and the corpus encoding `code`. `el` carries the
+    * exploded double elements for downstream exact math. Mirrors
+    * [[pqTrain]] + the `pqArgmin(pqDists(...))` encode.
+    */
+  def pqCoreCtes(m: Int = PqRegistryM, k: Int = PqRegistryK): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
-    s"""WITH el AS (
+    s"""el AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |         unnest(range(len(embedding))) AS i,
        |         len(embedding) AS dl
@@ -1026,7 +1097,15 @@ object Similarity {
        |    SELECT vec_id, ss, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY dist, cid) AS rn
        |    FROM d1) r WHERE rn = 1
-       |), qt AS (
+       |)""".stripMargin
+  }
+
+  /** The s11 PQ-ADC pipeline as one DuckDB query: the shared core plus
+    * exact per-probe lookup tables, decimal ADC sums, per-probe top-k.
+    * Mirrors [[pqAdcTopK]] operation for operation.
+    */
+  def pqCtes(m: Int = PqRegistryM, k: Int = PqRegistryK, topK: Int = 5): String =
+    s"""WITH ${pqCoreCtes(m, k)}, qt AS (
        |  SELECT vec_id AS qid, ss, cid, dist FROM d1 WHERE vec_id < 8
        |), ad AS (
        |  SELECT t.qid, v.vec_id AS vid,
@@ -1039,5 +1118,38 @@ object Similarity {
        |  SELECT qid, vid, adist,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn
        |  FROM ad) z WHERE rn <= $topK""".stripMargin
-  }
+
+  /** The d22 coarse-block near-dup as one DuckDB query: the shared core,
+    * 2-subspace bucket keys, the `maxBucket` cap, within-bucket pairs,
+    * exact cosine from the raw elements, kept at ≥ `minCos` on the
+    * ROUNDED value. Mirrors [[pqBlockNearDup]].
+    */
+  def pqBlockCtes(m: Int = PqRegistryM, k: Int = PqRegistryK,
+      minCos: Double = PqBlockMinCos, maxBucket: Int = PqBlockMaxBucket): String =
+    s"""WITH ${pqCoreCtes(m, k)}, bk AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN ss = 0 THEN cid END) AS c0,
+       |    max(CASE WHEN ss = 1 THEN cid END) AS c1
+       |  FROM code GROUP BY vec_id
+       |), capped AS (
+       |  SELECT vec_id, c0, c1 FROM (
+       |    SELECT vec_id, c0, c1, count(*) OVER (PARTITION BY c0, c1) AS nb
+       |    FROM bk) t WHERE nb <= $maxBucket
+       |), prs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.c0, a.c1
+       |  FROM capped a JOIN capped b
+       |    ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.vec_id < b.vec_id
+       |), norms AS (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+       |), dots AS (
+       |  SELECT p.va, p.vb, p.c0, p.c1, sum(ea.x * eb.x) AS dot
+       |  FROM prs p JOIN el ea ON ea.vec_id = p.va
+       |              JOIN el eb ON eb.vec_id = p.vb AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT d.va AS vec_id_a, d.vb AS vec_id_b, d.c0, d.c1,
+       |  round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+       |FROM dots d JOIN norms na ON na.vec_id = d.va
+       |            JOIN norms nb ON nb.vec_id = d.vb
+       |WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= $minCos""".stripMargin
 }

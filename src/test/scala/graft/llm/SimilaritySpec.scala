@@ -135,4 +135,46 @@ class SimilaritySpec extends SparkSpec {
     info(s"PQ-ADC recall@5 = $recall (M=16 subspaces, K=16, 16 B/vector vs 256 B raw)")
     assert(recall >= 0.15, s"PQ recall degenerated: $recall")
   }
+
+  test("PQ block near-dup: pairs canonical, cosine floor, block law, cap honored") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.pqBlockNearDup(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty, "blocking found no pairs on the corpus")
+    out.foreach { case (a, b, _, _, c) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(c >= Similarity.PqBlockMinCos, s"pair ($a,$b) below the floor: $c")
+    }
+    assert(out.map(t => (t._1, t._2)).distinct.length === out.length, "duplicate pairs")
+    // block law: every reported pair's vectors carry IDENTICAL first-two
+    // subspace codes — recompute codes from the shared trainer's output
+    val (sv, cents) = Similarity.pqTrain(e)
+    val bk = out.map(t => (t._1, t._2, t._3, t._4))
+    val myCodes = {
+      import org.apache.spark.sql.expressions.Window
+      val cdf = cents.toDF("ss", "cid", "cv")
+      val d = sv.join(broadcast(cdf), Seq("ss"))
+        .select(col("vec_id"), col("ss"), col("cid"),
+          round(graft.functions.VectorExpressions.arrayDot(col("v"), col("v"))
+            - lit(2.0) * graft.functions.VectorExpressions.arrayDot(col("v"), col("cv"))
+            + graft.functions.VectorExpressions.arrayDot(col("cv"), col("cv")), 6)
+            .as("dist"))
+      val w = Window.partitionBy(col("vec_id"), col("ss")).orderBy(col("dist"), col("cid"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("ss") < 2)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("ss") === 0, col("cid"))).as("c0"),
+          max(when(col("ss") === 1, col("cid"))).as("c1"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    bk.foreach { case (a, b, c0, c1) =>
+      assert(myCodes(a) === ((c0, c1)), s"vector $a code mismatch")
+      assert(myCodes(b) === ((c0, c1)), s"vector $b not in the same block")
+    }
+    // cap honored: no block contributes more than maxBucket*(maxBucket-1)/2 pairs
+    val cap = Similarity.PqBlockMaxBucket
+    out.groupBy(t => (t._3, t._4)).foreach { case (blk, ps) =>
+      assert(ps.length <= cap * (cap - 1) / 2, s"block $blk exceeded the cap")
+    }
+  }
 }
