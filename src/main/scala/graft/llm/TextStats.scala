@@ -977,8 +977,109 @@ object TextStats {
               lit(" n="), col("n").cast("string"))).cast("long"))
             .otherwise(col("cnt")).as("cnt"),
           col("rnk"))
+    },
+
+    // ---- DSIR: hashed-n-gram importance resampling ----------------------
+    // Data Selection via Importance Resampling (Xie et al., NeurIPS
+    // 2023): score every raw doc by how target-like its hashed n-gram
+    // feature distribution is — per-bucket log-ratio of the add-1
+    // smoothed target vs raw feature probabilities, averaged over the
+    // doc's feature occurrences — and keep the top quarter. Features are
+    // word unigrams + bigrams hashed into a FIXED [[DsirBuckets]]-bucket
+    // space with the cross-engine sha256-prefix hash (the t16/q61
+    // family); the "target" here is the `lang = 'en'` slice (in
+    // production: the curated target corpus). Scale shape: one token
+    // pipeline feeds both the bucket-count aggregation and the scoring
+    // pass (the t13 double-consume); the bucket table is
+    // PARAMETER-bounded (≤ 256 rows whatever the corpus — broadcast is
+    // correct, unlike a Heaps-law vocab); the global rank rides
+    // [[graft.operators.Relational.globalRowNumber]]'s two-pass
+    // range-partitioned form, never a single-partition Window; the doc
+    // count is a 1-row broadcast. Both engines rank on the 6-dp ROUNDED
+    // score with a doc_id tiebreak, so selection is deterministic.
+    sql("t25_dsir_selection", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      val m = DsirBuckets
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |  FROM documents
+         |), uni AS (
+         |  SELECT doc_id, lang, unnest(ts) AS g FROM toks
+         |), bi AS (
+         |  SELECT doc_id, lang, unnest([array_to_string(ts[i:i+1], ' ')
+         |    FOR i IN range(1, len(ts))]) AS g
+         |  FROM toks WHERE len(ts) >= 2
+         |), feat AS (
+         |  SELECT doc_id, lang, $parse15 % $m AS b
+         |  FROM (SELECT doc_id, lang, substr(sha256('$DsirSeed|' || g), 1, 15) AS hx
+         |        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u) h
+         |), bc AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM feat GROUP BY b
+         |), tot AS (SELECT sum(cr) AS r, sum(ct) AS t FROM bc),
+         |lam AS (
+         |  SELECT b, ln((ct + 1) * 1.0 / (t + $m)) - ln((cr + 1) * 1.0 / (r + $m)) AS lam
+         |  FROM bc, tot
+         |), sc AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |    round(sum(l.lam) / count(*), 6) AS dsir_score
+         |  FROM feat f JOIN lam l ON l.b = f.b GROUP BY f.doc_id
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_feat, dsir_score,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc
+         |)
+         |SELECT doc_id, n_feat, dsir_score, rank, 4 * rank <= n.n AS selected
+         |FROM r, n""".stripMargin
+    }) { (s, d) =>
+      dsirSelect(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** DSIR hashed-feature space size — interpolated into BOTH the Spark
+    * side and the oracle CTEs (the d18/kmeansCtes lesson).
+    */
+  val DsirBuckets = 256
+
+  /** Seed prefix for the DSIR feature hash. */
+  val DsirSeed = "ds42"
+
+  /** See the `t25` registry notes. `docs` needs (doc_id, lang, text);
+    * target slice = `lang = 'en'`.
+    */
+  def dsirSelect(docs: DataFrame): DataFrame = {
+    val m = DsirBuckets
+    val toks = docs.select(col("doc_id"), col("lang"),
+      split(trim(col("text")), "\\s+").as("ts"))
+    val uni = toks.select(col("doc_id"), col("lang"), explode(col("ts")).as("g"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("g"))
+    val feat = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        (Dedup.hash60(concat(lit(s"$DsirSeed|"), col("g"))) % m).as("b"))
+    val bc = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val lam = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1) * lit(1.0) / (col("t") + m))
+          - log((col("cr") + 1) * lit(1.0) / (col("r") + m))).as("lam"))
+    val sc = feat.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("lam")) / count(lit(1)), 6).as("dsir_score"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    graft.operators.Relational
+      .globalRowNumber(sc, Seq(col("dsir_score").desc, col("doc_id")), "rank")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_feat"), col("dsir_score"), col("rank"),
+        (col("rank") * 4 <= col("n")).as("selected"))
+  }
 
   /** See the `t23` registry notes. `docs` needs (doc_id, text). */
   def gopherRules(docs: DataFrame): DataFrame = {

@@ -36,6 +36,64 @@ class TextStatsSpec extends SparkSpec {
       (1 to 100).map(i => s"t$i"))
   }
 
+  test("dsir: selection re-derives from JDK sha256 + plain Scala") {
+    // independent of the engine's expression tree: hash with the JDK
+    // digest, count with Scala maps, round with BigDecimal
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma beta alpha"),
+      (2L, "en", "alpha beta delta epsilon"),
+      (3L, "de", "zeta eta theta iota kappa"),
+      (4L, "de", "alpha zeta zeta kappa nu"),
+      (5L, "fr", "beta gamma zeta mu xi"),
+      (6L, "en", "beta gamma alpha delta"),
+      (7L, "zh", "omicron pi rho sigma tau"),
+      (8L, "fr", "upsilon phi chi psi omega"))
+    val out = TextStats.dsirSelect(corpus.toDF("doc_id", "lang", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+
+    val m = TextStats.DsirBuckets
+    val feats: Seq[(Long, String, Long)] = corpus.flatMap { case (id, lang, text) =>
+      val ts = text.split("\\s+").toSeq
+      val grams = ts ++ ts.sliding(2).map(_.mkString(" "))
+      grams.map(g => (id, lang, h60(s"${TextStats.DsirSeed}|$g") % m))
+    }
+    val cr = feats.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = feats.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val r = feats.size.toLong
+    val t = feats.count(_._2 == "en").toLong
+    def lam(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1) * 1.0 / (t + m)) -
+        math.log((cr(b) + 1) * 1.0 / (r + m))
+    val scores = corpus.map { case (id, _, _) =>
+      val fs = feats.filter(_._1 == id).map(_._3)
+      id -> round6(fs.map(lam).sum / fs.size)
+    }.toMap
+    val ranked = corpus.map(_._1).sortBy(id => (-scores(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1).toLong }.toMap
+
+    corpus.foreach { case (id, _, text) =>
+      val ts = text.split("\\s+").length
+      val (nFeat, score, rank, selected) = out(id)
+      assert(nFeat === 2L * ts - 1, s"doc $id n_feat")
+      assert(score === scores(id), s"doc $id score")
+      assert(rank === ranked(id), s"doc $id rank")
+      assert(selected === (4 * rank <= corpus.size), s"doc $id selected")
+    }
+    // DSIR direction: the en target slice scores above the corpus mean
+    val enMean = corpus.filter(_._2 == "en").map(c => scores(c._1)).sum / 3
+    val allMean = scores.values.sum / corpus.size
+    assert(enMean > allMean, "target slice should be upweighted")
+  }
+
   test("gopher rules: each rule trips independently on a targeted violation") {
     val stop = "the a of to in is that it for on with as and an"  // 14 stopwords
     val base = (1 to 4).map(i => s"w$i$stop").mkString(" ")       // 60 varied tokens
