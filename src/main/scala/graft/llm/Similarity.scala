@@ -976,8 +976,78 @@ object Similarity {
     // dedup family in spirit; lives here to share the s11 quantizer.)
     sql("d22_pq_block_neardup", pqBlockCtes()) { (s, d) =>
       pqBlockNearDup(Tables.embeddings(s, d))
+    },
+
+    // ---- per-label centroid outlier filter -------------------------------
+    // The embedding-curation staple (LAION/DataComp-style): score every
+    // vector by its cosine to its label's centroid and flag the bottom
+    // tenth per label as outliers (mislabeled/noise candidates). FULL
+    // oracle: centroids are exact DECIMAL(25,12) per-dim means (the
+    // s7/kmeans discipline), cosines 6-dp rounded, ranks taken on the
+    // ROUNDED value with a vec_id tiebreak, and the 10% flag is
+    // cross-multiplied integer math (10·rank ≤ n). Scale shape: the
+    // centroid table and the per-label counts are corpus-derived —
+    // KEYED joins only, never broadcast-hinted (no-BHJ-asserted); the
+    // per-label rank rides [[graft.operators.Relational.groupedRowNumber]]'s
+    // two-pass range-partitioned form, not a per-label Window over the
+    // raw frame (the t9/d5/d16 lesson — labels are a fixed ontology, so
+    // a label partition is N/|labels| rows on one task at 100 TB).
+    sql("s12_centroid_outliers",
+      """WITH e AS (
+        |  SELECT vec_id, label, unnest(range(len(embedding))) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, i,
+        |    CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+        |  FROM e GROUP BY label, i
+        |), sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(sum(e.x * c.c) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.c * c.c))), 6) AS cos_c
+        |  FROM e JOIN cent c ON c.label = e.label AND c.i = e.i
+        |  GROUP BY e.vec_id, e.label
+        |), n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY label),
+        |r AS (
+        |  SELECT vec_id, label, cos_c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS BIGINT)
+        |      AS rank_in_label
+        |  FROM sc
+        |)
+        |SELECT r.vec_id, r.label, r.cos_c, r.rank_in_label,
+        |  10 * r.rank_in_label <= n.n AS is_outlier
+        |FROM r JOIN n ON n.label = r.label""".stripMargin) { (s, d) =>
+      centroidOutliers(Tables.embeddings(s, d))
     }
   )
+
+  /** See the `s12` registry notes. `emb` needs (vec_id, label, embedding). */
+  def centroidOutliers(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.arrayDot
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    // exact per-dim decimal means, keyed by label (corpus-derived — no
+    // collect, no broadcast: unlike the k-means codebook there is no
+    // parameter bounding |labels|)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("cvec"))
+    val sc = e.join(cent, Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(arrayDot(col("embedding"), col("cvec")) /
+          (sqrt(arrayDot(col("embedding"), col("embedding"))) *
+            sqrt(arrayDot(col("cvec"), col("cvec")))), 6).as("cos_c"))
+    val n = sc.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    graft.operators.Relational
+      .groupedRowNumber(sc, Seq("label"), Seq(col("cos_c"), col("vec_id")),
+        "rank_in_label")
+      .join(n, Seq("label"))
+      .select(col("vec_id"), col("label"), col("cos_c"), col("rank_in_label"),
+        (col("rank_in_label") * 10 <= col("n")).as("is_outlier"))
+  }
 
   /** The s7 k-means round unrolled as DuckDB CTEs, shared with d14's
     * semantic-dedup oracle (its blocking key is these clusters). Ends with

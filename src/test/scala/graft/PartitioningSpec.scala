@@ -177,7 +177,10 @@ class PartitioningSpec extends SparkSpec {
           // table, and t24's per-source candidate table are
           // corpus-derived too — keyed joins only
           "t21_token_budget_sample", "d21_prefix_dedup",
-          "t24_grouped_heavy_hitters")) {
+          "t24_grouped_heavy_hitters",
+          // s12's per-label centroid table and counts are corpus-derived
+          // (|labels| is an ontology, not a parameter) — keyed joins only
+          "s12_centroid_outliers")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -136,6 +136,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"PQ recall degenerated: $recall")
   }
 
+  test("centroid outliers: re-derives from plain Scala on a synthetic set") {
+    // independent recompute: decimal means with BigDecimal, cosines with
+    // plain loops — no engine expressions
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rng = new scala.util.Random(7)
+    val vecs: Seq[(Long, Int, Array[Float])] = (0 until 24).map { i =>
+      (i.toLong, i % 2, Array.fill(4)(rng.nextFloat() * 2 - 1))
+    }
+    val out = Similarity
+      .centroidOutliers(vecs.toDF("vec_id", "label", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+
+    vecs.groupBy(_._2).foreach { case (label, members) =>
+      val n = members.size
+      val dim = 4
+      // engine shape: each float → double → DECIMAL(25,12), exact sum,
+      // double division
+      val cent = (0 until dim).map { d =>
+        members.map(m => BigDecimal(m._3(d).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
+      }
+      val cn = math.sqrt(cent.map(c => c * c).sum)
+      val scored = members.map { case (id, _, v) =>
+        val dot = (0 until dim).map(d => v(d).toDouble * cent(d)).sum
+        val vn = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        id -> round6(dot / (vn * cn))
+      }
+      val ranked = scored.sortBy { case (id, c) => (c, id) }.zipWithIndex
+        .map { case ((id, c), i) => (id, c, (i + 1).toLong) }
+      ranked.foreach { case (id, cosE, rankE) =>
+        val (gotLabel, gotCos, gotRank, gotOut) = out(id)
+        assert(gotLabel === label)
+        assert(gotCos === cosE, s"vec $id cosine")
+        assert(gotRank === rankE, s"vec $id rank")
+        assert(gotOut === (10 * rankE <= n), s"vec $id outlier flag")
+      }
+      // exactly floor(n/10) outliers per label
+      assert(members.count(m => out(m._1)._4) === n / 10)
+    }
+  }
+
   test("PQ block near-dup: pairs canonical, cosine floor, block law, cap honored") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.pqBlockNearDup(e).collect()
