@@ -453,6 +453,105 @@ object Multimodal {
         .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
           col("shared").cast("long").as("n_shared"),
           round(col("shared").cast("double") / least(col("na"), col("nb")), 6).as("score"))
+    },
+
+    // ---- video scene segmentation (shot-cut detection) -------------------
+    // The frame-difference shot detector every video-curation pipeline
+    // runs before sampling clips: adjacent frames whose energy
+    // signatures differ beyond a threshold mark a cut; scenes are the
+    // runs between cuts. The decode is the usual environment STUB
+    // ([[sceneCutStub]]: fixed 64-byte "frames", byte-sum energies
+    // standing in for frame histograms); the mapPartitions batch seam,
+    // the per-row bounded output (≤ frames-per-item cut positions), and
+    // the closed-form scene math are real. FULL oracle: all-integer —
+    // DuckDB re-derives frame sums from hex(blob) and replays the cut
+    // threshold and the longest-run fold exactly. Scale: one scan,
+    // per-row CPU-bound work spread across partitions, no shuffle at
+    // all — the whole operator is map-side.
+    sql("m6_scene_cuts", {
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+         |         octet_length(coalesce(encode(text), encode(''))) AS n
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, n // $SceneFrame AS nf,
+         |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+         |      FOR i IN range(n) ] AS bytes
+         |  FROM b
+         |), fr AS (
+         |  SELECT doc_id, nf,
+         |    [ CAST(list_sum(bytes[f*$SceneFrame + 1 : (f+1)*$SceneFrame]) AS BIGINT)
+         |      FOR f IN range(nf) ] AS sums
+         |  FROM e
+         |), cuts AS (
+         |  SELECT doc_id, nf,
+         |    [ f FOR f IN range(1, nf) IF abs(sums[f+1] - sums[f]) > $SceneCutThresh ] AS cutpos
+         |  FROM fr
+         |)
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(len(cutpos) AS BIGINT) AS n_cuts,
+         |  CAST(CASE WHEN nf = 0 THEN 0 ELSE len(cutpos) + 1 END AS BIGINT) AS n_scenes,
+         |  CAST(CASE WHEN nf = 0 THEN 0 ELSE
+         |    list_max([ (cutpos || [nf])[j+1] - ([0] || cutpos)[j+1]
+         |               FOR j IN range(len(cutpos) + 1) ])
+         |  END AS BIGINT) AS longest_scene
+         |FROM cuts""".stripMargin
+    }) { (s, d) =>
+      sceneSegments(mediaTable(Tables.spread(Tables.documents(s, d))))
     }
   )
+
+  /** m6 constants, shared by the stub and the oracle CTE string. */
+  val SceneFrame = 64       // bytes per "video frame"
+  val SceneCutThresh = 150L // energy delta that counts as a shot cut
+
+  /** ======= STUB — replace with a real frame decoder + histogram diff ====
+    * Deterministic fake shot-cut detector for one payload: frame the
+    * payload ([[SceneFrame]] bytes, complete frames only), energy = byte
+    * sum per frame, cut where adjacent energies differ by more than
+    * [[SceneCutThresh]]. A real implementation swaps byte sums for frame
+    * histogram distances; the cut-position contract is unchanged.
+    */
+  def sceneCutStub(payload: Array[Byte]): (Int, Array[Int]) = {
+    val nF = if (payload == null) 0 else payload.length / SceneFrame
+    if (nF <= 0) (0, Array.empty)
+    else {
+      val sums = new Array[Long](nF)
+      var f = 0
+      while (f < nF) {
+        var j = f * SceneFrame
+        var acc = 0L
+        while (j < (f + 1) * SceneFrame) { acc += (payload(j) & 0xff).toLong; j += 1 }
+        sums(f) = acc
+        f += 1
+      }
+      (nF, (1 until nF).filter(f => math.abs(sums(f) - sums(f - 1)) > SceneCutThresh).toArray)
+    }
+  }
+
+  /** See the `m6` registry notes. `media` needs (doc_id, payload). The
+    * scene math on the cut positions is closed-form array algebra:
+    * boundaries = 0 :: cuts :: nF, scene lengths = adjacent differences.
+    */
+  def sceneSegments(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (nf, cuts) = sceneCutStub(p)
+        (id, nf.toLong, cuts)
+      })
+      .toDF("doc_id", "n_frames", "cuts")
+      .select(col("doc_id"), col("n_frames"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        when(col("n_frames") === 0, lit(0L))
+          .otherwise(size(col("cuts")).cast("long") + 1).as("n_scenes"),
+        when(col("n_frames") === 0, lit(0L))
+          .otherwise(array_max(zip_with(
+            concat(col("cuts"), array(col("n_frames").cast("int"))),
+            concat(array(lit(0)), col("cuts")),
+            (x, y) => x - y)).cast("long")).as("longest_scene"))
+  }
 }

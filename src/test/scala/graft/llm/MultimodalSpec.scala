@@ -103,4 +103,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
       "a sub-frame payload produced landmarks")
   }
+
+  test("scene cuts: hand-built frames produce the expected segmentation") {
+    // constant-byte frames make the expected cuts exact by construction:
+    // frame energy = 64·v, so a cut fires iff |v2 − v1| ≥ 3
+    // (64·3 = 192 > 150; 64·2 = 128 ≤ 150)
+    def frames(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Array.fill(Multimodal.SceneFrame)(v.toByte)).toArray
+    val rows = Seq(
+      (1L, Array.fill(30)(7.toByte)),          // sub-frame → 0 frames
+      (2L, frames(10, 10, 10)),                // flat → 1 scene of 3
+      (3L, frames(10, 20, 20, 5)),             // cuts at 1 and 3
+      (4L, frames(10, 12, 14)),                // deltas of 2 → no cuts
+      (5L, frames(10, 20) ++ Array.fill(10)(9.toByte)) // trailing partial dropped
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.sceneSegments(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 1L, 3L)))
+    assert(out(3L) === ((4L, 2L, 3L, 2L)))
+    assert(out(4L) === ((3L, 0L, 1L, 3L)))
+    assert(out(5L) === ((2L, 1L, 2L, 1L)))
+  }
 }
