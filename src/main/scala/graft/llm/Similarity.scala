@@ -1017,8 +1017,52 @@ object Similarity {
         |  10 * r.rank_in_label <= n.n AS is_outlier
         |FROM r JOIN n ON n.label = r.label""".stripMargin) { (s, d) =>
       centroidOutliers(Tables.embeddings(s, d))
+    },
+
+    // ---- D4-style density pruning (prototype removal) --------------------
+    // The diversification half of D4 (Tirumala et al., 2023: dedup +
+    // diversify LLM pretraining data): after clustering, the vectors
+    // CLOSEST to their centroid are the most prototypical/redundant —
+    // prune the nearest quarter per cluster, keep the diverse tail.
+    // Complements s12 (which flags the FARTHEST as outliers). FULL
+    // oracle: shares s7's seeded-Lloyd `kmeansCtes` verbatim — same
+    // quantizer by construction — then per-cluster ranks on the 6-dp
+    // ROUNDED distance with a vec_id tiebreak and a cross-multiplied
+    // integer flag (4·rank ≤ n). Scale shape: kmeansAssign's
+    // parameter-bounded codebook broadcast; the per-cluster rank rides
+    // [[graft.operators.Relational.groupedRowNumber]]'s two-pass form
+    // (clusters are k partitions of the corpus — a per-cid Window is
+    // N/k rows on one task at 100 TB); the ≤ k-row count table is a
+    // sanctioned bounded broadcast.
+    sql("s13_density_prune",
+      s"""WITH ${kmeansCtes()},
+         |n AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cid),
+         |r AS (
+         |  SELECT vec_id, cid, dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS BIGINT)
+         |      AS rank_in_cluster
+         |  FROM afin
+         |)
+         |SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id, r.dist,
+         |  r.rank_in_cluster, 4 * r.rank_in_cluster <= n.n AS pruned
+         |FROM r JOIN n ON n.cid = r.cid""".stripMargin) { (s, d) =>
+      densityPrune(Tables.embeddings(s, d))
     }
   )
+
+  /** See the `s13` registry notes. `emb` needs (vec_id, embedding). */
+  def densityPrune(emb: DataFrame): DataFrame = {
+    val a = kmeansAssign(emb, k = KmeansRegistryK, iters = 1)
+    // ≤ k rows — parameter-bounded, so the broadcast is sanctioned
+    // (the codebook rule, not the Heaps-law vocab rule)
+    val n = a.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+    graft.operators.Relational
+      .groupedRowNumber(a, Seq("cluster_id"),
+        Seq(col("dist"), col("vec_id")), "rank_in_cluster")
+      .join(broadcast(n), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("dist"), col("rank_in_cluster"),
+        (col("rank_in_cluster") * 4 <= col("n")).as("pruned"))
+  }
 
   /** See the `s12` registry notes. `emb` needs (vec_id, label, embedding). */
   def centroidOutliers(emb: DataFrame): DataFrame = {

@@ -180,6 +180,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("density prune: partition law, quarter flag, prototypes go first") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.densityPrune(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.length === e.count())
+    // the assignment is exactly kmeansAssign's (shared quantizer)
+    val assigned = Similarity.kmeansAssign(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.foreach { case (id, cid, dist, _, _) =>
+      assert(assigned(id) === ((cid, dist)), s"vec $id assignment diverged")
+    }
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val n = members.length
+      // ranks are a permutation of 1..n, ordered by (dist, vec_id)
+      val byRank = members.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to n).map(_.toLong))
+      assert(byRank.map(m => (m._3, m._1)).toSeq ===
+        members.map(m => (m._3, m._1)).sortBy(identity).toSeq,
+        s"cluster $cid rank order")
+      // pruned = exactly the nearest floor(n/4), nothing kept below them
+      val pruned = members.filter(_._5)
+      assert(pruned.length === n / 4, s"cluster $cid prune count")
+      assert(members.forall(m => m._5 === (4 * m._4 <= n)))
+      if (pruned.nonEmpty) {
+        val ord = Ordering.Tuple2[Double, Long]
+        val worstPruned = pruned.map(m => (m._3, m._1)).max
+        val kept = members.filterNot(_._5)
+        assert(kept.forall(m => ord.gt((m._3, m._1), worstPruned)),
+          s"cluster $cid kept a vector nearer than a pruned one")
+      }
+    }
+  }
+
   test("PQ block near-dup: pairs canonical, cosine floor, block law, cap honored") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.pqBlockNearDup(e).collect()
