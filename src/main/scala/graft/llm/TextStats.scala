@@ -1035,8 +1035,65 @@ object TextStats {
          |FROM r, n""".stripMargin
     }) { (s, d) =>
       dsirSelect(Tables.spread(Tables.documents(s, d)))
+    },
+
+    // ---- lexical diversity: TTR + MATTR ----------------------------------
+    // The vocabulary-richness quality signal (Covington & McFall's
+    // moving-average type–token ratio — length-invariant where plain
+    // TTR is not): mean distinct-type count over every
+    // [[MattrWindow]]-token sliding window, whole-doc TTR for shorter
+    // docs. Degenerate repetitive docs (the t8/t23 target family) score
+    // near the floor; varied prose near 1. All-integer distinct counts
+    // folded into ONE exact sum, a single double division, 6-dp round —
+    // no float accumulation to diverge. Scale shape: pure scan-side
+    // HOF work (O(L·w) per doc), zero shuffles, fully codegen — the
+    // whole operator rides the corpus scan.
+    sql("t26_lexical_diversity", {
+      val w = MattrWindow
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_types,
+         |    CASE WHEN len(ts) >= $w THEN
+         |      CAST(list_sum([len(list_distinct(ts[i:i+${w - 1}]))
+         |        FOR i IN range(1, len(ts) - $w + 2)]) AS BIGINT)
+         |    ELSE CAST(len(list_distinct(ts)) AS BIGINT) END AS dsum,
+         |    CASE WHEN len(ts) >= $w THEN CAST($w * (len(ts) - $w + 1) AS BIGINT)
+         |    ELSE CAST(len(ts) AS BIGINT) END AS denom
+         |  FROM toks
+         |)
+         |SELECT doc_id, n_tok, n_types,
+         |  round(n_types * 1.0 / n_tok, 6) AS ttr,
+         |  round(dsum * 1.0 / denom, 6) AS mattr
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      lexicalDiversity(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** MATTR sliding-window width — interpolated into BOTH engines. */
+  val MattrWindow = 25
+
+  /** See the `t26` registry notes. `docs` needs (doc_id, text). */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val w = MattrWindow
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        size(array_distinct(col("ts"))).cast("long").as("n_types"),
+        when(size(col("ts")) >= w,
+          expr(s"aggregate(transform(sequence(1, size(ts) - ${w - 1}), " +
+            s"i -> size(array_distinct(slice(ts, i, $w)))), 0L, (a, x) -> a + x)"))
+          .otherwise(size(array_distinct(col("ts"))).cast("long")).as("dsum"),
+        when(size(col("ts")) >= w, (lit(w) * (size(col("ts")) - (w - 1))).cast("long"))
+          .otherwise(size(col("ts")).cast("long")).as("denom"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types") * lit(1.0) / col("n_tok"), 6).as("ttr"),
+        round(col("dsum") * lit(1.0) / col("denom"), 6).as("mattr"))
+  }
 
   /** DSIR hashed-feature space size — interpolated into BOTH the Spark
     * side and the oracle CTEs (the d18/kmeansCtes lesson).

@@ -94,6 +94,41 @@ class TextStatsSpec extends SparkSpec {
     assert(enMean > allMean, "target slice should be upweighted")
   }
 
+  test("lexical diversity: plain-Scala windows agree; known corners exact") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = TextStats.MattrWindow
+    val docs = Seq(
+      (1L, (1 to 10).map(_ => "x").mkString(" ")),          // all same, short → ttr=mattr=0.1
+      (2L, (1 to 10).map(i => s"t$i").mkString(" ")),       // all distinct, short → 1.0
+      (3L, (1 to 60).map(i => s"t${i % 7}").mkString(" ")), // 7-cycle, windowed
+      (4L, (1 to 25).map(i => s"t$i").mkString(" ")),       // exactly one window
+      (5L, (1 to 80).map(i => if (i < 40) s"u$i" else "rep").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextStats.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    // independent recompute with Scala collections
+    Seq(1L -> 10, 2L -> 10, 3L -> 60, 4L -> 25, 5L -> 80).foreach { case (id, n) =>
+      val ts = docs.filter(col("doc_id") === id).head().getString(1).split(" ").toSeq
+      val types = ts.distinct.size
+      val (dsum, denom) =
+        if (n >= w) ((0 to n - w).map(i => ts.slice(i, i + w).distinct.size.toLong).sum,
+          (w.toLong * (n - w + 1)))
+        else (types.toLong, n.toLong)
+      val (gotN, gotTypes, gotTtr, gotMattr) = out(id)
+      assert(gotN === n.toLong && gotTypes === types.toLong, s"doc $id counts")
+      assert(gotTtr === round6(types * 1.0 / n), s"doc $id ttr")
+      assert(gotMattr === round6(dsum * 1.0 / denom), s"doc $id mattr")
+    }
+    // corners: constant doc floors at 1/n; distinct doc is exactly 1.0;
+    // every 25-window of a 7-cycle has exactly 7 types
+    assert(out(1L)._3 === 0.1 && out(1L)._4 === 0.1)
+    assert(out(2L)._3 === 1.0 && out(2L)._4 === 1.0)
+    assert(out(3L)._4 === round6(7.0 / w))
+    assert(out(4L)._4 === 1.0)
+  }
+
   test("gopher rules: each rule trips independently on a targeted violation") {
     val stop = "the a of to in is that it for on with as and an"  // 14 stopwords
     val base = (1 to 4).map(i => s"w$i$stop").mkString(" ")       // 60 varied tokens
