@@ -1070,8 +1070,75 @@ object TextStats {
          |FROM m""".stripMargin
     }) { (s, d) =>
       lexicalDiversity(Tables.spread(Tables.documents(s, d)))
+    },
+
+    // ---- NPMI collocation extraction -------------------------------------
+    // The classic collocation miner (normalized pointwise mutual
+    // information, Bouma 2009): bigrams whose joint probability beats
+    // the independence assumption, normalized to [-1, 1] by −ln p(xy) —
+    // the phrase dictionary builders (word2phrase, tokenizer vocab
+    // prep) run exactly this. Count floor ≥ 5 kills noise pairs. Both
+    // engines: exact integer counts, one double NPMI expression, 6-dp
+    // round, rank on the ROUNDED value with (w1, w2) tiebreaks. Scale
+    // shape: t17's keyed bigram/unigram aggregations (corpus-derived
+    // counts — keyed shuffle joins, no broadcast hints); the two
+    // normalizers are 1-row broadcasts; top-50 is a distributed
+    // TakeOrdered, ranked post-limit via the constant-group two-pass
+    // (t19's WindowExec-warning-free form).
+    sql("t27_collocations",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents
+        |), big AS (
+        |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |), bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+        |), uc AS (
+        |  SELECT t AS w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1
+        |), nb AS (SELECT sum(c2) AS nb FROM bc), nu AS (SELECT sum(c1) AS nu FROM uc),
+        |sc AS (
+        |  SELECT bc.w1, bc.w2, bc.c2,
+        |    round(ln((bc.c2 * 1.0 / nb.nb) / ((ua.c1 * 1.0 / nu.nu) * (ub.c1 * 1.0 / nu.nu)))
+        |      / (-ln(bc.c2 * 1.0 / nb.nb)), 6) AS npmi
+        |  FROM bc JOIN uc ua ON ua.w = bc.w1 JOIN uc ub ON ub.w = bc.w2, nb, nu
+        |  WHERE bc.c2 >= 5
+        |)
+        |SELECT w1, w2, c2, npmi,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY npmi DESC, w1, w2) AS BIGINT) AS rnk
+        |FROM sc QUALIFY rnk <= 50""".stripMargin) { (s, d) =>
+      collocations(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** See the `t27` registry notes. `docs` needs (doc_id, text). */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("w2", lead(col("t"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("t").as("w1"), col("w2"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uc = toks.groupBy(col("t").as("w")).agg(count(lit(1)).as("c1"))
+    val nb = bc.agg(sum(col("c2")).as("nb"))
+    val nu = uc.agg(sum(col("c1")).as("nu"))
+    val sc = bc.filter(col("c2") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2") * lit(1.0) / col("nb")) /
+            ((col("ca") * lit(1.0) / col("nu")) * (col("cb") * lit(1.0) / col("nu"))))
+          / (-log(col("c2") * lit(1.0) / col("nb"))), 6).as("npmi"))
+    val top = sc.orderBy(col("npmi").desc, col("w1"), col("w2")).limit(topK)
+    graft.operators.Relational.groupedRowNumber(
+        top.withColumn("__g", lit(0)),
+        Seq("__g"), Seq(col("npmi").desc, col("w1"), col("w2")), "rnk")
+      .select(col("w1"), col("w2"), col("c2"), col("npmi"), col("rnk"))
+  }
 
   /** MATTR sliding-window width — interpolated into BOTH engines. */
   val MattrWindow = 25

@@ -129,6 +129,39 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4L)._4 === 1.0)
   }
 
+  test("collocations: plain-Scala NPMI agrees; floor and top-k honored") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "aa bb" is a strong collocation (6 co-occurrences), "cc dd" a weak
+    // one (5, but cc/dd also appear apart), "ee ff" is below the floor (4)
+    val docs = Seq(
+      (1L, "aa bb x cc dd y aa bb z cc dd"),
+      (2L, "aa bb p cc dd q aa bb r cc cc"),
+      (3L, "aa bb s dd dd t ee ff u ee ff"),
+      (4L, "aa bb v ee ff w ee ff cc dd")).toDF("doc_id", "text")
+    val out = TextStats.collocations(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // independent recompute
+    val corpus = Seq(
+      "aa bb x cc dd y aa bb z cc dd", "aa bb p cc dd q aa bb r cc cc",
+      "aa bb s dd dd t ee ff u ee ff", "aa bb v ee ff w ee ff cc dd")
+      .map(_.split(" ").toSeq)
+    val bigs = corpus.flatMap(ts => ts.zip(ts.tail))
+    val unis = corpus.flatten
+    val bcnt = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ucnt = unis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nb, nu) = (bigs.size.toDouble, unis.size.toDouble)
+    val expected = bcnt.filter(_._2 >= 5).map { case ((a, b), c2) =>
+      val p = c2 / nb
+      (a, b, c2, round6(math.log(p / ((ucnt(a) / nu) * (ucnt(b) / nu))) / -math.log(p)))
+    }.toSeq.sortBy { case (a, b, _, npmi) => (-npmi, a, b) }
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq === expected)
+    assert(out.map(_._5).toSeq === (1L to expected.size))
+    assert(!out.exists(t => t._1 == "ee" && t._2 == "ff"), "below-floor pair kept")
+    assert(out.head._1 === "aa" && out.head._2 === "bb", "strongest pair first")
+  }
+
   test("gopher rules: each rule trips independently on a targeted violation") {
     val stop = "the a of to in is that it for on with as and an"  // 14 stopwords
     val base = (1 to 4).map(i => s"w$i$stop").mkString(" ")       // 60 varied tokens
