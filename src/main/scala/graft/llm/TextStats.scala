@@ -1109,8 +1109,83 @@ object TextStats {
         |  CAST(ROW_NUMBER() OVER (ORDER BY npmi DESC, w1, w2) AS BIGINT) AS rnk
         |FROM sc QUALIFY rnk <= 50""".stripMargin) { (s, d) =>
       collocations(Tables.spread(Tables.documents(s, d)))
+    },
+
+    // ---- BM25 retrieval scoring (selection-by-retrieval) -----------------
+    // Okapi BM25 (Robertson/Walker) — the retrieval half of
+    // retrieve-from-pretraining-data curation: score every corpus doc
+    // against a fixed query set (here the term sets of docs 0–2; in
+    // production the target-task prompts) and keep the top 10 per
+    // query. Exact integer tf/df/dl statistics; both engines evaluate
+    // ONE identical scalar expression per (query, doc, term) and 6-dp
+    // round after the per-pair sum; ranks on the ROUNDED score with a
+    // doc_id tiebreak. Scale shape: tf/df/dl are corpus-derived keyed
+    // aggregations (keyed shuffle joins, no hints); the query term
+    // table is parameter-bounded (|Q| query docs) and broadcasts; the
+    // per-query rank rides groupedRowNumber's two-pass form — 3 query
+    // groups would otherwise be 3 single-task windows over
+    // corpus-sized candidate sets (the t9/d5/d16 lesson).
+    sql("t28_bm25", {
+      val (k1, b) = (Bm25K1, Bm25B)
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents
+         |), dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT doc_id AS qid, t FROM tf WHERE doc_id < $Bm25Queries),
+         |sc AS (
+         |  SELECT q.qid, tf.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         |    round(sum(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+         |      * tf.tf * ${k1 + 1} / (tf.tf + $k1 * (1 - $b + $b * dl.dl * n.n * 1.0 / n.s))), 6)
+         |      AS score
+         |  FROM q JOIN tf ON tf.t = q.t
+         |  JOIN df ON df.t = q.t JOIN dl ON dl.doc_id = tf.doc_id, n
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, doc_id, n_hit_terms, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |FROM sc QUALIFY rnk <= $Bm25TopK""".stripMargin
+    }) { (s, d) =>
+      bm25(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** BM25 constants — interpolated into BOTH engines. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Queries = 3
+  val Bm25TopK = 10
+
+  /** See the `t28` registry notes. `docs` needs (doc_id, text). */
+  def bm25(docs: DataFrame): DataFrame = {
+    val (k1, b) = (Bm25K1, Bm25B)
+    val tok = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val q = tf.filter(col("doc_id") < Bm25Queries)
+      .select(col("doc_id").as("qid"), col("t"))
+    val sc = broadcast(q).join(tf, Seq("t"))
+      .join(df, Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("qid"), col("doc_id"),
+        (log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1)
+          / (col("tf") + lit(k1) * (lit(1) - lit(b)
+            + lit(b) * col("dl") * col("n") * lit(1.0) / col("s")))).as("w"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), round(sum(col("w")), 6).as("score"))
+    graft.operators.Relational
+      .groupedRowNumber(sc, Seq("qid"),
+        Seq(col("score").desc, col("doc_id")), "rnk")
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("qid"), col("doc_id"), col("n_hit_terms"), col("score"), col("rnk"))
+  }
 
   /** See the `t27` registry notes. `docs` needs (doc_id, text). */
   def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {

@@ -162,6 +162,59 @@ class TextStatsSpec extends SparkSpec {
     assert(out.head._1 === "aa" && out.head._2 === "bb", "strongest pair first")
   }
 
+  test("bm25: plain-Scala scores agree; self-doc retrieved; top-k per query") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Seq(
+      0L -> "spark shuffle join",
+      1L -> "window agg sort merge",
+      2L -> "scan filter spark spark",
+      3L -> "spark shuffle join spark shuffle",
+      4L -> "window sort agg",
+      5L -> "scan scan filter noise tokens here",
+      6L -> "unrelated words only nothing common")
+    val out = TextStats.bm25(texts.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getLong(4)))).toMap
+
+    // independent recompute
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val nDocs = texts.size
+    val sTot = toks.values.map(_.size).sum
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val (k1, b) = (TextStats.Bm25K1, TextStats.Bm25B)
+    val expected = for {
+      qid <- 0L until TextStats.Bm25Queries.toLong
+      (did, ts) <- toks
+      hit = toks(qid).distinct.filter(ts.contains)
+      if hit.nonEmpty
+    } yield {
+      val score = hit.map { t =>
+        val tf = ts.count(_ == t)
+        val df = dfm(t)
+        math.log(1 + (nDocs - df + 0.5) / (df + 0.5)) * tf * (k1 + 1) /
+          (tf + k1 * (1 - b + b * ts.size * nDocs * 1.0 / sTot))
+      }.sum
+      (qid, did) -> ((hit.size.toLong, round6(score)))
+    }
+    expected.foreach { case ((qid, did), (nh, sc)) =>
+      val got = out.get((qid, did))
+      assert(got.isDefined, s"pair ($qid,$did) missing")
+      assert(got.get._1 === nh && got.get._2 === sc, s"pair ($qid,$did)")
+    }
+    assert(out.size === expected.size, "spurious or dropped pairs")
+    // ranks are contiguous from 1 per query and rank-1 is the
+    // independently computed argmax (rounded score, doc_id tiebreak)
+    (0L until 3L).foreach { qid =>
+      val mine = out.collect { case ((q, d), v) if q == qid => (d, v._3) }
+      assert(mine.map(_._2).toSeq.sorted === (1L to mine.size))
+      val want = expected.collect { case ((q, d), (_, sc)) if q == qid => (d, sc) }
+        .minBy { case (d, sc) => (-sc, d) }._1
+      assert(mine.find(_._2 == 1L).map(_._1).contains(want), s"query $qid rank-1")
+    }
+  }
+
   test("gopher rules: each rule trips independently on a targeted violation") {
     val stop = "the a of to in is that it for on with as and an"  // 14 stopwords
     val base = (1 to 4).map(i => s"w$i$stop").mkString(" ")       // 60 varied tokens
