@@ -499,8 +499,87 @@ object Multimodal {
          |FROM cuts""".stripMargin
     }) { (s, d) =>
       sceneSegments(mediaTable(Tables.spread(Tables.documents(s, d))))
+    },
+
+    // ---- media–embedding alignment filter (CLIP-score shape) -------------
+    // The LAION/DataComp curation step: score each (media, embedding)
+    // pair by the cosine between the decoded media features and the
+    // paired text/embedding vector, drop the bottom decile as
+    // misaligned (caption doesn't match image, corrupt pairs). Feature
+    // extraction is m2's stub decoder (8-dim byte-sum features standing
+    // in for CNN features; the first 8 embedding dims stand in for the
+    // text tower); the pairing join, zero-norm guard, score math, and
+    // decile flag are real. FULL oracle: DuckDB re-derives the stub
+    // features from hex(blob) (the m2 CTEs), slices the embedding, and
+    // replays the 6-dp-rounded cosine; both engines rank on the
+    // ROUNDED score with a doc_id tiebreak; flag = 10·rank ≤ n. Scale
+    // shape: pairing is a keyed equi-join on the id (both sides
+    // corpus-sized — shuffle join, no hints); the global rank rides
+    // globalRowNumber's two-pass form; the count is a 1-row broadcast.
+    sql("m7_alignment_filter",
+      """WITH b AS (
+        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+        |         octet_length(coalesce(encode(text), encode(''))) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, n,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+        |      FOR i IN range(n) ] AS bytes,
+        |    greatest(n // 8, 1) AS win
+        |  FROM b
+        |), f AS (
+        |  SELECT doc_id,
+        |    [ CAST(coalesce(list_sum(bytes[k*win + 1 : least((k+1)*win, n)]), 0) % 1000 AS DOUBLE)
+        |      FOR k IN range(8) ] AS fv
+        |  FROM e
+        |), g AS (
+        |  SELECT f.doc_id, fv,
+        |    [ CAST(x AS DOUBLE) FOR x IN emb.embedding[1:8] ] AS ev
+        |  FROM f JOIN embeddings emb ON emb.vec_id = f.doc_id
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_sum([x*x FOR x IN fv]) * list_sum([x*x FOR x IN ev]) = 0 THEN 0.0
+        |    ELSE round(list_sum([fv[k+1] * ev[k+1] FOR k IN range(8)])
+        |      / (sqrt(list_sum([x*x FOR x IN fv])) * sqrt(list_sum([x*x FOR x IN ev]))), 6)
+        |    END AS align_score
+        |  FROM g
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        |r AS (
+        |  SELECT doc_id, align_score,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY align_score, doc_id) AS BIGINT) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, align_score, rank, 10 * rank <= n.n AS misaligned
+        |FROM r, n""".stripMargin) { (s, d) =>
+      alignmentFilter(
+        mediaTable(Tables.spread(Tables.documents(s, d))),
+        Tables.embeddings(s, d))
     }
   )
+
+  /** See the `m7` registry notes. `media` needs (doc_id, payload); `emb`
+    * needs (vec_id, embedding) with vec_id sharing media's id space.
+    */
+  def alignmentFilter(media: DataFrame, emb: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.arrayDot
+    val feats = extractFeatures(media).select(col("doc_id"), col("feature"))
+    val e8 = emb.select(col("vec_id").as("doc_id"),
+      slice(col("embedding"), 1, 8).as("ev"))
+    val sc = feats.join(e8, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(arrayDot(col("feature"), col("feature"))
+          * arrayDot(col("ev"), col("ev")) === 0, lit(0.0))
+          .otherwise(round(arrayDot(col("feature"), col("ev")) /
+            (sqrt(arrayDot(col("feature"), col("feature"))) *
+              sqrt(arrayDot(col("ev"), col("ev")))), 6)).as("align_score"))
+    val n = sc.agg(count(lit(1)).as("n"))
+    graft.operators.Relational
+      .globalRowNumber(sc, Seq(col("align_score"), col("doc_id")), "rank")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("align_score"), col("rank"),
+        (col("rank") * 10 <= col("n")).as("misaligned"))
+  }
 
   /** m6 constants, shared by the stub and the oracle CTE string. */
   val SceneFrame = 64       // bytes per "video frame"

@@ -126,4 +126,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) === ((3L, 0L, 1L, 3L)))
     assert(out(5L) === ((2L, 1L, 2L, 1L)))
   }
+
+  test("alignment filter: plain-Scala cosines agree; decile flag; zero guard") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 8-byte payloads → win=1 → the stub feature IS the byte vector
+    val rng = new scala.util.Random(11)
+    val payloads: Seq[(Long, Array[Byte])] =
+      (1L to 9L).map(i => i -> Array.fill(8)((rng.nextInt(120) + 1).toByte)) :+
+        (10L -> Array.emptyByteArray) // zero feature → guarded score 0.0
+    val media = payloads.toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("format"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        lit("spec").as("source")))
+    val embs = payloads.map { case (id, p) =>
+      val ev: Array[Float] =
+        if (id == 1L) p.map(b => (b & 0xff).toFloat * 2)        // parallel → 1.0
+        else if (id == 2L) p.map(b => -(b & 0xff).toFloat)      // opposite → −1.0
+        else Array.fill(8)(rng.nextFloat * 2 - 1)
+      (id, ev ++ Array.fill(56)(0.0f)) // dims past 8 must be ignored
+    }.toDF("vec_id", "embedding")
+    val out = Multimodal.alignmentFilter(media, embs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    val expected = payloads.map { case (id, p) =>
+      val fv = p.map(b => (b & 0xff).toDouble)
+      val evRow = embs.filter(col("vec_id") === id).head().getSeq[Float](1).take(8)
+      val ev = evRow.map(_.toDouble)
+      val (na, nb) = (fv.map(x => x * x).sum, ev.map(x => x * x).sum)
+      id -> (if (na * nb == 0) 0.0
+             else round6((fv, ev).zipped.map(_ * _).sum / (math.sqrt(na) * math.sqrt(nb))))
+    }.toMap
+    expected.foreach { case (id, sc) =>
+      assert(out(id)._1 === sc, s"doc $id score")
+    }
+    assert(out(1L)._1 === 1.0 && out(2L)._1 === -1.0 && out(10L)._1 === 0.0)
+    // bottom decile of 10 rows = exactly the single worst pair (doc 2)
+    assert(out.values.count(_._3) === 1)
+    assert(out(2L)._3, "the opposite pair must be flagged")
+    assert(out.values.map(_._2).toSeq.sorted === (1L to 10L))
+  }
 }
