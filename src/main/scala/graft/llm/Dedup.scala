@@ -1749,8 +1749,47 @@ object Dedup {
         |     ORDER BY p.n_chars DESC, p.doc_id) = 1) AS kept
         |FROM p JOIN g ON g.pfx = p.pfx""".stripMargin) { (s, d) =>
       prefixDedup(Tables.documents(s, d))
+    },
+
+    // ---- intra-doc stutter removal (run-length token dedup) --------------
+    // The OCR/ASR/scrape text-normalization transform: collapse every
+    // run of identical consecutive tokens to one ("the the the" → "the")
+    // — the transform counterpart of t8's repetition METRICS. Pure
+    // scan-side HOF work (an index-aware filter over the token array) —
+    // exact strings, exact counts, zero shuffles; the cleaned text goes
+    // back out as a column, so downstream stages chain without a
+    // re-tokenize. Both engines rebuild the cleaned doc token-for-token,
+    // and the oracle compares the full cleaned string.
+    sql("d23_stutter_removal",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), cl AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+        |    [ts[i+1] FOR i IN range(len(ts)) IF i = 0 OR ts[i+1] <> ts[i]] AS clean
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_tok, CAST(len(clean) AS BIGINT) AS n_clean,
+        |  n_tok - len(clean) AS n_removed,
+        |  array_to_string(clean, ' ') AS clean_text
+        |FROM cl""".stripMargin) { (s, d) =>
+      stutterRemoval(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** See the `d23` registry notes. `docs` needs (doc_id, text). */
+  def stutterRemoval(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+        // keep position i+1 (1-based) iff it's the first token or
+        // differs from its predecessor — filter's lambda index is
+        // 0-based, element_at is 1-based, so element_at(ts, i) IS the
+        // predecessor of x
+        expr("filter(ts, (x, i) -> i = 0 OR x != element_at(ts, i))").as("clean"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("clean")).cast("long").as("n_clean"),
+        (col("n_tok") - size(col("clean"))).as("n_removed"),
+        array_join(col("clean"), " ").as("clean_text"))
 
   /** See the `d21` registry notes. `docs` needs (doc_id, text, n_chars). */
   def prefixDedup(docs: DataFrame, nPrefix: Int = 4): DataFrame = {

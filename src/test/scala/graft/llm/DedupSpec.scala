@@ -346,6 +346,29 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(7L))
   }
 
+  test("stutter removal: runs collapse to one, order preserved, idempotent") {
+    val docs = Seq(
+      (1L, "the the the cat sat sat"),
+      (2L, "a b a b a"),                    // non-consecutive repeats untouched
+      (3L, "x x x x x x"),                  // whole doc one run
+      (4L, "clean text with no runs")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stutterRemoval(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(1L) === ((6L, 3L, 3L, "the cat sat")))
+    assert(out(2L) === ((5L, 5L, 0L, "a b a b a")))
+    assert(out(3L) === ((6L, 1L, 5L, "x")))
+    assert(out(4L) === ((5L, 5L, 0L, "clean text with no runs")))
+    // idempotence: cleaning the cleaned text removes nothing
+    val again = Dedup.stutterRemoval(
+      docs.sparkSession.createDataFrame(
+        out.toSeq.map { case (id, (_, _, _, t)) => (id, t) })
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again.values.forall(_ === 0L), "second pass removed tokens")
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
