@@ -311,6 +311,44 @@ object Dedup {
         col("n_contaminated").isNotNull.as("is_contaminated"))
   }
 
+  /** Gram size for the graded d24 contamination score — interpolated into
+    * the oracle SQL so the two engines can never silently diverge.
+    */
+  val ContamN = 4
+
+  /** Per-doc graded eval-set overlap — see the `d24` registry notes.
+    *
+    * Same bench/train carve as [[decontaminateTok]]; differs in emitting
+    * the distinct-gram overlap FRACTION (6-dp rounded) and a severity
+    * bucket decided on cross-multiplied integers. The marker left-join
+    * counts total and hit grams in ONE aggregation, so the train side is
+    * scanned once: grams → (broadcast | keyed) join vs bench → per-doc
+    * count. Every training doc emits ≥1 gram (short docs produce one
+    * partial gram, mirroring the oracle's `greatest(..., 1)`), so the
+    * inner aggregation already covers all docs — no join back to the
+    * doc list.
+    */
+  def contaminationScore(docs: DataFrame, n: Int = ContamN,
+      broadcastBench: Boolean = true): DataFrame = {
+    val grams = tokenNgramRowsFromTokens(Tables.spread(tokenize(docs)), n)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    val benchPlain = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("gh")).distinct().withColumn("hit", lit(1L))
+    val bench = if (broadcastBench) broadcast(benchPlain) else benchPlain
+    grams.filter(col("doc_id") % 10 =!= 0)
+      .join(bench, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams").cast("double"), 6).as("overlap_frac"),
+        when(col("n_hit") * 10 >= col("n_grams") * 5, "high")
+          .when(col("n_hit") * 100 >= col("n_grams") * 5, "medium")
+          .when(col("n_hit") > 0, "low")
+          .otherwise("clean").as("bucket"))
+  }
+
   /** Whitespace tokenization as a (doc_id, ts: array<string>) frame — the
     * shared pre-pass every gram operator derives from. [[corpusCleanFull]]
     * materializes this ONCE per corpus so the five-stage pipeline scans
@@ -1180,6 +1218,43 @@ object Dedup {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
         |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin) { (s, d) =>
       decontaminate(Tables.documents(s, d), broadcastBench = true)
+    },
+
+    // ---- graded contamination score: n-gram overlap FRACTION -------------
+    // d10's boolean flag is the drop rule; eval-overlap REPORTS (Gopher
+    // app. C, GPT-3 app. C) need the graded form — what fraction of a
+    // doc's distinct 4-grams appear in the eval set, bucketed by
+    // severity. Shorter grams than d10's 13 on purpose: the report wants
+    // partial-overlap signal, not just verbatim leakage. Thresholds
+    // compare CROSS-MULTIPLIED INTEGERS (n_hit·10 ≥ n_grams·5 ⇔ ≥50%),
+    // never a float ratio, so both engines bucket identically. Unlike
+    // d10's external-eval-set broadcast contract, this registry entry
+    // carves the bench set FROM THE CORPUS, so it takes the keyed
+    // shuffle join (`broadcastBench = false`) — corpus-derived frames
+    // never broadcast (PartitioningSpec pins no-BHJ).
+    sql("d24_contamination_score", {
+      val w = ContamN - 1
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+$w], ' ')
+         |    FOR i IN range(1, greatest(len(ts) - $w, 1) + 1)]) AS g
+         |  FROM toks
+         |), bench AS (
+         |  SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0
+         |), per AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_grams, n_hit,
+         |  round(n_hit / CAST(n_grams AS DOUBLE), 6) AS overlap_frac,
+         |  CASE WHEN n_hit * 10 >= n_grams * 5 THEN 'high'
+         |       WHEN n_hit * 100 >= n_grams * 5 THEN 'medium'
+         |       WHEN n_hit > 0 THEN 'low' ELSE 'clean' END AS bucket
+         |FROM per""".stripMargin
+    }) { (s, d) =>
+      contaminationScore(Tables.documents(s, d), broadcastBench = false)
     },
 
     // ---- span-level (substring) duplicate coverage -----------------------

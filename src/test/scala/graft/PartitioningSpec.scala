@@ -180,7 +180,11 @@ class PartitioningSpec extends SparkSpec {
           "t24_grouped_heavy_hitters",
           // s12's per-label centroid table and counts are corpus-derived
           // (|labels| is an ontology, not a parameter) — keyed joins only
-          "s12_centroid_outliers")) {
+          "s12_centroid_outliers",
+          // d24 carves its bench gram set from the corpus, so the
+          // registry form must take the keyed join, not d10's
+          // external-eval-set broadcast contract
+          "d24_contamination_score")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -369,6 +369,46 @@ class DedupSpec extends SparkSpec {
     assert(again.values.forall(_ === 0L), "second pass removed tokens")
   }
 
+  test("contamination score: plain-Scala re-derivation + exact bucket boundaries") {
+    // grams re-derived with stdlib sliding windows, never the engine's
+    // own expressions; sliding(4) yields the single partial window for
+    // short docs, mirroring the engine's greatest(len-3, 1) floor
+    def grams(s: String): Set[String] =
+      s.trim.split("\\s+").toSeq.sliding(Dedup.ContamN).map(_.mkString(" ")).toSet
+    val benchTexts = Map(10L -> "b1 b2 b3 b4 b5 b6 b7", 20L -> "c1 c2 c3 c4")
+    val trainTexts = Map(
+      1L -> "b1 b2 b3 b4 b5 b6 b7",                    // verbatim copy → 1.0 high
+      2L -> "b1 b2 b3 b4 z1 z2 z3 z4",                 // 1/5 hit → medium
+      3L -> "u1 u2 u3 u4 u5 u6",                       // no overlap → clean
+      4L -> "b1 b2 b3 b4 b5 x1 x2",                    // 2/4 = exactly 50% → high
+      5L -> ("b1 b2 b3 b4 " + (1 to 19).map(i => s"q$i").mkString(" ")) // 1/20 = exactly 5% → medium
+    )
+    val docs = (benchTexts ++ trainTexts).toSeq.map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))).toMap
+    assert(out.keySet === trainTexts.keySet, "bench docs must never be scored")
+    val benchGrams = benchTexts.values.flatMap(grams).toSet
+    for ((id, t) <- trainTexts) {
+      val g = grams(t)
+      val hit = g.count(benchGrams)
+      assert(out(id)._1 === g.size.toLong, s"doc $id n_grams")
+      assert(out(id)._2 === hit.toLong, s"doc $id n_hit")
+      assert(math.abs(out(id)._3 - hit.toDouble / g.size) < 1e-9, s"doc $id frac")
+    }
+    assert(out(1L)._4 === "high")
+    assert(out(2L)._4 === "medium")
+    assert(out(3L)._4 === "clean")
+    assert(out(4L)._4 === "high", "the 50% boundary is inclusive")
+    assert(out(5L)._4 === "medium", "the 5% boundary is inclusive")
+    // the keyed-shuffle path (registry form) must agree with the
+    // broadcast path row-for-row
+    val shuffled = Dedup.contaminationScore(docs, broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shuffled === out.map { case (k, v) => k -> v._2 })
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
