@@ -753,6 +753,27 @@ object Dedup {
         col("cluster_size"), (col("node") === col("comp")).as("is_keeper"))
   }
 
+  /** Quality-ranked cluster representatives — see the `d25` registry
+    * notes. `docs` needs (doc_id, text, n_chars). The per-cluster window
+    * keys on comp_id, whose cardinality grows with the corpus (well
+    * distributed — the opposite of a fixed-|sources| partition key);
+    * quality columns are scan-side integer counts joined back keyed on
+    * doc_id.
+    */
+  def clusterKeepBest(docs: DataFrame): DataFrame = {
+    val comp = dedupClusters(minhashPairs(docs))
+    val sw = typedLit(graft.llm.TextStats.enStopwords)
+    val qual = docs.select(col("doc_id"), col("n_chars"),
+      size(filter(split(trim(col("text")), "\\s+"), t => array_contains(sw, t)))
+        .cast("long").as("n_stopwords"))
+    val w = Window.partitionBy(col("comp_id"))
+      .orderBy(col("n_stopwords").desc, col("n_chars").desc, col("doc_id"))
+    comp.join(qual, Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("comp_id"), col("cluster_size"),
+        col("n_stopwords"), col("kept"))
+  }
+
   /** The full five-stage corpus clean (the `t15` registry entry): exact
     * dedup → near-dup cluster losers → benchmark decontamination →
     * boilerplate cut → quality cut, with that precedence, one verdict per
@@ -970,6 +991,49 @@ object Dedup {
          |JOIN (SELECT comp_id, count(*) AS sz FROM comp GROUP BY comp_id) n
          |  USING (comp_id)""".stripMargin) { (s, d) =>
       dedupClusters(minhashPairs(Tables.documents(s, d)))
+    },
+
+    // ---- cluster representative by QUALITY, not position -----------------
+    // The step production dedup actually runs after d8: inside each
+    // near-dup cluster keep the highest-quality member (most stopword
+    // hits — the t3 fluency proxy — then longest, then lowest doc_id),
+    // not the arbitrary min-label keeper. All three rank keys are
+    // INTEGERS, so the cross-engine ordering is exact with no float
+    // boundary. Scale shape: clusters and quality are both keyed on
+    // comp_id/doc_id (corpus-derived — keyed joins + a per-cluster
+    // window whose key cardinality GROWS with the corpus, so no
+    // single-task partition); quality is computed scan-side off the
+    // raw doc row. Oracle: the SAME replayed LSH pairs + recursive-CTE
+    // closure as d8, ranked by the identical integer triple.
+    sql("d25_cluster_keep_best", {
+      val swList = graft.llm.TextStats.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+         |), qual AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |         x -> list_contains($swList, x))) AS BIGINT) AS n_stopwords
+         |  FROM documents
+         |), sized AS (
+         |  SELECT comp_id, count(*) AS sz FROM comp GROUP BY comp_id
+         |)
+         |SELECT c.doc_id, CAST(c.comp_id AS BIGINT) AS comp_id,
+         |  CAST(n.sz AS BIGINT) AS cluster_size, q.n_stopwords,
+         |  (ROW_NUMBER() OVER (PARTITION BY c.comp_id
+         |     ORDER BY q.n_stopwords DESC, q.n_chars DESC, c.doc_id) = 1) AS kept
+         |FROM comp c
+         |JOIN sized n USING (comp_id)
+         |JOIN qual q ON q.doc_id = c.doc_id""".stripMargin
+    }) { (s, d) =>
+      clusterKeepBest(Tables.documents(s, d))
     },
 
     // ---- SimHash near-dup pairs -----------------------------------------

@@ -409,6 +409,34 @@ class DedupSpec extends SparkSpec {
     assert(shuffled === out.map { case (k, v) => k -> v._2 })
   }
 
+  test("cluster keep-best: quality rank wins over min-label, integer tiebreaks") {
+    // trio of near-dups (word-3-gram Jaccard ≈ 0.93 pairwise): identical
+    // 30-token base, differing only at the last token. doc 5 carries the
+    // only stopword, so it must be kept even though min-label makes doc 3
+    // the comp_id. doc 7 is unrelated and must not appear.
+    val base = (1 to 29).map(i => s"tok$i").mkString(" ")
+    val t3 = s"$base endA"
+    val t5 = s"$base the" // one stopword → highest quality
+    val t9 = s"$base endB"
+    val t7 = (1 to 30).map(i => s"other$i").mkString(" ")
+    // second cluster: byte-identical texts → quality + n_chars tie →
+    // lowest doc_id kept
+    val dup = (1 to 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((3L, t3), (5L, t5), (9L, t9), (7L, t7), (11L, dup), (4L, dup))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.clusterKeepBest(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(3L, 5L, 9L, 4L, 11L), "singleton doc 7 must drop")
+    assert(Seq(3L, 5L, 9L).forall(id => out(id)._1 === 3L && out(id)._2 === 3L),
+      "trio clusters under min label 3")
+    assert(out(5L)._3 === 1L && out(3L)._3 === 0L, "stopword counts")
+    assert(out.filter(_._2._1 === 3L).collect { case (id, v) if v._4 => id }.toSeq
+      === Seq(5L), "quality keeper, not the min-label keeper")
+    assert(out(4L)._4 && !out(11L)._4, "full tie → lowest doc_id kept")
+  }
+
   test("exact dedup keeps lowest doc_id per hash") {
     val dup = Seq((10L, "same"), (7L, "same"), (8L, "other")).toDF("doc_id", "text")
     val survivors = Dedup.registry.find(_.name == "d1_exact_dedup").get
