@@ -1047,8 +1047,64 @@ object Similarity {
          |  r.rank_in_cluster, 4 * r.rank_in_cluster <= n.n AS pruned
          |FROM r JOIN n ON n.cid = r.cid""".stripMargin) { (s, d) =>
       densityPrune(Tables.embeddings(s, d))
+    },
+
+    // ---- range search: ALL neighbors within a cosine radius --------------
+    // The other ANN primitive besides top-k: s1 answers "the 5 nearest",
+    // this answers "everything within τ" (dedup-radius sweeps, near-dup
+    // audits, recall studies all want the threshold form — result size is
+    // data-dependent, not k). Thresholded on the 6-dp ROUNDED cosine in
+    // BOTH engines, so no raw-float boundary can flip membership. Scale
+    // shape: the query set is a parameter-bounded broadcast (the s1
+    // contract); the τ-filter runs scan-side BEFORE the per-query count
+    // window, so only in-range rows — a tiny, data-dependent set — reach
+    // the window's shuffle, and that window keys on the bounded query
+    // set, not a corpus column.
+    sql("s14_range_search",
+      s"""WITH elems AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(range(len(embedding))) AS i
+         |  FROM embeddings
+         |), norms AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+         |), dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+         |  FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8
+         |  GROUP BY 1, 2
+         |), hits AS (
+         |  SELECT qid, vid, sim FROM (
+         |    SELECT d.qid, d.vid, round(d.dot / (nq.nrm * nv.nrm), 6) AS sim
+         |    FROM dots d JOIN norms nq ON nq.vec_id = d.qid
+         |                 JOIN norms nv ON nv.vec_id = d.vid) s
+         |  WHERE sim >= $RangeTau
+         |)
+         |SELECT qid, vid, sim,
+         |  CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n_in_range
+         |FROM hits""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      rangeSearch(e.filter(col("vec_id") < 8), e, RangeTau)
     }
   )
+
+  /** Cosine radius for the s14 registry query — interpolated into the
+    * oracle SQL so the two engines share one literal.
+    */
+  val RangeTau = 0.25
+
+  /** See the `s14` registry notes. Query set must be parameter-bounded
+    * (it broadcasts); `tau` is compared against the 6-dp rounded cosine.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val w = Window.partitionBy(col("qid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), round(cosine(col("qe"), col("ve")), 6).as("sim"))
+      .filter(col("sim") >= tau)
+      .withColumn("n_in_range", count(lit(1)).over(w))
+  }
 
   /** See the `s13` registry notes. `emb` needs (vec_id, embedding). */
   def densityPrune(emb: DataFrame): DataFrame = {

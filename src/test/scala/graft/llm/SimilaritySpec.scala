@@ -255,4 +255,29 @@ class SimilaritySpec extends SparkSpec {
       assert(ps.length <= cap * (cap - 1) / 2, s"block $blk exceeded the cap")
     }
   }
+
+  test("range search: known cosines, inclusive boundary, self excluded, counts") {
+    // 2-d unit-ish vectors with hand-computable cosines vs query [1,0]:
+    // a=1.0, b=0.8, c=0.5 (exactly the boundary), d=0.0, e=-1.0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),                    // the query
+      (1L, Array(2.0f, 0.0f)),                    // cos 1.0
+      (2L, Array(0.8f, 0.6f)),                    // cos 0.8
+      (3L, Array(0.5f, math.sqrt(0.75).toFloat)), // cos 0.5 exactly (unit)
+      (4L, Array(0.0f, 3.0f)),                    // cos 0.0
+      (5L, Array(-1.0f, 0.0f))                    // cos -1.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(
+      vecs.filter(col("vec_id") === 0L), vecs, tau = 0.5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L),
+      "τ=0.5 keeps exactly {1.0, 0.8, 0.5}; the boundary is inclusive, self drops")
+    val sims = out.map(t => t._1 -> t._2).toMap
+    assert(sims(1L) === 1.0 && sims(2L) === 0.8 && sims(3L) === 0.5)
+    assert(out.forall(_._3 === 3L), "n_in_range must count the per-query hits")
+    // radius -1 recovers the whole corpus minus self
+    val all = Similarity.rangeSearch(
+      vecs.filter(col("vec_id") === 0L), vecs, tau = -1.0).collect()
+    assert(all.length === 5)
+  }
 }
