@@ -1305,7 +1305,7 @@ object TextStats {
     * [[enStopwords]] the Spark side filters on, so the two engines
     * cannot diverge on the rule set (the d18/kmeansCtes lesson).
     */
-  private def stopwordsInList: String =
+  def stopwordsInList: String =
     enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** `t22`'s exact-recount stage: count ONLY the sketch's candidate

@@ -355,7 +355,74 @@ object Streams {
       .start()
   }
 
+  /** Scan-side Gopher verdict for the streaming quality router: t23's
+    * four rules as ONE stateless projection per doc — no explode, no
+    * aggregation — so it runs in a streaming plan in append mode with no
+    * watermark or state. The per-row cost of the dominance rule is
+    * O(distinct·n) HOF work, the right side of the trade for a streaming
+    * router whose doc sizes are bounded by the ingestion contract; a
+    * batch sweep over unbounded docs takes t23's aggregation form
+    * instead. Semantics are pinned to t23: the st8 oracle recomputes the
+    * verdict via the aggregation CTEs, and the spec cross-checks `route`
+    * against [[graft.llm.TextStats.gopherRules]]' `keep` on the corpus.
+    * `reason` is the FIRST failing rule in the fixed order
+    * ntok → wlen → stop → dom (null on pass) — dead-letter taxonomy
+    * needs one deterministic label, not four flags.
+    */
+  def qualityRoute(docs: DataFrame): DataFrame = {
+    val sw = typedLit(graft.llm.TextStats.enStopwords)
+    docs
+      .withColumn("__ts", split(trim(col("text")), "\\s+"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .withColumn("__chars",
+        expr("aggregate(__ts, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("__stop",
+        size(filter(col("__ts"), t => array_contains(sw, t))).cast("long"))
+      .withColumn("__mx",
+        expr("CAST(array_max(transform(array_distinct(__ts), t -> size(filter(__ts, x -> x = t)))) AS BIGINT)"))
+      .select(col("doc_id"), col("__n").as("n_tok"),
+        when(!col("__n").between(50, 100000), "ntok")
+          .when(col("__chars") < col("__n") * 3 || col("__chars") > col("__n") * 10,
+            "wlen")
+          .when(col("__stop") * 100 < col("__n"), "stop")
+          .when(col("__mx") * 10 > col("__n"), "dom")
+          .as("reason"))
+      .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
+  }
+
   def registry: Seq[OpQuery] = Seq(
+
+    // ---- streaming corpus quality gate (batch-equivalent plan) -----------
+    // The ingestion-time router a training pipeline puts in front of its
+    // raw sink: each arriving doc passes the Gopher battery or routes to
+    // a dead-letter with its first failing rule. Registered in the
+    // batch-equivalent form (the st1/st6 convention); StreamsSpec drives
+    // the same projection through readStream + foreachBatch into
+    // pass/fail sinks and asserts the union equals this output.
+    sql("st8_quality_gate", {
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+         |), f AS (
+         |  SELECT doc_id, sum(c) AS n, sum(c * len(t)) AS chars,
+         |    sum(CASE WHEN t IN ${graft.llm.TextStats.stopwordsInList} THEN c ELSE 0 END) AS stop_c,
+         |    max(c) AS mx
+         |  FROM g GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+         |  CASE WHEN NOT (n BETWEEN 50 AND 100000) THEN 'ntok'
+         |       WHEN chars < 3 * n OR chars > 10 * n THEN 'wlen'
+         |       WHEN stop_c * 100 < n THEN 'stop'
+         |       WHEN mx * 10 > n THEN 'dom' END AS reason,
+         |  CASE WHEN (n BETWEEN 50 AND 100000) AND chars >= 3 * n
+         |        AND chars <= 10 * n AND stop_c * 100 >= n AND mx * 10 <= n
+         |       THEN 'pass' ELSE 'fail' END AS route
+         |FROM f""".stripMargin
+    }) { (s, d) =>
+      qualityRoute(Tables.documents(s, d))
+    },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------
     sql("st1_tumbling_window",

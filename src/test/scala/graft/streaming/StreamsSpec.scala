@@ -59,6 +59,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming quality gate routes pass/fail sinks == batch verdict == t23 keep") {
+    val src = tmpDir("qgate-src")
+    val docs = Tables.documents(spark, sf)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    val passDir = tmpDir("qgate-pass")
+    val failDir = tmpDir("qgate-fail")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    // append mode with NO watermark: the verdict must stay a stateless
+    // projection — if qualityRoute ever grows an aggregation this start()
+    // throws AnalysisException and the spec fails loudly
+    val q = Streams.qualityRoute(stream)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(col("route") === "pass")
+          .write.mode("append").parquet(passDir)
+        batch.filter(col("route") === "fail")
+          .write.mode("append").parquet(failDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val pass = spark.read.parquet(passDir)
+    val fail = spark.read.parquet(failDir)
+    assert(pass.filter(col("route") =!= "pass").isEmpty &&
+      fail.filter(col("route") =!= "fail").isEmpty, "sinks must be pure")
+    val streamed = pass.unionByName(fail)
+      .select("doc_id", "n_tok", "reason", "route")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.qualityRoute(docs)
+      .select("doc_id", "n_tok", "reason", "route")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "stream != batch")
+    // the scan-side verdict must agree doc-for-doc with t23's
+    // aggregation-form keep flag
+    val keep = graft.llm.TextStats.gopherRules(docs)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toMap
+    val routed = Streams.qualityRoute(docs)
+      .select(col("doc_id"), col("route") === "pass").as[(Long, Boolean)]
+      .collect().toMap
+    assert(routed === keep, "scan-side verdict diverged from t23")
+  }
+
   test("watermark drops events later than 30 minutes behind max event time") {
     val src = tmpDir("late-src")
     val schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
