@@ -1149,8 +1149,61 @@ object TextStats {
          |FROM sc QUALIFY rnk <= $Bm25TopK""".stripMargin
     }) { (s, d) =>
       bm25(Tables.spread(Tables.documents(s, d)))
+    },
+
+    // ---- per-source KL divergence vs the corpus distribution -------------
+    // The mixture-design diagnostic t12's proportions don't answer:
+    // WHICH source is lexically atypical, and by how much.
+    // KL(P_source ‖ Q_corpus) over unigrams is finite by construction
+    // (source tokens ⊂ corpus tokens ⇒ q > 0), so no smoothing constant
+    // enters; vocab coverage rides along as an exact integer ratio. Both
+    // engines compute the identical term arithmetic (p·ln(p/q) on the
+    // SAME ratio-of-ratios shape) and round the per-source SUM to 6 dp.
+    // Scale shape: one token-count shuffle keyed on (source, t); the
+    // per-token corpus totals are corpus-derived and meet it in a KEYED
+    // join on t (no-BHJ-asserted — the t6/t13 vocab rule); the only
+    // broadcast is the 1-row global-total frame; per-source totals join
+    // keyed on source (the t21 |sources|-row rule). The raw-scan shuffle
+    // is one exchange, reused by every consumer stage.
+    sql("t29_source_kl",
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), sc AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), st AS (SELECT source, sum(c) AS ns, count(*) AS vs FROM sc GROUP BY source),
+        |ct AS (SELECT t, sum(c) AS ctot FROM sc GROUP BY t),
+        |n AS (SELECT sum(ctot) AS ntot, count(*) AS v FROM ct)
+        |SELECT sc.source, CAST(any_value(st.ns) AS BIGINT) AS n_tok,
+        |  round(any_value(st.vs) * 1.0 / any_value(n.v), 6) AS vocab_frac,
+        |  round(sum((sc.c * 1.0 / st.ns)
+        |    * ln((sc.c * 1.0 / st.ns) / (ct.ctot * 1.0 / n.ntot))), 6) AS kl
+        |FROM sc JOIN st USING (source) JOIN ct USING (t) CROSS JOIN n
+        |GROUP BY sc.source""".stripMargin) { (s, d) =>
+      sourceKl(Tables.spread(Tables.documents(s, d)))
     }
   )
+
+  /** See the `t29` registry notes. `docs` needs (source, text). */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val sc = docs
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"), count(lit(1)).as("vs"))
+    val ct = sc.groupBy(col("t")).agg(sum(col("c")).as("ctot"))
+    val n = ct.agg(sum(col("ctot")).as("ntot"), count(lit(1)).as("v"))
+    val p = col("c") * lit(1.0) / col("ns")
+    val q = col("ctot") * lit(1.0) / col("ntot")
+    sc.join(st, Seq("source"))
+      .join(ct, Seq("t"))
+      .crossJoin(broadcast(n)) // 1 row — bounded by construction
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tok"),
+        round(max(col("vs")) * lit(1.0) / max(col("v")), 6).as("vocab_frac"),
+        round(sum(p * log(p / q)), 6).as("kl"))
+      .select(col("source"), col("n_tok"), col("vocab_frac"), col("kl"))
+  }
 
   /** BM25 constants — interpolated into BOTH engines. */
   val Bm25K1 = 1.2

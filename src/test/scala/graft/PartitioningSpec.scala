@@ -184,7 +184,11 @@ class PartitioningSpec extends SparkSpec {
           // d24 carves its bench gram set from the corpus, so the
           // registry form must take the keyed join, not d10's
           // external-eval-set broadcast contract
-          "d24_contamination_score")) {
+          "d24_contamination_score",
+          // t29's per-token corpus totals + per-source totals are
+          // corpus-derived (the t6/t13 vocab rule; its only broadcast
+          // is the 1-row global-total frame)
+          "t29_source_kl")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -310,4 +310,25 @@ class TextStatsSpec extends SparkSpec {
     assert(counts(1L) === 1L)
     assert(counts(2L) === 2L)
   }
+
+  test("source KL: hand-computed divergences, non-negativity, degenerate zero") {
+    // srcA = "a a b" → P_A = {a: 2/3, b: 1/3}; srcB = "b b b" → P_B = {b: 1}
+    // corpus Q = {a: 1/3, b: 2/3}
+    // KL_A = 2/3·ln2 − 1/3·ln2 = ln2/3 ; KL_B = ln(3/2)
+    val docs = Seq(("srcA", "a a b"), ("srcB", "b b b"))
+      .toDF("source", "text")
+    val out = TextStats.sourceKl(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("srcA")._1 === 3L && out("srcB")._1 === 3L)
+    assert(out("srcA")._2 === 1.0, "srcA covers both vocab tokens")
+    assert(out("srcB")._2 === 0.5, "srcB covers half the vocab")
+    assert(math.abs(out("srcA")._3 - math.log(2.0) / 3) < 1e-6)
+    assert(math.abs(out("srcB")._3 - math.log(1.5)) < 1e-6)
+    assert(out.values.forall(_._3 >= 0.0), "KL is non-negative")
+    // a single-source corpus IS the corpus distribution → KL exactly 0
+    val solo = TextStats.sourceKl(
+      Seq(("only", "x y z x")).toDF("source", "text")).collect()
+    assert(solo.length === 1 && solo(0).getDouble(3) === 0.0)
+  }
 }
