@@ -1062,6 +1062,58 @@ object Functions {
         .select(col("user_id"), col("v").cast("double").as("value"),
           round(col("cum").cast("double") / col("t").cast("double"), 6).as("cum_share"),
           ((col("cum") - col("v")) * 10 < col("t") * 8).as("in_top80"))
+    },
+
+    // ---- robust outliers: median absolute deviation per group ------------
+    // The robust alternative to z-scores (q48's mean/stddev family):
+    // median and MAD shrug off the very outliers they're hunting. Two
+    // exact-percentile passes (the q38 contract; approx_percentile /
+    // q64's sketch is the 100 TB path — exact percentile buffers a
+    // group's values), a keyed join back on event_type, flags scan-side.
+    // The flag compares 6-dp ROUNDED deviation against the 6-dp ROUNDED
+    // threshold in both engines — no raw-float boundary. 4.4478 =
+    // 3·1.4826 (the Gaussian-consistency constant), interpolated from
+    // one Scala literal into both engines.
+    sql("q74_mad_outliers", {
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type
+         |), dev AS (
+         |  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev
+         |  FROM events e JOIN med m USING (event_type)
+         |), mad AS (
+         |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+         |  FROM dev GROUP BY event_type
+         |)
+         |SELECT d.event_id, d.event_type, d.value,
+         |  round(d.adev, 6) AS abs_dev,
+         |  round($MadScale * m2.mad, 6) AS threshold,
+         |  round(d.adev, 6) > round($MadScale * m2.mad, 6) AS is_outlier
+         |FROM dev d JOIN mad m2 USING (event_type)""".stripMargin
+    }) { (s, d) =>
+      madOutliers(Tables.events(s, d))
     }
   )
+
+  /** 3·1.4826 — the MAD-to-sigma consistency constant times the 3σ cut;
+    * interpolated into the q74 oracle.
+    */
+  val MadScale = 4.4478
+
+  /** See the `q74` registry notes. `ev` needs (event_id, event_type, value). */
+  def madOutliers(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("adev"), 6).as("abs_dev"),
+        round(lit(MadScale) * col("mad"), 6).as("threshold"),
+        (round(col("adev"), 6) > round(lit(MadScale) * col("mad"), 6))
+          .as("is_outlier"))
+  }
 }

@@ -609,4 +609,28 @@ class OperatorInvariantsSpec extends SparkSpec {
         s"boosted $srcName threshold $thr not above uniform thresholds")
     }
   }
+
+  test("q74 MAD outliers: hand-computed median/MAD, robust to the outlier itself") {
+    import spark.implicits._
+    // group a: 1..9 plus one wild 100 → med 5.5, adev median (MAD) 2.5,
+    // threshold 4.4478·2.5 = 11.1195 → ONLY the 100 flags (adev 94.5).
+    // A mean/stddev z-score would have its cut dragged up by the same
+    // point — the robustness this operator exists for.
+    val a = (1 to 9).map(_.toDouble) :+ 100.0
+    // group b: symmetric, no outlier
+    val b = Seq(10.0, 20.0, 30.0)
+    val ev = (a.map(("a", _)) ++ b.map(("b", _))).zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+    val out = graft.operators.Functions.madOutliers(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(4), r.getBoolean(5)))
+    val ga = out.filter(_._2 == "a")
+    assert(ga.forall(_._4 === 11.1195), s"threshold: ${ga.map(_._4).toSeq.distinct}")
+    assert(ga.filter(_._5).map(_._3).toSeq === Seq(100.0),
+      "exactly the wild point flags")
+    val gb = out.filter(_._2 == "b")
+    assert(gb.forall(!_._5), "symmetric group has no outliers")
+    assert(gb.forall(_._4 === 44.478), "MAD(b) = 10 → threshold 44.478")
+  }
 }
