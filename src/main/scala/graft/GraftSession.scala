@@ -26,8 +26,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // the driver's events.parquet carries TIMESTAMP(NANOS); session-level
-      // legacy flag lives HERE, not in a loader (Tables.events asserts it)
+      // events.parquet has shipped as both TIMESTAMP(NANOS) and (MICROS);
+      // the flag is a no-op for micros but lets a nanos file load as a raw
+      // long that Tables.events converts (session-level flag lives HERE,
+      // not in a loader)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 

@@ -21,20 +21,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong` — a SESSION-level setting; see
-    * [[GraftSession.builder]], which owns it. A loader must not mutate
-    * session conf) and convert to a microsecond TimestampType with integer
-    * division (`div`, not `/` — a double divide would lose precision above
-    * 2^53 ns).
+  /** `events.ts` has shipped as BOTH Parquet TIMESTAMP(MICROS) (reads as a
+    * native TimestampType/NTZ) and TIMESTAMP(NANOS) (rejected by the
+    * vectorized reader unless `spark.sql.legacy.parquet.nanosAsLong=true`
+    * surfaces it as a raw nanosecond LongType). Branch on the loaded type so
+    * either encoding works: longs get integer-division conversion (`div`,
+    * not `/` — a double divide would lose precision above 2^53 ns);
+    * timestamps pass through as-is. The nanosAsLong session flag is owned by
+    * [[GraftSession.builder]]; a loader must not mutate session conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "GraftSession.builder (or set spark.sql.legacy.parquet.nanosAsLong=true)")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType =>
+        raw
+      case TimestampNTZType =>
+        // UTC session tz (GraftSession) makes this cast a pure re-tag; it
+        // restores the TimestampType every downstream consumer was built on.
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: expected LongType (nanos-as-long) or Timestamp(NTZ)Type, got $other. " +
+            "If events.parquet is TIMESTAMP(NANOS), build the session with GraftSession.builder " +
+            "(or set spark.sql.legacy.parquet.nanosAsLong=true).")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

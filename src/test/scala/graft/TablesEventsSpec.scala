@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** `Tables.events` must load every `ts` encoding the driver has ever shipped
+  * (TIMESTAMP(NANOS) → LongType under the nanosAsLong session flag;
+  * TIMESTAMP(MICROS) naive → TimestampNTZType; micros UTC-adjusted →
+  * TimestampType) and normalize all of them to the same TimestampType
+  * instants, so a testdata regeneration can never strand the events surface
+  * again (round-7 regression).
+  */
+class TablesEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val instants = Seq("2024-01-01 00:00:00", "2024-06-15 12:34:56.789")
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-events-enc").toString
+
+  private def loadedInstants(dir: String): (String, Seq[String]) = {
+    val df = Tables.events(spark, dir)
+    val tpe = df.schema("ts").dataType.toString
+    val vals = df.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSS"))
+      .as[String].collect().toSeq.sorted
+    (tpe, vals)
+  }
+
+  private val expected = Seq("2024-01-01 00:00:00.000", "2024-06-15 12:34:56.789")
+
+  test("events loader: nanos-as-long encoding converts to TimestampType") {
+    val dir = tmpDir()
+    // With nanosAsLong=true a TIMESTAMP(NANOS) column surfaces as a raw
+    // long; an int64 column is indistinguishable at the loader seam, so a
+    // long fixture exercises the same branch.
+    instants.map(s => Timestamp.valueOf(s)).toDF("t")
+      .select((unix_micros($"t") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (tpe, vals) = loadedInstants(dir)
+    assert(tpe == TimestampType.toString)
+    assert(vals == expected)
+  }
+
+  test("events loader: naive micros (TimestampNTZ) casts to TimestampType") {
+    val dir = tmpDir()
+    instants.map(s => Timestamp.valueOf(s)).toDF("t")
+      .select($"t".cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (tpe, vals) = loadedInstants(dir)
+    assert(tpe == TimestampType.toString)
+    assert(vals == expected)
+  }
+
+  test("events loader: UTC-adjusted micros (TimestampType) passes through") {
+    val dir = tmpDir()
+    instants.map(s => Timestamp.valueOf(s)).toDF("t")
+      .select($"t".as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val (tpe, vals) = loadedInstants(dir)
+    assert(tpe == TimestampType.toString)
+    assert(vals == expected)
+  }
+
+  test("events loader: driver testdata loads with TimestampType ts and rows") {
+    val df = Tables.events(spark, sf)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.limit(1).count() == 1)
+  }
+}
