@@ -159,7 +159,19 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive_r7","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive_r7","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log capture keeps only a 2000-char stdout tail — far
+    // smaller than a 162-query JSON line — so also persist the artifact
+    // whole. SPARK_GRAFT_BENCH_OUT overrides the default path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

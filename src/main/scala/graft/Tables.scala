@@ -10,8 +10,77 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * those column chunks. Never cache here — callers decide lifetime.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.types._
+
+  /** Loose type families for the testdata seam: the driver has regenerated
+    * tables with changed physical types mid-round (r7: events.ts
+    * TIMESTAMP(NANOS) → (MICROS)), so the contract we enforce is column
+    * NAMES plus a type FAMILY — tight enough that a renamed or re-typed
+    * column fails with a which-table/which-column message at load, loose
+    * enough that an equivalent re-encoding (date↔timestamp, int↔long,
+    * nanos-as-long) still loads.
+    */
+  private sealed trait Family { def ok(t: DataType): Boolean }
+  private case object Num extends Family {
+    def ok(t: DataType): Boolean = t.isInstanceOf[NumericType]
+  }
+  private case object Chrono extends Family { // incl. nanos-as-long encoding
+    def ok(t: DataType): Boolean = t match {
+      case DateType | TimestampType | TimestampNTZType | LongType => true
+      case _ => false
+    }
+  }
+  private case object Str extends Family {
+    def ok(t: DataType): Boolean = t == StringType
+  }
+  private case object FloatArr extends Family {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+  }
+
+  private val expectedCols: Map[String, Seq[(String, Family)]] = Map(
+    "region"   -> Seq("r_regionkey" -> Num, "r_name" -> Str),
+    "nation"   -> Seq("n_nationkey" -> Num, "n_name" -> Str, "n_regionkey" -> Num),
+    "customer" -> Seq("c_custkey" -> Num, "c_name" -> Str, "c_nationkey" -> Num,
+      "c_acctbal" -> Num, "c_mktsegment" -> Str),
+    "supplier" -> Seq("s_suppkey" -> Num, "s_name" -> Str, "s_nationkey" -> Num,
+      "s_acctbal" -> Num),
+    "part"     -> Seq("p_partkey" -> Num, "p_name" -> Str, "p_brand" -> Str,
+      "p_type" -> Str, "p_size" -> Num, "p_retailprice" -> Num),
+    "orders"   -> Seq("o_orderkey" -> Num, "o_custkey" -> Num, "o_orderstatus" -> Str,
+      "o_totalprice" -> Num, "o_orderdate" -> Chrono, "o_orderpriority" -> Str),
+    "lineitem" -> Seq("l_orderkey" -> Num, "l_partkey" -> Num, "l_suppkey" -> Num,
+      "l_linenumber" -> Num, "l_quantity" -> Num, "l_extendedprice" -> Num,
+      "l_discount" -> Num, "l_tax" -> Num, "l_returnflag" -> Str,
+      "l_linestatus" -> Str, "l_shipdate" -> Chrono),
+    "events"   -> Seq("event_id" -> Num, "ts" -> Chrono, "user_id" -> Num,
+      "event_type" -> Str, "value" -> Num, "props" -> Str),
+    "documents" -> Seq("doc_id" -> Num, "text" -> Str, "lang" -> Str,
+      "source" -> Str, "n_chars" -> Num),
+    "embeddings" -> Seq("vec_id" -> Num, "embedding" -> FloatArr, "label" -> Num))
+
+  private def validate(name: String, schema: StructType): Unit =
+    expectedCols.get(name).foreach { exp =>
+      val actual = schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = exp.map(_._1).filterNot(actual.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"table '$name': missing column(s) ${missing.mkString(", ")} " +
+            s"(loaded schema has: ${schema.fieldNames.mkString(", ")}) — " +
+            "did the driver regenerate testdata with a new layout?")
+      for ((c, fam) <- exp; t = actual(c); if !fam.ok(t))
+        throw new IllegalStateException(
+          s"table '$name' column '$c': loaded type $t is outside the expected " +
+            s"$fam family — did the driver regenerate testdata with a new encoding?")
+    }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    validate(name, df.schema)
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

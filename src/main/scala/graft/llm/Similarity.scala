@@ -48,73 +48,87 @@ object Similarity {
   val MmrN = 10
   val MmrK = 5
 
+  /** One MMR selection row per (anchor, rank) — the [[mmrTopK]] UDF's
+    * element type (object-level so ScalaReflection can encode it).
+    */
+  case class MmrPick(vid: Long, mmr_rank: Long, rel: Double, score: Double)
+
   /** Maximal-marginal-relevance diverse top-k: from each anchor's
     * `n` nearest candidates, greedily select `k` maximizing
     * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard re-rank that
     * keeps a retrieval/context set from collapsing onto near-duplicates
     * (the selection step of a RAG context builder or a diverse
-    * few-shot-example miner). Greedy is inherently sequential in k, so
-    * the operator runs k bounded stages; each stage's pick spills to
-    * parquet (the recompute-over-cache posture) and the next stage reads
-    * the artifacts — plans stay LINEAR in k instead of re-deriving the
-    * whole selection tree 3^k times through self-references. All frames
-    * are (|anchors|·n)-scale and shuffle on qid (n² pairwise rows per
-    * anchor, n=10 → 90); nothing corpus² ever materializes. Selection
-    * ranks on 6-dp-ROUNDED scores with vid tiebreaks (the d14/s7
-    * bit-stability rule) so both engines pick identical sets.
+    * few-shot-example miner). Greedy is inherently sequential in k, but
+    * each anchor's whole problem is ≤ n candidate rows (n=10), so the
+    * entire selection runs INSIDE one `groupBy(qid)` aggregation: one
+    * Spark job, one shuffle on qid, no driver-side loop and no
+    * inter-step materialization (this replaced a k-stage spill chain —
+    * round-7 verdict perf item). The corpus never materializes pairwise:
+    * the only amplification is the in-memory n² sim matrix per anchor.
+    *
+    * Score arithmetic mirrors the DuckDB oracle digit-for-digit: λ·rel
+    * over a 6-dp rel is an EXACT 7-decimal value — a systematic
+    * round-half boundary where double rounding diverges cross-engine —
+    * so scores are computed in exact BigDecimal over the 6-dp-rounded
+    * inputs and HALF_UP-rounded to 6 dp (Spark `round` semantics:
+    * shortest-decimal rendering of the double, then setScale; scala
+    * `BigDecimal(d)` is exactly that rendering). The in-UDF cosine
+    * replays [[graft.functions.CosineSimF32]]'s accumulation order, so
+    * pair sims are bit-identical to the expression the oracle CTE
+    * models. Selection ranks on 6-dp-ROUNDED scores with vid tiebreaks
+    * (the d14/s7 bit-stability rule) so both engines pick identical
+    * sets.
     */
   def mmrTopK(queries: DataFrame, corpus: DataFrame, n: Int = MmrN,
       k: Int = MmrK, lambda: Double = MmrLambda): DataFrame = {
-    val s = queries.sparkSession
-    val dir = Dedup.trackSpill(
-      s"${Dedup.spillBase(s, None, "mmrTopK")}/${Dedup.runDirName("mmr")}")
+    val lamBD = BigDecimal(lambda.toString)
+    val oneMinusBD = BigDecimal(1) - lamBD
+    val kk = k
+    def round6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Seq[Row] is Spark's generic UDF mapping for array<struct<vid,rel,e>>.
+    val greedy = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      val cs = cands.map(r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def psim(a: Array[Float], b: Array[Float]): Double =
+        round6(BigDecimal(cos(a, b)))
+      val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      if (cs.nonEmpty) {
+        val first = cs.minBy { case (vid, rel, _) => (-rel, vid) }
+        picks += MmrPick(first._1, 1L, first._2, round6(lamBD * BigDecimal(first._2)))
+        val selected = scala.collection.mutable.ArrayBuffer(first)
+        var rem = cs.filterNot(_._1 == first._1)
+        var step = 2
+        while (step <= kk && rem.nonEmpty) {
+          val scored = rem.map { c =>
+            val maxsim = selected.map(s => psim(c._3, s._3)).max
+            (c, round6(lamBD * BigDecimal(c._2) - oneMinusBD * BigDecimal(maxsim)))
+          }
+          val best = scored.minBy { case (c, sc) => (-sc, c._1) }
+          picks += MmrPick(best._1._1, step.toLong, best._1._2, best._2)
+          selected += best._1
+          rem = rem.filterNot(_._1 == best._1._1)
+          step += 1
+        }
+      }
+      picks.toSeq
+    }
     bruteTopK(queries, corpus, n)
       .select(col("qid"), col("vid"), round(col("sim"), 6).as("rel"))
-      .write.mode("overwrite").parquet(s"$dir/cand")
-    val cand = s.read.parquet(s"$dir/cand")
-    val ce = cand.select(col("qid"), col("vid"))
       .join(corpus.select(col("vec_id").as("vid"), col("embedding").as("e")), Seq("vid"))
-    val av = ce.select(col("qid"), col("vid").as("va"), col("e").as("ea"))
-    val bv = ce.select(col("qid"), col("vid").as("vb"), col("e").as("eb"))
-    av.join(bv, Seq("qid")).filter(col("va") =!= col("vb"))
-      .select(col("qid"), col("va"), col("vb"),
-        round(cosine(col("ea"), col("eb")), 6).as("psim"))
-      .write.mode("overwrite").parquet(s"$dir/cpair")
-    val cpair = s.read.parquet(s"$dir/cpair")
-    // λ·rel over a 6-dp rel is an EXACT 7-decimal value — a systematic
-    // round-half boundary where double rounding diverges cross-engine
-    // (Spark rounds the shortest decimal rendering, DuckDB the binary
-    // value). The score arithmetic therefore runs in exact DECIMAL on
-    // both sides (the repo's boundary-math rule), cast to double after
-    // the 6-dp round.
-    val lamD = lit(scala.math.BigDecimal(lambda.toString))
-    val oneMinusD = lit(BigDecimal(1) - BigDecimal(lambda.toString))
-    def dec(c: Column): Column = c.cast("decimal(18,6)")
-    val w1 = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vid"))
-    cand.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("qid"), col("vid"), col("rel"), lit(1L).as("mmr_rank"),
-        round(lamD * dec(col("rel")), 6).cast("double").as("score"))
-      .write.mode("overwrite").parquet(s"$dir/sel1")
-    for (step <- 2 to k) {
-      val selected = s.read.parquet((1 until step).map(i => s"$dir/sel$i"): _*)
-      val maxsim = cpair
-        .join(selected.select(col("qid"), col("vid").as("vb")), Seq("qid", "vb"))
-        .groupBy(col("qid"), col("va")).agg(max(col("psim")).as("maxsim"))
-        .withColumnRenamed("va", "vid")
-      val sc = cand
-        .join(selected.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_anti")
-        .join(maxsim, Seq("qid", "vid"))
-        .select(col("qid"), col("vid"), col("rel"),
-          round(lamD * dec(col("rel")) - oneMinusD * dec(col("maxsim")), 6)
-            .cast("double").as("score"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
-      sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("qid"), col("vid"), col("rel"),
-          lit(step.toLong).as("mmr_rank"), col("score"))
-        .write.mode("overwrite").parquet(s"$dir/sel$step")
-    }
-    s.read.parquet((1 to k).map(i => s"$dir/sel$i"): _*)
-      .select(col("qid"), col("vid"), col("mmr_rank"), col("rel"), col("score"))
+      .groupBy(col("qid"))
+      .agg(collect_list(struct(col("vid"), col("rel"), col("e"))).as("cs"))
+      .select(col("qid"), explode(greedy(col("cs"))).as("s"))
+      .select(col("qid"), col("s.vid").as("vid"), col("s.mmr_rank").as("mmr_rank"),
+        col("s.rel").as("rel"), col("s.score").as("score"))
   }
 
   /** The IVF tuning curve (s10): recall@k and scanned-candidate fraction
@@ -151,27 +165,41 @@ object Similarity {
     val cellSizes = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__csz"))
     val nCorpus = corpus.count()
     val nQueries = queries.count()
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    (1 to nlist).map { nprobe =>
-      val probes = queries
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .withColumn("__probe",
-          explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, nprobe)))
-        .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
-      val approx = assigned.join(broadcast(probes), Seq("__cell"))
-        .filter(col("vid") =!= col("qid"))
-        .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-      val hit = approx.join(exact, Seq("qid", "vid"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      val scanned = probes.join(broadcast(cellSizes), Seq("__cell"))
-        .agg(sum(col("__csz")).as("n_scanned"))
-      hit.crossJoin(scanned).select(
-        lit(nprobe.toLong).as("nprobe"),
-        (col("n_hit").cast("double") / lit(nQueries * k)).as("recall_raw"),
+    // ONE pass over all nprobe points (replaced nlist sequential sweeps —
+    // round-7 verdict stretch item): each query's cells carry their probe
+    // RANK (posexplode of the same sorted score array the per-point slice
+    // read), and since probe sets are NESTED (rank ≤ p ⊂ rank ≤ p+1), a
+    // candidate in the rank-r cell is a candidate at every nprobe ≥ r —
+    // `sequence(prank, nlist)` widens it to exactly those curve points.
+    // Amplification equals the total work the nlist sweeps did, but in one
+    // job with one window over (qid, nprobe).
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        posexplode(array_sort(cellScores(centers)(col("qe")))))
+      .select(col("qid"), col("qe"), (col("pos") + 1).as("prank"),
+        col("col").getField("cid").as("__cell"))
+    val wp = Window.partitionBy(col("qid"), col("nprobe"))
+      .orderBy(col("sim").desc, col("vid"))
+    val hits = assigned.join(broadcast(probes), Seq("__cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), col("prank"),
+        cosine(col("qe"), col("ve")).as("sim"))
+      .select(col("qid"), col("vid"), col("sim"),
+        explode(sequence(col("prank"), lit(nlist))).as("nprobe"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+      .join(exact, Seq("qid", "vid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    // Every query probes every rank, so the scanned spine always has all
+    // nlist points; n_hit can be absent (zero hits) → left join + 0.
+    probes.join(broadcast(cellSizes), Seq("__cell"))
+      .select(explode(sequence(col("prank"), lit(nlist))).as("nprobe"), col("__csz"))
+      .groupBy(col("nprobe")).agg(sum(col("__csz")).as("n_scanned"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(nQueries * k)).as("recall_raw"),
         (col("n_scanned").cast("double") / lit(nCorpus * nQueries)).as("frac_raw"))
-    }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/curve")
     val curve = s.read.parquet(s"$dir/curve")
     val prev = curve.select((col("nprobe") + 1).as("nprobe"),

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
@@ -21,6 +22,15 @@ class TablesEventsSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-events-enc").toString
 
+  /** Full events schema around the ts column under test — the loader's
+    * schema validation requires every declared column.
+    */
+  private def eventsDf(ts: Column) =
+    instants.map(s => Timestamp.valueOf(s)).toDF("t").select(
+      monotonically_increasing_id().as("event_id"), ts.as("ts"),
+      lit(1L).as("user_id"), lit("click").as("event_type"),
+      lit(1.0).as("value"), lit("{}").as("props"))
+
   private def loadedInstants(dir: String): (String, Seq[String]) = {
     val df = Tables.events(spark, dir)
     val tpe = df.schema("ts").dataType.toString
@@ -36,8 +46,7 @@ class TablesEventsSpec extends SparkSpec {
     // With nanosAsLong=true a TIMESTAMP(NANOS) column surfaces as a raw
     // long; an int64 column is indistinguishable at the loader seam, so a
     // long fixture exercises the same branch.
-    instants.map(s => Timestamp.valueOf(s)).toDF("t")
-      .select((unix_micros($"t") * 1000L).as("ts"))
+    eventsDf(unix_micros($"t") * 1000L)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val (tpe, vals) = loadedInstants(dir)
     assert(tpe == TimestampType.toString)
@@ -46,8 +55,7 @@ class TablesEventsSpec extends SparkSpec {
 
   test("events loader: naive micros (TimestampNTZ) casts to TimestampType") {
     val dir = tmpDir()
-    instants.map(s => Timestamp.valueOf(s)).toDF("t")
-      .select($"t".cast(TimestampNTZType).as("ts"))
+    eventsDf($"t".cast(TimestampNTZType))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val (tpe, vals) = loadedInstants(dir)
     assert(tpe == TimestampType.toString)
@@ -56,12 +64,19 @@ class TablesEventsSpec extends SparkSpec {
 
   test("events loader: UTC-adjusted micros (TimestampType) passes through") {
     val dir = tmpDir()
-    instants.map(s => Timestamp.valueOf(s)).toDF("t")
-      .select($"t".as("ts"))
+    eventsDf($"t")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val (tpe, vals) = loadedInstants(dir)
     assert(tpe == TimestampType.toString)
     assert(vals == expected)
+  }
+
+  test("schema validation: renamed column fails with table+column diagnosis") {
+    val dir = tmpDir()
+    eventsDf($"t").withColumnRenamed("user_id", "uid")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events") && e.getMessage.contains("user_id"))
   }
 
   test("events loader: driver testdata loads with TimestampType ts and rows") {

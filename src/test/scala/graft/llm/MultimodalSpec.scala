@@ -54,6 +54,8 @@ class MultimodalSpec extends SparkSpec {
   test("fingerprint: identical texts collide, sketch bounded, scalar schema") {
     val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
       .toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("synth").as("source"),
+        length($"text").cast("long").as("n_chars"))
     val dir = java.nio.file.Files.createTempDirectory("t5docs").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val fp = graft.llm.TextStats.registry.find(_.name == "t5_fingerprint").get
@@ -92,7 +94,9 @@ class MultimodalSpec extends SparkSpec {
     val docs = Seq(
       (1L, new String(song, "UTF-8")), (2L, new String(song, "UTF-8")),
       (3L, new String(other, "UTF-8")), (4L, new String(tiny, "UTF-8"))
-    ).toDF("doc_id", "text").withColumn("source", lit("synth"))
+    ).toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("synth").as("source"),
+        length($"text").cast("long").as("n_chars"))
     val dir = java.nio.file.Files.createTempDirectory("m5docs").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val op = Multimodal.registry.find(_.name == "m5_audio_fingerprint").get
