@@ -248,6 +248,44 @@ object Functions {
           sum(when(col("ok"), 0L).otherwise(1L)).as("n_dead"))
     },
 
+    // ---- S8 on documents: ingest router with typed dead-letter reasons ---
+    // The q40 split single-tracked the error-sink family on the events
+    // table (round-7 verdict stretch). This is the same 100 TB rule on the
+    // documents ingest path: deterministic in-flight corruption (blanked
+    // text / unknown lang / drifted char count), then a FIRST-FAILURE
+    // routing CASE — every row lands in exactly one route, bad rows carry
+    // a typed reason instead of failing the job. One scan, one hash agg.
+    sql("q75_doc_dead_letter",
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 23 = 0 THEN '' ELSE text END AS text,
+        |    CASE WHEN doc_id % 29 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 31 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |routed AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 'empty_text'
+        |         WHEN lang NOT IN ('en','de','fr','es','zh') THEN 'unknown_lang'
+        |         WHEN n_chars <> length(text) THEN 'length_mismatch'
+        |         ELSE 'ok' END AS route
+        |  FROM raw)
+        |SELECT source, route, CAST(count(*) AS BIGINT) AS n
+        |FROM routed GROUP BY source, route""".stripMargin) { (s, d) =>
+      val corrupted = Tables.documents(s, d).select(
+        col("source"),
+        when(col("doc_id") % 23 === 0, lit("")).otherwise(col("text")).as("text"),
+        when(col("doc_id") % 29 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 31 === 0, col("n_chars") + 7)
+          .otherwise(col("n_chars")).as("n_chars"))
+      corrupted.select(col("source"),
+          when(length(trim(col("text"))) === 0, lit("empty_text"))
+            .when(!col("lang").isin("en", "de", "fr", "es", "zh"), lit("unknown_lang"))
+            .when(col("n_chars") =!= length(col("text")), lit("length_mismatch"))
+            .otherwise(lit("ok")).as("route"))
+        .groupBy(col("source"), col("route"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- as-of join (self): latest prior purchase per event --------------
     // Spark-first: the reference preference order says compose built-ins
     // when semantics allow — a sorted window with last(_, ignoreNulls)
