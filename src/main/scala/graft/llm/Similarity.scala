@@ -1112,8 +1112,62 @@ object Similarity {
          |FROM hits""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       rangeSearch(e.filter(col("vec_id") < 8), e, RangeTau)
+    },
+
+    // ---- kNN-graph construction: EVERY vector is a query -----------------
+    // The semantic-clustering / graph-building primitive (SemDeDup's first
+    // step, hard-negative mining at corpus scale): top-k neighbors for all
+    // N vectors, not a bounded probe set. The query side therefore CANNOT
+    // ride a broadcast — each vector enters the join twice, once in its
+    // own IVF cell (corpus role) and once exploded to its nprobe nearest
+    // cells (query role), and the two sides meet in a join KEYED ON THE
+    // CELL ID. At test scale Catalyst broadcasts the small probe side; at
+    // 100 TB both sides exceed the threshold and the same declarative plan
+    // becomes a shuffle join partitioned by cell — per-task work is
+    // cell_size² · nprobe, scan fraction ≈ nprobe/nlist of the all-pairs
+    // product, and nothing grows with N on the driver
+    // (KnnGraphPlanSpec asserts the broadcast-disabled plan stays sound).
+    // The per-query reduction is the bounded TopKAggregator — map tasks
+    // emit ≤ k rows per query BEFORE the shuffle, not a window sort over
+    // every candidate pair. Gate: exact recall ≥ 0.65 on a deterministic
+    // 1-in-25 query sample (in-query raise_error), the s4 posture.
+    rowsOnly("s15_knn_graph") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val sample = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      withRecallGate(knnGraph(e, 5, cacheKey = Some(d)),
+        bruteTopK(sample, e, 5), minRecall = 0.65)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"), col("recall"))
     }
   )
+
+  /** Approximate kNN graph over one embedding table: IVF cell routing with
+    * the table on BOTH sides of a cell-keyed join (see the `s15` registry
+    * notes — query side is all N vectors, so no broadcast is assumed).
+    * Top-k per query via the bounded partial-aggregating UDAF.
+    */
+  def knnGraph(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 4,
+      seed: Long = 42L, cacheKey: Option[String] = None): DataFrame = {
+    val centers: Seq[Seq[Double]] = cacheKey match {
+      case Some(key) =>
+        codebookCache.getOrElseUpdate((key, nlist, seed), trainCodebook(emb, nlist, seed))
+      case None => trainCodebook(emb, nlist, seed)
+    }
+    val assigned = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+      array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
+    val probes = emb
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(slice(array_sort(cellScores(centers)(col("embedding"))), 1, nprobe))
+          .as("__probe"))
+      .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    assigned.join(probes, Seq("__cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("vid"), col("sim")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vid").as("vid"), col("t.sim").as("sim"))
+  }
 
   /** Cosine radius for the s14 registry query — interpolated into the
     * oracle SQL so the two engines share one literal.

@@ -286,6 +286,36 @@ object Functions {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- deterministic train/val/test split by content hash --------------
+    // The dataset-versioning primitive: split membership must be a pure
+    // function of CONTENT (not row order, not partition layout) so that
+    // re-ingesting, re-partitioning, or growing the corpus never moves an
+    // old document across the train/test boundary — the leakage rule for
+    // training pipelines. bucket = first 32 bits of sha256(text) mod 100;
+    // 80/10/10. Embarrassingly parallel scan-side projection, no shuffle
+    // at all (.explain: single WholeStageCodegen over the scan). Both
+    // engines compute the identical standard SHA-256, so this is fully
+    // oracle-checked, not a rows-only sketch.
+    sql("q76_hash_split",
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
+        |      AS BIGINT) AS bucket
+        |  FROM documents) t""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long") % 100)
+            .as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+    },
+
     // ---- as-of join (self): latest prior purchase per event --------------
     // Spark-first: the reference preference order says compose built-ins
     // when semantics allow — a sorted window with last(_, ignoreNulls)

@@ -633,4 +633,27 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(gb.forall(!_._5), "symmetric group has no outliers")
     assert(gb.forall(_._4 === 44.478), "MAD(b) = 10 → threshold 44.478")
   }
+
+  test("q76 hash split: content-pure, boundary law, shuffle-free plan") {
+    val out = run("q76_hash_split")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total coverage, bucket range, split↔bucket law
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 100 })
+    assert(rows.forall { case (_, b, s) =>
+      s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    // content-purity: identical text ⇒ identical split, independent of
+    // row order / partitioning (re-run over a repartitioned shuffle of
+    // the same table must produce the identical assignment)
+    val again = run("q76_hash_split").repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(again.sameElements(rows.sortBy(_._1)),
+      "split assignment moved under repartitioning — not content-pure")
+    // scan-side projection only: no exchange anywhere in the plan
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q76 must be a shuffle-free scan projection:\n${plan.take(900)}")
+  }
 }

@@ -280,4 +280,42 @@ class SimilaritySpec extends SparkSpec {
       vecs.filter(col("vec_id") === 0L), vecs, tau = -1.0).collect()
     assert(all.length === 5)
   }
+
+  test("knn graph: k rows per query, no self edges, sims within top-k of exact") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val out = Similarity.knnGraph(e, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === n, "every vector must appear as a query")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 3, s"query $q returned ${rows.length} != 3 neighbors")
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+      assert(rows.map(_._2).distinct.length === 3, s"query $q has duplicate neighbors")
+    }
+  }
+
+  test("knn graph: the cell-keyed join stays sound with broadcast disabled (the 100 TB plan)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Tables.embeddings(spark, sf)
+      val df = Similarity.knnGraph(e, 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // with broadcast off, the probes↔assigned meet must be a keyed
+      // shuffle join (SMJ or shuffled-hash), never a cartesian product
+      assert(!plan.contains("CartesianProduct"),
+        s"knn graph degenerated to a cartesian product:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("s15 registry query: recall gate passes and is deterministic across runs") {
+    val run1 = graft.SparkEntry.registry.find(_.name == "s15_knn_graph").get
+      .run(spark, sf).collect().map(_.toString).sorted
+    val run2 = graft.SparkEntry.registry.find(_.name == "s15_knn_graph").get
+      .run(spark, sf).collect().map(_.toString).sorted
+    assert(run1.nonEmpty && run1.sameElements(run2),
+      "s15 must be deterministic (seeded codebook, tie-broken top-k)")
+  }
 }
