@@ -171,6 +171,139 @@ object Dedup {
       .withColumn("is_new_content", col("verdict") === "kept")
   }
 
+  /** Dedup-index artifacts for one set of documents: per-doc content
+    * hash, LSH band keys, and the hashed shingle set — everything the
+    * incremental gate needs to judge FUTURE docs against these without
+    * re-reading their text. This is what the continuous-crawl ledger
+    * stores: O(1) columns per doc, no raw text, mergeable by append.
+    */
+  def dedupIndexArtifacts(docs: DataFrame): DataFrame = {
+    val spread = Tables.spread(docs)
+    val sigs = minhashSignatures(shingleStringRows(spread))
+    spread.select(col("doc_id"), contentHash(col("text")).as("h"))
+      .join(sigs.select(col("doc_id"), bandKeyEntries.as("bks")), Seq("doc_id"))
+      .join(shingleHashSets(spread), Seq("doc_id"))
+  }
+
+  /** Incremental (continuous-crawl) near-dup gate over index ARTIFACTS —
+    * the per-tick kernel of `st9_incremental_neardup`. `streamArt` holds
+    * the docs being judged; `idxArt` holds the index they are judged
+    * against (artifacts + `__ledger`: true for docs indexed before this
+    * stream began, false for the stream docs themselves). A stream doc
+    * is judged against every ledger doc and every EARLIER (smaller
+    * doc_id) stream doc — the index grows as the crawl proceeds, so a
+    * kept dup-of-a-dup is caught even when its original was itself
+    * dropped (everything seen joins the index, the common production
+    * choice).
+    *
+    * Batch-boundary invariance (the StreamsSpec law): the index-side
+    * bucket cap is rank-≤-maxBucket BY doc_id within each (band, key)
+    * bucket — NOT the size-≤-cap filter d12 uses. When docs arrive in
+    * doc_id order, a member's rank among already-arrived docs equals its
+    * final rank (later arrivals only rank behind), so per-tick capping
+    * over (ledger ∪ batch) computes exactly what one big batch would —
+    * verdicts cannot depend on where the micro-batch boundaries fell.
+    */
+  def incrementalVerdictsFromArtifacts(streamArt: DataFrame, idxArt: DataFrame,
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // exact: same content hash, ledger docs always count, stream docs
+    // only when earlier
+    val exact = streamArt.select(col("doc_id"), col("h"))
+      .join(idxArt.select(col("doc_id").as("__sd"), col("h"), col("__ledger")),
+        Seq("h"))
+      .filter(col("__ledger") || col("__sd") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+      .withColumn("__exact", lit(true))
+
+    // candidate pairs: band-bucket join, index side capped at rank ≤
+    // maxBucket by doc_id (rank-stable under index growth — see above)
+    val idxBanded = graft.operators.Relational.groupedRowNumber(
+        idxArt.select(col("doc_id").as("__sd"), col("__ledger"),
+          explode(col("bks")).as("bk"))
+          .select(col("__sd"), col("__ledger"), col("bk.band").as("band"),
+            col("bk.bandkey").as("bandkey")),
+        Seq("band", "bandkey"), Seq(col("__sd")), "__rn")
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val cand = streamArt
+      .select(col("doc_id").as("nd"), explode(col("bks")).as("bk"))
+      .select(col("nd"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      .join(idxBanded, Seq("band", "bandkey"))
+      .filter(col("__ledger") || col("__sd") < col("nd"))
+      .select(col("nd"), col("__sd").as("sd")).dropDuplicates("nd", "sd")
+
+    // verify candidates on exact shingle-set Jaccard
+    val near = cand
+      .join(streamArt.select(col("doc_id").as("nd"), col("sh").as("sh_a")), Seq("nd"))
+      .join(idxArt.select(col("doc_id").as("sd"), col("sh").as("sh_b")), Seq("sd"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("nd").as("doc_id")).distinct()
+      .withColumn("__near", lit(true))
+
+    streamArt.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact").isNotNull, "exact_dup")
+          .when(col("__near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** Batch-equivalent form of the incremental gate (the st9 registry
+    * entry): snapshot docs seed the ledger, the rest replay as the
+    * stream in doc_id order. One artifact pass over the whole corpus
+    * serves both roles.
+    */
+  def incrementalNearDup(docs: DataFrame, snapshotPred: Column,
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val art = dedupIndexArtifacts(docs)
+    val flagged = art.join(
+      docs.select(col("doc_id"), snapshotPred.as("__ledger")), Seq("doc_id"))
+    incrementalVerdictsFromArtifacts(
+      flagged.filter(!col("__ledger")).drop("__ledger"), flagged,
+      minJaccard, maxBucket)
+  }
+
+  /** DuckDB oracle for [[incrementalNearDup]] with
+    * `snapshotPred = doc_id % streamMod = 0` — replays signatures via the
+    * shared CTE prefix, the rank-based index cap, the (ledger ∨ earlier)
+    * candidate condition, and exact string-set Jaccard.
+    */
+  def incrementalOracleSql(streamMod: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): String =
+    s"""WITH $minhashSigCtes, cappedI AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT doc_id, band, bk,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+       |    FROM banded) t WHERE rn <= $maxBucket
+       |), cand AS (
+       |  SELECT DISTINCT s.doc_id AS nd, i.doc_id AS sd
+       |  FROM banded s JOIN cappedI i ON s.band = i.band AND s.bk = i.bk
+       |  WHERE s.doc_id % $streamMod <> 0
+       |    AND (i.doc_id % $streamMod = 0 OR i.doc_id < s.doc_id)
+       |), near AS (
+       |  SELECT DISTINCT nd AS doc_id FROM (
+       |    SELECT c.nd,
+       |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |        / len(list_distinct(ga.gs || gb.gs)) AS j
+       |    FROM cand c JOIN gsets ga ON ga.doc_id = c.nd
+       |                JOIN gsets gb ON gb.doc_id = c.sd) t
+       |  WHERE j >= 0.5
+       |), exact AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM (SELECT doc_id, sha256(text) AS h FROM documents
+       |        WHERE doc_id % $streamMod <> 0) n
+       |  JOIN (SELECT doc_id, sha256(text) AS h FROM documents) p
+       |    ON p.h = n.h AND (p.doc_id % $streamMod = 0 OR p.doc_id < n.doc_id)
+       |)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $streamMod <> 0) n
+       |LEFT JOIN exact e ON e.doc_id = n.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin
+
   /** Bloom-filter membership prefilter — the 100 TB "seen before?" front
     * of [[dedupAgainstSnapshot]]'s exact stage: ONE mergeable bloom
     * sketch over the snapshot's content keys (a model artifact of a few

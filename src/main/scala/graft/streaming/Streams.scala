@@ -390,6 +390,46 @@ object Streams {
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
   }
 
+  /** Streaming form of `st9_incremental_neardup`: a parquet stream of new
+    * docs, one foreachBatch tick per micro-batch. Each tick (a) computes
+    * the batch's index artifacts ONCE (hash + band keys + shingle set —
+    * persisted across its three uses), (b) judges the batch against the
+    * ledger artifacts ∪ the batch itself (the earlier-doc_id rule covers
+    * intra-batch dups), (c) appends verdicts to `outDir` and the batch's
+    * artifacts to `ledgerDir`. The ledger never holds raw text — per-doc
+    * O(1) artifact columns, appended forever, the continuous-crawl index.
+    * Seed `ledgerDir` with [[graft.llm.Dedup.dedupIndexArtifacts]] of the
+    * snapshot before starting. Restart safety composes exactly like EP2:
+    * wrap the two appends in an IdempotentMerge-guarded sink for
+    * exactly-once; the spec exercises the at-least-once form.
+    */
+  def runIncrementalNearDupStream(spark: SparkSession, srcDir: String,
+      ledgerDir: String, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(schema).format("parquet")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    reader.load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val ledger = spark.read.parquet(ledgerDir)
+          val idx = ledger.withColumn("__ledger", lit(true))
+            .unionByName(bArt.withColumn("__ledger", lit(false)))
+          graft.llm.Dedup.incrementalVerdictsFromArtifacts(bArt, idx)
+            .write.mode("append").parquet(outDir)
+          bArt.write.mode("append").parquet(ledgerDir)
+        } finally { bArt.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- streaming corpus quality gate (batch-equivalent plan) -----------
@@ -422,6 +462,23 @@ object Streams {
          |FROM f""".stripMargin
     }) { (s, d) =>
       qualityRoute(Tables.documents(s, d))
+    },
+
+    // ---- incremental near-dup gate with a GROWING index (§2.9 + dedup) ---
+    // The continuous-crawl tick d12 only gestures at: the index is not a
+    // fixed snapshot — every processed doc JOINS it, so a dup of an
+    // earlier stream doc is caught even though that doc wasn't in the
+    // seed ledger. Registered batch-equivalent (the st1/st6 convention):
+    // docs with doc_id % 3 = 0 seed the ledger, the rest replay as the
+    // stream in doc_id order. StreamsSpec drives the same kernel through
+    // readStream + foreachBatch with a parquet artifact ledger and
+    // asserts verdicts are IDENTICAL for 1-batch and N-batch executions
+    // (the rank-capped index makes batch boundaries unobservable —
+    // Dedup.incrementalVerdictsFromArtifacts scaladoc has the proof).
+    sql("st9_incremental_neardup", graft.llm.Dedup.incrementalOracleSql(3)) {
+      (s, d) =>
+        graft.llm.Dedup.incrementalNearDup(
+          Tables.documents(s, d), col("doc_id") % 3 === 0)
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------

@@ -327,6 +327,48 @@ class StreamsSpec extends SparkSpec {
       .orderBy("inventory_id").collect().map(_.toSeq) === expected)
   }
 
+  test("st9 incremental near-dup: verdicts are identical for 1-batch and 3-batch runs == batch kernel") {
+    val docs = Tables.documents(spark, sf)
+    val snapshot = docs.filter(col("doc_id") % 3 === 0)
+    val streamDocs = docs.filter(col("doc_id") % 3 =!= 0)
+
+    // the batch-equivalent truth (also the st9 registry/oracle form)
+    val expected = graft.llm.Dedup
+      .incrementalNearDup(docs, col("doc_id") % 3 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(expected.exists(_._2 != "kept"), "corpus must contain some dups to test")
+
+    def streamed(nSplits: Int): Array[(Long, String)] = {
+      val src = tmpDir("st9-src")
+      val ledger = tmpDir("st9-ledger") + "/l"
+      val out = tmpDir("st9-out") + "/o"
+      val ckpt = tmpDir("st9-ckpt") + "/c"
+      graft.llm.Dedup.dedupIndexArtifacts(snapshot).write.parquet(ledger)
+      // stage the stream as nSplits files in doc_id order; the file
+      // source admits oldest-first, so ranges must land in order
+      val ids = streamDocs.select("doc_id").as[Long].collect().sorted
+      val bounds = (1 to nSplits).map(i => ids((i * ids.length / nSplits) - 1))
+      var lo = Long.MinValue
+      bounds.foreach { hi =>
+        streamDocs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+          .coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+        Thread.sleep(1050) // file source orders by mod time (second granularity)
+      }
+      val q = Streams.runIncrementalNearDupStream(spark, src, ledger, out, ckpt,
+        maxFilesPerTrigger = if (nSplits > 1) Some(1) else None)
+      q.awaitTermination(120000)
+      spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
+    }
+
+    val one = streamed(1)
+    assert(one.sameElements(expected),
+      "single-batch streamed verdicts must equal the batch kernel")
+    val three = streamed(3)
+    assert(three.sameElements(expected),
+      "batch boundaries must be unobservable (rank-capped growing index)")
+  }
+
   test("backpressure: maxFilesPerTrigger=1 splits available input into micro-batches") {
     val src = tmpDir("bp-src")
     (1 to 3).foreach { i =>
