@@ -179,10 +179,25 @@ object Dedup {
     */
   def dedupIndexArtifacts(docs: DataFrame): DataFrame = {
     val spread = Tables.spread(docs)
-    val sigs = minhashSignatures(shingleStringRows(spread))
-    spread.select(col("doc_id"), contentHash(col("text")).as("h"))
-      .join(sigs.select(col("doc_id"), bandKeyEntries.as("bks")), Seq("doc_id"))
-      .join(shingleHashSets(spread), Seq("doc_id"))
+    // ONE gram pass serves both the minhash signatures and the hashed
+    // shingle set: the sha256 chunk hashes (the expensive part) and the
+    // xxhash64 set element ride the same scan, and a single doc_id
+    // shuffle aggregates the 32 fixed-width mins alongside collect_set
+    // (multiset rows feed collect_set directly — same dedup semantics as
+    // [[shingleHashSets]]).
+    val nDigests = MinhashK / 4
+    val hx = shingleStringRows(spread).select(
+      col("doc_id") +: xxhash64(col("g")).as("gh") +: (0 until nDigests).map(d =>
+        graft.functions.Sha256Chunks
+          .sha256Chunks(concat_ws("|", lit(d.toString), col("g")), 4).as(s"c$d")): _*)
+    val hs = hx.select(col("doc_id") +: col("gh") +: (0 until MinhashK).map(k =>
+      get(col(s"c${k / 4}"), lit(k % 4)).as(s"h$k")): _*)
+    val aggs = (0 until MinhashK).map(k => min(col(s"h$k")).as(s"m$k")) :+
+      collect_set(col("gh")).as("sh")
+    hs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), bandKeyEntries.as("bks"), col("sh"))
+      .join(spread.select(col("doc_id"), contentHash(col("text")).as("h")),
+        Seq("doc_id"))
   }
 
   /** Incremental (continuous-crawl) near-dup gate over index ARTIFACTS —
@@ -255,10 +270,21 @@ object Dedup {
     * serves both roles.
     */
   def incrementalNearDup(docs: DataFrame, snapshotPred: Column,
-      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val art = dedupIndexArtifacts(docs)
-    val flagged = art.join(
-      docs.select(col("doc_id"), snapshotPred.as("__ledger")), Seq("doc_id"))
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+      spillDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    // spill the artifact table ONCE (the t15 pattern): the verdict
+    // kernel references each side several times (exact, candidates,
+    // Jaccard verify), and without a materialization boundary every
+    // reference re-executes the sha256 signature chains — measured 3×
+    // the whole-query cost at sf0.1. The streaming form gets the same
+    // boundary for free (its ledger IS parquet).
+    val artDir = trackSpill(
+      s"${spillBase(spark, spillDir, "incrementalNearDup")}/${runDirName("incart")}")
+    dedupIndexArtifacts(docs)
+      .join(docs.select(col("doc_id"), snapshotPred.as("__ledger")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(artDir)
+    val flagged = spark.read.parquet(artDir)
     incrementalVerdictsFromArtifacts(
       flagged.filter(!col("__ledger")).drop("__ledger"), flagged,
       minJaccard, maxBucket)
