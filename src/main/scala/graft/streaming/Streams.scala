@@ -76,7 +76,8 @@ object Streams {
     * as an equi shuffle join on user_id with the range as residual — no
     * cartesian, no unbounded state.
     */
-  def intervalPairJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def intervalPairJoin(views: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
       col("user_id"), col("ts").as("vts"))
     val c = clicks.select(col("event_id").as("click_id"),
@@ -84,7 +85,8 @@ object Streams {
     v.join(c,
         col("user_id") === col("c_user") &&
           col("cts") > col("vts") &&
-          col("cts") <= col("vts") + expr("INTERVAL 12 HOURS"))
+          col("cts") <= col("vts") + expr("INTERVAL 12 HOURS"),
+        joinType)
       .select(col("view_id"), col("click_id"), col("user_id"))
   }
 
@@ -593,6 +595,27 @@ object Streams {
       val ev = Tables.events(s, d)
       intervalPairJoin(ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"))
+    },
+
+    // ---- stream-stream LEFT OUTER interval join (§2.9) -------------------
+    // st5's attribution join, plus the rows st5 silently drops: views
+    // with NO click inside the window emit (view_id, NULL). In the
+    // streaming form that null emission is the hard part — an unmatched
+    // view can only be declared unmatched once BOTH sides' watermarks
+    // pass its join-window end, at which point its buffered state is
+    // evicted and the null row emits (StreamsSpec proves emission and
+    // that the watermark actually gates it). Batch-equivalent plan: the
+    // same equi key + range residual, left_outer.
+    sql("st10_stream_left_outer",
+      """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        intervalPairJoin(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"), "left_outer")
     }
   )
 }

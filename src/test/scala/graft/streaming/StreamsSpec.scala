@@ -234,6 +234,46 @@ class StreamsSpec extends SparkSpec {
     assert(got === Seq(("ad1", "2024-01-01 10:05:00.0")))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows once both watermarks pass") {
+    val srcA = tmpDir("slo-imp")
+    val srcB = tmpDir("slo-clk")
+    // ad1 gets a click inside the 10-min window; ad2 never does and must
+    // surface as (ad2, null) — but only after the JOINT watermark (min
+    // across both sources, each minus 1h delay) passes ad2's window end.
+    // The 20:00 sentinels exist to push both watermarks past that point;
+    // without a sentinel on BOTH sides the null row must not emit.
+    Files.writeString(Paths.get(srcA, "imp.txt"),
+      Seq("ad1,2024-01-01 10:00:00",
+        "ad2,2024-01-01 10:00:00",
+        "sentinel_imp,2024-01-01 20:00:00").mkString("\n"))
+    Files.writeString(Paths.get(srcB, "clk.txt"),
+      Seq("ad1,2024-01-01 10:05:00",
+        "sentinel_clk,2024-01-01 20:00:00").mkString("\n"))
+    def side(dir: String, id: String, ts: String) = spark.readStream.text(dir)
+      .select(split(col("value"), ",").as("p"))
+      .select(col("p").getItem(0).as(id), col("p").getItem(1).cast("timestamp").as(ts))
+    val imp = side(srcA, "ad_id", "imp_ts").withWatermark("imp_ts", "1 hour")
+    val clk = side(srcB, "clk_ad", "clk_ts").withWatermark("clk_ts", "1 hour")
+    val joined = imp.join(clk,
+      expr("ad_id = clk_ad AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("slo_out")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      // null-extended rows ride the no-data batch that advances the
+      // watermark after the last data batch — give it a beat, then drain
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slo_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(2)).orNull)).toSeq
+      .filterNot(_._1.startsWith("sentinel")).sortBy(t => (t._1, Option(t._2).getOrElse("")))
+    assert(got === Seq(("ad1", "ad1"), ("ad2", null)),
+      s"expected the match and the watermark-flushed unmatched row, got $got")
+  }
+
   test("streaming dedup drops a re-delivered event id within the watermark") {
     val src = tmpDir("dedup-src")
     def write(rows: Seq[(Long, String)]): Unit =
