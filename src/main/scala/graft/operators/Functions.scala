@@ -316,6 +316,108 @@ object Functions {
             .otherwise(lit("test")).as("split"))
     },
 
+    // ---- delete propagation audit (right-to-be-forgotten) ----------------
+    // The governance tick: a small tombstone list (deletion requests,
+    // here doc_id % 97 = 0) must purge every derived dataset — raw docs,
+    // the embedding store, each training split. This is the audit plan
+    // that precedes the write: per (dataset, partition) purge/remain
+    // counts. Scale shape: the tombstone side is tiny and broadcasts;
+    // each derived table is scanned once with a semi/anti split — no
+    // derived table ever joins another.
+    sql("q77_delete_propagation",
+      """WITH tomb AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+        |), doc_c AS (
+        |  SELECT 'documents' AS dataset, 'all' AS part,
+        |    CAST(count(CASE WHEN doc_id % 97 = 0 THEN 1 END) AS BIGINT) AS n_purged,
+        |    CAST(count(CASE WHEN doc_id % 97 <> 0 THEN 1 END) AS BIGINT) AS n_remaining
+        |  FROM documents
+        |), emb_c AS (
+        |  SELECT 'embeddings' AS dataset, 'all' AS part,
+        |    CAST(count(CASE WHEN vec_id IN (SELECT doc_id FROM tomb) THEN 1 END) AS BIGINT),
+        |    CAST(count(CASE WHEN vec_id NOT IN (SELECT doc_id FROM tomb) THEN 1 END) AS BIGINT)
+        |  FROM embeddings
+        |), split_c AS (
+        |  SELECT 'splits' AS dataset,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS part,
+        |    CAST(count(CASE WHEN doc_id % 97 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(CASE WHEN doc_id % 97 <> 0 THEN 1 END) AS BIGINT)
+        |  FROM (SELECT doc_id,
+        |          CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
+        |            AS BIGINT) AS b
+        |        FROM documents) t
+        |  GROUP BY 2
+        |)
+        |SELECT * FROM doc_c UNION ALL SELECT * FROM emb_c
+        |UNION ALL SELECT * FROM split_c""".stripMargin) { (s, d) =>
+      val tombPred = col("doc_id") % 97 === 0
+      val docs = Tables.documents(s, d)
+      val docC = docs.select(tombPred.as("__t"))
+        .agg(count(when(col("__t"), 1)).as("n_purged"),
+          count(when(!col("__t"), 1)).as("n_remaining"))
+        .select(lit("documents").as("dataset"), lit("all").as("part"),
+          col("n_purged"), col("n_remaining"))
+      val tomb = docs.filter(tombPred).select(col("doc_id"))
+      val embC = Tables.embeddings(s, d)
+        .join(broadcast(tomb.withColumn("__t", lit(true))),
+          col("vec_id") === col("doc_id"), "left")
+        .agg(count(when(col("__t").isNotNull, 1)).as("n_purged"),
+          count(when(col("__t").isNull, 1)).as("n_remaining"))
+        .select(lit("embeddings").as("dataset"), lit("all").as("part"),
+          col("n_purged"), col("n_remaining"))
+      val splitC = docs
+        .select(tombPred.as("__t"),
+          (conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long") % 100)
+            .as("b"))
+        .select(col("__t"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("part"))
+        .groupBy(col("part"))
+        .agg(count(when(col("__t"), 1)).as("n_purged"),
+          count(when(!col("__t"), 1)).as("n_remaining"))
+        .select(lit("splits").as("dataset"), col("part"),
+          col("n_purged"), col("n_remaining"))
+      docC.unionByName(embC).unionByName(splitC)
+    },
+
+    // ---- dataset manifest: reproducibility checksums ---------------------
+    // The versioning record a training run pins: per (source, split) row
+    // count, char volume, id range, and an ORDER-INDEPENDENT content
+    // checksum (sum of each doc's 32-bit sha256 prefix — commutative, so
+    // partitioning/arrival order can't change it; both engines compute
+    // the identical integer). Two runs that produce different manifests
+    // trained on different data, full stop. One scan, one small shuffle.
+    sql("q78_dataset_manifest",
+      """SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  CAST(sum(h32) AS BIGINT) AS checksum
+        |FROM (SELECT source, n_chars, doc_id,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
+        |          AS BIGINT) AS b,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT)
+        |          AS BIGINT) AS h32
+        |      FROM documents) t
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"), col("doc_id"),
+          (h32 % 100).as("b"), h32.as("h32"))
+        .select(col("source"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("split"),
+          col("n_chars"), col("doc_id"), col("h32"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("h32")).as("checksum"))
+    },
+
     // ---- as-of join (self): latest prior purchase per event --------------
     // Spark-first: the reference preference order says compose built-ins
     // when semantics allow — a sorted window with last(_, ignoreNulls)
