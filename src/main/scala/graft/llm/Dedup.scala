@@ -666,6 +666,53 @@ object Dedup {
       .select(col("doc_id_a"), col("doc_id_b"), col("jaccard"))
   }
 
+  /** LSH tuning diagnostics — see the `d26` registry notes. Returns every
+    * capped candidate pair with band-collision count, the minhash
+    * estimator (matching signature components / K), exact Jaccard, and
+    * the FP flag against `targetJaccard`. The pair set is d3's by
+    * construction (same signatures, same bucket cap).
+    */
+  def lshDiagnostics(docs: DataFrame, targetJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val gramRows = tokenNgramRowsFromTokens(Tables.spread(tokenize(docs)), 3)
+    val sigs = minhashSignatures(gramRows)
+    val banded = sigs
+      .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val nBands = banded.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
+      .join(banded.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
+        Seq("band", "bandkey"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val estExpr = (0 until MinhashK)
+      .map(k => when(col(s"a.m$k") === col(s"b.m$k"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / MinhashK
+    val est = nBands
+      .join(sigs.as("a"), col("doc_id_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_id_b") === col("b.doc_id"))
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_bands"),
+        round(estExpr, 6).as("est_jaccard"))
+    val shingleDf = gramRows
+      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    est
+      .join(shingleDf.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        Seq("doc_id_a"))
+      .join(shingleDf.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        Seq("doc_id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_bands"), col("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"),
+        (col("jaccard") < targetJaccard).as("is_fp"))
+  }
+
   /** SimHash near-dup pairs: `bands`×`bandBits`-bit band blocking over the
     * 60-bit signature, Hamming ≤ maxHamming.
     *
@@ -1572,6 +1619,44 @@ object Dedup {
       dedupAgainstSnapshot(
         docs.filter(col("doc_id") % 4 === 3),
         docs.filter(col("doc_id") % 4 =!= 3))
+    },
+
+    // ---- LSH tuning diagnostics: estimated vs exact Jaccard per pair -----
+    // The report you read before changing MinhashK/bands/rows: every
+    // surviving candidate pair with (a) how many bands collided, (b) the
+    // signature ESTIMATE of Jaccard (matching-component fraction — the
+    // unbiased minhash estimator), (c) the exact shingle-set Jaccard,
+    // and (d) the false-positive flag (candidate below the 0.5 target
+    // the 16×2 S-curve is tuned for). NO Jaccard filter — the FPs are
+    // the point. Same capped bucket join as d3, so the candidate set is
+    // identical to production's; one extra keyed join against the
+    // signature table covers the estimator.
+    sql("d26_lsh_diagnostics", {
+      val estSum = (0 until MinhashK)
+        .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashCandCtes, nb AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_bands
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bk = b.bk AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2
+         |), est AS (
+         |  SELECT c.da, c.db, ($estSum) / ${MinhashK}.0 AS est_j
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.da
+         |              JOIN sig sb ON sb.doc_id = c.db
+         |), ex AS (
+         |  SELECT c.da, c.db,
+         |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |      / len(list_distinct(ga.gs || gb.gs)) AS j
+         |  FROM cand c JOIN gsets ga ON ga.doc_id = c.da
+         |              JOIN gsets gb ON gb.doc_id = c.db
+         |)
+         |SELECT n.da AS doc_id_a, n.db AS doc_id_b, n.n_bands,
+         |  round(e.est_j, 6) AS est_jaccard, round(x.j, 6) AS jaccard,
+         |  x.j < 0.5 AS is_fp
+         |FROM nb n JOIN est e ON e.da = n.da AND e.db = n.db
+         |          JOIN ex x ON x.da = n.da AND x.db = n.db""".stripMargin
+    }) { (s, d) =>
+      lshDiagnostics(Tables.documents(s, d))
     },
 
     // ---- bloom membership prefilter (sketch front of d12's exact stage) --
