@@ -310,6 +310,44 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted IVF index: partition-pruned serving scan, lossless round-trip") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfIndexBuild(e, cacheKey = Some(sf + "#spec"))
+    // the assignments table is laid out by cell
+    val cells = new java.io.File(s"$idx/assignments").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cells.length > 1, s"expected multiple cell partitions, got ${cells.toSeq}")
+    // serving scan lists ONLY probed cells' files (directory pruning,
+    // not a post-scan filter): with nprobe=1 the input files must be a
+    // strict subset of the full table's
+    val served1 = Similarity.ivfIndexQuery(spark, idx, q, 3, nprobe = 1)
+    served1.collect()
+    val full = spark.read.parquet(s"$idx/assignments").inputFiles.length
+    // inputFiles ignores partition pruning — read the actual file count
+    // off the executed scan node's metrics
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("assignments")) =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scans)
+    })
+    val pruned = scans(served1.queryExecution.executedPlan)
+    assert(pruned.nonEmpty && pruned.head < full,
+      s"nprobe=1 scan must prune cell directories ($pruned vs $full files)")
+    // round-trip losslessness at the default nprobe: persisted == fresh
+    val served = Similarity.ivfIndexQuery(spark, idx, q, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect().sorted
+    val fresh = Similarity.ivfTopK(q, e, 3, cacheKey = Some(sf + "#spec"))
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      .as[(Long, Long, Double)].collect().sorted
+    assert(served.sameElements(fresh), "persisted index drifted from fresh index")
+  }
+
   test("s15 registry query: recall gate passes and is deterministic across runs") {
     val run1 = graft.SparkEntry.registry.find(_.name == "s15_knn_graph").get
       .run(spark, sf).collect().map(_.toString).sorted
