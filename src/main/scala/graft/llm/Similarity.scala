@@ -568,19 +568,24 @@ object Similarity {
     */
   def pqTrain(emb: DataFrame, mSub: Int = PqRegistryM,
       kCent: Int = PqRegistryK): (DataFrame, Seq[(Long, Long, Seq[Double])]) = {
-    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
-    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
-    val sub = dim / mSub
-    val sv = pqSubvectors(emb, mSub, sub)
-
     // deterministic seeds: the kCent hash-first vectors, every subspace
-    // (bounded collect: kCent rows — the s7 sanctioned class)
+    // (bounded collect: kCent rows — the s7 sanctioned class). The
+    // dimensionality comes off this sample too — a dedicated
+    // max(size(embedding)) probe was a second full-table scan job just
+    // to learn a constant.
     val seedRows = emb
       .select(col("vec_id"), col("embedding"),
         Dedup.hash60(col("vec_id").cast("string")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(kCent)
       .collect()
       .sortBy(r => (r.getLong(2), r.getLong(0)))
+    require(seedRows.nonEmpty, "PQ training: empty corpus")
+    val dim = seedRows(0).getSeq[Float](1).length
+    require(seedRows.forall(_.getSeq[Float](1).length == dim),
+      "PQ training: embedding dims differ within the seed sample")
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val sub = dim / mSub
+    val sv = pqSubvectors(emb, mSub, sub)
     val seeds: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
       case (r, cid) =>
         val full = r.getSeq[Float](1).map(_.toDouble)
