@@ -447,4 +447,31 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out === Set(7L, 8L))
   }
+
+  test("incremental gate: the growing index catches dups of STREAM docs, order decides") {
+    // snapshot holds only X; the stream introduces B (novel), an exact
+    // copy of B, and a near-variant of B. None of them resemble X, so a
+    // fixed-snapshot gate (d12 semantics) would keep all three — the
+    // growing index must keep only the first.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearB = (1 to 40).map(i => if (i > 36) s"alt$i" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, "completely unrelated snapshot content about nothing shared"),
+      (1L, base),   // novel → kept
+      (2L, base),   // exact copy of stream doc 1 → exact_dup
+      (3L, nearB)   // ~90% shared 3-grams with doc 1 → near_dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(docs, col("doc_id") === 0L)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup"),
+      s"growing-index verdicts wrong: $out")
+    // and the mirror: doc order decides who is the original — swap ids
+    // and the copy becomes the keeper
+    val swapped = Seq(
+      (0L, "completely unrelated snapshot content about nothing shared"),
+      (1L, base), (2L, nearB), (3L, base)).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalNearDup(swapped, col("doc_id") === 0L)
+      .as[(Long, String)].collect().toMap
+    assert(out2(1L) === "kept" && out2(3L) === "exact_dup")
+  }
 }
