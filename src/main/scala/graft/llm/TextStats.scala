@@ -1181,6 +1181,85 @@ object TextStats {
         |FROM sc JOIN st USING (source) JOIN ct USING (t) CROSS JOIN n
         |GROUP BY sc.source""".stripMargin) { (s, d) =>
       sourceKl(Tables.spread(Tables.documents(s, d)))
+    },
+
+    // ---- tokenizer-fit / OOV-rate report ---------------------------------
+    // Per-doc out-of-vocabulary fraction against a corpus-derived top-K
+    // (K=20) frequency vocab — the "does this tokenizer cover this
+    // corpus" diagnostic read before committing a vocab size. Rank ties
+    // break lexicographically (deterministic). Scale note: unlike the
+    // FULL vocab (Heaps-law, never broadcast — the t6/t13 rule), the
+    // top-K vocab is PARAMETER-bounded, so it rides a broadcast join
+    // like a codebook; the rank itself is a TakeOrdered (distributed
+    // partial top-K, fixed output), not a global sort.
+    sql("t30_oov_rate",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tc AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+        |), vocab AS (
+        |  SELECT t FROM (
+        |    SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM tc) v
+        |  WHERE rn <= 20
+        |), pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_oov
+        |  FROM tok GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(pd.n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(pd.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN coalesce(pd.n_tok, 0) = 0 THEN 0.0
+        |       ELSE round(pd.n_oov * 1.0 / pd.n_tok, 6) END AS oov_rate
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(20)
+        .select(col("t"), lit(true).as("__in_vocab"))
+      val pd = tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("__in_vocab").isNotNull, 0).otherwise(1)).as("n_oov"))
+      docs.select(col("doc_id")).join(pd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(coalesce(col("n_tok"), lit(0L)) === 0, lit(0.0))
+            .otherwise(round(col("n_oov") * lit(1.0) / col("n_tok"), 6))
+            .as("oov_rate"))
+    },
+
+    // ---- truncation-loss report: choosing max_seq_len --------------------
+    // Per source: how many docs exceed a 64-token context and what token
+    // fraction a hard truncation at that length would discard — the
+    // table a pipeline reads before fixing max_seq_len (the complement
+    // of t9's packing view). Pure scan-side arithmetic + one keyed agg.
+    sql("t31_truncation_loss",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(sum(n) AS BIGINT) AS n_tok_total,
+        |  CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS n_tok_lost,
+        |  CASE WHEN sum(n) = 0 THEN 0.0
+        |       ELSE round(sum(greatest(n - 64, 0)) * 1.0 / sum(n), 6)
+        |  END AS lost_frac
+        |FROM (SELECT source,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |      FROM documents) t
+        |GROUP BY source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 64, 1).otherwise(0)).as("n_truncated"),
+          sum(col("n")).as("n_tok_total"),
+          sum(greatest(col("n") - 64, lit(0L))).as("n_tok_lost"),
+          when(sum(col("n")) === 0, lit(0.0))
+            .otherwise(round(sum(greatest(col("n") - 64, lit(0L))) * lit(1.0) /
+              sum(col("n")), 6)).as("lost_frac"))
     }
   )
 
