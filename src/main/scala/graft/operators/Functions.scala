@@ -418,6 +418,53 @@ object Functions {
           sum(col("h32")).as("checksum"))
     },
 
+    // ---- join-cardinality estimate vs actual (the CBO diagnostic) --------
+    // What ANALYZE feeds the planner, and how wrong it is here: the
+    // textbook uniform-NDV estimate |A|·|B| / max(ndv_a, ndv_b) for the
+    // orders⋈lineitem equi join, against the EXACT output cardinality
+    // (Σ over matched keys of c_a·c_b — computed from the two per-key
+    // count tables joined on the key, never by materializing the join).
+    // The error ratio is the number you read before trusting a plan's
+    // join order at 100 TB. Shape: two keyed count aggs + one keyed join
+    // of the (small) count tables + a 1-row reduce.
+    sql("q79_join_cardinality",
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1
+        |), b AS (
+        |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM a) AS rows_a,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM a) AS ndv_a,
+        |         (SELECT CAST(sum(c) AS BIGINT) FROM b) AS rows_b,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM b) AS ndv_b,
+        |         (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+        |          FROM a JOIN b USING (k)) AS actual_rows
+        |)
+        |SELECT rows_a, ndv_a, rows_b, ndv_b,
+        |  CAST(floor(rows_a * rows_b / greatest(ndv_a, ndv_b)) AS BIGINT) AS est_uniform,
+        |  actual_rows,
+        |  round(actual_rows * 1.0
+        |    / (rows_a * rows_b / greatest(ndv_a, ndv_b)), 6) AS err_ratio
+        |FROM tot""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val b = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val statsA = a.agg(sum(col("c")).as("rows_a"), count(lit(1)).as("ndv_a"))
+      val statsB = b.agg(sum(col("c")).as("rows_b"), count(lit(1)).as("ndv_b"))
+      val actual = a.select(col("k"), col("c").as("ca"))
+        .join(b.select(col("k"), col("c").as("cb")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("actual_rows"))
+      statsA.crossJoin(statsB).crossJoin(actual)
+        .select(col("rows_a"), col("ndv_a"), col("rows_b"), col("ndv_b"),
+          floor(col("rows_a") * col("rows_b") /
+            greatest(col("ndv_a"), col("ndv_b"))).cast("long").as("est_uniform"),
+          col("actual_rows"),
+          round(col("actual_rows") * lit(1.0) /
+            (col("rows_a") * col("rows_b") / greatest(col("ndv_a"), col("ndv_b"))),
+            6).as("err_ratio"))
+    },
+
     // ---- as-of join (self): latest prior purchase per event --------------
     // Spark-first: the reference preference order says compose built-ins
     // when semantics allow — a sorted window with last(_, ignoreNulls)
