@@ -700,12 +700,19 @@ object TextStats {
         |    / count(*), 6) AS novelty
         |FROM g JOIN firsts f ON f.gr = g.gr
         |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      // gram rows via explode-over-indices off a tokenized COLUMN (the
+      // tokenNgramRows shape): the earlier nested-HOF form re-evaluated
+      // split(trim(text)) inside the lambda per element — quadratic per
+      // doc and interpreted; this runs codegen'd and tokenizes once.
+      // distinct on (doc_id, gh) ≡ the oracle's per-doc list_distinct.
       val grams = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(
-            |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 4, 1)),
-            |  i -> xxhash64(array_join(slice(split(trim(text), '\\s+'), i, 5), ' '))))"""
-            .stripMargin)).as("gh"))
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), greatest(size(col("ts")) - 4, lit(1)))).as("i"),
+          col("ts"))
+        .select(col("doc_id"),
+          xxhash64(array_join(slice(col("ts"), col("i"), lit(5)), " ")).as("gh"))
+        .distinct()
       val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
       grams.join(firsts, Seq("gh"))
         .groupBy(col("doc_id"))
