@@ -673,9 +673,30 @@ object Dedup {
     * construction (same signatures, same bucket cap).
     */
   def lshDiagnostics(docs: DataFrame, targetJaccard: Double = 0.5,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      spillDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    // fused single gram pass (the dedupIndexArtifacts shape, keeping the
+    // raw m-columns for the estimator) + ONE spill boundary: the kernel
+    // references signatures three times (banding, both estimator sides)
+    // and shingle sets twice — unspilled, each reference re-executes the
+    // sha256 chains (same multi-reference blowup st9 had)
     val gramRows = tokenNgramRowsFromTokens(Tables.spread(tokenize(docs)), 3)
-    val sigs = minhashSignatures(gramRows)
+    val nDigests = MinhashK / 4
+    val hx = gramRows.select(
+      col("doc_id") +: xxhash64(col("g")).as("gh") +: (0 until nDigests).map(d =>
+        graft.functions.Sha256Chunks
+          .sha256Chunks(concat_ws("|", lit(d.toString), col("g")), 4).as(s"c$d")): _*)
+    val hs = hx.select(col("doc_id") +: col("gh") +: (0 until MinhashK).map(k =>
+      get(col(s"c${k / 4}"), lit(k % 4)).as(s"h$k")): _*)
+    val aggs = (0 until MinhashK).map(k => min(col(s"h$k")).as(s"m$k")) :+
+      collect_set(col("gh")).as("sh")
+    val artDir = trackSpill(
+      s"${spillBase(spark, spillDir, "lshDiagnostics")}/${runDirName("lshdiag")}")
+    hs.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(artDir)
+    val art = spark.read.parquet(artDir)
+    val sigs = art.drop("sh")
     val banded = sigs
       .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
@@ -697,9 +718,7 @@ object Dedup {
       .join(sigs.as("b"), col("doc_id_b") === col("b.doc_id"))
       .select(col("doc_id_a"), col("doc_id_b"), col("n_bands"),
         round(estExpr, 6).as("est_jaccard"))
-    val shingleDf = gramRows
-      .select(col("doc_id"), xxhash64(col("g")).as("sh"))
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val shingleDf = art.select(col("doc_id"), col("sh"))
     est
       .join(shingleDf.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
         Seq("doc_id_a"))
