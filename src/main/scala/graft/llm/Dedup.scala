@@ -212,12 +212,21 @@ object Dedup {
     * choice).
     *
     * Batch-boundary invariance (the StreamsSpec law): the index-side
-    * bucket cap is rank-≤-maxBucket BY doc_id within each (band, key)
-    * bucket — NOT the size-≤-cap filter d12 uses. When docs arrive in
-    * doc_id order, a member's rank among already-arrived docs equals its
-    * final rank (later arrivals only rank behind), so per-tick capping
-    * over (ledger ∪ batch) computes exactly what one big batch would —
-    * verdicts cannot depend on where the micro-batch boundaries fell.
+    * bucket cap is rank-≤-maxBucket in ARRIVAL order within each
+    * (band, key) bucket — NOT the size-≤-cap filter d12 uses. Arrival
+    * order is (ledger first, then doc_id): every ledger doc is present
+    * from tick 0 and stream docs arrive in doc_id order, so a member's
+    * rank among already-arrived docs equals its final rank — later
+    * arrivals only ever rank BEHIND existing members. Per-tick capping
+    * over (ledger ∪ batch) therefore computes exactly what one big batch
+    * (with the same ledger flags) would — verdicts cannot depend on
+    * where the micro-batch boundaries fell. Ranking by doc_id alone is
+    * NOT arrival-stable: a ledger doc whose id exceeds not-yet-arrived
+    * stream ids would sit inside the cap early and get pushed out later,
+    * silently flipping verdicts once a bucket exceeds maxBucket. The
+    * ledger-first rank requires idxArt's `__ledger` flag to distinguish
+    * the SEED ledger from replayed stream docs persistently (the
+    * streaming ledger stores it — see [[Streams.seedIncrementalLedger]]).
     */
   def incrementalVerdictsFromArtifacts(streamArt: DataFrame, idxArt: DataFrame,
       minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -231,13 +240,15 @@ object Dedup {
       .withColumn("__exact", lit(true))
 
     // candidate pairs: band-bucket join, index side capped at rank ≤
-    // maxBucket by doc_id (rank-stable under index growth — see above)
+    // maxBucket in (ledger-first, doc_id) arrival order — rank-stable
+    // under index growth, see the scaladoc proof
     val idxBanded = graft.operators.Relational.groupedRowNumber(
         idxArt.select(col("doc_id").as("__sd"), col("__ledger"),
           explode(col("bks")).as("bk"))
           .select(col("__sd"), col("__ledger"), col("bk.band").as("band"),
             col("bk.bandkey").as("bandkey")),
-        Seq("band", "bandkey"), Seq(col("__sd")), "__rn")
+        Seq("band", "bandkey"),
+        Seq(when(col("__ledger"), 0).otherwise(1), col("__sd")), "__rn")
       .filter(col("__rn") <= maxBucket).drop("__rn")
     val cand = streamArt
       .select(col("doc_id").as("nd"), explode(col("bks")).as("bk"))
@@ -300,7 +311,9 @@ object Dedup {
     s"""WITH $minhashSigCtes, cappedI AS (
        |  SELECT doc_id, band, bk FROM (
        |    SELECT doc_id, band, bk,
-       |      ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk
+       |        ORDER BY CASE WHEN doc_id % $streamMod = 0 THEN 0 ELSE 1 END,
+       |                 doc_id) AS rn
        |    FROM banded) t WHERE rn <= $maxBucket
        |), cand AS (
        |  SELECT DISTINCT s.doc_id AS nd, i.doc_id AS sd

@@ -392,6 +392,64 @@ object Streams {
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
   }
 
+  /** Seed the st9 artifact ledger from the cleaned snapshot: per-doc
+    * index artifacts plus `__seed = true`. The flag is PERSISTED because
+    * the incremental kernel's bucket cap ranks members in arrival order
+    * (seed ledger first, then stream docs by doc_id) — see
+    * [[graft.llm.Dedup.incrementalVerdictsFromArtifacts]]'s invariance
+    * proof; dropping the distinction on read would make ranks drift as
+    * the ledger grows and silently flip verdicts in over-full buckets.
+    */
+  def seedIncrementalLedger(snapshot: DataFrame, ledgerDir: String): Unit =
+    graft.llm.Dedup.dedupIndexArtifacts(snapshot)
+      .withColumn("__seed", lit(true))
+      .write.mode("overwrite").parquet(ledgerDir)
+
+  /** Read the st9 ledger replay-safely: a crashed-and-replayed tick may
+    * have appended its artifacts twice (foreachBatch is at-least-once),
+    * and duplicate rows would consume bucket-cap slots and shift later
+    * ranks — so the read dedups on doc_id (duplicate appends are
+    * byte-identical rows, any survivor is correct). `mergeSchema` +
+    * coalesce tolerates a pre-`__seed` ledger layout (those rows are by
+    * construction the seed).
+    */
+  private[streaming] def readIncrementalLedger(spark: SparkSession,
+      ledgerDir: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(ledgerDir)
+    val flagged =
+      if (raw.columns.contains("__seed"))
+        raw.withColumn("__seed", coalesce(col("__seed"), lit(true)))
+      else raw.withColumn("__seed", lit(true))
+    flagged.dropDuplicates("doc_id")
+  }
+
+  /** Rewrite the st9 ledger as one compacted file set. A continuous
+    * crawl appends one parquet file set per tick forever; this folds
+    * them into `ceil(rows / rowsPerFile)` files. Pure rewrite — verdicts
+    * are a function of ledger CONTENT (doc_id-deduped rows + seed
+    * flags), which is preserved, so the 1-batch ≡ N-batch law continues
+    * to hold across a compaction (StreamsSpec proves it). The
+    * delete-then-rename swap is not crash-atomic; a production
+    * deployment puts the directory behind a versioned-pointer flip
+    * ([[ParquetLedger]]'s pattern) or a table format with atomic commit.
+    */
+  def compactIncrementalLedger(spark: SparkSession, ledgerDir: String,
+      rowsPerFile: Long = 4000000L): Unit = {
+    val compacted = readIncrementalLedger(spark, ledgerDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nFiles = math.max(1L, (compacted.count() + rowsPerFile - 1) / rowsPerFile)
+      val tmp = new org.apache.hadoop.fs.Path(ledgerDir + "__compacting")
+      val dst = new org.apache.hadoop.fs.Path(ledgerDir)
+      compacted.repartition(nFiles.toInt)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(dst, true)
+      fs.rename(tmp, dst)
+      ()
+    } finally { compacted.unpersist(); () }
+  }
+
   /** Streaming form of `st9_incremental_neardup`: a parquet stream of new
     * docs, one foreachBatch tick per micro-batch. Each tick (a) computes
     * the batch's index artifacts ONCE (hash + band keys + shingle set —
@@ -399,15 +457,29 @@ object Streams {
     * ledger artifacts ∪ the batch itself (the earlier-doc_id rule covers
     * intra-batch dups), (c) appends verdicts to `outDir` and the batch's
     * artifacts to `ledgerDir`. The ledger never holds raw text — per-doc
-    * O(1) artifact columns, appended forever, the continuous-crawl index.
-    * Seed `ledgerDir` with [[graft.llm.Dedup.dedupIndexArtifacts]] of the
-    * snapshot before starting. Restart safety composes exactly like EP2:
-    * wrap the two appends in an IdempotentMerge-guarded sink for
-    * exactly-once; the spec exercises the at-least-once form.
+    * O(1) artifact columns, mergeable by append, the continuous-crawl
+    * index. Seed `ledgerDir` with [[seedIncrementalLedger]] before
+    * starting.
+    *
+    * Exactly-once: each tick is guarded by a per-batchId marker file
+    * (written LAST, the IdempotentMerge posture) in a sibling
+    * `<ledgerDir>_applied` directory — a replayed micro-batch whose
+    * marker exists is a no-op, so verdicts and ledger rows are not
+    * double-appended on restart (StreamsSpec replays a tick and proves
+    * both unchanged). A crash INSIDE a tick (after some appends, before
+    * the marker) replays the whole tick; the ledger read dedups the
+    * re-appended artifacts on doc_id, and the verdict sink may then hold
+    * duplicate IDENTICAL rows — consumers read it with dropDuplicates
+    * (verdict VALUES can never diverge, only repeat).
+    *
+    * `compactEvery = Some(n)` compacts the ledger after every n-th tick
+    * ([[compactIncrementalLedger]]) — the small-file lifecycle knob a
+    * long-running crawl needs.
     */
   def runIncrementalNearDupStream(spark: SparkSession, srcDir: String,
       ledgerDir: String, outDir: String, checkpointDir: String,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = maxFilesPerTrigger.foldLeft(
       spark.readStream.schema(schema).format("parquet")) {
@@ -415,17 +487,27 @@ object Streams {
     }
     reader.load(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val ledger = spark.read.parquet(ledgerDir)
-          val idx = ledger.withColumn("__ledger", lit(true))
-            .unionByName(bArt.withColumn("__ledger", lit(false)))
-          graft.llm.Dedup.incrementalVerdictsFromArtifacts(bArt, idx)
-            .write.mode("append").parquet(outDir)
-          bArt.write.mode("append").parquet(ledgerDir)
-        } finally { bArt.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${ledgerDir}_applied/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ledger = readIncrementalLedger(spark, ledgerDir)
+            val idx = ledger.withColumn("__ledger", col("__seed")).drop("__seed")
+              .unionByName(bArt.withColumn("__ledger", lit(false)))
+            graft.llm.Dedup.incrementalVerdictsFromArtifacts(bArt, idx)
+              .write.mode("append").parquet(outDir)
+            bArt.withColumn("__seed", lit(false))
+              .write.mode("append").parquet(ledgerDir)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+            if (compactEvery.exists(n => (batchId + 1) % n == 0))
+              compactIncrementalLedger(spark, ledgerDir)
+          } finally { bArt.unpersist(); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

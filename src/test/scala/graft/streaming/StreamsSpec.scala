@@ -263,9 +263,14 @@ class StreamsSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // null-extended rows ride the no-data batch that advances the
-      // watermark after the last data batch — give it a beat, then drain
-      Thread.sleep(1500)
-      q.processAllAvailable()
+      // watermark after the last data batch — poll the sink with a
+      // deadline (a fixed sleep flakes on loaded hosts)
+      val deadline = System.currentTimeMillis() + 60000L
+      while (System.currentTimeMillis() < deadline &&
+          spark.table("slo_out").filter(col("ad_id") === "ad2").isEmpty) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val got = spark.table("slo_out").collect()
       .map(r => (r.getString(0), Option(r.getString(2)).orNull)).toSeq
@@ -378,25 +383,44 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1)
     assert(expected.exists(_._2 != "kept"), "corpus must contain some dups to test")
 
-    def streamed(nSplits: Int): Array[(Long, String)] = {
+    // dirs of the latest streamed() run, for the replay/compaction phases
+    var lastDirs: (String, String, String, String) = null
+
+    def streamed(nSplits: Int,
+        compactEvery: Option[Int] = None): Array[(Long, String)] = {
       val src = tmpDir("st9-src")
       val ledger = tmpDir("st9-ledger") + "/l"
       val out = tmpDir("st9-out") + "/o"
       val ckpt = tmpDir("st9-ckpt") + "/c"
-      graft.llm.Dedup.dedupIndexArtifacts(snapshot).write.parquet(ledger)
+      lastDirs = (src, ledger, out, ckpt)
+      Streams.seedIncrementalLedger(snapshot, ledger)
       // stage the stream as nSplits files in doc_id order; the file
-      // source admits oldest-first, so ranges must land in order
+      // source admits oldest-first, so mod times are stamped explicitly
+      // (1s apart — no sleeping, no load-dependent flake)
       val ids = streamDocs.select("doc_id").as[Long].collect().sorted
       val bounds = (1 to nSplits).map(i => ids((i * ids.length / nSplits) - 1))
+      // an hour in the past so stamped times never collide with fresh
+      // wall-clock mod times of later appends
+      val t0 = System.currentTimeMillis() - 3600000L
+      val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
       var lo = Long.MinValue
-      bounds.foreach { hi =>
+      bounds.zipWithIndex.foreach { case (hi, i) =>
         streamDocs.filter(col("doc_id") > lo && col("doc_id") <= hi)
           .coalesce(1).write.mode("append").parquet(src)
         lo = hi
-        Thread.sleep(1050) // file source orders by mod time (second granularity)
+        Files.list(Paths.get(src)).toArray.foreach { p0 =>
+          val p = p0.asInstanceOf[java.nio.file.Path]
+          if (!stamped.contains(p)) {
+            stamped += p
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+            ()
+          }
+        }
       }
       val q = Streams.runIncrementalNearDupStream(spark, src, ledger, out, ckpt,
-        maxFilesPerTrigger = if (nSplits > 1) Some(1) else None)
+        maxFilesPerTrigger = if (nSplits > 1) Some(1) else None,
+        compactEvery = compactEvery)
       q.awaitTermination(120000)
       spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
     }
@@ -407,6 +431,33 @@ class StreamsSpec extends SparkSpec {
     val three = streamed(3)
     assert(three.sameElements(expected),
       "batch boundaries must be unobservable (rank-capped growing index)")
+
+    // exactly-once: replay the LAST tick of the 3-batch run against the
+    // same ledger/out dirs (fresh checkpoint so the batch re-fires). The
+    // marker guard must no-op it: verdicts and ledger rows unchanged.
+    val (src3, ledger3, out3, _) = lastDirs
+    val ledgerRowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(ledger3).count()
+    val q2 = Streams.runIncrementalNearDupStream(spark, src3, ledger3, out3,
+      tmpDir("st9-ckpt2") + "/c", maxFilesPerTrigger = None)
+    q2.awaitTermination(120000)
+    // note: the fresh checkpoint restarts batch ids at 0; the 3-batch run
+    // applied ids 0..2, so every replayed id hits an existing marker
+    assert(spark.read.parquet(out3).as[(Long, String)].collect().sortBy(_._1)
+      .sameElements(expected), "replayed ticks must not change verdicts")
+    assert(spark.read.option("mergeSchema", "true").parquet(ledger3).count()
+      === ledgerRowsBefore, "replayed ticks must not re-append ledger rows")
+
+    // compaction: same 3-batch run with compaction after every tick —
+    // identical verdicts, and the final ledger holds ONE file set
+    val compacted = streamed(3, compactEvery = Some(1))
+    assert(compacted.sameElements(expected),
+      "ledger compaction must not change verdicts")
+    val (_, ledgerC, _, _) = lastDirs
+    val nParquet = Files.list(Paths.get(ledgerC)).toArray
+      .count(_.toString.endsWith(".parquet"))
+    assert(nParquet === 1,
+      s"compacted ledger must be one file set, found $nParquet parquet files")
   }
 
   test("backpressure: maxFilesPerTrigger=1 splits available input into micro-batches") {
