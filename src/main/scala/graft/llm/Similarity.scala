@@ -316,6 +316,44 @@ object Similarity {
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), Seq[Seq[Double]]]
 
+  /** Default probed fraction of the cell partition, nprobe/nlist. THE
+    * tuning knob of the IVF family: candidate volume per query is
+    * ~scanFraction·N however large the corpus, so recall/cost trades are
+    * set here, not by absolute cell counts. 0.5 is tuned for the driver's
+    * synthetic near-uniform embeddings — the adversarial case where cell
+    * routing is barely correlated with true neighborhood, so recall
+    * tracks the scanned fraction (measured: ~0.8 recall at 0.5). Real
+    * clustered corpora run this at a few percent (routing carries the
+    * recall there — the regime IVF is built for).
+    */
+  val DefaultScanFraction = 0.5
+
+  /** The FAISS √N rule: cells scale with corpus size so per-cell extent
+    * stays ~√N however large the corpus — a constant `nlist` makes cell
+    * size grow linearly with N and per-cell join work quadratically
+    * (candidate pairs ≈ N²·nprobe/nlist), the one plan shape that does
+    * NOT survive a 100× scale-up. Floor 8 keeps tiny-corpus behavior;
+    * the cap bounds the broadcast codebook (65536 × dim doubles — tens
+    * of MB, the FAISS large-scale posture where nlist stops growing and
+    * IVF-PQ takes over within cells).
+    */
+  def deriveNlist(corpusN: Long, floor: Int = 8, cap: Int = 1 << 16): Int =
+    math.max(floor, math.min(cap.toLong,
+      math.round(math.sqrt(math.max(corpusN, 1L).toDouble))).toInt)
+
+  /** nprobe from the scan fraction — see [[DefaultScanFraction]]. */
+  def deriveNprobe(nlist: Int, scanFraction: Double = DefaultScanFraction): Int =
+    math.max(1, math.min(nlist, math.round(nlist * scanFraction).toInt))
+
+  /** One count job per corpus key (metadata-only on parquet; at 100 TB
+    * pass the catalog row count via an explicit nlist instead).
+    */
+  private val corpusCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusCount(corpus: DataFrame, cacheKey: Option[String]): Long =
+    cacheKey.fold(corpus.count())(k =>
+      corpusCountCache.getOrElseUpdate(k, corpus.count()))
+
   /** Train an IVF routing codebook: Lloyd's iterations on a BOUNDED
     * deterministic sample (smallest `sampleN` rows by seeded vec_id hash —
     * a distributed TakeOrdered, each task keeps ≤ sampleN rows; no global
@@ -370,16 +408,20 @@ object Similarity {
     * index adapts to the data distribution (trained centroids), which is
     * why it holds up on clustered real-world embeddings.
     *
-    * Tuning note: on THIS corpus — near-uniform synthetic embeddings,
-    * top-5 neighbors at cos≈0.4, the adversarial case where cell routing
-    * is barely correlated with true neighborhood — recall tracks the scan
-    * fraction. Measured at sf0.001/0.01/0.1: the (8, 4) default gives
-    * recall 0.78/0.80/0.80 at a 50% scan; (16, 4) gave 0.70/0.75/0.53 —
-    * BELOW its own 0.70 gate at sf0.1, caught the moment Bench stopped
-    * folding failed runs into medians (the s2 story exactly). On real
-    * clustered corpora raise `nlist` (≈4·√N cells) and keep nprobe small:
-    * routing then carries the recall and the scan fraction drops to a few
-    * percent — the regime IVF is built for.
+    * Parameterization: `nlist` defaults to the derived √N rule
+    * ([[deriveNlist]] — constant cell counts make per-cell join work
+    * quadratic in N, the plan you cannot ship at 100×) and `nprobe` to
+    * the [[DefaultScanFraction]] of it, so the scanned fraction — the
+    * recall/cost knob — is scale-invariant. Tuning note: on THIS
+    * corpus — near-uniform synthetic embeddings, top-5 neighbors at
+    * cos≈0.4, the adversarial case where cell routing is barely
+    * correlated with true neighborhood — recall tracks the scan
+    * fraction (~0.8 at the 0.5 default; a fixed (16, 4) = 25% scan gave
+    * 0.53 at sf0.1, BELOW its own 0.70 gate, caught the moment Bench
+    * stopped folding failed runs into medians — the s2 story exactly).
+    * On real clustered corpora keep the derived nlist and drop the scan
+    * fraction to a few percent: routing then carries the recall — the
+    * regime IVF is built for.
     *
     * Query-time work is all codegen'd expressions (assignment = argmin
     * over the broadcast codebook literals) — no ML-pipeline passes.
@@ -389,7 +431,7 @@ object Similarity {
     * per row and cancels in the ranking); ties break on cell id via
     * struct ordering. Shared by [[ivfTopK]] and [[ivfRecallSweep]].
     */
-  private def cellScores(centers: Seq[Seq[Double]])(e: Column): Column =
+  private[llm] def cellScores(centers: Seq[Seq[Double]])(e: Column): Column =
     array(centers.zipWithIndex.map { case (c, i) =>
       val cnorm2 = c.map(x => x * x).sum
       struct(
@@ -399,12 +441,14 @@ object Similarity {
     }: _*)
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 8, nprobe: Int = 4, seed: Long = 42L,
+      nlist: Option[Int] = None, nprobe: Option[Int] = None, seed: Long = 42L,
       cacheKey: Option[String] = None): DataFrame = {
+    val nl = nlist.getOrElse(deriveNlist(corpusCount(corpus, cacheKey)))
+    val np = nprobe.getOrElse(deriveNprobe(nl))
     val centers: Seq[Seq[Double]] = cacheKey match {
       case Some(key) =>
-        codebookCache.getOrElseUpdate((key, nlist, seed), trainCodebook(corpus, nlist, seed))
-      case None => trainCodebook(corpus, nlist, seed)
+        codebookCache.getOrElseUpdate((key, nl, seed), trainCodebook(corpus, nl, seed))
+      case None => trainCodebook(corpus, nl, seed)
     }
 
     val assigned = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
@@ -412,7 +456,7 @@ object Similarity {
     val qProbes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("__probe",
-        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, nprobe)))
+        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, np)))
       .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
@@ -1128,10 +1172,12 @@ object Similarity {
     // cells (query role), and the two sides meet in a join KEYED ON THE
     // CELL ID. At test scale Catalyst broadcasts the small probe side; at
     // 100 TB both sides exceed the threshold and the same declarative plan
-    // becomes a shuffle join partitioned by cell — per-task work is
-    // cell_size² · nprobe, scan fraction ≈ nprobe/nlist of the all-pairs
-    // product, and nothing grows with N on the driver
-    // (KnnGraphPlanSpec asserts the broadcast-disabled plan stays sound).
+    // becomes a shuffle join partitioned by cell. nlist is DERIVED (√N
+    // rule) — with a constant nlist the candidate volume N²·nprobe/nlist
+    // grows quadratically; derived cells keep it at N^1.5·scanFraction
+    // with per-cell work ~N·nprobe, and nothing grows with N on the
+    // driver (KnnGraphPlanSpec asserts the broadcast-disabled plan stays
+    // sound; SimilaritySpec asserts the per-cell candidate bound).
     // The per-query reduction is the bounded TopKAggregator — map tasks
     // emit ≤ k rows per query BEFORE the shuffle, not a window sort over
     // every candidate pair. Gate: exact recall ≥ 0.65 on a deterministic
@@ -1184,16 +1230,17 @@ object Similarity {
     * Idempotent per (corpus key, nlist, seed) within a JVM via
     * [[persistedIndexCache]] — the build-once contract.
     */
-  def ivfIndexBuild(corpus: DataFrame, nlist: Int = 8, seed: Long = 42L,
-      cacheKey: Option[String] = None): String = {
+  def ivfIndexBuild(corpus: DataFrame, nlist: Option[Int] = None,
+      seed: Long = 42L, cacheKey: Option[String] = None): String = {
+    val nl = nlist.getOrElse(deriveNlist(corpusCount(corpus, cacheKey)))
     def build(): String = {
       val spark = corpus.sparkSession
       val root = Dedup.trackSpill(
         s"${Dedup.spillBase(spark, None, "ivfIndexBuild")}/${Dedup.runDirName("ivfidx")}")
       val centers = cacheKey match {
         case Some(key) =>
-          codebookCache.getOrElseUpdate((key, nlist, seed), trainCodebook(corpus, nlist, seed))
-        case None => trainCodebook(corpus, nlist, seed)
+          codebookCache.getOrElseUpdate((key, nl, seed), trainCodebook(corpus, nl, seed))
+        case None => trainCodebook(corpus, nl, seed)
       }
       import spark.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }
@@ -1206,7 +1253,7 @@ object Similarity {
     }
     cacheKey match {
       case Some(key) =>
-        val k = (key, nlist, seed)
+        val k = (key, nl, seed)
         val cached = persistedIndexCache.get(k)
           .filter(r => java.nio.file.Files.exists(java.nio.file.Paths.get(r)))
         cached.getOrElse {
@@ -1229,14 +1276,17 @@ object Similarity {
     * the on-disk analogue of ivfTopK's in-memory cell join.
     */
   def ivfIndexQuery(spark: SparkSession, indexRoot: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Option[Int] = None): DataFrame = {
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
+    // nlist rides the index itself (the centroid count), so the derived
+    // default probes the same scan fraction the build was sized for
+    val np = nprobe.getOrElse(deriveNprobe(centers.length))
     val qProbes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("__probe",
-        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, nprobe)))
+        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, np)))
       .select(col("qid"), col("qe"), col("__probe.cid").as("cell"))
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
@@ -1255,19 +1305,30 @@ object Similarity {
     * the table on BOTH sides of a cell-keyed join (see the `s15` registry
     * notes — query side is all N vectors, so no broadcast is assumed).
     * Top-k per query via the bounded partial-aggregating UDAF.
+    *
+    * `nlist` defaults to the derived √N rule — load-bearing HERE above
+    * all: with every vector a query, candidate volume is
+    * ~N²·nprobe/nlist cosines, so a constant nlist turns a 100× corpus
+    * into a 10,000× pair blowup, while √N cells keep per-cell work
+    * (cell_size² · nprobe ≈ N·nprobe) linear in N per cell and the
+    * total at N^1.5·scanFraction. SimilaritySpec asserts the per-cell
+    * candidate bound under the derived parameterization.
     */
-  def knnGraph(emb: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 4,
-      seed: Long = 42L, cacheKey: Option[String] = None): DataFrame = {
+  def knnGraph(emb: DataFrame, k: Int, nlist: Option[Int] = None,
+      nprobe: Option[Int] = None, seed: Long = 42L,
+      cacheKey: Option[String] = None): DataFrame = {
+    val nl = nlist.getOrElse(deriveNlist(corpusCount(emb, cacheKey)))
+    val np = nprobe.getOrElse(deriveNprobe(nl))
     val centers: Seq[Seq[Double]] = cacheKey match {
       case Some(key) =>
-        codebookCache.getOrElseUpdate((key, nlist, seed), trainCodebook(emb, nlist, seed))
-      case None => trainCodebook(emb, nlist, seed)
+        codebookCache.getOrElseUpdate((key, nl, seed), trainCodebook(emb, nl, seed))
+      case None => trainCodebook(emb, nl, seed)
     }
     val assigned = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
       array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
     val probes = emb
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(array_sort(cellScores(centers)(col("embedding"))), 1, nprobe))
+        explode(slice(array_sort(cellScores(centers)(col("embedding"))), 1, np))
           .as("__probe"))
       .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
     val topk = udaf(new graft.functions.TopKAggregator(k))

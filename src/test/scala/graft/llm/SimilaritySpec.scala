@@ -92,7 +92,7 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(q, e, 5)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    info(s"IVF recall = $recall (defaults: nprobe/nlist = 4/8 → ~50% scan on uniform data)")
+    info(s"IVF recall = $recall (derived √N nlist, default ~50% scan fraction on uniform data)")
     assert(recall >= 0.6)
     // every query must return a full k (cells are never empty at k=5)
     val perQuery = ivf.groupBy(_._1).view.mapValues(_.size).toMap
@@ -310,6 +310,45 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("derived √N cells: rule shape + per-cell candidate volume bound (the s15 scale posture)") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val nl = Similarity.deriveNlist(n)
+    val np = Similarity.deriveNprobe(nl)
+    // the √N rule itself (floor 8, cap 2^16)
+    assert(nl >= 8 && nl <= (1 << 16))
+    if (n >= 64) assert(math.abs(nl - math.sqrt(n.toDouble)) <= 1.0,
+      s"nlist $nl should track √$n")
+    assert(np === math.max(1,
+      math.round(nl * Similarity.DefaultScanFraction).toInt))
+    // the bound the plan depends on: no cell's corpus extent or probe
+    // traffic exceeds a small constant multiple of its fair share, so
+    // per-cell join work stays ~c²·(N/nlist)·(N·np/nlist) — the quantity
+    // that a constant nlist would let grow quadratically
+    val centers = Similarity.trainCodebook(e, nl, 42L)
+    val scored = e.select(col("vec_id"),
+      Similarity.cellScores(centers)(col("embedding")).as("cs"))
+    val corpusPerCell = scored
+      .select(array_min(col("cs")).getField("cid").as("cell"))
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val probesPerCell = scored
+      .select(explode(slice(array_sort(col("cs")), 1, np)).as("p"))
+      .select(col("p.cid").as("cell"))
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val c = 6.0
+    val cellBound = c * n / nl
+    val probeBound = c * n.toDouble * np / nl
+    info(s"n=$n nlist=$nl nprobe=$np maxCell=${corpusPerCell.values.max} " +
+      s"(bound ${cellBound.toLong}) maxProbe=${probesPerCell.values.max} " +
+      s"(bound ${probeBound.toLong})")
+    assert(corpusPerCell.values.max <= cellBound,
+      s"a cell holds ${corpusPerCell.values.max} vectors, over the " +
+        s"$c*N/nlist = $cellBound balance bound")
+    assert(probesPerCell.values.max <= probeBound,
+      s"a cell receives ${probesPerCell.values.max} probes, over the " +
+        s"$c*N*np/nlist = $probeBound bound")
+  }
+
   test("persisted IVF index: partition-pruned serving scan, lossless round-trip") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 4)
@@ -321,7 +360,7 @@ class SimilaritySpec extends SparkSpec {
     // serving scan lists ONLY probed cells' files (directory pruning,
     // not a post-scan filter): with nprobe=1 the input files must be a
     // strict subset of the full table's
-    val served1 = Similarity.ivfIndexQuery(spark, idx, q, 3, nprobe = 1)
+    val served1 = Similarity.ivfIndexQuery(spark, idx, q, 3, nprobe = Some(1))
     served1.collect()
     val full = spark.read.parquet(s"$idx/assignments").inputFiles.length
     // inputFiles ignores partition pruning — read the actual file count
