@@ -440,6 +440,46 @@ object Similarity {
         lit(i).as("cid"))
     }: _*)
 
+  /** Cell routing as ONE closure-based UDF (the first `n` cell ids in
+    * (score, cid) ascending order) instead of the [[cellScores]]
+    * nlist-wide literal expression tree. At the derived √N cell counts
+    * the literal form blows past the codegen method limits and knocks
+    * the WHOLE join stage — including the downstream per-pair cosine
+    * and TopK partial agg — out of whole-stage codegen: measured 4× on
+    * s15 the moment nlist crossed 8→16, flat thereafter. The closure
+    * keeps the plan expression O(1) however many cells there are, the
+    * loop is tight JVM code over the captured codebook (shipped once
+    * per executor in the task closure, the broadcast-codebook posture),
+    * and the ranking — −2·x·c + ‖c‖², accumulated in index order,
+    * ties to the smaller cid — reproduces [[cellScores]]' struct
+    * ordering double-for-double.
+    */
+  private def cellRoute(centers: Seq[Seq[Double]],
+      n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cs = centers.map(_.toArray).toArray
+    val norms = cs.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val e = emb.toArray
+        val scores = new Array[Double](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          val cc = cs(c)
+          while (i < cc.length) { d += e(i).toDouble * cc(i); i += 1 }
+          scores(c) = -2.0 * d + norms(c)
+          c += 1
+        }
+        (0 until cs.length).sortBy(i => (scores(i), i)).take(n).toArray
+      }
+    }
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Option[Int] = None, nprobe: Option[Int] = None, seed: Long = 42L,
       cacheKey: Option[String] = None): DataFrame = {
@@ -452,12 +492,10 @@ object Similarity {
     }
 
     val assigned = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-      array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
+      cellRoute(centers, 1)(col("embedding")).getItem(0).as("__cell"))
     val qProbes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("__probe",
-        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, np)))
-      .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(cellRoute(centers, np)(col("embedding"))).as("__cell"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     assigned.join(broadcast(qProbes), Seq("__cell"))
@@ -1247,7 +1285,7 @@ object Similarity {
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
       corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-          array_min(cellScores(centers)(col("embedding"))).getField("cid").as("cell"))
+          cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments")
       root
     }
@@ -1284,10 +1322,8 @@ object Similarity {
     // default probes the same scan fraction the build was sized for
     val np = nprobe.getOrElse(deriveNprobe(centers.length))
     val qProbes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("__probe",
-        explode(slice(array_sort(cellScores(centers)(col("qe"))), 1, np)))
-      .select(col("qid"), col("qe"), col("__probe.cid").as("cell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
     val assigned = spark.read.parquet(s"$indexRoot/assignments")
@@ -1325,12 +1361,10 @@ object Similarity {
       case None => trainCodebook(emb, nl, seed)
     }
     val assigned = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-      array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
+      cellRoute(centers, 1)(col("embedding")).getItem(0).as("__cell"))
     val probes = emb
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(slice(array_sort(cellScores(centers)(col("embedding"))), 1, np))
-          .as("__probe"))
-      .select(col("qid"), col("qe"), col("__probe.cid").as("__cell"))
+        explode(cellRoute(centers, np)(col("embedding"))).as("__cell"))
     val topk = udaf(new graft.functions.TopKAggregator(k))
     assigned.join(probes, Seq("__cell"))
       .filter(col("vid") =!= col("qid"))
