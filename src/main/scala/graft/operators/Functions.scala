@@ -12,6 +12,20 @@ import graft.OpQuery.{rowsOnly, sql}
   */
 object Functions {
 
+  /** Right-to-be-forgotten purge ACTION (q77 is the audit, q80 the proof
+    * artifact): rewrite `df` minus the tombstoned ids — an anti-join
+    * against the broadcast tombstone list on `key`. Tombstone lists are
+    * deletion REQUESTS, inherently small relative to the corpus, so the
+    * broadcast is sanctioned (the codebook rule); each derived dataset
+    * is rewritten in ONE scan and derived tables never join each other.
+    * OperatorInvariantsSpec proves a written round-trip carries zero
+    * tombstoned rows and that q80's manifests reconcile.
+    */
+  def purgeTombstones(df: DataFrame, tombIds: DataFrame, key: String): DataFrame = {
+    val t = tombIds.select(tombIds.columns.head).toDF(key).distinct()
+    df.join(broadcast(t), Seq(key), "left_anti")
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- union / union all (SURVEY §2.5 set-like ops) --------------------
@@ -383,10 +397,15 @@ object Functions {
     // ---- dataset manifest: reproducibility checksums ---------------------
     // The versioning record a training run pins: per (source, split) row
     // count, char volume, id range, and an ORDER-INDEPENDENT content
-    // checksum (sum of each doc's 32-bit sha256 prefix — commutative, so
-    // partitioning/arrival order can't change it; both engines compute
-    // the identical integer). Two runs that produce different manifests
-    // trained on different data, full stop. One scan, one small shuffle.
+    // checksum: sum of each doc's 32-bit sha256 prefix, accumulated
+    // EXACTLY (Spark DECIMAL(38,0) / DuckDB HUGEINT — a plain BIGINT sum
+    // would silently wrap in Spark around 2^31 docs per group while
+    // DuckDB errors, breaking cross-engine identity exactly at scale)
+    // and reduced mod 2^63 so the published value is one BIGINT.
+    // Commutative, so partitioning/arrival order can't change it, and
+    // multiplicity-sensitive (unlike an XOR fold, where two copies of a
+    // doc cancel out). Two runs that produce different manifests trained
+    // on different data, full stop. One scan, one small shuffle.
     sql("q78_dataset_manifest",
       """SELECT source,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
@@ -394,7 +413,8 @@ object Functions {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id,
-        |  CAST(sum(h32) AS BIGINT) AS checksum
+        |  CAST(sum(h32) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |    AS checksum
         |FROM (SELECT source, n_chars, doc_id,
         |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
         |          AS BIGINT) AS b,
@@ -403,6 +423,7 @@ object Functions {
         |      FROM documents) t
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+      val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
       Tables.documents(s, d)
         .select(col("source"), col("n_chars"), col("doc_id"),
           (h32 % 100).as("b"), h32.as("h32"))
@@ -415,7 +436,8 @@ object Functions {
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"),
-          sum(col("h32")).as("checksum"))
+          (sum(col("h32").cast("decimal(38,0)")) % mod63).cast("long")
+            .as("checksum"))
     },
 
     // ---- join-cardinality estimate vs actual (the CBO diagnostic) --------
@@ -463,6 +485,146 @@ object Functions {
           round(col("actual_rows") * lit(1.0) /
             (col("rows_a") * col("rows_b") / greatest(col("ndv_a"), col("ndv_b"))),
             6).as("err_ratio"))
+    },
+
+    // ---- right-to-be-forgotten purge: the ACTION q77 only audits ---------
+    // q77 reports what a purge WOULD touch; this runs it: every derived
+    // dataset (docs, embedding store, each content-hash split) is
+    // rewritten minus the broadcast tombstone list via [[purgeTombstones]]
+    // (anti-join — one scan per table, tombstones broadcast, no
+    // derived-to-derived joins), and the output is the PROOF artifact a
+    // compliance review wants: per dataset, before/purged/after counts,
+    // a post-purge tombstone audit measured ON THE PURGED FRAME (must be
+    // zero — the "q77 shows zero remaining" check), and q78-style
+    // mod-2^63 content checksums whose reconciliation
+    // (purged + after ≡ before) proves no non-tombstoned row was lost.
+    sql("q80_forgotten_purge",
+      """WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |d AS (SELECT doc_id, text,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT)
+        |          AS BIGINT) AS h32,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
+        |          AS BIGINT) AS b,
+        |        doc_id IN (SELECT doc_id FROM tomb) AS t
+        |      FROM documents),
+        |e AS (SELECT vec_id, vec_id IN (SELECT doc_id FROM tomb) AS t
+        |      FROM embeddings),
+        |doc_b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |    CAST(sum(h32) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |      AS checksum_before,
+        |    CAST(sum(CASE WHEN t THEN h32 ELSE 0 END)
+        |      % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum_purged
+        |  FROM d),
+        |doc_a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(coalesce(sum(h32), 0) % CAST('9223372036854775808' AS HUGEINT)
+        |      AS BIGINT) AS checksum_after,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM tomb) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tomb_remaining
+        |  FROM d WHERE NOT t),
+        |emb_b AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_before,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |    CAST(sum(vec_id) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |      AS checksum_before,
+        |    CAST(sum(CASE WHEN t THEN vec_id ELSE 0 END)
+        |      % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum_purged
+        |  FROM e),
+        |emb_a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(coalesce(sum(vec_id), 0) % CAST('9223372036854775808' AS HUGEINT)
+        |      AS BIGINT) AS checksum_after,
+        |    CAST(sum(CASE WHEN vec_id IN (SELECT doc_id FROM tomb) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tomb_remaining
+        |  FROM e WHERE NOT t),
+        |spl AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |                 ELSE 'test' END AS part, h32, t, doc_id FROM d),
+        |spl_b AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_before,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+        |    CAST(sum(h32) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |      AS checksum_before,
+        |    CAST(sum(CASE WHEN t THEN h32 ELSE 0 END)
+        |      % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum_purged
+        |  FROM spl GROUP BY part),
+        |spl_a AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(coalesce(sum(h32), 0) % CAST('9223372036854775808' AS HUGEINT)
+        |      AS BIGINT) AS checksum_after,
+        |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM tomb) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tomb_remaining
+        |  FROM spl WHERE NOT t GROUP BY part),
+        |rows_ AS (
+        |  SELECT 'documents' AS dataset, 'all' AS part, doc_b.*, doc_a.*
+        |  FROM doc_b CROSS JOIN doc_a
+        |  UNION ALL
+        |  SELECT 'embeddings', 'all', emb_b.*, emb_a.* FROM emb_b CROSS JOIN emb_a
+        |  UNION ALL
+        |  SELECT 'splits', b.part, b.n_before, b.n_purged, b.checksum_before,
+        |    b.checksum_purged, coalesce(a.n_after, 0), coalesce(a.checksum_after, 0),
+        |    coalesce(a.tomb_remaining, 0)
+        |  FROM spl_b b LEFT JOIN spl_a a USING (part)
+        |)
+        |SELECT dataset, part, n_before, n_purged, n_after, tomb_remaining,
+        |  checksum_before, checksum_purged, checksum_after,
+        |  ((CAST(checksum_purged AS HUGEINT) + checksum_after - checksum_before)
+        |    % CAST('9223372036854775808' AS HUGEINT)) = 0 AS reconciles
+        |FROM rows_""".stripMargin) { (s, d) =>
+      val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
+      def cks(c: Column): Column = (sum(c.cast("decimal(38,0)")) % mod63).cast("long")
+      val docs = Tables.documents(s, d)
+      val tomb = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+
+      // one audited (dataset, part-grouped) pair of scans: the original
+      // flagged scan for before/purged stats, and the ANTI-JOIN OUTPUT
+      // (the actual purge result) re-flagged for after stats + the
+      // zero-remaining audit — measured on the rewrite, never inferred
+      def flag(df: DataFrame, key: String): DataFrame =
+        df.join(broadcast(tomb.select(col("doc_id").as(key))
+          .withColumn("__t", lit(true))), Seq(key), "left")
+          .withColumn("__t", col("__t").isNotNull)
+      def audit(df: DataFrame, key: String, metric: Column,
+          grp: Option[Column]): DataFrame = {
+        val before = flag(df, key)
+        val after = flag(purgeTombstones(df, tomb, key), key)
+        val gb = grp.toSeq
+        val b = before.groupBy(gb.map(_.as("part")): _*).agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("__t"), 1L).otherwise(0L)).as("n_purged"),
+          cks(metric).as("checksum_before"),
+          cks(when(col("__t"), metric).otherwise(lit(0L))).as("checksum_purged"))
+        val a = after.groupBy(gb.map(_.as("part")): _*).agg(
+          count(lit(1)).as("n_after"),
+          cks(metric).as("checksum_after"),
+          sum(when(col("__t"), 1L).otherwise(0L)).as("tomb_remaining"))
+        if (grp.isEmpty) b.crossJoin(a)
+        else b.join(a, Seq("part"), "left")
+          .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+          .withColumn("checksum_after", coalesce(col("checksum_after"), lit(0L)))
+          .withColumn("tomb_remaining", coalesce(col("tomb_remaining"), lit(0L)))
+      }
+      val split = when(h32 % 100 < 80, "train")
+        .when(h32 % 100 < 90, "val").otherwise("test")
+      val docRow = audit(docs, "doc_id", h32, None)
+        .select(lit("documents").as("dataset"), lit("all").as("part"), col("*"))
+      val embRow = audit(Tables.embeddings(s, d).select(col("vec_id")),
+          "vec_id", col("vec_id"), None)
+        .select(lit("embeddings").as("dataset"), lit("all").as("part"), col("*"))
+      val splitRows = audit(docs, "doc_id", h32, Some(split))
+        .select(lit("splits").as("dataset"), col("part"), col("n_before"),
+          col("n_purged"), col("checksum_before"), col("checksum_purged"),
+          col("n_after"), col("checksum_after"), col("tomb_remaining"))
+      docRow.unionByName(embRow).unionByName(splitRows)
+        .select(col("dataset"), col("part"), col("n_before"), col("n_purged"),
+          col("n_after"), col("tomb_remaining"), col("checksum_before"),
+          col("checksum_purged"), col("checksum_after"),
+          (((col("checksum_purged").cast("decimal(38,0)") +
+            col("checksum_after").cast("decimal(38,0)") -
+            col("checksum_before").cast("decimal(38,0)")) % mod63) === 0)
+            .as("reconciles"))
     },
 
     // ---- as-of join (self): latest prior purchase per event --------------

@@ -656,4 +656,37 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"q76 must be a shuffle-free scan projection:\n${plan.take(900)}")
   }
+
+  test("q80 purge: written round-trip has zero tombstoned rows; manifests reconcile") {
+    val docs = Tables.documents(spark, sf)
+    val tomb = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "fixture must contain at least one tombstoned doc")
+
+    // the ACTION writes a rewritten dataset; the written output (a fresh
+    // read, not the in-memory frame) must carry zero tombstoned rows and
+    // exactly n_before - n_tomb rows
+    val outDir = java.nio.file.Files.createTempDirectory("purge").toString + "/docs"
+    graft.operators.Functions.purgeTombstones(docs, tomb, "doc_id")
+      .write.mode("overwrite").parquet(outDir)
+    val rewritten = spark.read.parquet(outDir)
+    assert(rewritten.count() === docs.count() - nTomb)
+    assert(rewritten.join(tomb, Seq("doc_id"), "left_semi").count() === 0L,
+      "post-purge audit must find zero remaining tombstoned rows")
+
+    // the q80 proof artifact: every row audits clean and reconciles
+    val proof = run("q80_forgotten_purge").collect()
+    assert(proof.length === 5) // documents, embeddings, 3 splits
+    proof.foreach { r =>
+      val ds = r.getAs[String]("dataset") + "/" + r.getAs[String]("part")
+      assert(r.getAs[Long]("tomb_remaining") === 0L, s"$ds tomb_remaining")
+      assert(r.getAs[Boolean]("reconciles"), s"$ds checksum reconciliation")
+      assert(r.getAs[Long]("n_before") ===
+        r.getAs[Long]("n_purged") + r.getAs[Long]("n_after"), s"$ds counts")
+    }
+    // the docs row agrees with the independently-written rewrite
+    val docRow = proof.find(_.getAs[String]("dataset") == "documents").get
+    assert(docRow.getAs[Long]("n_after") === rewritten.count())
+    assert(docRow.getAs[Long]("n_purged") === nTomb)
+  }
 }
