@@ -96,6 +96,27 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._2._3) === 2) // one keeper per component
   }
 
+  test("dedupClusters: closure rounds are logged and stay within the log-diameter bound") {
+    // a 16-node chain is the worst case per node count (diameter 15);
+    // pointer jumping must close it in O(log d) windows, far under the
+    // maxRounds=50 refusal. The tracked round count is the
+    // observability knob: at corpus scale the bucket caps keep
+    // components shallow, so rounds trending toward the cap means the
+    // pair graph degenerated, not that the corpus grew.
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+      .withColumn("jaccard", lit(1.0))
+    val out = Dedup.dedupClusters(chain).collect()
+    assert(out.forall(_.getLong(1) == 1L), "chain must collapse to min label")
+    val rounds = Dedup.lastClosureRounds
+    assert(rounds >= 1 && rounds <= 12,
+      s"diameter-15 chain took $rounds rounds; pointer jumping should need ~2·log2(15)")
+    // and the real d8 pair graph (bucket-capped LSH pairs) converges in
+    // single-digit rounds at this SF
+    Dedup.dedupClusters(Dedup.minhashPairs(graft.Tables.documents(spark, sf))).collect()
+    assert(Dedup.lastClosureRounds >= 1 && Dedup.lastClosureRounds <= 12,
+      s"d8 closure took ${Dedup.lastClosureRounds} rounds at test SF")
+  }
+
   test("property: dedupClusters equals driver union-find on random graphs") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 3) {
