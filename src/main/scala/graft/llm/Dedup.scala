@@ -910,7 +910,8 @@ object Dedup {
         val n = st.getPath.getName
         val foreignRun =
           (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-") ||
-            n.startsWith("lm-") || n.startsWith("mmr-") || n.startsWith("ivf-")) &&
+            n.startsWith("lm-") || n.startsWith("mmr-") || n.startsWith("ivf-") ||
+            n.startsWith("ivfidx-") || n.startsWith("incart-")) &&
             !n.contains(sessionTag)
         if (foreignRun && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)

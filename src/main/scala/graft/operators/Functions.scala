@@ -880,8 +880,12 @@ object Functions {
     // ---- salted join (hot-key skew guard for shuffle joins) --------------
     // The fact side's key is salted into 8 shards; the dim side is
     // replicated once per shard (explode over the salt range), so one hot
-    // key's rows spread across 8 reducers instead of one. Result provably
-    // identical to the plain join — the oracle IS the plain join.
+    // key's rows spread across 8 reducers instead of one. The fact side
+    // partial-aggregates per (key, salt) BEFORE the join — algebraic
+    // aggregates commute with the join, so the join sees one row per
+    // (key, salt) instead of one per fact row, and the hot key's partial
+    // rows are exactly what the salt spreads. Result provably identical
+    // to the plain join — the oracle IS the plain join.
     sql("q54_salted_join",
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
         |  sum(l_quantity) AS sum_qty
@@ -890,12 +894,14 @@ object Functions {
       val salted = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
           pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(8)).as("__salt"))
+        .groupBy(col("l_orderkey"), col("__salt"))
+        .agg(count(lit(1)).as("__n"), sum(col("l_quantity")).as("__qty"))
       val dimReplicated = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
         .withColumn("__salt", explode(sequence(lit(0L), lit(7L))))
       salted.join(dimReplicated, Seq("l_orderkey", "__salt"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(sum(col("__n")).as("n_lines"), sum(col("__qty")).as("sum_qty"))
     },
 
     // ---- bounded ROWS frame: conditional stat over the trailing 5 events -
