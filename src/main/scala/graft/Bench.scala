@@ -17,17 +17,20 @@ import org.apache.spark.sql.SparkSession
   *      and got no warm reps — this plus #3 is the reconciliation.)
   *   2. One COLD pass per query, in registry order. The cold time is the
   *      warm-up (Janino codegen) and the scheduling signal; it is never
-  *      folded into the reported median.
-  *   3. Timed reps allocated SLOWEST-COLD-FIRST until the global budget
-  *      (`SPARK_GRAFT_BUDGET_SEC`, default 210 s of bench-phase wall) is
-  *      spent: the expensive queries are the scrutinized ones, so they
-  *      must get warm numbers even on a host where the budget cannot
-  *      cover everything. Queries whose cold run took ≥ 0.5 s get ONE
-  *      timed rep (long enough that scheduler noise is a small
-  *      fraction); under 0.5 s get TWO (capped by `SPARK_GRAFT_REPS`-1)
-  *      and report the median. Budget-degraded queries report their
-  *      cold time, flagged `"cold_only":true`. A degraded-but-parsed
-  *      artifact beats an rc=124 one.
+  *      folded into the reported median. A query whose cold took
+  *      ≥ 0.5 s runs its ONE timed rep IMMEDIATELY after its cold
+  *      (generated classes still hot — a rep deferred behind the whole
+  *      registry re-pays codegen compilation and mislabels it "warm"),
+  *      and that rep is never budget-gated: heavy queries are the
+  *      scrutinized numbers, and budget-skipping the last registry
+  *      entries was the round-8 cross-artifact divergence.
+  *   3. Fast queries (< 0.5 s cold) get up to TWO deferred reps
+  *      (capped by `SPARK_GRAFT_REPS`-1, median reported), largest
+  *      cold first, while the global budget
+  *      (`SPARK_GRAFT_BUDGET_SEC`, default 210 s of bench-phase wall)
+  *      lasts. A budget-degraded fast query reports its cold, flagged
+  *      `"cold_only":true` — a ≤0.3 s absolute error. A
+  *      degraded-but-parsed artifact beats an rc=124 one.
   *
   * Per-query spread carries min/max of the timed reps plus the cold
   * time, so a reader can still judge noise. The JSON line is ordered
@@ -96,40 +99,49 @@ object Bench {
       }
     }
 
-    // Phase: cold pass, registry order.
-    val colds: Seq[(OpQuery, Option[Double])] =
-      SparkEntry.registry.map(q => (q, runOnce(q)))
-
-    // Phase: reps, slowest cold first (failed queries go first of all —
-    // their single retry distinguishes transient from broken).
     case class QRes(name: String, cold: Option[Double], times: Seq[Double],
                     attempted: Int, coldOnly: Boolean) {
       def measurement: Option[Double] =
         if (times.nonEmpty) Some(median(times)) else cold
     }
-    // Even when the cold pass overruns the budget (slow host), reserve
-    // 30% of it for reps — the slowest queries MUST get warm numbers or
-    // the artifact reports codegen-charged colds as measurements (the
-    // round-8 cross-artifact discrepancy).
-    val repDeadline = elapsed + math.max(budgetSec - elapsed, 0.3 * budgetSec)
-    val repResults: Map[String, QRes] = colds
-      .sortBy { case (_, c) => -c.getOrElse(Double.MaxValue) }
-      .map { case (q, cold) =>
-        val overBudget = elapsed > repDeadline
-        val extraReps = cold match {
-          case None => 1
-          case Some(_) if overBudget => 0
-          case Some(c) if c >= SlowThresh => 1
-          case Some(_) => (maxReps - 1).min(2).max(1)
+    // Phase 1 (registry order): cold pass, and queries whose cold is
+    // slow (≥ SlowThresh) take their single timed rep IMMEDIATELY —
+    // back-to-back with the cold, while their generated classes are
+    // hot. A rep deferred behind 170+ other queries re-pays Janino
+    // compilation out of the bounded codegen cache and reports it as
+    // "warm" (measured +30-70% on the heavy pipelines). Immediate slow
+    // reps are never budget-gated: they are the scrutinized numbers,
+    // and budget-skipping the LAST registry entries on a slow host was
+    // exactly the round-8 cross-artifact divergence. A failed cold gets
+    // one immediate retry (transient vs broken).
+    val phase1: Seq[(OpQuery, Option[Double], Seq[Double], Int)] =
+      SparkEntry.registry.map { q =>
+        val cold = runOnce(q)
+        val (times, attempted) = cold match {
+          case None => (runOnce(q).toSeq, 1)
+          case Some(c) if c >= SlowThresh => (runOnce(q).toSeq, 1)
+          case Some(_) => (Seq.empty[Double], 0)
         }
+        (q, cold, times, attempted)
+      }
+    // Phase 2: fast queries (cheap, numerous) get up to 2 reps while
+    // wall budget remains, largest cold first; a budget-degraded fast
+    // query reports its cold, flagged cold_only — a ≤0.3s absolute
+    // error, not the 3-10× a degraded heavy query would have been.
+    val phase2: Map[String, (Seq[Double], Int)] = phase1
+      .filter { case (_, c, t, _) => c.isDefined && t.isEmpty }
+      .sortBy { case (_, c, _, _) => -c.get }
+      .map { case (q, _, _, _) =>
+        val wanted = if (elapsed > budgetSec) 0 else (maxReps - 1).min(2).max(1)
         // Reps run back-to-back per query so the spread reflects noise
         // at one point in time, not drift across the whole pass.
-        val times = (1 to extraReps).flatMap(_ => runOnce(q))
-        q.name -> QRes(q.name, cold, times, extraReps,
-          cold.isDefined && overBudget)
+        (q.name, ((1 to wanted).flatMap(_ => runOnce(q)), wanted))
       }.toMap
-    // report in registry order (stable, diffable across rounds)
-    val results = SparkEntry.registry.map(q => repResults(q.name))
+    val results = phase1.map { case (q, cold, t1, a1) =>
+      val (t2, a2) = phase2.getOrElse(q.name, (Seq.empty[Double], 0))
+      val times = t1 ++ t2
+      QRes(q.name, cold, times, a1 + a2, cold.isDefined && times.isEmpty)
+    }
 
     // Locale.ROOT: default-locale format would emit comma decimals on
     // e.g. de_DE JVMs and corrupt the JSON artifact

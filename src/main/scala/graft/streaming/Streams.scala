@@ -434,20 +434,49 @@ object Streams {
     * ([[ParquetLedger]]'s pattern) or a table format with atomic commit.
     */
   def compactIncrementalLedger(spark: SparkSession, ledgerDir: String,
-      rowsPerFile: Long = 4000000L): Unit = {
-    val compacted = readIncrementalLedger(spark, ledgerDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rowsPerFile: Long = 4000000L): Unit =
+    rewriteLedger(spark, ledgerDir, readIncrementalLedger(spark, ledgerDir),
+      rowsPerFile)
+
+  /** Right-to-be-forgotten cascade into the st9 artifact ledger: drop
+    * the tombstoned docs' artifact rows and compact what remains. The
+    * ledger never holds raw text, but band keys and shingle hashes are
+    * doc-DERIVED artifacts, so a deletion request must reach them too —
+    * `q80_forgotten_purge` rewrites the serving datasets, this rewrites
+    * the INDEX. Post-purge semantics are the documented RTBF trade:
+    * verdicts already emitted are history and unchanged; a FUTURE dup
+    * of a purged doc is no longer caught by it (the doc is forgotten —
+    * that is the point, not a defect), and the rank-cap slots it held
+    * free up for later arrivals.
+    */
+  def purgeIncrementalLedger(spark: SparkSession, ledgerDir: String,
+      tombIds: DataFrame, rowsPerFile: Long = 4000000L): Unit = {
+    val tomb = tombIds.select(tombIds.columns.head).toDF("doc_id").distinct()
+    rewriteLedger(spark, ledgerDir,
+      readIncrementalLedger(spark, ledgerDir)
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      rowsPerFile)
+  }
+
+  /** Shared rewrite-and-swap for compaction/purge. Delete-then-rename is
+    * not crash-atomic; production puts the directory behind a
+    * versioned-pointer flip ([[ParquetLedger]]'s pattern) or a table
+    * format with atomic commit.
+    */
+  private def rewriteLedger(spark: SparkSession, ledgerDir: String,
+      content: DataFrame, rowsPerFile: Long): Unit = {
+    val rows = content.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nFiles = math.max(1L, (compacted.count() + rowsPerFile - 1) / rowsPerFile)
+      val nFiles = math.max(1L, (rows.count() + rowsPerFile - 1) / rowsPerFile)
       val tmp = new org.apache.hadoop.fs.Path(ledgerDir + "__compacting")
       val dst = new org.apache.hadoop.fs.Path(ledgerDir)
-      compacted.repartition(nFiles.toInt)
+      rows.repartition(nFiles.toInt)
         .write.mode("overwrite").parquet(tmp.toString)
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(dst, true)
       fs.rename(tmp, dst)
       ()
-    } finally { compacted.unpersist(); () }
+    } finally { rows.unpersist(); () }
   }
 
   /** Streaming form of `st9_incremental_neardup`: a parquet stream of new

@@ -460,6 +460,35 @@ class StreamsSpec extends SparkSpec {
       s"compacted ledger must be one file set, found $nParquet parquet files")
   }
 
+  test("st9 ledger purge: tombstoned artifacts removed, survivors intact, compacted") {
+    val docs = Tables.documents(spark, sf)
+    val ledger = tmpDir("st9-purge") + "/l"
+    Streams.seedIncrementalLedger(docs.filter(col("doc_id") % 3 === 0), ledger)
+    graft.llm.Dedup.dedupIndexArtifacts(docs.filter(col("doc_id") % 3 =!= 0))
+      .withColumn("__seed", lit(false)).write.mode("append").parquet(ledger)
+    val before = spark.read.option("mergeSchema", "true").parquet(ledger)
+    val tomb = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+    val nTomb = before.join(tomb, Seq("doc_id"), "left_semi").count()
+    assert(nTomb > 0, "fixture must tombstone at least one ledger doc")
+    val nBefore = before.count()
+    // survivors pinned BEFORE the rewrite (the purge deletes these files)
+    val survivorsBefore = before.join(tomb, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("h"), col("__seed")).collect().map(_.toSeq).toSet
+
+    Streams.purgeIncrementalLedger(spark, ledger, tomb)
+
+    val after = spark.read.parquet(ledger)
+    assert(after.count() === nBefore - nTomb)
+    assert(after.join(tomb, Seq("doc_id"), "left_semi").count() === 0L,
+      "post-purge index audit must find zero tombstoned artifacts")
+    assert(after.select(col("doc_id"), col("h"), col("__seed"))
+      .collect().map(_.toSeq).toSet === survivorsBefore,
+      "non-tombstoned artifact rows (and their seed flags) must survive unchanged")
+    val nParquet = Files.list(Paths.get(ledger)).toArray
+      .count(_.toString.endsWith(".parquet"))
+    assert(nParquet === 1, "purge must leave one compacted file set")
+  }
+
   test("backpressure: maxFilesPerTrigger=1 splits available input into micro-batches") {
     val src = tmpDir("bp-src")
     (1 to 3).foreach { i =>
