@@ -440,6 +440,62 @@ object Functions {
             .as("checksum"))
     },
 
+    // ---- incremental manifest maintenance (q66's MV law ⊗ q78) -----------
+    // At 100 TB nobody recomputes the dataset manifest by rescanning the
+    // corpus per append: every q78 statistic is ALGEBRAIC (counts/chars
+    // add, id ranges combine by min/max, and the mod-2^63 checksum adds
+    // because (a%M + b%M) % M = (a+b) % M), so the manifest of
+    // base ∪ delta is a pure MERGE of the two part-manifests. Here the
+    // corpus is split into a "base" (doc_id % 5 ≠ 0) and an "append
+    // batch" (doc_id % 5 = 0), each side builds its own part-manifest,
+    // and ONLY the merge is emitted. The oracle is q78's FULL manifest
+    // over all documents — the hash-match IS the proof the merge loses
+    // nothing (the q66 incremental-MV law applied to governance).
+    sql("q81_manifest_merge",
+      """SELECT source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  CAST(sum(h32) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+        |    AS checksum
+        |FROM (SELECT source, n_chars, doc_id,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT) % 100
+        |          AS BIGINT) AS b,
+        |        CAST(CAST(concat('0x', substr(sha256(text), 1, 8)) AS UBIGINT)
+        |          AS BIGINT) AS h32
+        |      FROM documents) t
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
+      val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+      def partManifest(docs: DataFrame): DataFrame = docs
+        .select(col("source"), col("n_chars"), col("doc_id"),
+          (h32 % 100).as("b"), h32.as("h32"))
+        .select(col("source"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("split"),
+          col("n_chars"), col("doc_id"), col("h32"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          (sum(col("h32").cast("decimal(38,0)")) % mod63).cast("long")
+            .as("checksum"))
+      val docs = Tables.documents(s, d)
+      val base = partManifest(docs.filter(col("doc_id") % 5 =!= 0))
+      val delta = partManifest(docs.filter(col("doc_id") % 5 === 0))
+      base.unionByName(delta)
+        .groupBy(col("source"), col("split"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_chars")).as("total_chars"),
+          min(col("min_id")).as("min_id"),
+          max(col("max_id")).as("max_id"),
+          (sum(col("checksum").cast("decimal(38,0)")) % mod63).cast("long")
+            .as("checksum"))
+    },
+
     // ---- join-cardinality estimate vs actual (the CBO diagnostic) --------
     // What ANALYZE feeds the planner, and how wrong it is here: the
     // textbook uniform-NDV estimate |A|·|B| / max(ndv_a, ndv_b) for the
