@@ -1012,6 +1012,28 @@ object Dedup {
     * quality columns are scan-side integer counts joined back keyed on
     * doc_id.
     */
+  /** Cluster-atomic train/val/test split — see the `d27` registry notes.
+    * Every doc takes the split of its d8-closure representative's
+    * content hash (singletons: their own hash, i.e. exactly q76), so no
+    * near-dup pair ever crosses a split boundary. DedupSpec proves the
+    * zero-leakage law against the pair set and the singleton≡q76
+    * reduction.
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val comp = dedupClusters(minhashPairs(docs))
+      .select(col("doc_id"), col("comp_id"))
+    val allc = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp_id"), col("doc_id")).as("comp_id"))
+    val repBucket = docs.select(col("doc_id").as("comp_id"),
+      (conv(substring(contentHash(col("text")), 1, 8), 16, 10).cast("long") % 100)
+        .as("bucket"))
+    allc.join(repBucket, Seq("comp_id"))
+      .select(col("doc_id"), col("comp_id"), col("bucket"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   def clusterKeepBest(docs: DataFrame): DataFrame = {
     val comp = dedupClusters(minhashPairs(docs))
     val sw = typedLit(graft.llm.TextStats.enStopwords)
@@ -1286,6 +1308,48 @@ object Dedup {
          |JOIN qual q ON q.doc_id = c.doc_id""".stripMargin
     }) { (s, d) =>
       clusterKeepBest(Tables.documents(s, d))
+    },
+
+    // ---- leakage-safe train/val/test split (cluster-atomic) --------------
+    // q76's content-hash split is stable under re-ingest, but it assigns
+    // PER DOC — two near-duplicates hash to independent buckets, so a
+    // training doc's near-copy lands in the eval split ~34% of the time
+    // per dup pair (the canonical train/test contamination vector that
+    // decontamination sweeps then have to mop up). Here the d8 closure's
+    // components are assigned ATOMICALLY: every member takes the split
+    // of its cluster REPRESENTATIVE's content hash (min-label doc —
+    // content-derived, so still re-ingest-stable), and singletons reduce
+    // exactly to q76. By construction no LSH near-dup pair can ever
+    // cross a split boundary. Scale shape: capped LSH pairs → closure
+    // (both d8 machinery), then one keyed join of the doc spine against
+    // the representatives' hash projection — comp_id cardinality grows
+    // with the corpus, nothing corpus-derived broadcasts.
+    sql("d27_leakage_safe_split", {
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+         |), allc AS (
+         |  SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), rep AS (
+         |  SELECT a.doc_id, CAST(a.comp_id AS BIGINT) AS comp_id,
+         |    CAST(CAST(concat('0x', substr(sha256(t.text), 1, 8)) AS UBIGINT) % 100
+         |      AS BIGINT) AS bucket
+         |  FROM allc a JOIN documents t ON t.doc_id = a.comp_id
+         |)
+         |SELECT doc_id, comp_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep""".stripMargin
+    }) { (s, d) =>
+      leakageSafeSplit(Tables.documents(s, d))
     },
 
     // ---- SimHash near-dup pairs -----------------------------------------

@@ -142,6 +142,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: no LSH pair crosses splits; singletons reduce to q76") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = Dedup.leakageSafeSplit(docs)
+      .select(col("doc_id"), col("comp_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === docs.count(), "every doc assigned exactly once")
+
+    // the zero-leakage law: both ends of every near-dup candidate pair
+    // land in the SAME split (per-doc q76 hashing cannot guarantee this)
+    val pairs = Dedup.minhashPairs(docs)
+      .select(col("doc_id_a"), col("doc_id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs to test")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 === out(b)._2,
+        s"pair ($a,$b) crosses splits: ${out(a)._2} vs ${out(b)._2}")
+    }
+    // ... and the per-doc q76 split DOES leak on this corpus (the gap
+    // d27 exists to close) — informational, not load-bearing
+    val q76 = graft.SparkEntry.registry.find(_.name == "q76_hash_split").get
+      .run(spark, sf).select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaks = pairs.count { case (a, b) => q76(a) != q76(b) }
+    info(s"q76 per-doc split leaks $leaks of ${pairs.length} near-dup pairs; d27 leaks 0")
+
+    // singletons (docs in no pair) get exactly their q76 assignment
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val singles = out.keySet -- paired
+    assert(singles.nonEmpty)
+    singles.foreach { id =>
+      assert(out(id)._1 === id, s"singleton $id must be its own representative")
+      assert(out(id)._2 === q76(id), s"singleton $id split must equal q76")
+    }
+  }
+
   test("hot-ngram boilerplate: shared 8-gram spans flagged, unique docs clean") {
     val span = (1 to 12).map(i => s"boiler$i").mkString(" ")
     val bdocs = Seq(
