@@ -943,6 +943,36 @@ object Similarity {
       kmeansAssign(Tables.embeddings(s, d), k = KmeansRegistryK, iters = 1)
     },
 
+    // ---- cluster-balanced eval sampling ----------------------------------
+    // Eval/calibration-set construction the way SemDeDup-era pipelines
+    // draw it: a FIXED number of members from EVERY semantic cluster, so
+    // rare modes are represented instead of drowned by the head (a
+    // uniform corpus sample is ~proportional to cluster mass). Members
+    // are ranked by a cross-engine hash of their id — an unbiased,
+    // reproducible within-cluster draw — with the per-cluster rank as a
+    // two-pass keyed groupedRowNumber (cluster count grows with the
+    // corpus; no single-task window). FULL oracle: s7's k-means CTE
+    // chain + the same sha256-prefix hash order.
+    sql("s17_cluster_balanced_sample", {
+      val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH ${kmeansCtes()},
+         |h AS (
+         |  SELECT vec_id, $parse15 AS hr
+         |  FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+         |        FROM embeddings)
+         |)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT afin.vec_id, afin.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY afin.cid
+         |      ORDER BY h.hr, afin.vec_id) AS rk
+         |  FROM afin JOIN h ON h.vec_id = afin.vec_id) t
+         |WHERE rk <= $BalancedSamplePerCluster""".stripMargin
+    }) { (s, d) =>
+      clusterBalancedSample(Tables.embeddings(s, d), BalancedSamplePerCluster)
+    },
+
     // ---- hard-negative mining (contrastive-training data prep) -----------
     // For each anchor (deterministic 1-in-20 sample), the single most
     // similar vector with a DIFFERENT label — the "hardest negative" a
@@ -1392,6 +1422,22 @@ object Similarity {
       .select(col("qid"), col("vid"), round(cosine(col("qe"), col("ve")), 6).as("sim"))
       .filter(col("sim") >= tau)
       .withColumn("n_in_range", count(lit(1)).over(w))
+  }
+
+  /** Members drawn per cluster by [[clusterBalancedSample]] — shared
+    * with its oracle SQL so the two can never diverge.
+    */
+  val BalancedSamplePerCluster = 5
+
+  /** Cluster-balanced sample — see the `s17` registry notes. */
+  def clusterBalancedSample(emb: DataFrame, perCluster: Int): DataFrame = {
+    val a = kmeansAssign(emb, k = KmeansRegistryK, iters = 1)
+      .select(col("vec_id"), col("cluster_id"))
+      .withColumn("__hr", Dedup.hash60(col("vec_id").cast("string")))
+    graft.operators.Relational
+      .groupedRowNumber(a, Seq("cluster_id"), Seq(col("__hr"), col("vec_id")), "rk")
+      .filter(col("rk") <= perCluster)
+      .select(col("vec_id"), col("cluster_id"), col("rk"))
   }
 
   /** See the `s13` registry notes. `emb` needs (vec_id, embedding). */

@@ -349,6 +349,27 @@ class SimilaritySpec extends SparkSpec {
         s"$c*N*np/nlist = $probeBound bound")
   }
 
+  test("cluster-balanced sample: exactly min(5, |cluster|) per cluster, consistent with s7") {
+    val e = Tables.embeddings(spark, sf)
+    val assign = Similarity.kmeansAssign(e, k = Similarity.KmeansRegistryK, iters = 1)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val sizes = assign.values.groupBy(identity).view.mapValues(_.size).toMap
+    val out = Similarity.clusterBalancedSample(e, Similarity.BalancedSamplePerCluster)
+      .select("vec_id", "cluster_id", "rk").as[(Long, Long, Long)].collect()
+    // membership agrees with the s7 assignment
+    out.foreach { case (v, c, _) => assert(assign(v) === c, s"vec $v cluster") }
+    // the balance law: every cluster contributes min(5, its size) rows
+    val perCluster = out.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (c, n) =>
+      assert(perCluster.getOrElse(c, 0) ===
+        math.min(Similarity.BalancedSamplePerCluster, n), s"cluster $c draw size")
+    }
+    // ranks are 1..draw within each cluster
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length), s"cluster $c ranks")
+    }
+  }
+
   test("persisted IVF index: partition-pruned serving scan, lossless round-trip") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 4)
