@@ -448,6 +448,55 @@ object Dedup {
       .withColumn("has_dup", col("dup_tokens") > 0)
   }
 
+  /** Span REMOVAL — the excision step [[duplicateSpans]] only reports
+    * (Lee et al. 2021 cut the duplicated substring out of the training
+    * text; d11 tells you where, this produces the cleaned doc). Every
+    * token position covered by a corpus-hot n-gram interval is dropped;
+    * the survivors re-assemble in position order and the output carries
+    * the cleaned text's SHA-256 (the downstream exact-dedup key) plus
+    * kept/removed counts. Scale shape: identical to d11 through the hot
+    * semi-join (keyed 8-byte hashes, never broadcast); the position
+    * explode amplifies by ≤ n per duplicated start (the d11 class); the
+    * re-assembly is one per-doc aggregation whose payload is the doc's
+    * own tokens — bounded by the ingestion contract like every per-doc
+    * HOF here. `n_removed` equals d11's `dup_tokens` by construction
+    * (the span union and the position union are the same set) — the
+    * DedupSpec law.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 13,
+      minCount: Int = 2): DataFrame = {
+    val toks = tokenize(docs)
+    val pos = Tables.spread(toks)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1)))).as("i"),
+        col("ts"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        xxhash64(array_join(slice(col("ts"), col("i"), lit(n)), " ")).as("gh"))
+    val hot = pos.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount).select("gh")
+    val covered = pos.join(hot, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"),
+          least(col("i") + (n - 1), col("n_tokens")))).as("p"))
+      .distinct()
+    val posToks = Tables.spread(toks)
+      .select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("t"))
+    val kept = posToks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sha2(array_join(
+          expr("transform(array_sort(collect_list(struct(p, t))), s -> s.t)"),
+          " "), 256).as("cleaned_hash"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_hash"), sha2(lit(""), 256)).as("cleaned_hash"))
+  }
+
   /** 13-gram benchmark-overlap contamination flags for training docs —
     * see the `d10` registry notes.
     *
@@ -1683,6 +1732,49 @@ object Dedup {
         |  coalesce(a.dup_tokens, 0) > 0 AS has_dup
         |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id""".stripMargin) { (s, d) =>
       duplicateSpans(Tables.documents(s, d))
+    },
+
+    // ---- duplicated-span REMOVAL (the excision d11 only reports) ---------
+    // The actual Lee-et-al cut: drop every token position covered by a
+    // corpus-hot 13-gram interval, re-assemble the survivors, publish
+    // the cleaned text's sha256 (the downstream exact-dedup key) +
+    // kept/removed counts. Shares d11's hot-gram machinery; the oracle
+    // extends d11's chain with the position union and an ordered
+    // re-assembly, and hash-matching the cleaned hashes proves BOTH
+    // engines excised identical token sets in identical order.
+    sql("d28_span_removal",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+        |), pos AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, i,
+        |    array_to_string(ts[i:i+12], ' ') AS g
+        |  FROM (SELECT doc_id, ts,
+        |          unnest(range(1, greatest(len(ts) - 12, 1) + 1)) AS i
+        |        FROM toks) t
+        |), hot AS (
+        |  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, n_tokens, i, least(i + 12, n_tokens) AS e
+        |  FROM pos WHERE g IN (SELECT g FROM hot)
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, unnest(range(i, e + 1)) AS p FROM dup
+        |), pt AS (
+        |  SELECT doc_id, unnest(ts) AS t,
+        |    unnest(range(1, len(ts) + 1)) AS p
+        |  FROM toks
+        |), keptagg AS (
+        |  SELECT pt.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    sha256(array_to_string(list(pt.t ORDER BY pt.p), ' ')) AS cleaned_hash
+        |  FROM pt LEFT JOIN cov ON cov.doc_id = pt.doc_id AND cov.p = pt.p
+        |  WHERE cov.p IS NULL
+        |  GROUP BY pt.doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  CAST(len(t.ts) AS BIGINT) - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.cleaned_hash, sha256('')) AS cleaned_hash
+        |FROM toks t LEFT JOIN keptagg k ON k.doc_id = t.doc_id""".stripMargin) { (s, d) =>
+      removeDuplicateSpans(Tables.documents(s, d))
     },
 
     // ---- cross-snapshot incremental dedup ---------------------------------

@@ -377,6 +377,38 @@ class DedupSpec extends SparkSpec {
     assert(merged.getLong(3) === 30L, "merged coverage is the union, not the sum")
   }
 
+  test("span removal: n_removed equals d11 dup_tokens; known excision verified") {
+    // law on the real corpus: the position union and the span union are
+    // the same set, so the transform removes exactly what d11 reports
+    val docs = graft.Tables.documents(spark, sf)
+    val d11 = Dedup.duplicateSpans(docs).select("doc_id", "dup_tokens")
+      .as[(Long, Long)].collect().toMap
+    val d28 = Dedup.removeDuplicateSpans(docs)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(d28.keySet === d11.keySet)
+    d28.foreach { case (id, rem) => assert(rem === d11(id), s"doc $id") }
+    assert(d28.values.sum > 0, "corpus must contain duplicated spans to test")
+
+    // hand-built case (n=3, minCount=2): docs share the run "a b c d",
+    // so positions of the two hot 3-grams (a b c / b c d) are excised
+    // and the distinct suffixes survive
+    val tiny = Seq((1L, "a b c d x y z"), (2L, "a b c d q r s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(tiny, n = 3, minCount = 2)
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "cleaned_hash")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // hot grams: "a b c" (both docs, start 1) and "b c d" (start 2) →
+    // covered positions 1..4; survivors are tokens 5..7
+    assert(out(1L)._1 === 7L && out(1L)._2 === 3L && out(1L)._3 === 4L)
+    assert(out(2L)._3 === 4L)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String) = sha.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(out(1L)._4 === hex("x y z"), "doc 1 cleaned text must be its suffix")
+    assert(out(2L)._4 === hex("q r s"), "doc 2 cleaned text must be its suffix")
+  }
+
   test("prefix dedup: truncation pairs grouped, longest capture kept") {
     // one page captured at three truncation points + an unrelated doc
     // sharing NO prefix + a shorter-prefix near-miss (differs at token 4)
