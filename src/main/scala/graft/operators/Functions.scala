@@ -26,6 +26,46 @@ object Functions {
     df.join(broadcast(t), Seq(key), "left_anti")
   }
 
+  private val ManifestMod63 = new java.math.BigDecimal("9223372036854775808")
+
+  /** The q78 manifest statistics for one document set — per (source,
+    * split): count, char volume, id range, mod-2^63 content checksum
+    * (exact DECIMAL accumulation; see the q78 registry notes). Every
+    * statistic is ALGEBRAIC, which is what makes [[mergeManifests]] and
+    * the q81/streaming incremental-maintenance forms possible.
+    */
+  def partManifest(docs: DataFrame): DataFrame = {
+    val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+    docs
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        (h32 % 100).as("b"), h32.as("h32"))
+      .select(col("source"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"),
+        col("n_chars"), col("doc_id"), col("h32"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        (sum(col("h32").cast("decimal(38,0)")) % lit(ManifestMod63)).cast("long")
+          .as("checksum"))
+  }
+
+  /** Merge algebraic part-manifests (the q81 law): counts/chars add, id
+    * ranges combine by min/max, mod-2^63 checksums add — so
+    * `mergeManifests(partManifest(A) ∪ partManifest(B))` equals
+    * `partManifest(A ∪ B)` exactly (q81's oracle is that identity).
+    */
+  def mergeManifests(parts: DataFrame): DataFrame =
+    parts.groupBy(col("source"), col("split"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"),
+        min(col("min_id")).as("min_id"),
+        max(col("max_id")).as("max_id"),
+        (sum(col("checksum").cast("decimal(38,0)")) % lit(ManifestMod63))
+          .cast("long").as("checksum"))
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- union / union all (SURVEY §2.5 set-like ops) --------------------
@@ -467,33 +507,10 @@ object Functions {
         |          AS BIGINT) AS h32
         |      FROM documents) t
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
-      val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
-      def partManifest(docs: DataFrame): DataFrame = docs
-        .select(col("source"), col("n_chars"), col("doc_id"),
-          (h32 % 100).as("b"), h32.as("h32"))
-        .select(col("source"),
-          when(col("b") < 80, "train").when(col("b") < 90, "val")
-            .otherwise("test").as("split"),
-          col("n_chars"), col("doc_id"), col("h32"))
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          min(col("doc_id")).as("min_id"),
-          max(col("doc_id")).as("max_id"),
-          (sum(col("h32").cast("decimal(38,0)")) % mod63).cast("long")
-            .as("checksum"))
       val docs = Tables.documents(s, d)
-      val base = partManifest(docs.filter(col("doc_id") % 5 =!= 0))
-      val delta = partManifest(docs.filter(col("doc_id") % 5 === 0))
-      base.unionByName(delta)
-        .groupBy(col("source"), col("split"))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_chars")).as("total_chars"),
-          min(col("min_id")).as("min_id"),
-          max(col("max_id")).as("max_id"),
-          (sum(col("checksum").cast("decimal(38,0)")) % mod63).cast("long")
-            .as("checksum"))
+      mergeManifests(
+        partManifest(docs.filter(col("doc_id") % 5 =!= 0))
+          .unionByName(partManifest(docs.filter(col("doc_id") % 5 === 0))))
     },
 
     // ---- join-cardinality estimate vs actual (the CBO diagnostic) --------

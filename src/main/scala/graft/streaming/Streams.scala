@@ -543,6 +543,55 @@ object Streams {
       .start()
   }
 
+  /** Streaming dataset-manifest maintenance — q81's algebraic merge law
+    * driven through foreachBatch: each micro-batch of newly ingested
+    * docs builds its part-manifest ([[graft.operators.Functions
+    * .partManifest]]) and merges it into the durable manifest at
+    * `manifestDir` — the corpus is NEVER rescanned, which is the whole
+    * point of the manifest statistics being algebraic. Exactly-once via
+    * the st9 marker-file guard (written last; replayed batches no-op),
+    * and the manifest swap is the same delete-then-rename as the st9
+    * ledger (production: versioned-pointer flip). The manifest is
+    * per-(source, split) — bounded rows, one coalesced file.
+    * StreamsSpec proves the N-tick streamed manifest equals the q78
+    * full-corpus manifest and that a replay leaves it unchanged.
+    */
+  def runManifestStream(spark: SparkSession, srcDir: String,
+      manifestDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(schema).format("parquet")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    reader.load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${manifestDir}_applied/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val part = graft.operators.Functions.partManifest(batch)
+          val dst = new org.apache.hadoop.fs.Path(manifestDir)
+          val merged =
+            if (fs.exists(dst))
+              graft.operators.Functions.mergeManifests(
+                spark.read.parquet(manifestDir).unionByName(part))
+            else part
+          val tmp = new org.apache.hadoop.fs.Path(manifestDir + "__merging")
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(dst, true)
+          fs.rename(tmp, dst)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- streaming corpus quality gate (batch-equivalent plan) -----------

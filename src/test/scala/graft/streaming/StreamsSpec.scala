@@ -460,6 +460,34 @@ class StreamsSpec extends SparkSpec {
       s"compacted ledger must be one file set, found $nParquet parquet files")
   }
 
+  test("streaming manifest maintenance: N ticks == q78 full manifest; replay is a no-op") {
+    val docs = Tables.documents(spark, sf)
+    val src = tmpDir("mani-src")
+    val manifest = tmpDir("mani") + "/m"
+    val ckpt = tmpDir("mani-ckpt") + "/c"
+    // three ingest files → three micro-batches at maxFilesPerTrigger=1
+    // (merge is commutative, so arrival order is immaterial here)
+    (0 to 2).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = Streams.runManifestStream(spark, src, manifest, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val expected = graft.SparkEntry.registry
+      .find(_.name == "q78_dataset_manifest").get
+      .run(spark, sf).collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(manifest).collect().map(_.toSeq).toSet === expected,
+      "streamed incremental manifest must equal the full-corpus manifest")
+    // replay with a fresh checkpoint: the marker guard must no-op every
+    // batch — double-merging would double every count/checksum
+    val q2 = Streams.runManifestStream(spark, src, manifest,
+      tmpDir("mani-ckpt2") + "/c")
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(manifest).collect().map(_.toSeq).toSet === expected,
+      "replayed manifest ticks must not re-merge")
+  }
+
   test("st9 ledger purge: tombstoned artifacts removed, survivors intact, compacted") {
     val docs = Tables.documents(spark, sf)
     val ledger = tmpDir("st9-purge") + "/l"
