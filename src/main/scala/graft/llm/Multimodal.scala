@@ -166,6 +166,63 @@ object Multimodal {
       .toDF()
   }
 
+  /** m4's banded perceptual-hash near-dup pairs as a reusable frame —
+    * signature via the mapPartitions decode seam, 4×16 pigeonhole
+    * banding (lossless for hamming ≤ 3), d3's bucket cap, exact hamming
+    * verify on candidates. Feeds the m4 registry entry and the m8
+    * cluster composition.
+    */
+  def phashPairs(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val ph = mediaTable(Tables.spread(docs))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val slots = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < p.length) {
+          val v = (p(j) & 0xff).toLong
+          slots(j % 64) += v
+          tot += v
+          j += 1
+        }
+        def half(off: Int): Long = {
+          var acc = 0L
+          var i = 0
+          while (i < 32) {
+            if (slots(off + i) * 64 > tot) acc |= 1L << i
+            i += 1
+          }
+          acc
+        }
+        (id, half(0), half(32))
+      })
+      .toDF("doc_id", "lo", "hi")
+    val bands = ph.select(col("doc_id"), col("lo"), col("hi"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bk",
+        when(col("band") < 2, expr("(lo >> (band * 16)) & 65535"))
+          .otherwise(expr("(hi >> ((band - 2) * 16)) & 65535")))
+    val capped = bands
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
+      .filter(col("nb") <= 50)
+      .drop("nb")
+    val a = capped.select(col("band"), col("bk"), col("doc_id").as("da"),
+      col("lo").as("la"), col("hi").as("ha"))
+    val b = capped.select(col("band"), col("bk"), col("doc_id").as("db"),
+      col("lo").as("lb"), col("hi").as("hb"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("db") > col("da"))
+      .select(col("da"), col("db"), col("la"), col("ha"), col("lb"), col("hb"))
+      .distinct()
+      .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
+        expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- media metadata stats ---------------------------------------------
@@ -318,54 +375,88 @@ object Multimodal {
         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM cand
         |WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""".stripMargin) { (s, d) =>
-      val spark = s
-      import spark.implicits._
-      val ph = mediaTable(Tables.spread(Tables.documents(s, d)))
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) =>
-          val slots = new Array[Long](64)
-          var tot = 0L
-          var j = 0
-          while (j < p.length) {
-            val v = (p(j) & 0xff).toLong
-            slots(j % 64) += v
-            tot += v
-            j += 1
-          }
-          def half(off: Int): Long = {
-            var acc = 0L
-            var i = 0
-            while (i < 32) {
-              if (slots(off + i) * 64 > tot) acc |= 1L << i
-              i += 1
-            }
-            acc
-          }
-          (id, half(0), half(32))
-        })
-        .toDF("doc_id", "lo", "hi")
-      val bands = ph.select(col("doc_id"), col("lo"), col("hi"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("bk",
-          when(col("band") < 2, expr("(lo >> (band * 16)) & 65535"))
-            .otherwise(expr("(hi >> ((band - 2) * 16)) & 65535")))
-      val capped = bands
-        .withColumn("nb", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
-        .filter(col("nb") <= 50)
-        .drop("nb")
-      val a = capped.select(col("band"), col("bk"), col("doc_id").as("da"),
-        col("lo").as("la"), col("hi").as("ha"))
-      val b = capped.select(col("band"), col("bk"), col("doc_id").as("db"),
-        col("lo").as("lb"), col("hi").as("hb"))
-      a.join(b, Seq("band", "bk"))
-        .filter(col("db") > col("da"))
-        .select(col("da"), col("db"), col("la"), col("ha"), col("lb"), col("hb"))
-        .distinct()
-        .select(col("da").as("doc_id_a"), col("db").as("doc_id_b"),
-          expr("bit_count(la ^ lb) + bit_count(ha ^ hb)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
+      phashPairs(s, Tables.documents(s, d))
+    },
+
+    // ---- media dedup clusters + best-resolution representative -----------
+    // What an image pipeline runs after m4: collapse the perceptual-hash
+    // pairs into duplicate clusters (the d8 min-label closure on capped
+    // pairs) and keep the LARGEST payload per cluster — byte count is
+    // the resolution/quality proxy when all you have is the blob — with
+    // doc_id as the integer tiebreak. Per-cluster rank keys on comp_id
+    // (cardinality grows with the corpus). Oracle: m4's full signature/
+    // banding chain + the d8 recursive-CTE closure + the same integer
+    // rank.
+    sql("m8_media_dedup_clusters",
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
+        |         octet_length(coalesce(encode(text), encode(''))) AS n
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, n,
+        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
+        |      FOR i IN range(n) ] AS bytes
+        |  FROM b
+        |), sums AS (
+        |  SELECT doc_id,
+        |    [ CAST(coalesce(list_sum([bytes[j + 1] FOR j IN range(n) IF j % 64 = i]), 0) AS BIGINT)
+        |      FOR i IN range(64) ] AS s,
+        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS tot
+        |  FROM e
+        |), ph AS (
+        |  SELECT doc_id,
+        |    list_sum([ CASE WHEN s[i + 1] * 64 > tot THEN 1::BIGINT << i ELSE 0 END
+        |      FOR i IN range(32) ]) AS lo,
+        |    list_sum([ CASE WHEN s[i + 33] * 64 > tot THEN 1::BIGINT << i ELSE 0 END
+        |      FOR i IN range(32) ]) AS hi
+        |  FROM sums
+        |), bands AS (
+        |  SELECT doc_id, lo, hi, band,
+        |    CASE WHEN band < 2 THEN (lo >> (band * 16)) & 65535
+        |         ELSE (hi >> ((band - 2) * 16)) & 65535 END AS bk
+        |  FROM ph, unnest(range(4)) AS t(band)
+        |), capped AS (
+        |  SELECT doc_id, lo, hi, band, bk FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bk) AS nb FROM bands)
+        |  WHERE nb <= 50
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS da, bb.doc_id AS db
+        |  FROM capped a JOIN capped bb
+        |    ON a.band = bb.band AND a.bk = bb.bk AND bb.doc_id > a.doc_id
+        |  WHERE bit_count(xor(a.lo, bb.lo)) + bit_count(xor(a.hi, bb.hi)) <= 3
+        |), edges AS (
+        |  SELECT da AS ea, db AS eb FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT ea AS node, ea AS r FROM edges
+        |  UNION
+        |  SELECT g.ea AS node, r.r FROM edges g JOIN reach r ON r.node = g.eb
+        |), comp AS (
+        |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+        |), sized AS (
+        |  SELECT comp_id, count(*) AS sz FROM comp GROUP BY comp_id
+        |)
+        |SELECT c.doc_id, CAST(c.comp_id AS BIGINT) AS comp_id,
+        |  CAST(n.sz AS BIGINT) AS cluster_size,
+        |  CAST(q.n AS BIGINT) AS n_bytes,
+        |  (ROW_NUMBER() OVER (PARTITION BY c.comp_id
+        |     ORDER BY q.n DESC, c.doc_id) = 1) AS kept
+        |FROM comp c
+        |JOIN sized n USING (comp_id)
+        |JOIN b q ON q.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comp = graft.llm.Dedup.dedupClusters(
+          phashPairs(s, docs).select(col("doc_id_a"), col("doc_id_b")))
+        .select(col("doc_id"), col("comp_id"), col("cluster_size"))
+      val qual = mediaTable(docs)
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp_id")).orderBy(col("n_bytes").desc, col("doc_id"))
+      comp.join(qual, Seq("doc_id"))
+        .withColumn("kept", row_number().over(w) === 1)
+        .select(col("doc_id"), col("comp_id"), col("cluster_size"),
+          col("n_bytes"), col("kept"))
     },
 
     // ---- audio-fingerprint near-dup (landmark constellation) -------------

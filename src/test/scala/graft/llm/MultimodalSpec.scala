@@ -108,6 +108,30 @@ class MultimodalSpec extends SparkSpec {
       "a sub-frame payload produced landmarks")
   }
 
+  test("media dedup clusters: components cover exactly the m4 pair graph, byte-largest kept") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Multimodal.phashPairs(spark, docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus must contain phash near-dups to test")
+    val out = graft.SparkEntry.registry.find(_.name == "m8_media_dedup_clusters").get
+      .run(spark, sf)
+      .select("doc_id", "comp_id", "n_bytes", "kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // membership = the pair graph's node set; both pair ends share a comp
+    assert(out.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) split across components")
+    }
+    // exactly one keeper per component, and it is byte-maximal
+    out.values.groupBy(_._1).foreach { case (c, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.size === 1, s"component $c has ${keepers.size} keepers")
+      assert(keepers.head._2 === members.map(_._2).max,
+        s"component $c keeper is not byte-largest")
+    }
+  }
+
   test("scene cuts: hand-built frames produce the expected segmentation") {
     // constant-byte frames make the expected cuts exact by construction:
     // frame energy = 64·v, so a cut fires iff |v2 − v1| ≥ 3
