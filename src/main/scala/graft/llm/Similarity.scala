@@ -1269,6 +1269,44 @@ object Similarity {
     // the round-trip is LOSSLESS — persisted-index results must equal
     // the fresh in-memory ivfTopK exactly (any drift raise_errors), plus
     // s4's exact-recall floor.
+    // ---- IVF index APPEND (the add-without-rebuild lifecycle) ------------
+    // s16 builds and serves; s18 is the day-2 operation: a new vector
+    // batch routed by the EXISTING codebook into the existing cell
+    // directories (FAISS-`add` posture — no retrain, no rewrite of
+    // prior files). Built fresh per run (no cache key) so the append
+    // exercises a cold index every time. Gates, all in-query: every
+    // corpus vector sits in the assignments EXACTLY once post-append
+    // (append lost nothing, duplicated nothing), and serving recall
+    // over the APPENDED index clears the floor vs brute force on the
+    // full corpus — the sample-trained codebook must route vectors it
+    // never saw.
+    rowsOnly("s18_ivf_index_append") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      val idx = ivfIndexBuild(base)
+      ivfIndexAppend(s, idx, delta)
+      val q = e.filter(col("vec_id") < 8)
+      val served = ivfIndexQuery(s, idx, q, 5)
+      val nCorpus = e.count()
+      val perVid = s.read.parquet(s"$idx/assignments").groupBy(col("vid"))
+        .agg(count(lit(1)).as("c"))
+      val audit = perVid.agg(
+        sum(when(col("c") =!= 1, 1L).otherwise(0L)).as("n_dup"),
+        count(lit(1)).as("n_vec"))
+      withRecallGate(
+        served.crossJoin(broadcast(audit))
+          .select(col("qid"), col("vid"),
+            when(col("n_dup") > 0, raise_error(concat(
+              lit("append duplicated/split assignments: "),
+              col("n_dup").cast("string"))))
+              .when(col("n_vec") =!= nCorpus, raise_error(concat(
+                lit("append lost vectors: "), col("n_vec").cast("string"),
+                lit(s" != $nCorpus"))))
+              .otherwise(col("sim")).as("sim")),
+        bruteTopK(q, e, 5), minRecall = 0.65)
+    },
+
     rowsOnly("s16_ivf_index_persist") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 8)
@@ -1336,6 +1374,28 @@ object Similarity {
 
   private val persistedIndexCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+
+  /** Append new vectors to a persisted IVF index WITHOUT rebuilding: the
+    * index's own centroids route the assignments, which land as new
+    * files inside the existing cell partition directories — the
+    * standard IVF lifecycle (FAISS `add`), since a codebook trained on
+    * a representative sample routes later arrivals fine until drift
+    * says retrain. Distributed, append-only, no existing file is
+    * touched; serving ([[ivfIndexQuery]]) is oblivious to which build
+    * or append wrote a row. The `s18` registry entry gates completeness
+    * (every vector assigned exactly once) and post-append serving
+    * recall in-query; IvfIndexSpec pins per-vector cell correctness
+    * against the centroids.
+    */
+  def ivfIndexAppend(spark: SparkSession, indexRoot: String,
+      newVecs: DataFrame): Unit = {
+    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    newVecs.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+  }
 
   /** Serve top-k from a persisted IVF index (see `s16`): centroids are a
     * bounded read (nlist rows), probe routing is the same codegen'd

@@ -408,6 +408,29 @@ class SimilaritySpec extends SparkSpec {
     assert(served.sameElements(fresh), "persisted index drifted from fresh index")
   }
 
+  test("ivf index append: delta lands in argmin cells, base files untouched, nothing lost") {
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+    val idx = Similarity.ivfIndexBuild(base)
+    val filesBefore = spark.read.parquet(s"$idx/assignments").inputFiles.toSet
+    Similarity.ivfIndexAppend(spark, idx, delta)
+    val after = spark.read.parquet(s"$idx/assignments")
+    assert(filesBefore.subsetOf(after.inputFiles.toSet),
+      "append must only add files, never rewrite the base index")
+    assert(after.count() === e.count(), "append must cover the full corpus")
+    assert(after.select("vid").distinct().count() === e.count())
+    // every appended vector sits in its centroid-argmin cell
+    val centers = spark.read.parquet(s"$idx/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val want = delta.select(col("vec_id").as("vid"),
+      array_min(Similarity.cellScores(centers)(col("embedding")))
+        .getField("cid").as("want"))
+    val misrouted = after.join(want, Seq("vid"))
+      .filter(col("cell") =!= col("want")).count()
+    assert(misrouted === 0L, s"$misrouted appended vectors routed to a non-argmin cell")
+  }
+
   test("s15 registry query: recall gate passes and is deterministic across runs") {
     val run1 = graft.SparkEntry.registry.find(_.name == "s15_knn_graph").get
       .run(spark, sf).collect().map(_.toString).sorted
