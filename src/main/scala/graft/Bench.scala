@@ -114,12 +114,18 @@ object Bench {
     // and budget-skipping the LAST registry entries on a slow host was
     // exactly the round-8 cross-artifact divergence. A failed cold gets
     // one immediate retry (transient vs broken).
+    // Escape hatch for a catastrophically slow host: once elapsed passes
+    // 2.5× the budget even the immediate slow reps stop (cold-only
+    // artifact beats rc=124). Never triggers on a healthy host — the
+    // full cold pass + slow reps run ~2× budget there.
+    val hardCeiling = 2.5 * budgetSec
     val phase1: Seq[(OpQuery, Option[Double], Seq[Double], Int)] =
       SparkEntry.registry.map { q =>
         val cold = runOnce(q)
         val (times, attempted) = cold match {
           case None => (runOnce(q).toSeq, 1)
-          case Some(c) if c >= SlowThresh => (runOnce(q).toSeq, 1)
+          case Some(c) if c >= SlowThresh && elapsed < hardCeiling =>
+            (runOnce(q).toSeq, 1)
           case Some(_) => (Seq.empty[Double], 0)
         }
         (q, cold, times, attempted)
