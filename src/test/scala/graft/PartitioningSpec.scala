@@ -188,7 +188,10 @@ class PartitioningSpec extends SparkSpec {
           // t29's per-token corpus totals + per-source totals are
           // corpus-derived (the t6/t13 vocab rule; its only broadcast
           // is the 1-row global-total frame)
-          "t29_source_kl")) {
+          "t29_source_kl",
+          // d28's hot-gram set and covered-position frame are
+          // corpus-derived (d11's rule applies to the removal too)
+          "d28_span_removal")) {
         val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
         df.collect()
         val plan = df.queryExecution.executedPlan.toString

@@ -83,4 +83,21 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: manifest merge is partition-invariant (the q81 law)") {
+    // mergeManifests over ANY partition of the corpus into part-manifests
+    // must equal the single-pass manifest — the algebra q81's oracle
+    // pins for one split, generalized to random k-way splits
+    val docs = Tables.documents(spark, sf)
+    val full = graft.operators.Functions.partManifest(docs)
+      .collect().map(_.toSeq).toSet
+    forSamples(Gen.chooseNum(2, 5), n = 4) { k =>
+      val parts = (0 until k).map(i =>
+        graft.operators.Functions.partManifest(
+          docs.filter(pmod(col("doc_id"), lit(k)) === i)))
+      val merged = graft.operators.Functions.mergeManifests(
+        parts.reduce(_.unionByName(_))).collect().map(_.toSeq).toSet
+      assert(merged === full, s"$k-way split manifest merge diverged")
+    }
+  }
 }
