@@ -1307,6 +1307,45 @@ object Similarity {
         bruteTopK(q, e, 5), minRecall = 0.65)
     },
 
+    // ---- embedding drift monitor (s18's retrain trigger) -----------------
+    // Per-dimension mean shift + smoothed PSI between the index snapshot
+    // (vec_id % 3 = 0, s18's base carve) and the appended batch. FULL
+    // oracle: exact-DECIMAL means, integer bucket counts, and ln over
+    // doubles both engines derive from the same integers (the t13/t17
+    // precedent), all 6-dp rounded.
+    sql("s19_embedding_drift",
+      """WITH e AS (
+        |  SELECT vec_id % 3 = 0 AS b, unnest(range(len(embedding))) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), stats AS (
+        |  SELECT dim,
+        |    CAST(sum(CASE WHEN b THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN b THEN 1 ELSE 0 END) AS mb,
+        |    CAST(sum(CASE WHEN NOT b THEN CAST(x AS DECIMAL(25,12)) END) AS DOUBLE)
+        |      / sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS md,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS nd
+        |  FROM e GROUP BY dim
+        |), bc AS (
+        |  SELECT dim, least(greatest(floor((x + 1.0) / 0.5), 0), 3) AS bk,
+        |    sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN NOT b THEN 1 ELSE 0 END) AS cd
+        |  FROM e GROUP BY 1, 2
+        |), psi AS (
+        |  SELECT bc.dim,
+        |    round(sum(((bc.cb + 1.0) / (s.nb + 4.0) - (bc.cd + 1.0) / (s.nd + 4.0))
+        |      * ln(((bc.cb + 1.0) / (s.nb + 4.0))
+        |          / ((bc.cd + 1.0) / (s.nd + 4.0)))), 6) AS psi
+        |  FROM bc JOIN stats s USING (dim) GROUP BY bc.dim
+        |)
+        |SELECT CAST(s.dim AS BIGINT) AS dim, round(s.mb, 6) AS mean_base,
+        |  round(s.md, 6) AS mean_delta, round(abs(s.mb - s.md), 6) AS mean_shift,
+        |  p.psi
+        |FROM stats s JOIN psi p USING (dim)""".stripMargin) { (s, d) =>
+      embeddingDrift(Tables.embeddings(s, d), pmod(col("vec_id"), lit(3)) === 0)
+    },
+
     rowsOnly("s16_ivf_index_persist") { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 8)
@@ -1395,6 +1434,46 @@ object Similarity {
     newVecs.select(col("vec_id").as("vid"), col("embedding").as("ve"),
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+  }
+
+  /** Embedding-distribution drift between a base snapshot and a new
+    * batch — the "when does s18's add-without-retrain stop being OK"
+    * monitor: per dimension, exact-DECIMAL means for both sides (the
+    * s12 rule — float fold order must not leak into the artifact), the
+    * absolute mean shift, and a Laplace-smoothed population-stability
+    * index over 4 fixed value buckets (PSI: Σ (p−q)·ln(p/q); the
+    * standard drift alarm — ≥0.2 is the conventional retrain trigger).
+    * Scale shape: ONE scan of the embedding table feeds both the mean
+    * and the bucket aggregations, everything keyed on (dim) /
+    * (dim, bucket) — 64·4 rows of state however large the corpus.
+    */
+  def embeddingDrift(emb: DataFrame, basePred: Column): DataFrame = {
+    val e = emb.select(basePred.as("__b"), posexplode(col("embedding")))
+      .select(col("__b"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val stats = e.groupBy(col("dim")).agg(
+      (sum(when(col("__b"), col("x").cast("decimal(25,12)"))).cast("double") /
+        count(when(col("__b"), 1))).as("mb"),
+      (sum(when(!col("__b"), col("x").cast("decimal(25,12)"))).cast("double") /
+        count(when(!col("__b"), 1))).as("md"),
+      count(when(col("__b"), 1)).as("nb"),
+      count(when(!col("__b"), 1)).as("nd"))
+    val bc = e
+      .withColumn("bk",
+        least(greatest(floor((col("x") + 1.0) / 0.5), lit(0.0)), lit(3.0)))
+      .groupBy(col("dim"), col("bk"))
+      .agg(count(when(col("__b"), 1)).as("cb"),
+        count(when(!col("__b"), 1)).as("cd"))
+    val p = (col("cb") + 1.0) / (col("nb") + 4.0)
+    val q = (col("cd") + 1.0) / (col("nd") + 4.0)
+    val psi = bc.join(stats.select(col("dim"), col("nb"), col("nd")), Seq("dim"))
+      .select(col("dim"), ((p - q) * log(p / q)).as("term"))
+      .groupBy(col("dim")).agg(round(sum(col("term")), 6).as("psi"))
+    stats.join(psi, Seq("dim"))
+      .select(col("dim"), round(col("mb"), 6).as("mean_base"),
+        round(col("md"), 6).as("mean_delta"),
+        round(abs(col("mb") - col("md")), 6).as("mean_shift"),
+        col("psi"))
   }
 
   /** Serve top-k from a persisted IVF index (see `s16`): centroids are a

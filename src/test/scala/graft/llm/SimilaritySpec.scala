@@ -408,6 +408,35 @@ class SimilaritySpec extends SparkSpec {
     assert(served.sameElements(fresh), "persisted index drifted from fresh index")
   }
 
+  test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
+    // base clusters at -0.75 (bucket 0), delta at +0.75 (bucket 3):
+    // maximal drift; means and PSI re-derived by hand below
+    val vecs = (Seq.tabulate(8)(i => (i.toLong * 3, Array.fill(2)(-0.75f))) ++
+      Seq.tabulate(8)(i => (i.toLong * 3 + 1, Array.fill(2)(0.75f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(vecs, col("vec_id") % 3 === 0)
+      .select("dim", "mean_base", "mean_delta", "mean_shift", "psi")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    val expPsi = {
+      // buckets: base all in 0, delta all in 3; Laplace (c+1)/(n+4), n=8
+      val pIn = 9.0 / 12.0; val pOut = 1.0 / 12.0
+      val term = (pIn - pOut) * math.log(pIn / pOut)
+      BigDecimal(2 * term).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.values.foreach { case (mb, md, shift, psi) =>
+      assert(mb === -0.75 && md === 0.75 && shift === 1.5)
+      assert(psi === expPsi, s"psi $psi != hand-computed $expPsi")
+    }
+    // and the registry carve (same synthetic distribution on both sides)
+    // must sit far below the conventional 0.2 retrain trigger
+    val real = graft.SparkEntry.registry.find(_.name == "s19_embedding_drift").get
+      .run(spark, sf).select("psi").as[Double].collect()
+    assert(real.nonEmpty && real.forall(_ < 0.2),
+      s"identically-distributed carve drifted: max psi ${real.max}")
+  }
+
   test("ivf index append: delta lands in argmin cells, base files untouched, nothing lost") {
     val e = Tables.embeddings(spark, sf)
     val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
