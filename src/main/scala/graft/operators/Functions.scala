@@ -14,16 +14,20 @@ object Functions {
 
   /** Right-to-be-forgotten purge ACTION (q77 is the audit, q80 the proof
     * artifact): rewrite `df` minus the tombstoned ids — an anti-join
-    * against the broadcast tombstone list on `key`. Tombstone lists are
-    * deletion REQUESTS, inherently small relative to the corpus, so the
-    * broadcast is sanctioned (the codebook rule); each derived dataset
-    * is rewritten in ONE scan and derived tables never join each other.
-    * OperatorInvariantsSpec proves a written round-trip carries zero
-    * tombstoned rows and that q80's manifests reconcile.
+    * against the tombstone list on `key`. No broadcast HINT: tombstone
+    * lists are usually small (deletion requests), but they are
+    * CORPUS-DERIVED — a bulk-deletion campaign (the q80 fixture's
+    * `doc_id % 97` is exactly that shape) scales with the corpus, and a
+    * forced broadcast of ~1% of all ids at 100 TB is a driver/executor
+    * memory hazard. Catalyst's size threshold (plus AQE's runtime
+    * promotion) picks broadcast when the list really is small and a
+    * shuffled anti-join when it isn't; the anti-join is correct either
+    * way. OperatorInvariantsSpec proves a written round-trip carries
+    * zero tombstoned rows and that q80's manifests reconcile.
     */
   def purgeTombstones(df: DataFrame, tombIds: DataFrame, key: String): DataFrame = {
     val t = tombIds.select(tombIds.columns.head).toDF(key).distinct()
-    df.join(broadcast(t), Seq(key), "left_anti")
+    df.join(t, Seq(key), "left_anti")
   }
 
   private val ManifestMod63 = new java.math.BigDecimal("9223372036854775808")

@@ -84,19 +84,87 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("cluster_id").distinct().count() === 8)
   }
 
-  test("IVF ANN: recall clears the s4 gate at the default scan fraction") {
+  test("IVF ANN, adversarial near-uniform regime: recall tracks an EXPLICIT 50% scan fraction") {
+    // the documented worst case for cell routing: on near-uniform
+    // vectors recall can only track the scanned fraction, so the caller
+    // states the fraction it is paying (nprobeForFraction) — the
+    // shrinking derived default is the wrong tool here by construction
     val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 16)
+    val nl = Similarity.deriveNlist(e.count())
+    val half = Similarity.nprobeForFraction(nl, 0.5)
+    val brute = Similarity.bruteTopK(q, e, 5).select("qid", "vid")
+      .as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, e, 5, nprobe = Some(half))
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"uniform-data IVF recall = $recall at explicit 50% scan (nprobe $half/$nl)")
+    assert(recall >= 0.6)
+    // every query must return a full k (cells are never empty at k=5)
+    val perQuery = ivf.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ === 5))
+  }
+
+  test("IVF ANN, clustered regime: derived defaults clear 0.8 recall (the shipped posture)") {
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
     val q = e.filter(col("vec_id") < 16)
     val brute = Similarity.bruteTopK(q, e, 5).select("qid", "vid")
       .as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(q, e, 5)
       .select("qid", "vid").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    info(s"IVF recall = $recall (derived √N nlist, default ~50% scan fraction on uniform data)")
-    assert(recall >= 0.6)
-    // every query must return a full k (cells are never empty at k=5)
-    val perQuery = ivf.groupBy(_._1).view.mapValues(_.size).toMap
-    assert(perQuery.values.forall(_ === 5))
+    val np = Similarity.deriveNprobe(Similarity.deriveNlist(e.count()))
+    info(s"clustered IVF recall = $recall at derived defaults " +
+      s"(nprobe $np cells — routing carries the recall)")
+    assert(recall >= 0.8)
+  }
+
+  test("clustered fixture: deterministic; separated (within-cluster sims dominate cross)") {
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val again = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    assert(e.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+    val c = Similarity.ClusteredFixtureC
+    val pairs = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") < col("vb"))
+      .select((pmod(col("va"), lit(c)) === pmod(col("vb"), lit(c))).as("same"),
+        Similarity.cosine(col("ea"), col("eb")).as("sim"))
+      .groupBy(col("same")).agg(avg(col("sim")).as("m"), min(col("sim")).as("lo"),
+        max(col("sim")).as("hi"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (withinMean, withinLo, _) = pairs(true)
+    val (crossMean, _, crossHi) = pairs(false)
+    info(f"within mean $withinMean%.3f (min $withinLo%.3f); cross mean $crossMean%.3f (max $crossHi%.3f)")
+    assert(withinMean > 0.8, "within-cluster cosines must be high")
+    assert(crossMean < 0.3, "cross-cluster cosines must be low")
+    assert(withinLo > crossMean, "clusters must be separated")
+  }
+
+  test("append-or-retrain: drifted batch rebuilds, in-distribution batch appends in place") {
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val undrifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+    val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+    val idx = Similarity.ivfIndexBuild(base)
+    val (idx1, r1) = Similarity.ivfAppendOrRetrain(spark, idx, undrifted)
+    assert(!r1, "in-distribution append must not trigger a retrain")
+    assert(idx1 === idx, "append keeps the index root")
+    val nAfterAppend = spark.read.parquet(s"$idx1/assignments").count()
+    assert(nAfterAppend === base.count() + undrifted.count())
+    val (idx2, r2) = Similarity.ivfAppendOrRetrain(spark, idx1, drifted)
+    assert(r2, "drifted append must trigger a retrain")
+    assert(idx2 !== idx1, "retrain cuts over to a NEW index root")
+    // the rebuilt index covers old ∪ new exactly once
+    val rebuilt = spark.read.parquet(s"$idx2/assignments")
+    assert(rebuilt.count() === e.count())
+    assert(rebuilt.select("vid").distinct().count() === e.count())
+    // and the abandoned pre-retrain root is untouched (serving cutover,
+    // not in-place mutation)
+    assert(spark.read.parquet(s"$idx1/assignments").count() === nAfterAppend)
   }
 
   test("PQ-ADC: well-formed ranks, monotone distances, honest recall floor") {
@@ -319,8 +387,20 @@ class SimilaritySpec extends SparkSpec {
     assert(nl >= 8 && nl <= (1 << 16))
     if (n >= 64) assert(math.abs(nl - math.sqrt(n.toDouble)) <= 1.0,
       s"nlist $nl should track √$n")
-    assert(np === math.max(1,
-      math.round(nl * Similarity.DefaultScanFraction).toInt))
+    // the log-cell probe rule: a CELL COUNT growing like log₂ nlist —
+    // never a fraction of nlist, which would reinstate Θ(f·N²) total
+    // candidate volume in knnGraph (the r9 parameterization bug)
+    assert(np === math.min(nl, math.max(Similarity.MinProbeCells,
+      math.ceil(math.log(nl.toDouble) / math.log(2.0)).toInt)))
+    // asymptotic shape: at the nlist cap the derived pair scans 16 of
+    // 65536 cells (0.024%), and the scan fraction is monotonically
+    // shrinking — the 100 TB posture the defaults must ship with
+    assert(Similarity.deriveNprobe(1 << 16) === 16)
+    val fracs = Seq(1 << 6, 1 << 10, 1 << 16).map(c =>
+      Similarity.deriveNprobe(c).toDouble / c)
+    assert(fracs sameElements fracs.sorted.reverse,
+      s"derived scan fraction must shrink with nlist: $fracs")
+    assert(fracs.last < 0.001)
     // the bound the plan depends on: no cell's corpus extent or probe
     // traffic exceeds a small constant multiple of its fair share, so
     // per-cell join work stays ~c²·(N/nlist)·(N·np/nlist) — the quantity
