@@ -11,11 +11,16 @@ import graft.OpQuery.sql
   * `binary` columns with a typed metadata struct, batch-shaped
   * decode/feature-extract over partitions.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] is a deterministic fake standing in for a
-  * real decoder. Everything around it — schema, batch iteration shape,
-  * partition parallelism, output contract — is real and tested. Swapping
-  * in a real decoder changes only the function body.
+  * Codec status (round 10): the IMAGE leg (m1/m2) is a REAL codec —
+  * actual PNG bytes encoded and decoded through `javax.imageio` inside
+  * the mapPartitions seam, full-oracle-verified pixel for pixel
+  * ([[imageTable]]/[[decodeImage]]). The audio/video legs keep
+  * deterministic STUBS ([[decodeStub]], [[audioLandmarkStub]],
+  * [[resizeStub]], [[frameSampleStub]]) because this container has no
+  * audio/video libraries; everything around them — schema, batch
+  * iteration shape, partition parallelism, output contract — is real and
+  * tested, and the image leg proves the seam's contract holds when a
+  * real decoder fills it.
   */
 object Multimodal {
 
@@ -51,6 +56,104 @@ object Multimodal {
   /** Extracted features per media item. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, brightness: Double, feature: Array[Float])
+
+  /** ======= REAL CODEC (round-10: one genuine decoder behind the seam) ==
+    * The m1/m2 leg runs on ACTUAL PNG bytes through `javax.imageio` —
+    * encode and decode both inside the mapPartitions seam, so the
+    * schema/batch/partition plumbing is exercised by a real
+    * binary-media codec, not only the deterministic fakes (which remain
+    * for the audio/video legs, documented stubs). The full DuckDB
+    * oracle survives because the fixture's DECODED PIXELS are a closed
+    * integer form of doc_id — the oracle recomputes the pixel math
+    * while Spark must recover the identical values through a real
+    * encode → PNG byte stream → decode round trip (PNG grayscale is
+    * lossless, so any disagreement is a codec-contract bug, which is
+    * exactly what this leg exists to catch).
+    *
+    * Fixture geometry: width 4 + id mod 13, height 3 + id mod 7,
+    * gray(x, y) = (id·31 + x·7 + y·13) mod 256.
+    */
+  def imagePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def imageWidth(id: Long): Int = 4 + (id % 13).toInt
+  def imageHeight(id: Long): Int = 3 + (id % 7).toInt
+
+  /** Real-PNG media table: one encoded grayscale PNG per document,
+    * generated inside the partition (no driver involvement, no test
+    * data beyond the driver's doc ids).
+    */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = imageWidth(id)
+        val h = imageHeight(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, imagePixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("image/png").as("format"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("synthetic").as("source")).as("meta"))
+  }
+
+  /** Decoded-image row: dimensions, raster band count, pixel volume,
+    * exact integer pixel total (mean derives from it divisionless until
+    * the final double), and 8 diagonal-strip sums ((x+y) mod 8 — every
+    * geometry the fixture produces populates a strip or coalesces to 0
+    * on both engines).
+    */
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      channels: Long, n_pixels: Long, total: Long, strips: Array[Long])
+
+  /** Real PNG decode + pixel stats for one payload — `javax.imageio`
+    * end to end.
+    */
+  def decodeImage(id: Long, payload: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    var tot = 0L
+    val strips = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = r.getSample(x, y, 0).toLong
+        tot += v
+        strips((x + y) % 8) += v
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(id, w.toLong, h.toLong, r.getNumBands.toLong,
+      (w.toLong * h), tot, strips)
+  }
+
+  /** Shared m1/m2 decode stage: imageTable → mapPartitions decode. */
+  def decodedImages(s: SparkSession, docs: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    imageTable(Tables.spread(docs))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => decodeImage(id, p) })
+      .toDF()
+  }
 
   /** ======= STUB — replace with a real decoder =======
     * Deterministic fake "decode + feature-extract" for one payload:
@@ -225,62 +328,71 @@ object Multimodal {
 
   def registry: Seq[OpQuery] = Seq(
 
-    // ---- media metadata stats ---------------------------------------------
-    // first_byte compares raw BYTES on both engines (Spark's ascii() returns
-    // the first UTF-8 byte while DuckDB's returns the code point — they
-    // diverge on multilingual text): Spark hex-decodes the first payload
-    // byte via conv(); DuckDB parses the first two chars of hex(blob).
+    // ---- media metadata stats through a REAL PNG decode ------------------
+    // Round-10: m1/m2 run on actual encoded PNG bytes via javax.imageio
+    // (see [[imageTable]]); the oracle recomputes the fixture's
+    // closed-form pixel math while Spark must recover identical values
+    // through the real encode → decode round trip. Dimensions, band
+    // count, and the exact pixel total all come from the decoder — a
+    // wrong stride, band order, or color-model assumption mismatches
+    // the oracle immediately.
     sql("m1_media_stats",
-      """SELECT doc_id,
-        |  CAST(octet_length(coalesce(encode(text), encode(''))) AS BIGINT) AS n_bytes,
-        |  CASE WHEN octet_length(coalesce(encode(text), encode(''))) = 0 THEN NULL
-        |       ELSE CAST((strpos('0123456789ABCDEF', substr(hex(coalesce(encode(text), encode(''))), 1, 1)) - 1) * 16
-        |          + (strpos('0123456789ABCDEF', substr(hex(coalesce(encode(text), encode(''))), 2, 1)) - 1) AS BIGINT)
-        |  END AS first_byte
-        |FROM documents""".stripMargin) { (s, d) =>
-      mediaTable(Tables.documents(s, d))
-        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-          when(length(col("payload")) === 0, lit(null))
-            .otherwise(conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("long"))
-            .as("first_byte"))
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |         (doc_id * 31 + x.range * 7 + y.range * 13) % 256 AS v
+        |  FROM d
+        |  JOIN range(0, 17) x ON x.range < d.w
+        |  JOIN range(0, 10) y ON y.range < d.h
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_pixels,
+        |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_brightness
+        |FROM px GROUP BY doc_id, w, h""".stripMargin) { (s, d) =>
+      decodedImages(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("n_pixels"),
+          round(col("total").cast("double") / col("n_pixels"), 6)
+            .as("mean_brightness"))
     },
 
-    // ---- batched feature extraction through the stub decoder -------------
-    // Full oracle: the stub's arithmetic (mean byte value; per-window byte
-    // sums mod 1000) is replicated in DuckDB by parsing hex(blob) into a
-    // byte list. Feature floats surface as 8 scalar DOUBLE columns (raw
-    // array columns break the driver's canonicalizer, and integer-valued
-    // floats cast to double exactly).
+    // ---- batched feature extraction through the REAL PNG decode ----------
+    // The m2 features are 8 diagonal-strip pixel sums ((x+y) mod 8,
+    // mod 1000) plus mean brightness — all exact integer math on the
+    // DECODED raster, so the oracle's closed-form recomputation must
+    // match bit for bit. A strip a small image never touches coalesces
+    // to 0 on both engines. (The text-payload stub decoder still backs
+    // the m3/m5/m6 legs — the documented seam for codecs this
+    // container lacks.)
     sql("m2_media_features",
-      """WITH b AS (
-        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
-        |         octet_length(coalesce(encode(text), encode(''))) AS n
-        |  FROM documents
-        |), e AS (
-        |  SELECT doc_id, n,
-        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
-        |      FOR i IN range(n) ] AS bytes,
-        |    greatest(n // 8, 1) AS win
-        |  FROM b
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, (x.range + y.range) % 8 AS strip,
+        |         (doc_id * 31 + x.range * 7 + y.range * 13) % 256 AS v
+        |  FROM d
+        |  JOIN range(0, 17) x ON x.range < d.w
+        |  JOIN range(0, 10) y ON y.range < d.h
         |)
-        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS brightness,
-        |  CAST(coalesce(list_sum(bytes[0*win + 1 : least(1*win, n)]), 0) % 1000 AS DOUBLE) AS f0,
-        |  CAST(coalesce(list_sum(bytes[1*win + 1 : least(2*win, n)]), 0) % 1000 AS DOUBLE) AS f1,
-        |  CAST(coalesce(list_sum(bytes[2*win + 1 : least(3*win, n)]), 0) % 1000 AS DOUBLE) AS f2,
-        |  CAST(coalesce(list_sum(bytes[3*win + 1 : least(4*win, n)]), 0) % 1000 AS DOUBLE) AS f3,
-        |  CAST(coalesce(list_sum(bytes[4*win + 1 : least(5*win, n)]), 0) % 1000 AS DOUBLE) AS f4,
-        |  CAST(coalesce(list_sum(bytes[5*win + 1 : least(6*win, n)]), 0) % 1000 AS DOUBLE) AS f5,
-        |  CAST(coalesce(list_sum(bytes[6*win + 1 : least(7*win, n)]), 0) % 1000 AS DOUBLE) AS f6,
-        |  CAST(coalesce(list_sum(bytes[7*win + 1 : least(8*win, n)]), 0) % 1000 AS DOUBLE) AS f7
-        |FROM e""".stripMargin) { (s, d) =>
-      // spread: the per-row decode is CPU-bound — don't let a single-file
-      // scan pin the whole mapPartitions stage on one task
-      val feats = extractFeatures(mediaTable(Tables.spread(Tables.documents(s, d))))
-      feats.select(
-        col("doc_id") +: col("n_bytes") +: col("brightness") +:
-          (0 until 8).map(j => col("feature")(j).cast("double").as(s"f$j")): _*)
+        |SELECT doc_id,
+        |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS brightness,
+        |  CAST(coalesce(sum(v) FILTER (strip = 0), 0) % 1000 AS DOUBLE) AS f0,
+        |  CAST(coalesce(sum(v) FILTER (strip = 1), 0) % 1000 AS DOUBLE) AS f1,
+        |  CAST(coalesce(sum(v) FILTER (strip = 2), 0) % 1000 AS DOUBLE) AS f2,
+        |  CAST(coalesce(sum(v) FILTER (strip = 3), 0) % 1000 AS DOUBLE) AS f3,
+        |  CAST(coalesce(sum(v) FILTER (strip = 4), 0) % 1000 AS DOUBLE) AS f4,
+        |  CAST(coalesce(sum(v) FILTER (strip = 5), 0) % 1000 AS DOUBLE) AS f5,
+        |  CAST(coalesce(sum(v) FILTER (strip = 6), 0) % 1000 AS DOUBLE) AS f6,
+        |  CAST(coalesce(sum(v) FILTER (strip = 7), 0) % 1000 AS DOUBLE) AS f7
+        |FROM px GROUP BY doc_id, w, h""".stripMargin) { (s, d) =>
+      decodedImages(s, Tables.documents(s, d))
+        .select(
+          col("doc_id") +:
+            round(col("total").cast("double") / col("n_pixels"), 6)
+              .as("brightness") +:
+            (0 until 8).map(j =>
+              (col("strips")(j) % 1000).cast("double").as(s"f$j")): _*)
     },
 
     // ---- resize + frame-sample plumbing (stub decode; real batch shape) --
