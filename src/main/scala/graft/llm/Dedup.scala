@@ -343,6 +343,231 @@ object Dedup {
        |LEFT JOIN exact e ON e.doc_id = n.doc_id
        |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin
 
+  /** The PAIR form of [[incrementalVerdictsFromArtifacts]] — same exact/
+    * candidate/Jaccard semantics (same rank-stable arrival-order cap,
+    * same (ledger ∨ earlier) condition, so the same batch-boundary
+    * invariance proof applies), but emitting the canonical near-dup
+    * EDGES (least id first) instead of per-doc verdicts. This is the
+    * incremental feed of the st11 closure maintenance: verdicts answer
+    * "drop or keep", edges answer "which component" — a growing corpus
+    * needs both, and recomputing d8's full-corpus pair scan per tick is
+    * exactly what st11 exists to avoid.
+    */
+  def incrementalNearDupPairs(streamArt: DataFrame, idxArt: DataFrame,
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val exactP = streamArt.select(col("doc_id").as("nd"), col("h"))
+      .join(idxArt.select(col("doc_id").as("sd"), col("h"), col("__ledger")),
+        Seq("h"))
+      .filter(col("__ledger") || col("sd") < col("nd"))
+      .select(col("nd"), col("sd"))
+
+    val idxBanded = graft.operators.Relational.groupedRowNumber(
+        idxArt.select(col("doc_id").as("sd"), col("__ledger"),
+          explode(col("bks")).as("bk"))
+          .select(col("sd"), col("__ledger"), col("bk.band").as("band"),
+            col("bk.bandkey").as("bandkey")),
+        Seq("band", "bandkey"),
+        Seq(when(col("__ledger"), 0).otherwise(1), col("sd")), "__rn")
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val cand = streamArt
+      .select(col("doc_id").as("nd"), explode(col("bks")).as("bk"))
+      .select(col("nd"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      .join(idxBanded, Seq("band", "bandkey"))
+      .filter(col("__ledger") || col("sd") < col("nd"))
+      .select(col("nd"), col("sd")).dropDuplicates("nd", "sd")
+    val nearP = cand
+      .join(streamArt.select(col("doc_id").as("nd"), col("sh").as("sh_a")), Seq("nd"))
+      .join(idxArt.select(col("doc_id").as("sd"), col("sh").as("sh_b")), Seq("sd"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("nd"), col("sd"))
+
+    exactP.union(nearP)
+      .filter(col("nd") =!= col("sd"))
+      .select(least(col("nd"), col("sd")).as("doc_id_a"),
+        greatest(col("nd"), col("sd")).as("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+  }
+
+  /** Read the durable st11 closure-label store: (doc_id, comp) for every
+    * doc that has appeared in at least one near-dup pair (the d8
+    * membership contract). Heals an interrupted swap first; an absent
+    * store reads as empty.
+    */
+  def readClosureLabels(spark: SparkSession, labelsDir: String): DataFrame = {
+    graft.core.DirSwap.recover(spark, labelsDir)
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(labelsDir)
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "comp")
+    }
+  }
+
+  /** Fold one batch of near-dup pairs into the durable label store —
+    * INCREMENTAL connected components (round-9 verdict "Next #4": d8's
+    * full-corpus closure never reruns; new pairs only ever MERGE
+    * components, which is monotone).
+    *
+    * Per tick: map the batch's endpoints through the current labels
+    * (coalesce to self for unseen docs) — that collapses each edge to an
+    * edge between component REPRESENTATIVES — then run the pointer-
+    * jumping closure on THAT graph only. Its size is bounded by the
+    * batch (≤ 2·|pairs| nodes), not the corpus: the expensive d8 work
+    * (the corpus-wide LSH pair scan AND the corpus-wide label
+    * propagation) is replaced by a batch-bounded closure plus one keyed
+    * remap join of the label store. Min-label correctness composes:
+    * every stored representative IS the min doc_id of its component, so
+    * the min over the rep graph is the min over the merged memberships —
+    * the fold provably equals the one-shot closure over the union of all
+    * pairs (the st11 oracle pins exactly that, and StreamsSpec proves
+    * tick-count invariance through the real stream).
+    *
+    * Replay-safe by MATH, not only by marker: labels are a fixpoint, so
+    * re-folding an already-applied batch maps every edge to a self-loop
+    * and rewrites identical content (the manifest's non-idempotent merge
+    * problem cannot arise). The store publish rides the crash-safe
+    * [[graft.core.DirSwap]].
+    */
+  def mergeClosureLabels(spark: SparkSession, labelsDir: String,
+      pairs: DataFrame): Unit = {
+    val labels = readClosureLabels(spark, labelsDir)
+    val la = labels.select(col("doc_id").as("__na"), col("comp").as("__ca"))
+    val lb = labels.select(col("doc_id").as("__nb"), col("comp").as("__cb"))
+    val repEdges = pairs
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+      .join(la, col("a") === col("__na"), "left")
+      .join(lb, col("b") === col("__nb"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("ra"),
+        coalesce(col("__cb"), col("b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("doc_id_a"),
+        greatest(col("ra"), col("rb")).as("doc_id_b"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+    if (!repEdges.isEmpty) {
+      // batch-bounded closure over the representative graph
+      val comp = dedupClusters(repEdges)
+        .select(col("doc_id").as("__node"), col("comp_id").as("__nc"))
+      // remap stored members of merged components; insert new docs.
+      // __node keys are reps ∪ new doc ids — batch-bounded, so the
+      // remap side of both joins is small (broadcastable; never the
+      // corpus-proportional label store itself)
+      val updated = labels
+        .join(comp.select(col("__node").as("__k"), col("__nc")),
+          col("comp") === col("__k"), "left")
+        .select(col("doc_id"), coalesce(col("__nc"), col("comp")).as("comp"))
+      val fresh = comp.select(col("__node").as("doc_id"), col("__nc").as("comp"))
+        .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      val next = updated.unionByName(fresh)
+      val tmp = new org.apache.hadoop.fs.Path(labelsDir + "__merging")
+      val dst = new org.apache.hadoop.fs.Path(labelsDir)
+      next.write.mode("overwrite").parquet(tmp.toString)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+    }
+  }
+
+  /** Batch-driver form of the st11 incremental closure (the registry
+    * entry): seed ledger = `snapshotPred` docs, the rest stream in
+    * doc_id (arrival) order across `nTicks` ticks; each tick's pairs
+    * ([[incrementalNearDupPairs]]) fold into the label store via
+    * [[mergeClosureLabels]]. Returns the final labels with d8's
+    * (cluster_size, is_keeper) shape. The DuckDB oracle
+    * ([[incrementalClosureOracleSql]]) replays the ONE-BATCH pair set +
+    * a recursive-CTE min-label closure — hash-equality of the N-tick
+    * fold against it IS the batch-boundary-invariance law.
+    */
+  def incrementalClosure(docs: DataFrame, snapshotPred: Column,
+      nTicks: Int = 2, spillDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val runDir = trackSpill(
+      s"${spillBase(spark, spillDir, "incrementalClosure")}/${runDirName("incart")}")
+    dedupIndexArtifacts(docs)
+      .join(docs.select(col("doc_id"), snapshotPred.as("__ledger")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$runDir/art")
+    val art = spark.read.parquet(s"$runDir/art")
+    val labelsDir = s"$runDir/labels"
+    // arrival-ordered tick bounds from the id range (one 1-row agg; the
+    // quantile split st9's spec uses needs a full id collect — the RANGE
+    // split keeps ticks deterministic without one)
+    val r = art.filter(!col("__ledger"))
+      .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    var indexed = art.filter(col("__ledger"))
+    for (t <- 1 to nTicks) {
+      val cut = lo + (hi - lo + 1) * t / nTicks
+      val bArt = art.filter(!col("__ledger") &&
+        col("doc_id") >= lo + (hi - lo + 1) * (t - 1) / nTicks &&
+        col("doc_id") < (if (t == nTicks) hi + 1 else cut))
+      val idx = indexed.unionByName(bArt.withColumn("__ledger", lit(false))
+        .select(indexed.columns.map(col): _*))
+      mergeClosureLabels(spark, labelsDir,
+        incrementalNearDupPairs(bArt.drop("__ledger"), idx))
+      indexed = idx
+    }
+    val labels = readClosureLabels(spark, labelsDir)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
+        (col("doc_id") === col("comp")).as("is_keeper"))
+  }
+
+  /** DuckDB oracle for [[incrementalClosure]] with
+    * `snapshotPred = doc_id % streamMod = 0`: the incremental kernel's
+    * pair set replayed as ONE batch (rank-capped ledger-first index,
+    * (ledger ∨ earlier) condition, exact + Jaccard-verified edges) and
+    * closed by a recursive-CTE min-label reach — the N-tick Spark fold
+    * must hash-match this exactly.
+    */
+  def incrementalClosureOracleSql(streamMod: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): String =
+    s"""WITH RECURSIVE $minhashSigCtes, cappedI AS (
+       |  SELECT doc_id, band, bk FROM (
+       |    SELECT doc_id, band, bk,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bk
+       |        ORDER BY CASE WHEN doc_id % $streamMod = 0 THEN 0 ELSE 1 END,
+       |                 doc_id) AS rn
+       |    FROM banded) t WHERE rn <= $maxBucket
+       |), cand AS (
+       |  SELECT DISTINCT s.doc_id AS nd, i.doc_id AS sd
+       |  FROM banded s JOIN cappedI i ON s.band = i.band AND s.bk = i.bk
+       |  WHERE s.doc_id % $streamMod <> 0
+       |    AND (i.doc_id % $streamMod = 0 OR i.doc_id < s.doc_id)
+       |), nearp AS (
+       |  SELECT nd, sd FROM (
+       |    SELECT c.nd, c.sd,
+       |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+       |        / len(list_distinct(ga.gs || gb.gs)) AS j
+       |    FROM cand c JOIN gsets ga ON ga.doc_id = c.nd
+       |                JOIN gsets gb ON gb.doc_id = c.sd) t
+       |  WHERE j >= 0.5
+       |), exactp AS (
+       |  SELECT n.doc_id AS nd, p.doc_id AS sd
+       |  FROM (SELECT doc_id, sha256(text) AS h FROM documents
+       |        WHERE doc_id % $streamMod <> 0) n
+       |  JOIN (SELECT doc_id, sha256(text) AS h FROM documents) p
+       |    ON p.h = n.h AND (p.doc_id % $streamMod = 0 OR p.doc_id < n.doc_id)
+       |), pairs AS (
+       |  SELECT DISTINCT least(nd, sd) AS a, greatest(nd, sd) AS b
+       |  FROM (SELECT nd, sd FROM nearp UNION ALL SELECT nd, sd FROM exactp) u
+       |  WHERE nd <> sd
+       |), edges AS (
+       |  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+       |), reach AS (
+       |  SELECT DISTINCT a AS node, a AS r FROM edges
+       |  UNION
+       |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+       |), comp AS (
+       |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+       |), sizes AS (
+       |  SELECT comp_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM comp GROUP BY comp_id
+       |)
+       |SELECT c.doc_id, c.comp_id, s.cluster_size,
+       |  c.doc_id = c.comp_id AS is_keeper
+       |FROM comp c JOIN sizes s USING (comp_id)""".stripMargin
+
   /** Bloom-filter membership prefilter — the 100 TB "seen before?" front
     * of [[dedupAgainstSnapshot]]'s exact stage: ONE mergeable bloom
     * sketch over the snapshot's content keys (a model artifact of a few

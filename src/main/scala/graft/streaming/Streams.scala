@@ -415,6 +415,7 @@ object Streams {
     */
   private[streaming] def readIncrementalLedger(spark: SparkSession,
       ledgerDir: String): DataFrame = {
+    recoverSwap(spark, ledgerDir)
     val raw = spark.read.option("mergeSchema", "true").parquet(ledgerDir)
     val flagged =
       if (raw.columns.contains("__seed"))
@@ -428,9 +429,12 @@ object Streams {
     * them into `ceil(rows / rowsPerFile)` files. Pure rewrite — verdicts
     * are a function of ledger CONTENT (doc_id-deduped rows + seed
     * flags), which is preserved, so the 1-batch ≡ N-batch law continues
-    * to hold across a compaction (StreamsSpec proves it). The
-    * delete-then-rename swap is not crash-atomic; a production
-    * deployment puts the directory behind a versioned-pointer flip
+    * to hold across a compaction (StreamsSpec proves it). The swap is
+    * crash-SAFE (not atomic): [[swapIntoPlace]] parks the live dir at
+    * `__old` before renaming the rewrite in, so no crash point loses
+    * data — a crash between the two renames is healed by
+    * [[recoverSwap]] on the next read. A production deployment on an
+    * object store without atomic rename uses a versioned-pointer flip
     * ([[ParquetLedger]]'s pattern) or a table format with atomic commit.
     */
   def compactIncrementalLedger(spark: SparkSession, ledgerDir: String,
@@ -451,17 +455,28 @@ object Streams {
     */
   def purgeIncrementalLedger(spark: SparkSession, ledgerDir: String,
       tombIds: DataFrame, rowsPerFile: Long = 4000000L): Unit = {
+    // no broadcast HINT on the tombstones: deletion campaigns (the q80
+    // fixture's doc_id % 97 shape) are corpus-proportional — let the
+    // size threshold / AQE decide (the purgeTombstones rule)
     val tomb = tombIds.select(tombIds.columns.head).toDF("doc_id").distinct()
     rewriteLedger(spark, ledgerDir,
       readIncrementalLedger(spark, ledgerDir)
-        .join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        .join(tomb, Seq("doc_id"), "left_anti"),
       rowsPerFile)
   }
 
-  /** Shared rewrite-and-swap for compaction/purge. Delete-then-rename is
-    * not crash-atomic; production puts the directory behind a
-    * versioned-pointer flip ([[ParquetLedger]]'s pattern) or a table
-    * format with atomic commit.
+  /** Crash-safe directory swap/heal — shared via [[graft.core.DirSwap]]
+    * (see its scaladoc for the crash-window analysis).
+    */
+  private def swapIntoPlace(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+
+  private def recoverSwap(spark: SparkSession, dir: String): Unit =
+    graft.core.DirSwap.recover(spark, dir)
+
+  /** Shared rewrite-and-swap for compaction/purge — see [[swapIntoPlace]]
+    * for the crash-safety contract.
     */
   private def rewriteLedger(spark: SparkSession, ledgerDir: String,
       content: DataFrame, rowsPerFile: Long): Unit = {
@@ -473,9 +488,7 @@ object Streams {
       rows.repartition(nFiles.toInt)
         .write.mode("overwrite").parquet(tmp.toString)
       val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(dst, true)
-      fs.rename(tmp, dst)
-      ()
+      swapIntoPlace(fs, tmp, dst)
     } finally { rows.unpersist(); () }
   }
 
@@ -543,15 +556,100 @@ object Streams {
       .start()
   }
 
+  /** Streaming form of `st11_incremental_closure`: st9's growing-index
+    * machinery feeding PAIRS into the durable closure-label store
+    * instead of verdicts into a sink — each tick judges the micro-batch
+    * against the artifact ledger ∪ itself, folds the resulting near-dup
+    * edges into `labelsDir` ([[graft.llm.Dedup.mergeClosureLabels]] —
+    * batch-bounded component merge, no corpus-wide recompute), and
+    * appends the batch's artifacts to the ledger. Exactly-once: the
+    * marker guard skips replayed batches, and UNLIKE the manifest the
+    * fold is also idempotent by math (labels are a fixpoint — a
+    * replayed batch's edges collapse to self-loops), so no crash
+    * ordering can corrupt the store. Seed `ledgerDir` with
+    * [[seedIncrementalLedger]]; read labels with
+    * [[graft.llm.Dedup.readClosureLabels]].
+    */
+  def runIncrementalClosureStream(spark: SparkSession, srcDir: String,
+      ledgerDir: String, labelsDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(schema).format("parquet")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    reader.load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${labelsDir}_applied/batch-$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ledger = readIncrementalLedger(spark, ledgerDir)
+            val idx = ledger.withColumn("__ledger", col("__seed")).drop("__seed")
+              .unionByName(bArt.withColumn("__ledger", lit(false)))
+            graft.llm.Dedup.mergeClosureLabels(spark, labelsDir,
+              graft.llm.Dedup.incrementalNearDupPairs(bArt, idx))
+            bArt.withColumn("__seed", lit(false))
+              .write.mode("append").parquet(ledgerDir)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+            ()
+          } finally { bArt.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Name of the applied-batch ledger INSIDE the manifest directory.
+    * Underscore-prefixed, so Spark's parquet reader treats it as hidden —
+    * consumers keep reading the manifest dir directly.
+    */
+  private val AppliedBatchesFile = "_applied_batches"
+
+  private def readAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ids: Set[Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile), true)
+    try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Streaming dataset-manifest maintenance — q81's algebraic merge law
     * driven through foreachBatch: each micro-batch of newly ingested
     * docs builds its part-manifest ([[graft.operators.Functions
     * .partManifest]]) and merges it into the durable manifest at
     * `manifestDir` — the corpus is NEVER rescanned, which is the whole
-    * point of the manifest statistics being algebraic. Exactly-once via
-    * the st9 marker-file guard (written last; replayed batches no-op),
-    * and the manifest swap is the same delete-then-rename as the st9
-    * ledger (production: versioned-pointer flip). The manifest is
+    * point of the manifest statistics being algebraic.
+    *
+    * Exactly-once HAS to be stronger here than st9's after-effect marker
+    * file: mergeManifests is NOT idempotent (a replayed merge
+    * double-counts n_docs/total_chars and corrupts checksums — and with
+    * no corpus rescan there is no recovery), so a marker written after
+    * the swap leaves a crash window that silently corrupts the manifest
+    * forever. Instead the applied-batch set travels INSIDE the manifest
+    * directory (the hidden [[AppliedBatchesFile]], invisible to parquet
+    * consumers) and is written into the rewrite dir BEFORE the swap —
+    * the rename that publishes a batch's merge publishes the fact that
+    * it was applied in the same commit point, so no crash ordering can
+    * admit a double-merge. The swap itself is the crash-safe
+    * [[swapIntoPlace]]/[[recoverSwap]] pair. The manifest is
     * per-(source, split) — bounded rows, one coalesced file.
     * StreamsSpec proves the N-tick streamed manifest equals the q78
     * full-corpus manifest and that a replay leaves it unchanged.
@@ -567,12 +665,12 @@ object Streams {
     reader.load(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${manifestDir}_applied/batch-$batchId")
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
+        recoverSwap(spark, manifestDir)
+        val dst = new org.apache.hadoop.fs.Path(manifestDir)
+        val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+        val applied = readAppliedBatches(fs, dst)
+        if (!applied.contains(batchId)) {
           val part = graft.operators.Functions.partManifest(batch)
-          val dst = new org.apache.hadoop.fs.Path(manifestDir)
           val merged =
             if (fs.exists(dst))
               graft.operators.Functions.mergeManifests(
@@ -580,11 +678,8 @@ object Streams {
             else part
           val tmp = new org.apache.hadoop.fs.Path(manifestDir + "__merging")
           merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(dst, true)
-          fs.rename(tmp, dst)
-          fs.mkdirs(marker.getParent)
-          fs.create(marker, true).close()
-          ()
+          writeAppliedBatches(fs, tmp, applied + batchId)
+          swapIntoPlace(fs, tmp, dst)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -641,6 +736,24 @@ object Streams {
       (s, d) =>
         graft.llm.Dedup.incrementalNearDup(
           Tables.documents(s, d), col("doc_id") % 3 === 0)
+    },
+
+    // ---- incremental closure maintenance (round-9 verdict "Next #4") -----
+    // st9 keeps the growing-index VERDICTS incremental; this keeps the
+    // d8 duplicate-cluster LABELS incremental: each tick's near-dup
+    // pairs fold into a durable label store by merging component
+    // representatives (batch-bounded closure + one keyed remap — the
+    // corpus-wide d8 recompute that d25/d27/m8 pay per run never
+    // happens). FULL oracle: the one-batch pair set + recursive-CTE
+    // min-label closure in DuckDB must hash-match the 2-tick Spark fold
+    // exactly — tick boundaries are unobservable, the st9 law extended
+    // to component labels. [[graft.llm.Dedup.mergeClosureLabels]] holds
+    // the composition proof; StreamsSpec drives the same fold through a
+    // real file-source stream with replay.
+    sql("st11_incremental_closure",
+      graft.llm.Dedup.incrementalClosureOracleSql(3)) { (s, d) =>
+      graft.llm.Dedup.incrementalClosure(
+        Tables.documents(s, d), col("doc_id") % 3 === 0)
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------

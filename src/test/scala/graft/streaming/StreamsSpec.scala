@@ -372,6 +372,68 @@ class StreamsSpec extends SparkSpec {
       .orderBy("inventory_id").collect().map(_.toSeq) === expected)
   }
 
+  test("st11 incremental closure: streamed N-tick labels == batch fold == replay-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val snapshot = docs.filter(col("doc_id") % 3 === 0)
+    val streamDocs = docs.filter(col("doc_id") % 3 =!= 0)
+
+    // the batch-driver fold (the st11 registry/oracle form)
+    val expected = graft.llm.Dedup
+      .incrementalClosure(docs, col("doc_id") % 3 === 0)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(expected.nonEmpty, "corpus must contain near-dup pairs to cluster")
+    assert(expected.exists(_._3 > 1), "some cluster must have > 1 member")
+
+    // stream the same docs through 3 arrival-ordered micro-batches
+    val src = tmpDir("st11-src")
+    val ledger = tmpDir("st11-ledger") + "/l"
+    val labels = tmpDir("st11-labels") + "/lab"
+    val ckpt = tmpDir("st11-ckpt") + "/c"
+    Streams.seedIncrementalLedger(snapshot, ledger)
+    val ids = streamDocs.select("doc_id").as[Long].collect().sorted
+    val bounds = (1 to 3).map(i => ids((i * ids.length / 3) - 1))
+    val t0 = System.currentTimeMillis() - 3600000L
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    var lo = Long.MinValue
+    bounds.zipWithIndex.foreach { case (hi, i) =>
+      streamDocs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .coalesce(1).write.mode("append").parquet(src)
+      lo = hi
+      Files.list(Paths.get(src)).toArray.foreach { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        if (!stamped.contains(p)) {
+          stamped += p
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+          ()
+        }
+      }
+    }
+    val q = Streams.runIncrementalClosureStream(spark, src, ledger, labels, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    def readLabels(): Array[(Long, Long, Long, Boolean)] = {
+      val l = graft.llm.Dedup.readClosureLabels(spark, labels)
+      val sizes = l.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      l.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
+          (col("doc_id") === col("comp")).as("is_keeper"))
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    }
+    assert(readLabels().sameElements(expected),
+      "3-tick streamed closure labels must equal the batch fold (tick boundaries unobservable)")
+
+    // replay with a fresh checkpoint: marker guard + fixpoint math —
+    // labels and ledger unchanged
+    val ledgerRows = spark.read.option("mergeSchema", "true").parquet(ledger).count()
+    val q2 = Streams.runIncrementalClosureStream(spark, src, ledger, labels,
+      tmpDir("st11-ckpt2") + "/c")
+    q2.awaitTermination(120000)
+    assert(readLabels().sameElements(expected), "replayed ticks must not change labels")
+    assert(spark.read.option("mergeSchema", "true").parquet(ledger).count()
+      === ledgerRows, "replayed ticks must not re-append ledger rows")
+  }
+
   test("st9 incremental near-dup: verdicts are identical for 1-batch and 3-batch runs == batch kernel") {
     val docs = Tables.documents(spark, sf)
     val snapshot = docs.filter(col("doc_id") % 3 === 0)
