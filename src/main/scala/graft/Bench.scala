@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
   *
-  * Measurement protocol (adaptive_r9):
+  * Measurement protocol (adaptive_r10 = r9's rep scheduling + per-query
+  * plan-shape metrics {shuffle_mb, peak_mem_mb} in `spread`):
   *
   *   1. Input PRE-TOUCH, timed separately (`input_touch_sec`): every
   *      table gets one full-column noop-write scan before any query is
@@ -78,15 +79,51 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
 
+    // Plan-shape metrics (round-9 verdict "Next #6"): per-query shuffle
+    // WRITE volume and max per-task peak execution memory, collected by
+    // a SparkListener and drained synchronously before each snapshot.
+    // Wall time on 32 local cores hides a plan regression (an extra
+    // shuffle costs little over loopback tmpfs, everything at sf0.1
+    // fits in memory); these two numbers are the 100 TB failure modes
+    // the clock can't see — shuffle bytes scale with the data, and
+    // per-task peak memory is what decides spill-vs-OOM on a real
+    // executor.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          peakTaskMem.updateAndGet(cur => math.max(cur, m.peakExecutionMemory))
+          ()
+        }
+      }
+    })
+    // per-query metrics of the LAST successful run (reps of one query
+    // have identical plans, so any rep's shape is THE shape)
+    val qShuffleMb = scala.collection.mutable.Map.empty[String, Double]
+    val qPeakMemMb = scala.collection.mutable.Map.empty[String, Double]
+
     // A rep that THROWS is not a measurement: its elapsed time is
     // discarded (failure latency folded into a median would make a
     // broken query look like a timed one) and the error prints once.
     val errReported = scala.collection.mutable.Set.empty[String]
     def runOnce(q: OpQuery): Option[Double] = {
+      org.apache.spark.GraftSparkInternals
+        .waitListenerBusEmpty(spark.sparkContext, 10000)
+      shuffleBytes.set(0)
+      peakTaskMem.set(0)
       val t0 = System.nanoTime()
       try {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftSparkInternals
+          .waitListenerBusEmpty(spark.sparkContext, 10000)
+        qShuffleMb(q.name) = shuffleBytes.get() / 1048576.0
+        qPeakMemMb(q.name) = peakTaskMem.get() / 1048576.0
+        Some(dt)
       } catch { case e: Throwable =>
         if (errReported.add(q.name))
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -166,6 +203,8 @@ object Bench {
           body ++= "\"cold\":" + fmt(c)
         }
         body ++= ",\"reps_used\":" + r.times.length
+        qShuffleMb.get(r.name).foreach(v => body ++= ",\"shuffle_mb\":" + fmt(v))
+        qPeakMemMb.get(r.name).foreach(v => body ++= ",\"peak_mem_mb\":" + fmt(v))
         if (r.coldOnly) body ++= ",\"cold_only\":true"
         if (r.times.length < r.attempted)
           body ++= ",\"failed_reps\":" + (r.attempted - r.times.length)
@@ -208,7 +247,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // scalar summary LAST so a bounded stdout tail capture lands on it
-    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r9","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"sf":"$sfDir","value":$total}"""
+    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r10","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"sf":"$sfDir","value":$total}"""
     println(line)
     // The driver's log capture keeps only a 2000-char stdout tail — far
     // smaller than a 174-query JSON line — so also persist the artifact
