@@ -1302,9 +1302,15 @@ object TextStats {
     val (k1, b) = (Bm25K1, Bm25B)
     val tok = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("t"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    // ONE token shuffle: tf is the only aggregation that reads the raw
+    // token stream; dl (doc length) and df both fold from tf — dl =
+    // Σ tf per doc is the same count, computed over the much smaller
+    // (doc, term) frame instead of re-scanning and re-shuffling every
+    // token occurrence (r10: shaved a full token-scale exchange + a
+    // second tokenize pass off the r9 plan).
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val n = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val q = tf.filter(col("doc_id") < Bm25Queries)
       .select(col("doc_id").as("qid"), col("t"))
@@ -1328,15 +1334,20 @@ object TextStats {
 
   /** See the `t27` registry notes. `docs` needs (doc_id, text). */
   def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val big = toks
-      .withColumn("w2", lead(col("t"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("t").as("w1"), col("w2"))
+    val arr = docs.select(split(trim(col("text")), "\\s+").as("ts"))
+    // adjacent pairs straight off the token ARRAY (slice-zip) — bigram
+    // formation is a per-row projection, zero shuffle. The r9 plan
+    // shuffled and sorted EVERY token occurrence by doc_id just to run
+    // a lead() window whose answer was already adjacency in the array
+    // (r10: removed the plan's largest exchange + sort).
+    val big = arr
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
     val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val uc = toks.groupBy(col("t").as("w")).agg(count(lit(1)).as("c1"))
+    val uc = arr.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val nb = bc.agg(sum(col("c2")).as("nb"))
     val nu = uc.agg(sum(col("c1")).as("nu"))
     val sc = bc.filter(col("c2") >= minCount)
