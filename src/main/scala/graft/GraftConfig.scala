@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** THE config surface for the engine's durable-artifact lifecycle knobs
+  * (round-9 verdict "Next #7" — one documented place instead of a
+  * sysprop here and a parameter there). All keys live in the session's
+  * SparkConf under `spark.graft.*`, so they flow through
+  * `--conf`/`spark-defaults.conf`/`GraftSession.builder` like any other
+  * Spark setting and reach every executor-side consumer.
+  *
+  * | key | default | consumer |
+  * |---|---|---|
+  * | `spark.graft.spill.ttl.minutes` | 60 | [[graft.llm.Dedup]]'s stale-run
+  *   pruner: abandoned spill run-dirs under the LOCAL-MODE tmpdir
+  *   fallback older than this are reclaimed (explicit spillDir /
+  *   checkpoint dirs are caller-owned and never touched) |
+  * | `spark.graft.ledger.compact.every` | off | default compaction cadence
+  *   for the st9/st11 streaming ledgers: compact after every N-th tick
+  *   when the caller doesn't pass `compactEvery` explicitly |
+  *
+  * The legacy `graft.spill.ttl.minutes` JVM sysprop is honored as a
+  * fallback (it predates this surface); the SparkConf key wins.
+  */
+object GraftConfig {
+
+  val SpillTtlKey = "spark.graft.spill.ttl.minutes"
+  val LedgerCompactEveryKey = "spark.graft.ledger.compact.every"
+
+  def spillTtlMinutes(spark: SparkSession): Long =
+    spark.conf.getOption(SpillTtlKey)
+      .orElse(sys.props.get("graft.spill.ttl.minutes"))
+      .map(_.trim.toLong).getOrElse(60L)
+
+  /** None = no automatic ledger compaction (append-only until the
+    * caller compacts); Some(n ≥ 1) = compact every n-th tick.
+    */
+  def ledgerCompactEvery(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(LedgerCompactEveryKey)
+      .map(_.trim.toInt).filter(_ >= 1)
+}

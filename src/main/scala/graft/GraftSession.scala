@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Tuned session factory for the engine. The driver harness builds its own
   * sessions (Verify/Bench honor its env contract); library users get the
-  * scale posture here.
+  * scale posture here. Engine lifecycle knobs (spill-dir retention,
+  * streaming-ledger compaction cadence) are ordinary `spark.graft.*`
+  * conf keys — see [[GraftConfig]] for the documented surface; set them
+  * on this builder like any other Spark setting.
   */
 object GraftSession {
 

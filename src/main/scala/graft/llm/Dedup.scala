@@ -1174,9 +1174,9 @@ object Dedup {
     * read theirs) and (b) older than `graft.spill.ttl.minutes` (default
     * 60) — in /tmp that old means a dead process. Never throws.
     */
-  private def pruneStaleRuns(spark: SparkSession, base: String): Unit =
+  private[llm] def pruneStaleRuns(spark: SparkSession, base: String): Unit =
     try {
-      val ttlMs = sys.props.getOrElse("graft.spill.ttl.minutes", "60").toLong * 60000L
+      val ttlMs = graft.GraftConfig.spillTtlMinutes(spark) * 60000L
       val cutoff = System.currentTimeMillis() - ttlMs
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -516,12 +516,16 @@ object Streams {
     *
     * `compactEvery = Some(n)` compacts the ledger after every n-th tick
     * ([[compactIncrementalLedger]]) — the small-file lifecycle knob a
-    * long-running crawl needs.
+    * long-running crawl needs; when the caller passes None the cadence
+    * falls back to the session-level
+    * `spark.graft.ledger.compact.every` ([[graft.GraftConfig]]).
     */
   def runIncrementalNearDupStream(spark: SparkSession, srcDir: String,
       ledgerDir: String, outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
+    val compactCadence =
+      compactEvery.orElse(graft.GraftConfig.ledgerCompactEvery(spark))
     val schema = spark.read.parquet(srcDir).schema
     val reader = maxFilesPerTrigger.foldLeft(
       spark.readStream.schema(schema).format("parquet")) {
@@ -546,7 +550,7 @@ object Streams {
               .write.mode("append").parquet(ledgerDir)
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
-            if (compactEvery.exists(n => (batchId + 1) % n == 0))
+            if (compactCadence.exists(n => (batchId + 1) % n == 0))
               compactIncrementalLedger(spark, ledgerDir)
           } finally { bArt.unpersist(); () }
         }

@@ -275,6 +275,40 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("spill TTL pruner honors the spark.graft.spill.ttl.minutes conf (GraftConfig surface)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ttl-test").toString
+    def mk(name: String, ageMin: Long): java.io.File = {
+      val f = new java.io.File(base, name)
+      f.mkdirs()
+      f.setLastModified(System.currentTimeMillis() - ageMin * 60000L)
+      f
+    }
+    // two FOREIGN-session run dirs (no this-JVM session tag): one 30
+    // minutes old, one 3 hours old; plus a foreign-but-unknown-prefix
+    // dir the pruner must never touch
+    val young = mk("cc-deadbeef-aaaa", 30)
+    val old = mk("tok-deadbeef-bbbb", 180)
+    val other = mk("user-data", 500)
+    val prev = spark.conf.getOption(graft.GraftConfig.SpillTtlKey)
+    try {
+      // default TTL 60 min: only the 3-hour dir goes
+      spark.conf.unset(graft.GraftConfig.SpillTtlKey)
+      assert(graft.GraftConfig.spillTtlMinutes(spark) === 60L)
+      Dedup.pruneStaleRuns(spark, base)
+      assert(young.exists() && !old.exists() && other.exists())
+      // tightened to 5 min via the documented conf key: the 30-minute
+      // dir now goes too; unrelated dirs still untouched
+      spark.conf.set(graft.GraftConfig.SpillTtlKey, "5")
+      assert(graft.GraftConfig.spillTtlMinutes(spark) === 5L)
+      Dedup.pruneStaleRuns(spark, base)
+      assert(!young.exists() && other.exists(),
+        "conf-tightened TTL must reclaim the younger foreign run dir")
+    } finally {
+      prev.fold(spark.conf.unset(graft.GraftConfig.SpillTtlKey))(v =>
+        spark.conf.set(graft.GraftConfig.SpillTtlKey, v))
+    }
+  }
+
   test("releaseSpills: repeated corpusCleanFull calls do not accumulate spills") {
     val dir = java.nio.file.Files.createTempDirectory("graft-spill-test").toString
     val docs = (1L to 30L).map(i => (i, s"some plain document number $i with words"))
