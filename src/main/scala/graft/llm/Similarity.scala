@@ -363,11 +363,19 @@ object Similarity {
     * while the uniform fixture stays covered in SimilaritySpec as the
     * documented adversarial case with an explicit fraction.
     */
+  /** The fixture's generating centers — exposed so the s2 oracle can
+    * interpolate them as SQL literals (shortest-repr doubles round-trip
+    * exactly through DuckDB's parser).
+    */
+  def clusteredFixtureCenters(nClusters: Int = ClusteredFixtureC,
+      seed: Long = 7L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nClusters)(Seq.fill(64)(rng.nextGaussian() / 8.0))
+  }
+
   def clusteredEmbeddings(emb: DataFrame, nClusters: Int = ClusteredFixtureC,
       noiseScale: Double = ClusteredFixtureNoise, seed: Long = 7L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val centers: Seq[Seq[Double]] =
-      Seq.fill(nClusters)(Seq.fill(64)(rng.nextGaussian() / 8.0))
+    val centers = clusteredFixtureCenters(nClusters, seed)
     emb.select(col("vec_id"),
       zip_with(
         element_at(typedLit(centers),
@@ -933,6 +941,82 @@ object Similarity {
       .drop("recall_raw", "n_exact")
   }
 
+  private def sqlDoubleList(xs: Seq[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]")
+
+  /** The s2 full-oracle SQL — see the registry entry's notes. Built once
+    * at registry construction from the same seeded constants the Spark
+    * side uses ([[clusteredFixtureCenters]], [[hyperplanes]]), so the
+    * two can never diverge.
+    */
+  private def s2OracleSql: String = {
+    val planeVals = hyperplanes(64, ClusteredLshTables, ClusteredLshBits)
+      .zipWithIndex.flatMap { case (tp, t) =>
+        tp.zipWithIndex.map { case (p, b) => s"($t, $b, ${sqlDoubleList(p)})" }
+      }.mkString(",\n    ")
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    s"""WITH planes(tbl, bit, w) AS (VALUES
+       |    $planeVals),
+       |centers(cid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.cid = e.vec_id % $c
+       |),
+       |sigs AS (
+       |  SELECT f.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_sum([f.emb[i+1] * p.w[i+1] FOR i IN range(64)]) > 0
+       |             THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS sig
+       |  FROM fe f CROSS JOIN planes p GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, cc.vec_id AS vid
+       |  FROM sigs q JOIN sigs cc ON cc.tbl = q.tbl AND cc.sig = q.sig
+       |  WHERE q.vec_id < 8 AND cc.vec_id <> q.vec_id
+       |),
+       |norms AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |),
+       |approx AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM cand cd
+       |    JOIN fe a ON a.vec_id = cd.qid JOIN fe b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= 5
+       |),
+       |exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |    JOIN norms na ON na.vec_id = a.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= 5
+       |),
+       |rec AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
+       |)
+       |SELECT a.qid, a.vid, round(a.sim, 6) AS sim, r.recall
+       |FROM approx a CROSS JOIN rec r""".stripMargin
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact brute-force cosine top-5 for 8 probe queries --------------
@@ -973,7 +1057,20 @@ object Similarity {
     // stays high. Gate: recall ≥ 0.80, raise_error'd in-query.
     // SimilaritySpec keeps the near-uniform adversarial case measured
     // with its own explicit (48 × 7) parameterization.
-    rowsOnly("s2_ann_lsh") { (s, d) =>
+    //
+    // FULL oracle (round-9 stretch #8 — this was rows-only through r9):
+    // every stage is SF-independent constants + corpus data, so DuckDB
+    // replays the WHOLE pipeline — the seeded fixture centers and the
+    // 120 seeded hyperplanes ride the SQL as literals (shortest-repr
+    // doubles parse back bit-exact), signatures fold sign bits with the
+    // identical element-order dot, candidates bucket-join on
+    // (table, sig), and the exact-cosine re-rank + recall constant
+    // reuse the s1 conventions (raw-double ranking, 6-dp rounded
+    // output). s4/s15/s16/s18 stay in-query-gated: their codebook is
+    // TRAINED on the corpus (SF-dependent), and replaying 10 Lloyd
+    // iterations of chunk-ordered double sums in SQL proves nothing a
+    // recall gate doesn't.
+    sql("s2_ann_lsh", s2OracleSql) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val q = e.filter(col("vec_id") < 8)
       withRecallGate(lshTopK(q, e, 5, tables = ClusteredLshTables,
