@@ -394,6 +394,13 @@ object Dedup {
     * membership contract). Heals an interrupted swap first; an absent
     * store reads as empty.
     */
+  /** Edge bound up to which [[mergeClosureLabels]] folds a tick's
+    * representative graph driver-side (union-find) instead of spinning
+    * the distributed spill-looped closure — 2M edges ≈ 32 MB of longs,
+    * far inside the codebook-collect budget.
+    */
+  val MergeUnionFindMax: Int = 2000000
+
   def readClosureLabels(spark: SparkSession, labelsDir: String): DataFrame = {
     graft.core.DirSwap.recover(spark, labelsDir)
     val p = new org.apache.hadoop.fs.Path(labelsDir)
@@ -445,10 +452,48 @@ object Dedup {
       .select(least(col("ra"), col("rb")).as("doc_id_a"),
         greatest(col("ra"), col("rb")).as("doc_id_b"))
       .dropDuplicates("doc_id_a", "doc_id_b")
-    if (!repEdges.isEmpty) {
-      // batch-bounded closure over the representative graph
-      val comp = dedupClusters(repEdges)
-        .select(col("doc_id").as("__node"), col("comp_id").as("__nc"))
+    // batch-bounded closure over the representative graph. The rep
+    // graph's size is set by the MICRO-BATCH (≤ 2·|batch pairs|
+    // nodes), not the corpus, so up to a generous bound it runs as a
+    // driver-side union-find — the codebook rule (parameter/batch-
+    // bounded collects are sanctioned), and ~5 s cheaper per tick
+    // than spinning the spill-looped distributed closure for a graph
+    // of a few hundred edges. A catch-up tick that exceeds the bound
+    // (AvailableNow replaying a month of backlog) falls back to the
+    // full [[dedupClusters]] machinery — same labels either way
+    // (min-id components; DedupSpec's union-find property test pins
+    // the equivalence). ONE evaluation of the pair kernel: the collect
+    // below doubles as the emptiness check (a separate isEmpty would
+    // re-run the LSH/Jaccard pipeline).
+    import spark.implicits._
+    val edgeRows = repEdges.limit(MergeUnionFindMax + 1)
+      .as[(Long, Long)].collect()
+    if (edgeRows.nonEmpty) {
+      val comp: DataFrame =
+        if (edgeRows.length <= MergeUnionFindMax) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent.getOrElse(c, c); parent(c) = r; c = n
+            }
+            r
+          }
+          edgeRows.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+              parent(hi) = lo
+            }
+          }
+          val nodes = edgeRows.flatMap { case (a, b) => Seq(a, b) }.distinct
+          nodes.map(n => (n, find(n))).toSeq.toDF("__node", "__nc")
+        } else {
+          dedupClusters(repEdges)
+            .select(col("doc_id").as("__node"), col("comp_id").as("__nc"))
+        }
       // remap stored members of merged components; insert new docs.
       // __node keys are reps ∪ new doc ids — batch-bounded, so the
       // remap side of both joins is small (broadcastable; never the

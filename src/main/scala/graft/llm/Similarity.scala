@@ -1726,6 +1726,13 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
       corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
           cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+        // cluster by cell BEFORE the partitioned write: without it every
+        // task writes a file into every cell dir — tasks × nlist tiny
+        // files (the classic small-files blowup; measured 3× the build
+        // cost at test scale, and at 100 TB it poisons every later
+        // directory listing). One shuffle keyed on cell = one file set
+        // per cell, AQE-coalesced.
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments")
       root
     }
@@ -1766,6 +1773,7 @@ object Similarity {
       .map(r => r.getSeq[Double](1).toSeq).toSeq
     newVecs.select(col("vec_id").as("vid"), col("embedding").as("ve"),
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+      .repartition(col("cell")) // one appended file set per cell (see build)
       .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
     // the corpus under this snapshot key just GREW: the memoized count
     // would mis-size every later derived parameter (nlist, and through
@@ -1853,32 +1861,46 @@ object Similarity {
     * (dim, bucket) — 64·4 rows of state however large the corpus.
     */
   def embeddingDrift(emb: DataFrame, basePred: Column): DataFrame = {
+    // ONE aggregation pass (r10): the bucket dimension is a FIXED
+    // four-way split, so per-(dim, bucket) counts ride the same
+    // groupBy(dim) as the decimal means — 8 conditional counters per
+    // row instead of a second scan/shuffle keyed (dim, bucket) plus a
+    // re-join. The r9 three-branch form re-executed the posexplode (and
+    // the partitioned-index read feeding it in the s20 lifecycle) three
+    // times; the PSI arithmetic is unchanged — same smoothed terms,
+    // summed over the four buckets, 6-dp rounded.
     val e = emb.select(basePred.as("__b"), posexplode(col("embedding")))
       .select(col("__b"), col("pos").cast("long").as("dim"),
         col("col").cast("double").as("x"))
-    val stats = e.groupBy(col("dim")).agg(
+      .withColumn("bk",
+        least(greatest(floor((col("x") + 1.0) / 0.5), lit(0.0)), lit(3.0))
+          .cast("int"))
+    val bucketAggs = (0 until DriftBuckets).flatMap { k =>
+      Seq(count(when(col("__b") && col("bk") === k, 1)).as(s"cb$k"),
+        count(when(!col("__b") && col("bk") === k, 1)).as(s"cd$k"))
+    }
+    val aggCols: Seq[Column] = Seq(
       (sum(when(col("__b"), col("x").cast("decimal(25,12)"))).cast("double") /
         count(when(col("__b"), 1))).as("mb"),
       (sum(when(!col("__b"), col("x").cast("decimal(25,12)"))).cast("double") /
         count(when(!col("__b"), 1))).as("md"),
       count(when(col("__b"), 1)).as("nb"),
-      count(when(!col("__b"), 1)).as("nd"))
-    val bc = e
-      .withColumn("bk",
-        least(greatest(floor((col("x") + 1.0) / 0.5), lit(0.0)), lit(3.0)))
-      .groupBy(col("dim"), col("bk"))
-      .agg(count(when(col("__b"), 1)).as("cb"),
-        count(when(!col("__b"), 1)).as("cd"))
-    val p = (col("cb") + 1.0) / (col("nb") + 4.0)
-    val q = (col("cd") + 1.0) / (col("nd") + 4.0)
-    val psi = bc.join(stats.select(col("dim"), col("nb"), col("nd")), Seq("dim"))
-      .select(col("dim"), ((p - q) * log(p / q)).as("term"))
-      .groupBy(col("dim")).agg(round(sum(col("term")), 6).as("psi"))
-    stats.join(psi, Seq("dim"))
-      .select(col("dim"), round(col("mb"), 6).as("mean_base"),
-        round(col("md"), 6).as("mean_delta"),
-        round(abs(col("mb") - col("md")), 6).as("mean_shift"),
-        col("psi"))
+      count(when(!col("__b"), 1)).as("nd")) ++ bucketAggs
+    val g = e.groupBy(col("dim")).agg(aggCols.head, aggCols.tail: _*)
+    val psiTerms = (0 until DriftBuckets).map { k =>
+      val p = (col(s"cb$k") + 1.0) / (col("nb") + 4.0)
+      val q = (col(s"cd$k") + 1.0) / (col("nd") + 4.0)
+      // an EMPTY bucket (no rows on either side) contributes no term —
+      // the grouped formulation (and the oracle's GROUP BY dim, bk)
+      // never materializes it, and its smoothed pseudo-term is nonzero
+      // whenever nb ≠ nd
+      when(col(s"cb$k") + col(s"cd$k") > 0, (p - q) * log(p / q))
+        .otherwise(lit(0.0))
+    }
+    g.select(col("dim"), round(col("mb"), 6).as("mean_base"),
+      round(col("md"), 6).as("mean_delta"),
+      round(abs(col("mb") - col("md")), 6).as("mean_shift"),
+      round(psiTerms.reduce(_ + _), 6).as("psi"))
   }
 
   /** Serve top-k from a persisted IVF index (see `s16`): centroids are a
