@@ -1353,6 +1353,30 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** d27's split discipline over a MAINTAINED label store — the st11
+    * consumption path: at a continuously-growing corpus the closure
+    * labels come off the incremental fold ([[mergeClosureLabels]] /
+    * `Streams.runIncrementalClosureStream`) instead of the full-corpus
+    * d8 recompute [[leakageSafeSplit]] pays per run. One keyed join of
+    * the doc spine against the label store (coalesce to self for
+    * never-paired docs), then the same representative-hash bucketing —
+    * so the split assignment a doc gets the day it arrives is the one
+    * the batch recompute would give (DedupSpec pins the equivalence on
+    * the st11 label set).
+    */
+  def leakageSafeSplitFromLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val allc = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+    val repBucket = docs.select(col("doc_id").as("comp_id"),
+      (conv(substring(contentHash(col("text")), 1, 8), 16, 10).cast("long") % 100)
+        .as("bucket"))
+    allc.join(repBucket, Seq("comp_id"))
+      .select(col("doc_id"), col("comp_id"), col("bucket"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   def clusterKeepBest(docs: DataFrame): DataFrame = {
     val comp = dedupClusters(minhashPairs(docs))
     val sw = typedLit(graft.llm.TextStats.enStopwords)

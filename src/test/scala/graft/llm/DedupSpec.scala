@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -273,6 +273,37 @@ class DedupSpec extends SparkSpec {
     // and the keeper (12) falls through to boilerplate — the precedence
     // chain exercised end-to-end
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
+  }
+
+  test("leakage-safe split from MAINTAINED labels: st11 consumption path, zero leakage, singletons = q76") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    // labels as the st11 fold produces them (2-tick incremental closure)
+    val labels = Dedup.incrementalClosure(docs, col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("comp_id").as("comp"))
+    val out = Dedup.leakageSafeSplitFromLabels(docs, labels)
+      .select("doc_id", "comp_id", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === nDocs)
+    // zero leakage w.r.t. the maintained component set: every doc in a
+    // component carries its representative's split
+    val comps = labels.as[(Long, Long)].collect()
+    comps.foreach { case (d, c) =>
+      assert(out(d)._1 === c)
+      assert(out(d)._2 === out(c)._2,
+        s"doc $d split ${out(d)._2} != its representative $c's ${out(c)._2}")
+    }
+    // never-paired docs reduce to the per-doc q76 discipline (own hash)
+    val labeled = comps.map(_._1).toSet
+    val q76 = graft.SparkEntry.registry.find(_.name == "q76_hash_split").get
+      .run(spark, sf).select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.foreach { case (d, (c, s)) =>
+      if (!labeled.contains(d)) {
+        assert(c === d, s"unlabeled doc $d must represent itself")
+        assert(s === q76(d), s"singleton $d must take its q76 split")
+      }
+    }
+    Dedup.releaseSpills(spark)
   }
 
   test("spill TTL pruner honors the spark.graft.spill.ttl.minutes conf (GraftConfig surface)") {
