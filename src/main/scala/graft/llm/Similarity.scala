@@ -1700,8 +1700,90 @@ object Similarity {
           round(lit(forcedShare), 4).as("forced_max_share"),
           round(lit(retrainedShare), 4).as("retrained_max_share")),
         bruteTopK(q, full, 5), minRecall = 0.80)
+    },
+
+    // ---- matryoshka truncation eval (r10) --------------------------------
+    // The MRL deployment question: how much retrieval quality survives
+    // serving a PREFIX of each embedding (matryoshka-style truncation —
+    // the main lever for shrinking a 100 TB vector store's serving
+    // footprint)? Exact top-5 under the first-16-dim cosine, each hit
+    // flagged against the full-64-dim exact top-5, plus the global
+    // recall@5 constant — the number a deployment reads before cutting
+    // dims. FULL oracle: both rankings replay in DuckDB via the s1
+    // elems/norms/dots pattern (raw-double ranks, 6-dp rounded output),
+    // the truncated side simply bounding the element index.
+    sql("s21_matryoshka_eval",
+      s"""WITH elems AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(range(len(embedding))) AS i
+         |  FROM embeddings
+         |), tn AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems
+         |  WHERE i < $MatryoshkaDims GROUP BY vec_id
+         |), tdots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+         |  FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8 AND a.i < $MatryoshkaDims GROUP BY 1, 2
+         |), trunc AS (
+         |  SELECT qid, vid, sim FROM (
+         |    SELECT d.qid, d.vid, d.dot / (nq.nrm * nv.nrm) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY d.qid
+         |        ORDER BY d.dot / (nq.nrm * nv.nrm) DESC, d.vid) AS rn
+         |    FROM tdots d JOIN tn nq ON nq.vec_id = d.qid
+         |                 JOIN tn nv ON nv.vec_id = d.vid) t
+         |  WHERE rn <= 5
+         |), fn AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM elems GROUP BY vec_id
+         |), fdots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+         |  FROM elems a JOIN elems b ON a.i = b.i AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8 GROUP BY 1, 2
+         |), fullk AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT d.qid, d.vid,
+         |      ROW_NUMBER() OVER (PARTITION BY d.qid
+         |        ORDER BY d.dot / (nq.nrm * nv.nrm) DESC, d.vid) AS rn
+         |    FROM fdots d JOIN fn nq ON nq.vec_id = d.qid
+         |                 JOIN fn nv ON nv.vec_id = d.vid) t
+         |  WHERE rn <= 5
+         |), rec AS (
+         |  SELECT round(CAST((SELECT count(*) FROM trunc JOIN fullk USING (qid, vid))
+         |    AS DOUBLE) / (SELECT count(*) FROM fullk), 4) AS recall_trunc
+         |)
+         |SELECT t.qid, t.vid, round(t.sim, 6) AS sim,
+         |  f.qid IS NOT NULL AS hit, r.recall_trunc
+         |FROM trunc t
+         |LEFT JOIN fullk f ON f.qid = t.qid AND f.vid = t.vid
+         |CROSS JOIN rec r""".stripMargin) { (s, d) =>
+      matryoshkaEval(Tables.embeddings(s, d), MatryoshkaDims, 5)
     }
   )
+
+  /** Prefix length of the s21 matryoshka eval — shared with its oracle. */
+  val MatryoshkaDims = 16
+
+  /** See the `s21` registry notes. Truncated-serving recall eval:
+    * top-`k` under the first-`dims` cosine vs the full-width exact
+    * baseline. Both sides are the [[bruteTopK]] plan shape (corpus
+    * streams, bounded query side broadcasts, k·|queries| rows shuffle);
+    * truncation itself is a zero-shuffle `slice` projection.
+    */
+  def matryoshkaEval(emb: DataFrame, dims: Int, k: Int): DataFrame = {
+    val t = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val trunc = bruteTopK(t.filter(col("vec_id") < 8), t, k)
+    val full = bruteTopK(emb.filter(col("vec_id") < 8), emb, k)
+      .select(col("qid"), col("vid"), lit(true).as("__f"))
+    val flagged = trunc.join(full, Seq("qid", "vid"), "left")
+      .select(col("qid"), col("vid"), col("sim"),
+        col("__f").isNotNull.as("hit"))
+    val rec = flagged.agg(
+      round(sum(when(col("hit"), 1).otherwise(0)).cast("double") /
+        lit(8L * k), 4).as("recall_trunc"))
+    flagged.crossJoin(broadcast(rec))
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"),
+        col("hit"), col("recall_trunc"))
+  }
 
   /** Build the persistent IVF index for a corpus: centroids + cell-
     * partitioned assignments under a spill dir. Returns the index root.

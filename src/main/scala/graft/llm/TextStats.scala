@@ -1267,8 +1267,70 @@ object TextStats {
           when(sum(col("n")) === 0, lit(0.0))
             .otherwise(round(sum(greatest(col("n") - 64, lit(0L))) * lit(1.0) /
               sum(col("n")), 6)).as("lost_frac"))
+    },
+
+    // ---- temperature-scaled source mixture weights (r10) -----------------
+    // THE pre-training mixing recipe (Pile/LLaMA posture): sampling a
+    // multi-source corpus proportionally to size lets the head source
+    // drown the tail, so sources are re-weighted by n_tok^α with a
+    // temperature α < 1 — here α = 0.5 (sqrt — chosen over a general
+    // pow() so both engines compute the IDENTICAL libm-free primitive).
+    // Emits, per source: exact token count, natural fraction, the
+    // α-tempered sampling weight, and the implied epoch count (> 1 =
+    // the source repeats) at a budget of one corpus-size of tokens.
+    // The weight denominator Σ√n folds in LEXICOGRAPHIC source order on
+    // both engines (DuckDB list_sum over an ORDER BY source list; Spark
+    // a |sources|-row ordered driver fold — the t21 bounded-rows rule),
+    // so the double sum is bit-identical regardless of partitioning.
+    sql("t32_mixture_weights",
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tok FROM d GROUP BY source
+        |), t AS (
+        |  SELECT CAST(sum(n_tok) AS BIGINT) AS tot,
+        |    list_sum(list(sqrt(CAST(n_tok AS DOUBLE)) ORDER BY source)) AS wsum
+        |  FROM s
+        |)
+        |SELECT source, n_tok,
+        |  round(CAST(n_tok AS DOUBLE) / t.tot, 6) AS nat_frac,
+        |  round(sqrt(CAST(n_tok AS DOUBLE)) / t.wsum, 6) AS weight,
+        |  round(sqrt(CAST(n_tok AS DOUBLE)) / t.wsum * t.tot / n_tok, 6) AS epochs
+        |FROM s, t""".stripMargin) { (s, d) =>
+      mixtureWeights(Tables.documents(s, d))
     }
   )
+
+  /** See the `t32` registry notes. `docs` needs (source, text). Scale
+    * shape: one token-count aggregation keyed on source; the per-source
+    * frame is |sources| rows (the t21 bounded rule), so the ordered
+    * driver fold of the √n denominator and the broadcast of the 2-value
+    * totals are both parameter-bounded. α is fixed at 0.5 (√ tempering)
+    * so the tempered mass is a libm-free primitive both engines compute
+    * bit-identically.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val s = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
+    // |sources| rows: fold Σ√n in lexicographic source order so the
+    // double accumulation can't depend on partitioning (the oracle's
+    // list_sum(... ORDER BY source) folds identically)
+    val perSource = s.orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = perSource.map(_._2).sum
+    val wsum = perSource.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    s.select(col("source"), col("n_tok"),
+      round(col("n_tok").cast("double") / lit(tot), 6).as("nat_frac"),
+      round(sqrt(col("n_tok").cast("double")) / lit(wsum), 6).as("weight"),
+      round(sqrt(col("n_tok").cast("double")) / lit(wsum) * lit(tot) /
+        col("n_tok"), 6).as("epochs"))
+  }
 
   /** See the `t29` registry notes. `docs` needs (source, text). */
   def sourceKl(docs: DataFrame): DataFrame = {

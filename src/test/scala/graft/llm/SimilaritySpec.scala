@@ -540,6 +540,31 @@ class SimilaritySpec extends SparkSpec {
     assert(misrouted === 0L, s"$misrouted appended vectors routed to a non-argmin cell")
   }
 
+  test("matryoshka eval: hit flags = trunc∩full, recall in [0,1], full-width is identity") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.matryoshkaEval(e, Similarity.MatryoshkaDims, 5)
+      .select("qid", "vid", "hit", "recall_trunc")
+      .as[(Long, Long, Boolean, Double)].collect()
+    assert(out.length === 8 * 5, "exact top-5 per truncated query")
+    val full = Similarity.bruteTopK(e.filter(col("vec_id") < 8), e, 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    out.foreach { case (q, v, hit, _) =>
+      assert(hit === full.contains((q, v)), s"hit flag for ($q,$v)")
+    }
+    val recall = out.head._4
+    assert(out.forall(_._4 === recall), "recall is a global constant column")
+    assert(recall === out.count(_._3).toDouble / 40,
+      "recall must equal the hit fraction")
+    assert(recall >= 0.0 && recall <= 1.0)
+    // truncating to the full width must reproduce the exact baseline
+    val ident = Similarity.matryoshkaEval(e, 64, 5)
+      .select("qid", "vid", "hit", "recall_trunc")
+      .as[(Long, Long, Boolean, Double)].collect()
+    assert(ident.forall(_._3), "full-width truncation: every row is a hit")
+    assert(ident.head._4 === 1.0)
+    assert(ident.map(r => (r._1, r._2)).toSet === full)
+  }
+
   test("s15 registry query: recall gate passes and is deterministic across runs") {
     val run1 = graft.SparkEntry.registry.find(_.name == "s15_knn_graph").get
       .run(spark, sf).collect().map(_.toString).sorted

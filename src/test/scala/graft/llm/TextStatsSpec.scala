@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 import org.scalactic.Tolerance._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -330,5 +330,40 @@ class TextStatsSpec extends SparkSpec {
     val solo = TextStats.sourceKl(
       Seq(("only", "x y z x")).toDF("source", "text")).collect()
     assert(solo.length === 1 && solo(0).getDouble(3) === 0.0)
+  }
+
+  test("mixture weights: hand-computed √-tempered 2-source case + conservation laws") {
+    // sources of 100 and 400 tokens: √-tempering gives weights
+    // 10/30 and 20/30 — the small source is BOOSTED vs its natural
+    // 0.2/0.8 share; epochs = weight·total/n
+    val docs = Seq(
+      ("small", ("tok " * 100).trim),
+      ("big", ("tok " * 400).trim)
+    ).toDF("source", "text")
+    val out = TextStats.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("small")._1 === 100L && out("big")._1 === 400L)
+    assert(out("small")._2 === 0.2 && out("big")._2 === 0.8)
+    assert(math.abs(out("small")._3 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("big")._3 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("small")._4 - 500.0 / 3 / 100) < 1e-5)
+    assert(math.abs(out("big")._4 - 2 * 500.0 / 3 / 400) < 1e-5)
+    // conservation on the real corpus: weights sum to 1 and the epoch-
+    // weighted token mass re-assembles the budget
+    val real = TextStats.mixtureWeights(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(math.abs(real.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
+    val tot = real.map(_._1).sum.toDouble
+    assert(math.abs(real.map(r => r._4 * r._1).sum - tot) < tot * 1e-4,
+      "epoch-weighted token mass must equal the budget")
+    // √-tempering compresses the spread: every source's weight sits
+    // strictly between its natural share and the uniform share
+    val uni = 1.0 / real.length
+    real.foreach { case (_, nat, w, _) =>
+      if (math.abs(nat - uni) > 1e-4)
+        assert((w > math.min(nat, uni) - 1e-9) && (w < math.max(nat, uni) + 1e-9),
+          s"tempered weight $w must lie between natural $nat and uniform $uni")
+    }
   }
 }
