@@ -1702,6 +1702,56 @@ object Similarity {
         bruteTopK(q, full, 5), minRecall = 0.80)
     },
 
+    // ---- RTBF purge of the persisted vector index (r10) ------------------
+    // The q80 cascade reaching the ANN index: tombstoned vectors (the
+    // corpus-proportional doc_id%97 campaign shape) removed by a
+    // PARTITION-PRUNED rewrite — only cells holding a tombstone are
+    // read and republished (crash-safe per-cell swap); every other
+    // cell's FILES must survive byte-identical. Gates, all in-query:
+    // zero tombstoned vectors remain, the row ledger reconciles
+    // (after = before − |tombstoned∩index|), untouched cells' file
+    // inventories unchanged, and post-purge serving recall for
+    // surviving queries clears the s4 floor against brute force over
+    // the purged corpus.
+    rowsOnly("s22_ivf_index_purge") { (s, d) =>
+      val e = clusteredEmbeddings(Tables.embeddings(s, d))
+      val idx = ivfIndexBuild(e)
+      def filesByCell(): Map[String, Set[String]] =
+        s.read.parquet(s"$idx/assignments").inputFiles.toSet
+          .groupBy(f => f.substring(f.indexOf("cell=")).takeWhile(_ != '/'))
+      val beforeFiles = filesByCell()
+      val before = s.read.parquet(s"$idx/assignments")
+      val nBefore = before.count()
+      val tomb = e.filter(pmod(col("vec_id"), lit(97)) === 0).select(col("vec_id"))
+      val nTomb = tomb.count()
+      val hit = before
+        .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+        .select(col("cell")).distinct().collect()
+        .map(r => s"cell=${r.getInt(0)}").toSet
+      ivfIndexPurge(s, idx, tomb)
+      val after = s.read.parquet(s"$idx/assignments")
+      val afterFiles = filesByCell()
+      val untouchedOk =
+        beforeFiles.view.filterKeys(k => !hit(k)).toMap ==
+          afterFiles.view.filterKeys(k => !hit(k)).toMap
+      val remainingTomb = after
+        .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+        .count()
+      val nAfter = after.count()
+      val survivors = e.join(tomb, Seq("vec_id"), "left_anti")
+      val q = survivors.filter(col("vec_id") < 24)
+      withRecallGate(
+        ivfIndexQuery(s, idx, q, 5).select(col("qid"), col("vid"),
+          when(lit(remainingTomb > 0), raise_error(
+            lit(s"purge left $remainingTomb tombstoned vectors in the index")))
+            .when(lit(nAfter != nBefore - nTomb), raise_error(
+              lit(s"purge ledger mismatch: $nAfter != $nBefore - $nTomb")))
+            .when(lit(!untouchedOk), raise_error(
+              lit("purge rewrote files in cells holding no tombstone")))
+            .otherwise(col("sim")).as("sim")),
+        bruteTopK(q, survivors, 5), minRecall = 0.80)
+    },
+
     // ---- matryoshka truncation eval (r10) --------------------------------
     // The MRL deployment question: how much retrieval quality survives
     // serving a PREFIX of each embedding (matryoshka-style truncation —
@@ -1864,6 +1914,53 @@ object Similarity {
     // lifecycle; [[embeddingDrift]]/[[ivfAppendOrRetrain]] decide when
     // that stops being OK.
     cacheKey.foreach(corpusCountCache.remove)
+  }
+
+  /** Right-to-be-forgotten cascade into the PERSISTED vector index —
+    * q80 rewrites the serving datasets, `purgeIncrementalLedger` the
+    * text-dedup index, and this the ANN index: embeddings are
+    * doc-DERIVED artifacts, so a deletion request must reach them too.
+    * PARTITION-PRUNED rewrite: only the cells that actually hold a
+    * tombstoned vector are read (directory-level pruning via the
+    * bounded hit-cell list — ≤ nlist ints) and rewritten in ONE
+    * anti-join job; every other cell's files are untouched (spec-
+    * asserted byte-for-byte), so at 100 TB the purge cost scales with
+    * the tombstones' cell footprint, not the index size. Each hit
+    * cell's directory publishes through the crash-safe
+    * [[graft.core.DirSwap]]. Centroids are unaffected — a purge does
+    * not shift the routing geometry (drift, if the corpus shrinks
+    * unevenly, is [[embeddingDrift]]'s job to flag).
+    */
+  def ivfIndexPurge(spark: SparkSession, indexRoot: String,
+      tombVecIds: DataFrame): Unit = {
+    val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()
+    val assignments = spark.read.parquet(s"$indexRoot/assignments")
+    // cells holding tombstoned vectors: bounded by nlist (collect is
+    // sanctioned — ≤ 2^16 ints however large the corpus or the request)
+    val hitCells = assignments.join(tomb, Seq("vid"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    if (hitCells.nonEmpty) {
+      val tmpRoot = s"$indexRoot/assignments__purging"
+      // one pruned scan of the hit cells, one anti-join (no broadcast
+      // hint — deletion campaigns are corpus-proportional, the q80 rule),
+      // clustered back to one file set per cell
+      assignments.filter(col("cell").isin(hitCells.map(Integer.valueOf): _*))
+        .join(tomb, Seq("vid"), "left_anti")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmpRoot)
+      val fs = new org.apache.hadoop.fs.Path(indexRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      hitCells.foreach { k =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/cell=$k")
+        val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments/cell=$k")
+        // a cell whose EVERY vector was tombstoned has no tmp dir —
+        // drop the live dir (the swap would strand the old content)
+        if (fs.exists(tmp)) graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+        else { fs.delete(dst, true); () }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+      ()
+    }
   }
 
   /** PSI at/above which an append batch triggers a codebook rebuild —

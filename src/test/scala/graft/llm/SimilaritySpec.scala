@@ -540,6 +540,42 @@ class SimilaritySpec extends SparkSpec {
     assert(misrouted === 0L, s"$misrouted appended vectors routed to a non-argmin cell")
   }
 
+  test("ivf index purge: tombstones gone, survivors byte-identical, untouched cells' files untouched") {
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfIndexBuild(e)
+    val tomb = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val before = spark.read.parquet(s"$idx/assignments")
+    val survivorsBefore = before
+      .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_anti")
+      .select("vid", "cell").as[(Long, Int)].collect().toSet
+    val hitCells = before
+      .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+      .select("cell").distinct().as[Int].collect().toSet
+    def files(): Map[String, Set[String]] =
+      spark.read.parquet(s"$idx/assignments").inputFiles.toSet
+        .groupBy(f => f.substring(f.indexOf("cell=")).takeWhile(_ != '/'))
+    val filesBefore = files()
+
+    Similarity.ivfIndexPurge(spark, idx, tomb)
+
+    val after = spark.read.parquet(s"$idx/assignments")
+    assert(after.join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+      .count() === 0L, "no tombstoned vector may survive")
+    assert(after.select("vid", "cell").as[(Long, Int)].collect().toSet
+      === survivorsBefore, "survivors must keep their rows and cell assignments")
+    val filesAfter = files()
+    filesBefore.foreach { case (cell, fs) =>
+      val k = cell.stripPrefix("cell=").toInt
+      if (!hitCells(k))
+        assert(filesAfter.get(cell).contains(fs),
+          s"$cell holds no tombstone but its files changed")
+    }
+    // idempotent: purging the same tombstones again is a no-op
+    val snapshot = files()
+    Similarity.ivfIndexPurge(spark, idx, tomb)
+    assert(files() === snapshot, "re-purge of already-purged ids must not rewrite")
+  }
+
   test("matryoshka eval: hit flags = trunc∩full, recall in [0,1], full-width is identity") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.matryoshkaEval(e, Similarity.MatryoshkaDims, 5)
