@@ -1282,6 +1282,45 @@ object TextStats {
     // both engines (DuckDB list_sum over an ORDER BY source list; Spark
     // a |sources|-row ordered driver fold — the t21 bounded-rows rule),
     // so the double sum is bit-identical regardless of partitioning.
+    // ---- packed training shards manifest (r10) ---------------------------
+    // The terminal op of the preparation story (clean → dedup → split →
+    // pack → SHARD): t9's 2048-token packs routed to shards
+    // (pack_id mod 4 within source — packs are already arrival-ordered,
+    // so this is round-robin by construction) with the per-(source,
+    // shard) reproducibility record a trainer reads: pack/doc/token
+    // counts, FILL fraction of the 2048-token budget (padding waste —
+    // the number that decides whether the packer earns its keep), and
+    // the q78-convention mod-2^63 content checksum so a re-shard is
+    // provably the same data. Scale shape: t9's two-pass distributed
+    // cumsum feeds ONE keyed aggregation; |sources|·4 output rows.
+    sql("t33_packed_shards",
+      """WITH t AS (
+        |  SELECT doc_id, source, sha256(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, h, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), p AS (
+        |  SELECT source, doc_id, h, n_tok,
+        |    (cum - n_tok) // 2048 AS pack_id,
+        |    ((cum - n_tok) // 2048) % 4 AS shard
+        |  FROM r
+        |)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / (count(DISTINCT pack_id) * 2048), 6)
+        |    AS fill_frac,
+        |  CAST(sum(CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT) AS BIGINT))
+        |    % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum
+        |FROM p GROUP BY source, shard""".stripMargin) { (s, d) =>
+      packedShards(Tables.documents(s, d))
+    },
+
     sql("t32_mixture_weights",
       """WITH d AS (
         |  SELECT source,
@@ -1303,6 +1342,32 @@ object TextStats {
       mixtureWeights(Tables.documents(s, d))
     }
   )
+
+  /** See the `t33` registry notes. `docs` needs (doc_id, source, text).
+    * t9's two-pass distributed cumsum (never a per-source single-task
+    * window) feeds one aggregation keyed (source, shard); the checksum
+    * is q78's commutative mod-2^63 sum, so shard manifests merge
+    * algebraically like dataset manifests do.
+    */
+  def packedShards(docs: DataFrame): DataFrame = {
+    val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+    val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
+    val t = docs.select(col("doc_id"), col("source"), h32.as("h32"),
+      bpeishCount(col("text")).as("n_tok"))
+    val packed = graft.operators.Relational
+      .groupedRunningSum(t, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum")
+      .select(col("source"), col("h32"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
+    packed
+      .withColumn("shard", pmod(col("pack_id"), lit(4)))
+      .groupBy(col("source"), col("shard"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        round(sum(col("n_tok")).cast("double") /
+          (countDistinct(col("pack_id")) * 2048), 6).as("fill_frac"),
+        (sum(col("h32").cast("decimal(38,0)")) % mod63).cast("long").as("checksum"))
+  }
 
   /** See the `t32` registry notes. `docs` needs (source, text). Scale
     * shape: one token-count aggregation keyed on source; the per-source

@@ -332,6 +332,32 @@ class TextStatsSpec extends SparkSpec {
     assert(solo.length === 1 && solo(0).getDouble(3) === 0.0)
   }
 
+  test("packed shards: consistent with t9 packs; fill ≤ 1; checksums/token mass conserve") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextStats.packedShards(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    // re-derive from the t9 registry query: same packs, same routing
+    val t9 = graft.SparkEntry.registry.find(_.name == "t9_sequence_packing").get
+      .run(spark, sf).select("doc_id", "source", "n_tok", "pack_id")
+      .as[(Long, String, Long, Long)].collect()
+    val byShard = t9.groupBy(r => (r._2, ((r._4 % 4) + 4) % 4))
+    assert(out.keySet === byShard.keySet)
+    byShard.foreach { case (k, rows) =>
+      val (nPacks, nDocs, nTok, fill, _) = out(k)
+      assert(nPacks === rows.map(_._4).distinct.length, s"$k n_packs")
+      assert(nDocs === rows.length.toLong, s"$k n_docs")
+      assert(nTok === rows.map(_._3).sum, s"$k n_tok")
+      assert(fill > 0.0 && fill <= 1.0 + 1e-9, s"$k fill_frac $fill")
+    }
+    // conservation: shard manifests partition the corpus exactly
+    assert(out.values.map(_._2).sum === docs.count())
+    // and the mod-2^63 checksum matters: shards with different content
+    // must (overwhelmingly) differ
+    assert(out.values.map(_._5).toSet.size > 1)
+  }
+
   test("mixture weights: hand-computed √-tempered 2-source case + conservation laws") {
     // sources of 100 and 400 tokens: √-tempering gives weights
     // 10/30 and 20/30 — the small source is BOOSTED vs its natural
