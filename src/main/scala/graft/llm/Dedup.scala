@@ -1149,7 +1149,7 @@ object Dedup {
     * unshared file:/tmp would break (or silently partial-read) the
     * write/read cycle, so refuse loudly.
     */
-  private[llm] def spillBase(spark: SparkSession, spillDir: Option[String],
+  private[graft] def spillBase(spark: SparkSession, spillDir: Option[String],
       what: String): String =
     spillDir
       .orElse(spark.sparkContext.getCheckpointDir)
@@ -1173,7 +1173,7 @@ object Dedup {
   private val sessionTag: String =
     java.lang.Long.toHexString(java.util.UUID.randomUUID().getMostSignificantBits)
 
-  private[llm] def runDirName(prefix: String): String =
+  private[graft] def runDirName(prefix: String): String =
     s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
 
   /** Run dirs created by THIS session whose returned plans may still be
@@ -1183,7 +1183,7 @@ object Dedup {
     */
   private val liveSpills = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  private[llm] def trackSpill(dir: String): String = { liveSpills.add(dir); dir }
+  private[graft] def trackSpill(dir: String): String = { liveSpills.add(dir); dir }
 
   /** Delete every spill directory this session has created so far. The
     * CALLER asserts the plans those spills back are fully consumed — a

@@ -1841,12 +1841,16 @@ object Similarity {
     * [[persistedIndexCache]] — the build-once contract.
     */
   def ivfIndexBuild(corpus: DataFrame, nlist: Option[Int] = None,
-      seed: Long = 42L, cacheKey: Option[String] = None): String = {
+      seed: Long = 42L, cacheKey: Option[String] = None,
+      targetDir: Option[String] = None): String = {
     val nl = nlist.getOrElse(deriveNlist(corpusCount(corpus, cacheKey)))
     def build(): String = {
       val spark = corpus.sparkSession
-      val root = Dedup.trackSpill(
-        s"${Dedup.spillBase(spark, None, "ivfIndexBuild")}/${Dedup.runDirName("ivfidx")}")
+      // an explicit target (the st12 generation-dir lifecycle) is
+      // caller-owned — not spill-tracked, deterministic path, so a
+      // replayed build overwrites the SAME directory
+      val root = targetDir.getOrElse(Dedup.trackSpill(
+        s"${Dedup.spillBase(spark, None, "ivfIndexBuild")}/${Dedup.runDirName("ivfidx")}"))
       val centers = cacheKey match {
         case Some(key) =>
           codebookCache.getOrElseUpdate((key, nl, seed), trainCodebook(corpus, nl, seed))
@@ -1916,6 +1920,46 @@ object Similarity {
     cacheKey.foreach(corpusCountCache.remove)
   }
 
+  /** Streaming-append form of [[ivfIndexAppend]] — the st12 lifecycle's
+    * per-tick write: the batch lands as its own
+    * `deltas/batch=<id>/cell=<k>` partition tree, OVERWRITTEN whole, so
+    * a replayed micro-batch rewrites identical content instead of
+    * double-appending (parquet `append` mode cannot be made idempotent;
+    * a per-batch overwrite can — the exactly-once trick the in-place
+    * s18 append lacks). Serving reads base ∪ deltas
+    * ([[ivfIndexAssignments]]); a RETRAIN generation absorbs all deltas
+    * (the rebuild reads the union), which is the delta-compaction
+    * lifecycle.
+    */
+  def ivfIndexAppendDelta(spark: SparkSession, indexRoot: String,
+      newVecs: DataFrame, batchId: Long): Unit = {
+    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    newVecs.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexRoot/deltas/batch=$batchId")
+  }
+
+  /** Every assignment row of an index root: the base cell table plus any
+    * streaming delta batches ([[ivfIndexAppendDelta]]). A cell predicate
+    * on the result prunes at the DIRECTORY level on both sides (cell is
+    * a partition column in base and in every delta batch). With no
+    * deltas this IS the base read — the s16 pruning spec's plan shape is
+    * unchanged.
+    */
+  def ivfIndexAssignments(spark: SparkSession, indexRoot: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexRoot/assignments")
+    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
+    val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dPath) && fs.listStatus(dPath).nonEmpty)
+      base.unionByName(spark.read.parquet(dPath.toString)
+        .select(col("vid"), col("ve"), col("cell")))
+    else base
+  }
+
   /** Right-to-be-forgotten cascade into the PERSISTED vector index —
     * q80 rewrites the serving datasets, `purgeIncrementalLedger` the
     * text-dedup index, and this the ANN index: embeddings are
@@ -1934,6 +1978,9 @@ object Similarity {
   def ivfIndexPurge(spark: SparkSession, indexRoot: String,
       tombVecIds: DataFrame): Unit = {
     val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
     val assignments = spark.read.parquet(s"$indexRoot/assignments")
     // cells holding tombstoned vectors: bounded by nlist (collect is
     // sanctioned — ≤ 2^16 ints however large the corpus or the request)
@@ -1948,8 +1995,6 @@ object Similarity {
         .join(tomb, Seq("vid"), "left_anti")
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmpRoot)
-      val fs = new org.apache.hadoop.fs.Path(indexRoot)
-        .getFileSystem(spark.sessionState.newHadoopConf())
       hitCells.foreach { k =>
         val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/cell=$k")
         val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments/cell=$k")
@@ -1960,6 +2005,37 @@ object Similarity {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
       ()
+    }
+
+    // the RTBF cascade must also reach streaming DELTA batches
+    // ([[ivfIndexAppendDelta]]): same pruned-rewrite discipline per
+    // (batch, cell) partition pair — bounded by #batches · nlist
+    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
+    if (fs.exists(dPath) && fs.listStatus(dPath).nonEmpty) {
+      val deltas = spark.read.parquet(dPath.toString)
+      val hitPairs = deltas.join(tomb, Seq("vid"), "left_semi")
+        .select(col("batch"), col("cell")).distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted
+      if (hitPairs.nonEmpty) {
+        val tmpRoot = s"$indexRoot/deltas__purging"
+        val hitBatches = hitPairs.map(_._1).distinct
+        deltas
+          .filter(col("batch").isin(hitBatches.map(Integer.valueOf): _*))
+          .filter(col("cell").isin(hitPairs.map(_._2).distinct
+            .map(Integer.valueOf): _*))
+          .join(tomb, Seq("vid"), "left_anti")
+          .repartition(col("batch"), col("cell"))
+          .write.mode("overwrite").partitionBy("batch", "cell").parquet(tmpRoot)
+        hitPairs.foreach { case (b, k) =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/batch=$b/cell=$k")
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$indexRoot/deltas/batch=$b/cell=$k")
+          if (fs.exists(tmp)) graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+          else { fs.delete(dst, true); () }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+        ()
+      }
     }
   }
 
@@ -1972,9 +2048,35 @@ object Similarity {
 
   /** Fixed value-bucket count of [[embeddingDrift]]'s PSI (4 buckets of
     * width 0.5 over [−1, 1], extremes clamped) — shared with the bias
-    * correction in [[ivfAppendOrRetrain]].
+    * correction in [[correctedMaxPsi]].
     */
   val DriftBuckets = 4
+
+  /** The retrain DECISION's drift statistic: max per-dimension PSI of
+    * `newBatch` against `oldCorpus`, bias-corrected. PSI's
+    * null-hypothesis expectation is ≈ (B−1)·(1/nb + 1/nd) (first-order
+    * χ² bias — PSI ≈ χ²_{B−1}·(1/nb + 1/nd) under no drift), which at a
+    * tiny batch dwarfs the 0.2 threshold and would false-trigger a
+    * rebuild on every small append. The decision uses the corrected
+    * value; [[embeddingDrift]]'s s19 artifact stays raw (its oracle
+    * pins the textbook formula). Shared by [[ivfAppendOrRetrain]] and
+    * the st12 streaming lifecycle
+    * ([[graft.streaming.IndexLifecycle]]). Both inputs need
+    * (vec_id, embedding).
+    */
+  def correctedMaxPsi(oldCorpus: DataFrame, newBatch: DataFrame): Double = {
+    val nb = oldCorpus.count()
+    val nd = newBatch.count()
+    val combined = oldCorpus.select(col("vec_id"), col("embedding"))
+      .withColumn("__base", lit(true))
+      .unionByName(newBatch.select(col("vec_id"), col("embedding"))
+        .withColumn("__base", lit(false)))
+    val maxPsi = embeddingDrift(combined, col("__base"))
+      .agg(max(col("psi"))).head().getDouble(0)
+    val correction = (DriftBuckets - 1) * (1.0 / math.max(nb, 1L) +
+      1.0 / math.max(nd, 1L))
+    maxPsi - correction
+  }
 
   /** The closed index lifecycle (round-9 verdict "Next #2" — s19's
     * monitor finally CONSUMES its own signal): append `newVecs` to the
@@ -2006,21 +2108,7 @@ object Similarity {
     val oldCorpus = spark.read.parquet(s"$indexRoot/assignments")
       .select(col("vid").as("vec_id"), col("ve").as("embedding"))
     val newBatch = newVecs.select(col("vec_id"), col("embedding"))
-    val nb = oldCorpus.count()
-    val nd = newBatch.count()
-    val combined = oldCorpus.withColumn("__base", lit(true))
-      .unionByName(newBatch.withColumn("__base", lit(false)))
-    val maxPsi = embeddingDrift(combined, col("__base"))
-      .agg(max(col("psi"))).head().getDouble(0)
-    // PSI's null-hypothesis expectation is ≈ (B−1)·(1/nb + 1/nd) (the
-    // first-order χ² bias — PSI ≈ χ²_{B−1}·(1/nb + 1/nd) under no
-    // drift), which at a tiny batch dwarfs the 0.2 threshold and would
-    // false-trigger a rebuild on every small append. The DECISION uses
-    // the bias-corrected value; [[embeddingDrift]]'s s19 artifact stays
-    // raw (its oracle pins the textbook formula).
-    val correction = (DriftBuckets - 1) * (1.0 / math.max(nb, 1L) +
-      1.0 / math.max(nd, 1L))
-    if (maxPsi - correction >= psiThreshold) {
+    if (correctedMaxPsi(oldCorpus, newBatch) >= psiThreshold) {
       (ivfIndexBuild(oldCorpus.unionByName(newBatch), seed = seed), true)
     } else {
       ivfIndexAppend(spark, indexRoot, newBatch)
@@ -2101,7 +2189,7 @@ object Similarity {
         explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
-    val assigned = spark.read.parquet(s"$indexRoot/assignments")
+    val assigned = ivfIndexAssignments(spark, indexRoot)
       .filter(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     assigned.join(broadcast(qProbes), Seq("cell"))

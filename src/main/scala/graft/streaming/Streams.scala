@@ -616,7 +616,7 @@ object Streams {
     */
   private val AppliedBatchesFile = "_applied_batches"
 
-  private def readAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def readAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile)
     if (!fs.exists(p)) Set.empty
@@ -628,7 +628,7 @@ object Streams {
     }
   }
 
-  private def writeAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def writeAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, ids: Set[Long]): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile), true)
     try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -758,6 +758,61 @@ object Streams {
       graft.llm.Dedup.incrementalClosureOracleSql(3)) { (s, d) =>
       graft.llm.Dedup.incrementalClosure(
         Tables.documents(s, d), col("doc_id") % 3 === 0)
+    },
+
+    // ---- drift-aware streaming index lifecycle (st12, r10) ---------------
+    // s20 proves the append-or-retrain DECISION; this proves the
+    // DURABLE lifecycle around it: generation dirs + committed-pointer
+    // cutover, idempotent per-batch delta appends (overwrite, never
+    // parquet-append), applied-set-guarded retrains. Ticked in-process
+    // here (the batch-equivalent form, like st1–st10); StreamsSpec
+    // drives the same arc through a real file-source stream with
+    // replay. Gates, all in-query raise_error: the in-distribution
+    // batch must NOT cut over (same generation, lands as a delta), its
+    // REPLAY must leave the assignment set unchanged (exactly-once
+    // without markers), the drifted batch MUST cut over to a new
+    // generation whose assignments hold every vector exactly once
+    // (deltas absorbed), and serving recall from the final generation
+    // clears the s4 floor.
+    OpQuery.rowsOnly("st12_drift_aware_index") { (s, d) =>
+      import graft.llm.Similarity
+      val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+      val lcRoot = graft.llm.Dedup.trackSpill(
+        s"${graft.llm.Dedup.spillBase(s, None, "st12")}/${graft.llm.Dedup.runDirName("ivflc")}")
+      val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val undrifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+      val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+      IndexLifecycle.init(s, lcRoot, base)
+      val gen0 = IndexLifecycle.currentRoot(s, lcRoot).get
+      val r1 = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
+      val gen1 = IndexLifecycle.currentRoot(s, lcRoot).get
+      val nAfter1 = Similarity.ivfIndexAssignments(s, gen1).count()
+      val r1replay = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
+      val nAfterReplay = Similarity.ivfIndexAssignments(s,
+        IndexLifecycle.currentRoot(s, lcRoot).get).count()
+      val r2 = IndexLifecycle.tick(s, lcRoot, drifted, 2L)
+      val gen2 = IndexLifecycle.currentRoot(s, lcRoot).get
+      val finalAsg = Similarity.ivfIndexAssignments(s, gen2)
+      val nFinal = finalAsg.count()
+      val nDistinct = finalAsg.select(col("vid")).distinct().count()
+      val nCorpus = e.count()
+      val q = drifted.filter(col("vec_id") < 32)
+      val full = base.unionByName(undrifted).unionByName(drifted)
+      Similarity.withRecallGate(
+        IndexLifecycle.serve(s, lcRoot, q, 5).select(col("qid"), col("vid"),
+          when(lit(r1 || gen1 != gen0), raise_error(
+            lit("in-distribution batch must delta-append on the same generation")))
+            .when(lit(r1replay || nAfterReplay != nAfter1), raise_error(
+              lit("replayed delta batch must be a no-op")))
+            .when(lit(!r2 || gen2 == gen1), raise_error(
+              lit("drifted batch must cut over to a new generation")))
+            .when(lit(nFinal != nCorpus || nDistinct != nCorpus), raise_error(
+              lit(s"final generation must hold every vector exactly once " +
+                s"($nFinal/$nDistinct vs $nCorpus)")))
+            .otherwise(col("sim")).as("sim")),
+        Similarity.bruteTopK(q, full, 5), minRecall = 0.80)
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------

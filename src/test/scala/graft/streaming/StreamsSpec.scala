@@ -372,6 +372,62 @@ class StreamsSpec extends SparkSpec {
       .orderBy("inventory_id").collect().map(_.toSeq) === expected)
   }
 
+  test("st12 drift-aware index stream: deltas, retrain cutover, replay no-op, recall") {
+    import graft.llm.Similarity
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(col("vec_id") % 3 === 0)
+    val undrifted = e.filter(col("vec_id") % 3 === 1)
+    val drifted = e.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+    val lcRoot = tmpDir("st12-lc") + "/lc"
+    val src = tmpDir("st12-src")
+    val ckpt = tmpDir("st12-ckpt") + "/c"
+    IndexLifecycle.init(spark, lcRoot, base)
+    // two arrival-ordered batch files: in-distribution first, drifted second
+    val t0 = System.currentTimeMillis() - 3600000L
+    undrifted.coalesce(1).write.mode("append").parquet(src)
+    Files.list(Paths.get(src)).toArray.foreach { p0 =>
+      Files.setLastModifiedTime(p0.asInstanceOf[java.nio.file.Path],
+        java.nio.file.attribute.FileTime.fromMillis(t0))
+    }
+    drifted.coalesce(1).write.mode("append").parquet(src)
+    val q = IndexLifecycle.runStream(spark, src, lcRoot, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    // the drifted batch must have cut over to a retrain generation
+    val gen = IndexLifecycle.currentRoot(spark, lcRoot).get
+    assert(gen.endsWith("gen-b1"), s"expected retrain generation, serving $gen")
+    val asg = Similarity.ivfIndexAssignments(spark, gen)
+    assert(asg.count() === e.count())
+    assert(asg.select("vid").distinct().count() === e.count(),
+      "every vector exactly once after cutover")
+    // the in-distribution batch landed as a DELTA on gen-init first
+    assert(Files.exists(Paths.get(s"$lcRoot/gen-init/deltas/batch=0")),
+      "batch 0 must have delta-appended to the initial generation")
+    // replay the whole stream with a fresh checkpoint: applied-set +
+    // idempotent deltas must leave the lifecycle unchanged
+    val q2 = IndexLifecycle.runStream(spark, src, lcRoot,
+      tmpDir("st12-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(120000)
+    assert(IndexLifecycle.currentRoot(spark, lcRoot).get === gen,
+      "replay must not cut over again")
+    val asg2 = Similarity.ivfIndexAssignments(spark, gen)
+    assert(asg2.count() === e.count() &&
+      asg2.select("vid").distinct().count() === e.count(),
+      "replayed ticks must not duplicate assignments")
+    // serving from the final generation clears the recall floor
+    val probes = drifted.filter(col("vec_id") < 16)
+    val served = IndexLifecycle.serve(spark, lcRoot, probes, 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteTopK(probes,
+      base.unionByName(undrifted).unionByName(drifted), 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = served.intersect(exact).size.toDouble / exact.size
+    info(s"st12 post-retrain serving recall = $recall")
+    assert(recall >= 0.8)
+  }
+
   test("st11 incremental closure: streamed N-tick labels == batch fold == replay-invariant") {
     val docs = Tables.documents(spark, sf)
     val snapshot = docs.filter(col("doc_id") % 3 === 0)
