@@ -622,17 +622,33 @@ object Streams {
     if (!fs.exists(p)) Set.empty
     else {
       val in = fs.open(p)
+      // tolerate a malformed line (pre-hardening torn write): dropping
+      // an id only means one idempotent replay, never a stuck stream
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).map(_.toLong).toSet
+        .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
       finally in.close()
     }
   }
 
+  /** Write-tmp-then-rename: the manifest path writes this file into a
+    * rewrite dir that publishes atomically anyway, but the st12 delta
+    * path writes into the LIVE generation dir — a torn in-place write
+    * there would leave an unparseable applied-set that fails every
+    * later tick. The rename makes the worst crash outcome "applied set
+    * missing one id", which every caller tolerates (replays are
+    * idempotent; the set is an optimization, not the correctness
+    * anchor).
+    */
   private[streaming] def writeAppliedBatches(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, ids: Set[Long]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile), true)
+    val dst = new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, AppliedBatchesFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
   }
 
   /** Streaming dataset-manifest maintenance — q81's algebraic merge law

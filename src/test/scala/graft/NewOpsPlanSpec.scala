@@ -139,4 +139,68 @@ class NewOpsPlanSpec extends SparkSpec {
       s"s11 lost its bounded broadcast:\n${plan.take(1200)}")
     assert(plan.contains("partial_"), s"s11 ADC sum not map-side combined:\n${plan.take(900)}")
   }
+
+  test("st11 pair kernel: keyed joins survive with broadcast disabled (the 100 TB plan)") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, sf)
+      val art = graft.llm.Dedup.dedupIndexArtifacts(docs)
+        .join(docs.select(col("doc_id"), (col("doc_id") % 3 === 0).as("__ledger")),
+          Seq("doc_id"))
+      val df = graft.llm.Dedup.incrementalNearDupPairs(
+        art.filter(!col("__ledger")).drop("__ledger"), art)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // band-bucket candidates, hash-equality exacts, and the Jaccard
+      // verify are ALL keyed joins — a cartesian/nested-loop anywhere
+      // means a corpus-derived side degenerated to all-pairs
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"st11 pair kernel degenerated to all-pairs:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t33 packed shards: the cumsum's keyed partials feed ONE final aggregation") {
+    val df = SparkEntry.registry.find(_.name == "t33_packed_shards").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-(source, shard) counters must be map-side combined — raw
+    // per-doc rows crossing the wire is the shape that dies at 100 TB
+    assert(plan.contains("partial_"),
+      s"t33 shard manifest not map-side combined:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"t33 planned a cartesian:\n${plan.take(900)}")
+  }
+
+  test("s22 purge: the rewrite scan reads ONLY tombstone-bearing cells (directory pruning)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.llm.Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val idx = graft.llm.Similarity.ivfIndexBuild(e)
+    // tombstone exactly one vector → its single cell is the whole
+    // rewrite footprint
+    val tomb = e.filter(col("vec_id") === 0).select("vec_id")
+    val allFiles = spark.read.parquet(s"$idx/assignments").inputFiles.length
+    val hitCell = spark.read.parquet(s"$idx/assignments")
+      .filter(col("vid") === 0).select("cell").head().getInt(0)
+    // replicate the purge's pruned read and pin its file footprint
+    val pruned = spark.read.parquet(s"$idx/assignments")
+      .filter(col("cell").isin(hitCell))
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = (p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scans)
+    })
+    pruned.collect()
+    val n = scans(pruned.queryExecution.executedPlan)
+    assert(n.nonEmpty && n.head < allFiles,
+      s"purge-shaped scan read ${n.headOption} of $allFiles files — no pruning")
+    // and the purge itself leaves the index serving correctly
+    graft.llm.Similarity.ivfIndexPurge(spark, idx, tomb)
+    assert(spark.read.parquet(s"$idx/assignments")
+      .filter(col("vid") === 0).count() === 0L)
+  }
 }
