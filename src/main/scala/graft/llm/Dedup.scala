@@ -538,6 +538,13 @@ object Dedup {
     // split keeps ticks deterministic without one)
     val r = art.filter(!col("__ledger"))
       .agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (r.isNullAt(0)) {
+      // no stream docs: nothing to fold — empty labels, d8's shape
+      val spark2 = spark
+      import spark2.implicits._
+      return Seq.empty[(Long, Long, Long, Boolean)]
+        .toDF("doc_id", "comp_id", "cluster_size", "is_keeper")
+    }
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     var indexed = art.filter(col("__ledger"))
     for (t <- 1 to nTicks) {

@@ -1954,8 +1954,20 @@ object Similarity {
     val base = spark.read.parquet(s"$indexRoot/assignments")
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(dPath) && fs.listStatus(dPath).nonEmpty)
-      base.unionByName(spark.read.parquet(dPath.toString)
+    // only COMMITTED delta batches (those whose writer finished — the
+    // _SUCCESS marker): a tick that crashed mid-write leaves a partial
+    // batch dir that its replay will overwrite; serving must not read
+    // the torn half in the meantime. basePath keeps the batch/cell
+    // partition columns when loading the committed dirs explicitly.
+    val committed: Seq[String] =
+      if (!fs.exists(dPath)) Seq.empty
+      else fs.listStatus(dPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    if (committed.nonEmpty)
+      base.unionByName(spark.read.option("basePath", dPath.toString)
+        .parquet(committed: _*)
         .select(col("vid"), col("ve"), col("cell")))
     else base
   }

@@ -53,6 +53,13 @@ object IndexLifecycle {
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Recovery ordering of generation names: the embedded batch id
+    * (`gen-init` = −1, `gen-b<id>` = id) — monotone by construction.
+    */
+  private def genOrder(name: String): Long =
+    if (name == "gen-init") -1L
+    else scala.util.Try(name.stripPrefix("gen-b").toLong).getOrElse(-2L)
+
   /** Serving generation root: the pointer when it names a committed
     * generation; else the newest committed generation (crash between
     * pointer delete and rename). None = lifecycle not initialized.
@@ -79,8 +86,11 @@ object IndexLifecycle {
       else fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
         .filter(st => committed(st.getPath.getName))
-        .sortBy(st => fs.getFileStatus(new Path(st.getPath, CommitMarker))
-          .getModificationTime)
+        // order by the BATCH ID embedded in the name (init = −1), not
+        // marker mtime: batch ids are monotone by construction while
+        // two commits can share a filesystem timestamp tick (and
+        // clocks can step) — the deterministic order is the safe one
+        .sortBy(st => genOrder(st.getPath.getName))
         .lastOption.map(_.getPath.getName)
     }.map(n => s"$lcRoot/$n")
   }
