@@ -275,6 +275,44 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) === "boilerplate" && got(13L) === "near_dup")
   }
 
+  test("property: label-store folds are partition-invariant == one-shot closure (random graphs)") {
+    // the st11 composition law, attacked with randomness: however a
+    // random edge set is sliced into ticks, folding the slices through
+    // mergeClosureLabels must land on the same labels as the one-shot
+    // distributed closure over the union
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(35)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+      val expected = Dedup.dedupClusters(
+        edges.toDF("doc_id_a", "doc_id_b").withColumn("jaccard", lit(1.0)))
+        .select("doc_id", "comp_id").as[(Long, Long)].collect().toMap
+      val nTicks = 1 + rng.nextInt(4)
+      val slices = edges.groupBy(_ => rng.nextInt(nTicks)).values.toSeq
+      val labelsDir = java.nio.file.Files
+        .createTempDirectory(s"st11-prop-$trial").toString + "/labels"
+      slices.foreach { slice =>
+        Dedup.mergeClosureLabels(spark, labelsDir,
+          slice.toDF("doc_id_a", "doc_id_b"))
+      }
+      val got = Dedup.readClosureLabels(spark, labelsDir)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected,
+        s"trial $trial: ${slices.length}-tick fold diverged from one-shot closure")
+      // and re-folding EVERY slice again is a fixpoint no-op
+      slices.foreach { slice =>
+        Dedup.mergeClosureLabels(spark, labelsDir,
+          slice.toDF("doc_id_a", "doc_id_b"))
+      }
+      assert(Dedup.readClosureLabels(spark, labelsDir)
+        .as[(Long, Long)].collect().toMap === expected,
+        s"trial $trial: replayed folds must be a no-op")
+    }
+    Dedup.releaseSpills(spark)
+  }
+
   test("leakage-safe split from MAINTAINED labels: st11 consumption path, zero leakage, singletons = q76") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
