@@ -2134,6 +2134,95 @@ object Dedup {
     // the point. Same capped bucket join as d3, so the candidate set is
     // identical to production's; one extra keyed join against the
     // signature table covers the estimator.
+    // ---- cross-source duplication matrix (r10) ---------------------------
+    // WHERE the duplication lives: for every source pair (diagonal
+    // included), how many of the d3 near-dup pairs connect them — the
+    // mixture-design companion of t12/t29 (a source that is largely
+    // another source's content should be down-weighted or dropped
+    // BEFORE t32 computes mixing weights; on this corpus 24 of 25 pairs
+    // are cross-source — invisible to any per-source statistic).
+    // Scale shape: the capped pair set (already bounded by the d3
+    // bucket discipline) joins the doc→source projection twice, keyed
+    // on doc id; the output is ≤ |sources|² rows.
+    sql("d29_cross_source_dups",
+      s"""WITH $minhashOracleCtes, ds AS (
+         |  SELECT doc_id, source FROM documents
+         |)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(p.jaccard), 6) AS avg_jaccard
+         |FROM pairs p JOIN ds a ON a.doc_id = p.doc_id_a
+         |             JOIN ds b ON b.doc_id = p.doc_id_b
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      minhashPairs(Tables.documents(s, d))
+        .join(ds.select(col("doc_id").as("doc_id_a"), col("source").as("sa")),
+          Seq("doc_id_a"))
+        .join(ds.select(col("doc_id").as("doc_id_b"), col("source").as("sb")),
+          Seq("doc_id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+    },
+
+    // ---- duplicate-rate-vs-threshold curve (r10) -------------------------
+    // The threshold-tuning table a dedup deployment reads before
+    // committing a Jaccard cutoff: at each τ, how many of the capped
+    // candidate pairs survive and how much of the corpus is implicated.
+    // The τ grid sits in the regime this corpus's near-dups occupy
+    // (d3 pairs span 0.90–0.99) so the curve actually moves. FULL
+    // oracle over the shared d3 CTE chain; pair counts and
+    // implicated-doc counts are exact integers, the fraction is one
+    // division. τ comparisons are double-literal vs the same
+    // intersection/union division both engines compute — identical
+    // IEEE results, no boundary ambiguity.
+    sql("d30_dup_rate_curve", {
+      s"""WITH $minhashOracleCtes, taus(tau) AS (
+         |  VALUES (0.5), (0.9), (0.95), (0.97), (0.99)
+         |), m AS (
+         |  SELECT t.tau, p.doc_id_a, p.doc_id_b
+         |  FROM pairs p JOIN taus t ON p.jaccard >= t.tau
+         |), u AS (
+         |  SELECT tau, doc_id_a AS d FROM m
+         |  UNION
+         |  SELECT tau, doc_id_b AS d FROM m
+         |), total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT CAST(t.tau AS DOUBLE) AS tau, coalesce(p.n_pairs, 0) AS n_pairs,
+         |  coalesce(u2.n_dup_docs, 0) AS n_dup_docs,
+         |  round(CAST(coalesce(u2.n_dup_docs, 0) AS DOUBLE) / total.n, 6)
+         |    AS dup_frac
+         |FROM taus t
+         |LEFT JOIN (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |           FROM m GROUP BY tau) p ON p.tau = t.tau
+         |LEFT JOIN (SELECT tau, CAST(count(*) AS BIGINT) AS n_dup_docs
+         |           FROM u GROUP BY tau) u2 ON u2.tau = t.tau
+         |CROSS JOIN total""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count()
+      val pairs = minhashPairs(docs)
+      val m = pairs.select(col("doc_id_a"), col("doc_id_b"), col("jaccard"),
+          explode(typedLit(Seq(0.5, 0.9, 0.95, 0.97, 0.99))).as("tau"))
+        .filter(col("jaccard") >= col("tau"))
+      val np = m.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+      val nd = m.select(col("tau"), col("doc_id_a").as("d"))
+        .union(m.select(col("tau"), col("doc_id_b").as("d"))).distinct()
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_dup_docs"))
+      val spark2 = s
+      import spark2.implicits._
+      Seq(0.5, 0.9, 0.95, 0.97, 0.99).toDF("tau")
+        .join(np, Seq("tau"), "left")
+        .join(nd, Seq("tau"), "left")
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") / lit(nDocs), 6)
+            .as("dup_frac"))
+    },
+
     sql("d26_lsh_diagnostics", {
       val estSum = (0 until MinhashK)
         .map(k => s"CASE WHEN sa.m$k = sb.m$k THEN 1 ELSE 0 END").mkString(" + ")
