@@ -156,22 +156,21 @@ object Bench {
     // artifact beats rc=124). Never triggers on a healthy host — the
     // full cold pass + slow reps run ~2× budget there.
     val hardCeiling = 2.5 * budgetSec
-    // r10: slow queries take TWO immediate reps (median reported). The
-    // multi-job spill pipelines (closure family, lifecycle composites)
-    // swing ~1.5× on a single rep — exactly the entries a cross-round
-    // comparison scrutinizes, so their medians are where rep budget
-    // pays most. The second rep stays budget-guarded by the hard
-    // ceiling; maxReps=1 (SPARK_GRAFT_REPS=1) still means one.
+    // (r10 note: a second immediate rep for slow queries was tried and
+    // REVERTED — it pushed the cold-pass wall past the hard ceiling on
+    // a 191-query registry, starving the LAST slow entries of any rep
+    // at all, which is precisely the r8 bias the single guaranteed
+    // immediate rep exists to prevent. The ~1.5× single-rep spread of
+    // the spill-pipeline family is the documented cost of that
+    // guarantee; cross-round comparisons should read those entries'
+    // min/cold spread, not the point value.)
     val phase1: Seq[(OpQuery, Option[Double], Seq[Double], Int)] =
       SparkEntry.registry.map { q =>
         val cold = runOnce(q)
         val (times, attempted) = cold match {
           case None => (runOnce(q).toSeq, 1)
           case Some(c) if c >= SlowThresh && elapsed < hardCeiling =>
-            val r1 = runOnce(q).toSeq
-            if (maxReps > 1 && elapsed < hardCeiling)
-              (r1 ++ runOnce(q).toSeq, 2)
-            else (r1, 1)
+            (runOnce(q).toSeq, 1)
           case Some(_) => (Seq.empty[Double], 0)
         }
         (q, cold, times, attempted)
