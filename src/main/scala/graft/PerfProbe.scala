@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Builder-side micro-harness: time a handful of named registry queries
   * at sf0.1 with warm reps, Bench-style (pre-touched inputs, noop-write
   * materialization, spill release per run) but without the full
-  * 184-query pass — the iterate-on-one-operator loop. Usage:
+  * registry pass — the iterate-on-one-operator loop. Usage:
   * `sbt "runMain graft.PerfProbe t28_bm25 d5_ngram_jaccard"`. The
   * driver never runs this; Bench stays the artifact of record.
   */
