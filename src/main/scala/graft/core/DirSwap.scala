@@ -22,8 +22,26 @@ object DirSwap {
   def swapIntoPlace(fs: FileSystem, tmp: Path, dst: Path): Unit = {
     val old = new Path(dst.toString + "__old")
     fs.delete(old, true) // leftover from a crash after a completed swap
-    if (fs.exists(dst)) { fs.rename(dst, old); () }
-    fs.rename(tmp, dst)
+    // Hadoop rename reports several failure modes (missing parent, dst
+    // exists, fs-specific refusals) by RETURNING false rather than
+    // throwing. Ignoring that result here is how the primitive loses
+    // data: if tmp→dst fails after dst was parked at __old, an
+    // unconditional trailing delete(old) would destroy the only live
+    // copy. Every rename is therefore checked; on tmp→dst failure the
+    // parked dir is restored (best effort — if even that fails, __old
+    // is left for [[recover]]) and the swap throws.
+    val parked = fs.exists(dst)
+    if (parked && !fs.rename(dst, old))
+      throw new java.io.IOException(s"DirSwap: could not park $dst at $old")
+    if (!fs.rename(tmp, dst)) {
+      if (parked && !fs.rename(old, dst)) {
+        throw new java.io.IOException(
+          s"DirSwap: rename $tmp -> $dst failed AND restoring $old failed — " +
+            s"live data is parked at $old; recover() will restore it")
+      }
+      throw new java.io.IOException(
+        s"DirSwap: rename $tmp -> $dst failed; previous content restored")
+    }
     fs.delete(old, true)
     ()
   }
@@ -38,5 +56,30 @@ object DirSwap {
     val old = new Path(dir + "__old")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dst) && fs.exists(old)) { fs.rename(old, dst); () }
+  }
+
+  /** Heal every child-level swap under `parent` (the per-partition-dir
+    * form used by the IVF index purge, where each `cell=k` directory is
+    * swapped individually): for each `<name>__old` child, restore it when
+    * the primary `<name>` is missing (crash between the two renames), and
+    * delete it when the primary exists (crash after the publishing rename
+    * but before the cleanup delete — the parked copy is superseded
+    * garbage, and leaving it would break partition discovery: a
+    * `cell=k__old` dir makes Spark infer the `cell` partition column as
+    * string instead of int). One listStatus of the parent — bounded by
+    * the partition count, not the data.
+    */
+  def recoverChildren(fs: FileSystem, parent: Path): Unit = {
+    if (fs.exists(parent)) {
+      fs.listStatus(parent).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.endsWith("__old")) {
+          val primary = new Path(parent, name.stripSuffix("__old"))
+          if (!fs.exists(primary)) fs.rename(st.getPath, primary)
+          else fs.delete(st.getPath, true)
+          ()
+        }
+      }
+    }
   }
 }

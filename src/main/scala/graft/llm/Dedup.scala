@@ -513,6 +513,63 @@ object Dedup {
     }
   }
 
+  /** Right-to-be-forgotten cascade into the st11 closure-label store —
+    * the member of the q80 purge family that was missing (q80 rewrites
+    * the serving datasets, `purgeIncrementalLedger` the st9 artifact
+    * index, `ivfIndexPurge` the ANN index; comp labels are doc-derived
+    * artifacts too, and the store would otherwise keep purged doc ids
+    * forever). Semantics:
+    *
+    *  - every row whose `doc_id` OR `comp` references a tombstoned doc
+    *    leaves the store (a purged rep may not survive as a label);
+    *  - components UNTOUCHED by the campaign keep their rows verbatim;
+    *  - each AFFECTED component (one holding ≥ 1 tombstone) is RE-CLOSED
+    *    over its surviving members' actual near-dup pairs (recomputed
+    *    from `purgedDocs` — removing a doc can disconnect a component
+    *    that was only bridged through it, so re-pointing the rep alone
+    *    would over-merge); the re-closure re-elects the min surviving
+    *    member as rep (the d8 min-label law), and members left unpaired
+    *    drop out of the store (they are singletons now — the store only
+    *    carries paired docs, like a fresh fold would).
+    *
+    * Post-purge the store equals the labels a from-scratch closure over
+    * the purged corpus produces, PROVIDED no LSH bucket was
+    * cap-saturated (a vacated cap slot can admit a previously-suppressed
+    * pair in a fresh full recompute — the same documented boundary as
+    * the st9 ledger purge); DedupSpec pins the equality on an
+    * unsaturated fixture. Scale shape: the affected member set is
+    * campaign-proportional (tombstones' cluster memberships), never the
+    * corpus — keyed semi/anti joins select it, and the re-closure pays
+    * [[minhashPairs]] + [[dedupClusters]] on that bounded subset only.
+    * `purgedDocs` is the post-purge documents table (needs doc_id,
+    * text): the re-closure must see the corpus as it IS, not as it was.
+    */
+  def purgeClosureLabels(spark: SparkSession, labelsDir: String,
+      tombIds: DataFrame, purgedDocs: DataFrame): Unit = {
+    val tomb = tombIds.select(tombIds.columns.head).toDF("doc_id").distinct()
+    val labels = readClosureLabels(spark, labelsDir)
+    // comps holding at least one tombstoned member (campaign-bounded)
+    val affected = labels.join(tomb, Seq("doc_id"), "left_semi")
+      .select(col("comp")).distinct()
+    // re-project to the store's (doc_id, comp) column order: the join
+    // key leads the join output, and readers access the store
+    // positionally
+    val keep = labels.join(affected, Seq("comp"), "left_anti")
+      .select(col("doc_id"), col("comp"))
+    val survivors = labels.join(affected, Seq("comp"), "left_semi")
+      .join(tomb, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val subDocs = purgedDocs.join(survivors, Seq("doc_id"), "left_semi")
+    val reclosed = dedupClusters(minhashPairs(subDocs))
+      .select(col("doc_id"), col("comp_id").as("comp"))
+    val next = keep.unionByName(reclosed)
+    val tmp = new org.apache.hadoop.fs.Path(labelsDir + "__purging")
+    val dst = new org.apache.hadoop.fs.Path(labelsDir)
+    next.write.mode("overwrite").parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+  }
+
   /** Batch-driver form of the st11 incremental closure (the registry
     * entry): seed ledger = `snapshotPred` docs, the rest stream in
     * doc_id (arrival) order across `nTicks` ticks; each tick's pairs
@@ -1375,10 +1432,24 @@ object Dedup {
     val allc = docs.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
-    val repBucket = docs.select(col("doc_id").as("comp_id"),
+    val hashBucket =
       (conv(substring(contentHash(col("text")), 1, 8), 16, 10).cast("long") % 100)
-        .as("bucket"))
-    allc.join(repBucket, Seq("comp_id"))
+    val repBucket = docs.select(col("doc_id").as("comp_id"),
+      hashBucket.as("rep_bucket"))
+    val ownBucket = docs.select(col("doc_id"), hashBucket.as("own_bucket"))
+    // LEFT join on the representative: a label whose rep id is absent
+    // from `docs` (the rep was RTBF-purged while other cluster members
+    // survive, and the store hasn't been re-pointed yet) must not
+    // silently drop every member row from the split — those members
+    // fall back to their OWN content-hash bucket (still deterministic
+    // and re-ingest-stable; cluster-atomicity for that orphaned cluster
+    // is restored when purgeClosureLabels re-elects its rep). Output is
+    // exactly one row per doc by construction (both joins are keyed
+    // left joins off the doc spine).
+    allc.join(repBucket, Seq("comp_id"), "left")
+      .join(ownBucket, Seq("doc_id"))
+      .select(col("doc_id"), col("comp_id"),
+        coalesce(col("rep_bucket"), col("own_bucket")).as("bucket"))
       .select(col("doc_id"), col("comp_id"), col("bucket"),
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))

@@ -1950,21 +1950,47 @@ object Similarity {
     * deltas this IS the base read — the s16 pruning spec's plan shape is
     * unchanged.
     */
+  /** COMMITTED delta-batch dirs of an index root (those whose writer
+    * finished — the `_SUCCESS` marker): a tick that crashed mid-write
+    * leaves a partial batch dir that its replay will overwrite; neither
+    * serving nor the purge may read the torn half in the meantime.
+    * Shared by [[ivfIndexAssignments]] and [[ivfIndexPurge]] so the two
+    * paths can never disagree about which batches exist. Bounded: one
+    * listStatus of the deltas dir.
+    */
+  private def committedDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dPath: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(dPath)) Seq.empty
+    else fs.listStatus(dPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+
+  /** Heal any interrupted per-cell [[graft.core.DirSwap]] swaps left by a
+    * crashed [[ivfIndexPurge]]: a crash between its two renames leaves
+    * `cell=k__old` with `cell=k` missing — unhealed, that cell's vectors
+    * silently vanish from serving AND the stray `__old` dir breaks the
+    * int typing of partition discovery. Called by every index read and
+    * at purge start; cost is one listStatus per partition tree.
+    */
+  private def recoverIndexSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String): Unit = {
+    val aPath = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments")
+    graft.core.DirSwap.recoverChildren(fs, aPath)
+    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
+    committedDeltaDirs(fs, dPath).foreach { d =>
+      graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
+    }
+  }
+
   def ivfIndexAssignments(spark: SparkSession, indexRoot: String): DataFrame = {
-    val base = spark.read.parquet(s"$indexRoot/assignments")
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // only COMMITTED delta batches (those whose writer finished — the
-    // _SUCCESS marker): a tick that crashed mid-write leaves a partial
-    // batch dir that its replay will overwrite; serving must not read
-    // the torn half in the meantime. basePath keeps the batch/cell
-    // partition columns when loading the committed dirs explicitly.
-    val committed: Seq[String] =
-      if (!fs.exists(dPath)) Seq.empty
-      else fs.listStatus(dPath).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    recoverIndexSwaps(fs, indexRoot) // heal crashed purge swaps pre-read
+    val base = spark.read.parquet(s"$indexRoot/assignments")
+    // basePath keeps the batch/cell partition columns when loading the
+    // committed dirs explicitly.
+    val committed = committedDeltaDirs(fs, dPath)
     if (committed.nonEmpty)
       base.unionByName(spark.read.option("basePath", dPath.toString)
         .parquet(committed: _*)
@@ -1992,6 +2018,7 @@ object Similarity {
     val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverIndexSwaps(fs, indexRoot) // heal a crashed prior purge first
 
     val assignments = spark.read.parquet(s"$indexRoot/assignments")
     // cells holding tombstoned vectors: bounded by nlist (collect is
@@ -2021,18 +2048,28 @@ object Similarity {
 
     // the RTBF cascade must also reach streaming DELTA batches
     // ([[ivfIndexAppendDelta]]): same pruned-rewrite discipline per
-    // (batch, cell) partition pair — bounded by #batches · nlist
+    // (batch, cell) partition pair — bounded by #batches · nlist. Only
+    // COMMITTED batches (the same _SUCCESS listing serving uses): a torn
+    // batch dir left by a crashed tick belongs to its replay, not to the
+    // purge — reading it here would fail on the half-written files (or
+    // worse, process uncommitted data the replay then rewrites). The
+    // batch partition value is read as LONG (streaming batch ids are
+    // longs; partition inference narrows small values to int, so the
+    // cast is explicit).
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
-    if (fs.exists(dPath) && fs.listStatus(dPath).nonEmpty) {
-      val deltas = spark.read.parquet(dPath.toString)
+    val committed = committedDeltaDirs(fs, dPath)
+    if (committed.nonEmpty) {
+      val deltas = spark.read.option("basePath", dPath.toString)
+        .parquet(committed: _*)
+        .withColumn("batch", col("batch").cast("long"))
       val hitPairs = deltas.join(tomb, Seq("vid"), "left_semi")
         .select(col("batch"), col("cell")).distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1))).sorted
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
       if (hitPairs.nonEmpty) {
         val tmpRoot = s"$indexRoot/deltas__purging"
         val hitBatches = hitPairs.map(_._1).distinct
         deltas
-          .filter(col("batch").isin(hitBatches.map(Integer.valueOf): _*))
+          .filter(col("batch").isin(hitBatches.map(java.lang.Long.valueOf): _*))
           .filter(col("cell").isin(hitPairs.map(_._2).distinct
             .map(Integer.valueOf): _*))
           .join(tomb, Seq("vid"), "left_anti")

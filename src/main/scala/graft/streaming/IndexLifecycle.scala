@@ -42,13 +42,41 @@ import graft.llm.Similarity
   * A retrain generation absorbs every prior delta (the rebuild reads
   * base ∪ deltas), so retrains double as delta compaction; the RTBF
   * cascade ([[Similarity.ivfIndexPurge]]) reaches base and deltas of
-  * the CURRENT generation (prior generations are dead directories the
-  * retention policy reclaims — purge after cutover touches only the
-  * serving tree).
+  * the CURRENT generation. Prior generations are dead directories the
+  * retention policy reclaims: [[reclaimDeadGenerations]] deletes
+  * committed generations strictly older than the serving one (keeping
+  * the newest `keepN − 1` of them as rollback copies), plus crashed
+  * uncommitted attempts older than the serving commit — and [[tick]]
+  * invokes it after every cutover, so a continuously-retraining
+  * deployment holds at most `keepN` full index copies at any time.
+  * The serving generation is NEVER deleted (it is the crash-recovery
+  * target of [[currentRoot]]), and nothing newer than it is touched (a
+  * newer uncommitted dir is an in-flight retrain).
+  *
+  * The per-tick drift check is BATCH-proportional, not corpus-
+  * proportional: each generation persists a hash-sampled drift
+  * REFERENCE (`driftref`, ≤ [[DriftRefTargetRows]] rows — the
+  * distribution the generation's codebook was trained on) at build
+  * time, and [[tick]] compares the incoming batch against that bounded
+  * sample instead of rescanning base ∪ deltas. Estimator honesty: under
+  * no drift, PSI of an m-row sample against an n-row batch has
+  * first-order expectation (B−1)·(1/m + 1/n) — exactly the χ² bias
+  * [[Similarity.correctedMaxPsi]] subtracts (it uses its inputs' OWN
+  * row counts, so the correction stays consistent with the sample);
+  * residual noise is O(√(B−1)·(1/m + 1/n)), ≪ the 0.2 threshold at the
+  * 8192-row target. When the base is smaller than the target the sample
+  * IS the base and the decision is bit-identical to the full scan.
   */
 object IndexLifecycle {
 
   private val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Target row count of a generation's persisted drift-reference
+    * sample — large enough that PSI sampling noise is far below the
+    * 0.2 retrain threshold, small enough that a tick's drift scan is
+    * O(1) in the corpus.
+    */
+  val DriftRefTargetRows: Long = 8192L
 
   private def fsOf(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
@@ -107,13 +135,76 @@ object IndexLifecycle {
     ()
   }
 
+  /** Persist a generation's drift reference: a deterministic hash
+    * sample of the vectors the generation's codebook was trained on
+    * (expected ≤ ~[[DriftRefTargetRows]] rows; the WHOLE corpus when it
+    * is smaller than the target, so small-scale decisions are
+    * bit-identical to a full scan). One extra bounded write amortized
+    * into the build — the build scans every vector anyway.
+    */
+  private def writeDriftRef(spark: SparkSession, genRoot: String,
+      vecs: DataFrame, nRows: Long): Unit = {
+    val mod = math.max(1L, nRows / DriftRefTargetRows)
+    vecs.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id"), lit(42L)), lit(mod)) === 0)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$genRoot/driftref")
+  }
+
+  /** The frame a tick's drift decision scans: the generation's persisted
+    * `driftref` sample when present, else (a pre-r11 generation) the
+    * full base∪deltas read — the compat fallback that pays the corpus
+    * scan the reference sample exists to avoid.
+    */
+  private[streaming] def driftBase(spark: SparkSession, genRoot: String): DataFrame = {
+    val p = new Path(s"$genRoot/driftref")
+    if (fsOf(spark, genRoot).exists(p)) spark.read.parquet(p.toString)
+    else Similarity.ivfIndexAssignments(spark, genRoot)
+      .select(col("vid").as("vec_id"), col("ve").as("embedding"))
+  }
+
   /** Build the initial generation from a base corpus and commit it. */
   def init(spark: SparkSession, lcRoot: String, baseVecs: DataFrame): String = {
     val root = s"$lcRoot/gen-init"
     fsOf(spark, lcRoot).delete(new Path(root), true) // replayed init rebuilds
     Similarity.ivfIndexBuild(baseVecs, targetDir = Some(root))
+    writeDriftRef(spark, root, baseVecs, baseVecs.count())
     commitGen(spark, lcRoot, "gen-init")
     root
+  }
+
+  /** Delete dead index generations (the storage half of the retrain
+    * lifecycle — without it every PSI-triggered retrain strands a full
+    * corpus-sized index directory forever). Reclaims (a) COMMITTED
+    * generations strictly older than the serving one, beyond the newest
+    * `keepN − 1` kept as rollback copies, and (b) uncommitted dirs
+    * older than the serving commit (crashed retrain attempts that a
+    * LATER retrain superseded — batch ids are monotone and foreachBatch
+    * is serial, so an older uncommitted dir can never be in-flight).
+    * Never touched: the serving generation ([[currentRoot]]'s recovery
+    * target) and anything newer than it (a newer uncommitted dir IS an
+    * in-flight retrain). Returns the deleted generation names. No-op
+    * when the lifecycle is uninitialized.
+    */
+  def reclaimDeadGenerations(spark: SparkSession, lcRoot: String,
+      keepN: Int = 1): Seq[String] = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    val fs = fsOf(spark, lcRoot)
+    currentRoot(spark, lcRoot).toSeq.flatMap { cur =>
+      val serving = cur.substring(cur.lastIndexOf('/') + 1)
+      val servingOrd = genOrder(serving)
+      val older = fs.listStatus(new Path(lcRoot)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .map(_.getPath.getName)
+        .filter(n => n != serving && genOrder(n) < servingOrd)
+        .sortBy(n => -genOrder(n))
+      val committed = older.filter(n =>
+        fs.exists(new Path(new Path(lcRoot, n), CommitMarker)))
+      val kept = committed.take(keepN - 1).toSet
+      val dead = older.filterNot(kept)
+      dead.foreach(n => fs.delete(new Path(lcRoot, n), true))
+      dead
+    }
   }
 
   /** One lifecycle tick for a (vec_id, embedding) batch. Returns true
@@ -121,7 +212,8 @@ object IndexLifecycle {
     */
   def tick(spark: SparkSession, lcRoot: String, batchVecs: DataFrame,
       batchId: Long,
-      psiThreshold: Double = Similarity.RetrainPsiThreshold): Boolean = {
+      psiThreshold: Double = Similarity.RetrainPsiThreshold,
+      keepGenerations: Int = 1): Boolean = {
     val g = currentRoot(spark, lcRoot).getOrElse(
       throw new IllegalStateException(
         s"IndexLifecycle at $lcRoot not initialized — call init() first"))
@@ -129,17 +221,31 @@ object IndexLifecycle {
     val applied = Streams.readAppliedBatches(fs, new Path(g))
     if (applied.contains(batchId)) false
     else {
-      val old = Similarity.ivfIndexAssignments(spark, g)
-        .select(col("vid").as("vec_id"), col("ve").as("embedding"))
       val batch = batchVecs.select(col("vec_id"), col("embedding"))
-      if (Similarity.correctedMaxPsi(old, batch) >= psiThreshold) {
+      // drift decision against the generation's BOUNDED reference
+      // sample — an in-distribution tick costs O(batch + sample), never
+      // a base∪deltas scan (which at 100 TB streaming cadence was the
+      // first thing to melt: two counts plus a full posexplode pass of
+      // the whole historical corpus per micro-batch)
+      if (Similarity.correctedMaxPsi(driftBase(spark, g), batch)
+          >= psiThreshold) {
+        val old = Similarity.ivfIndexAssignments(spark, g)
+          .select(col("vid").as("vec_id"), col("ve").as("embedding"))
         val name = s"gen-b$batchId"
         val newRoot = s"$lcRoot/$name"
         fs.delete(new Path(newRoot), true) // crashed prior attempt
-        Similarity.ivfIndexBuild(old.unionByName(batch),
-          targetDir = Some(newRoot))
+        val full = old.unionByName(batch)
+        Similarity.ivfIndexBuild(full, targetDir = Some(newRoot))
+        // the rebuild's corpus count prices the new reference sample;
+        // counting parquet+batch here is one metadata-cheap job ON THE
+        // RETRAIN PATH only (retrains are rare by construction)
+        writeDriftRef(spark, newRoot, full, full.count())
         Streams.writeAppliedBatches(fs, new Path(newRoot), applied + batchId)
         commitGen(spark, lcRoot, name)
+        // the retention policy: dead generations are reclaimed at the
+        // moment a cutover creates one (keepGenerations bounds the live
+        // index copies; the serving gen is never touched)
+        reclaimDeadGenerations(spark, lcRoot, keepGenerations)
         true
       } else {
         Similarity.ivfIndexAppendDelta(spark, g, batch, batchId)
@@ -165,7 +271,8 @@ object IndexLifecycle {
   def runStream(spark: SparkSession, srcDir: String, lcRoot: String,
       checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None,
-      psiThreshold: Double = Similarity.RetrainPsiThreshold): StreamingQuery = {
+      psiThreshold: Double = Similarity.RetrainPsiThreshold,
+      keepGenerations: Int = 1): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     val reader = maxFilesPerTrigger.foldLeft(
       spark.readStream.schema(schema).format("parquet")) {
@@ -174,7 +281,7 @@ object IndexLifecycle {
     reader.load(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        tick(spark, lcRoot, batch, batchId, psiThreshold)
+        tick(spark, lcRoot, batch, batchId, psiThreshold, keepGenerations)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -344,6 +344,61 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseSpills(spark)
   }
 
+  test("leakage-safe split from labels: an orphaned representative drops no members") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val ids = docs.select("doc_id").orderBy("doc_id").limit(2)
+      .as[Long].collect()
+    // the post-purge-before-re-election state: a component whose rep id
+    // (-999, a purged min-id) is absent from docs — before the r11 fix
+    // the inner join silently dropped every member of that component
+    val labels = Seq((ids(0), -999L), (ids(1), -999L)).toDF("doc_id", "comp")
+    val out = Dedup.leakageSafeSplitFromLabels(docs, labels)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size === nDocs, "every doc must receive a split row")
+    // orphaned members fall back to their OWN content-hash bucket — the
+    // q76 per-doc discipline
+    val q76 = graft.SparkEntry.registry.find(_.name == "q76_hash_split").get
+      .run(spark, sf).select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(ids(0)) === q76(ids(0)) && out(ids(1)) === q76(ids(1)),
+      "orphaned members must take their own-hash split")
+  }
+
+  test("purgeClosureLabels: RTBF cascade — zero tombstones, labels == fresh closure over purged corpus") {
+    val docs = Tables.documents(spark, sf)
+    val labelsDir = java.nio.file.Files
+      .createTempDirectory("st11-purge").toString + "/labels"
+    Dedup.mergeClosureLabels(spark, labelsDir, Dedup.minhashPairs(docs))
+    val before = Dedup.readClosureLabels(spark, labelsDir)
+      .as[(Long, Long)].collect()
+    assert(before.nonEmpty, "fixture must produce clusters")
+    // tombstone every component REPRESENTATIVE (the hard case: min-id
+    // re-election everywhere) plus one non-rep member
+    val reps = before.map(_._2).distinct
+    val nonRep = before.map(_._1).filterNot(reps.contains).headOption
+    val tombIds = (reps ++ nonRep).distinct
+    val tomb = tombIds.toSeq.toDF("doc_id")
+    val purgedDocs = docs.join(tomb, Seq("doc_id"), "left_anti")
+    Dedup.purgeClosureLabels(spark, labelsDir, tomb, purgedDocs)
+    val after = Dedup.readClosureLabels(spark, labelsDir)
+      .as[(Long, Long)].collect()
+    val tombSet = tombIds.toSet
+    assert(after.forall { case (d, c) => !tombSet(d) && !tombSet(c) },
+      "no tombstoned id may survive in doc_id or comp")
+    // the store must equal a from-scratch closure over the purged corpus
+    // (fixture is far below cap saturation, so the documented equality
+    // boundary does not bind here)
+    val expected = Dedup.dedupClusters(Dedup.minhashPairs(purgedDocs))
+      .select("doc_id", "comp_id").as[(Long, Long)].collect().toMap
+    assert(after.toMap === expected,
+      "post-purge labels must equal the fresh closure over the purged corpus")
+    // re-purge is a no-op
+    Dedup.purgeClosureLabels(spark, labelsDir, tomb, purgedDocs)
+    assert(Dedup.readClosureLabels(spark, labelsDir)
+      .as[(Long, Long)].collect().toMap === expected)
+    Dedup.releaseSpills(spark)
+  }
+
   test("spill TTL pruner honors the spark.graft.spill.ttl.minutes conf (GraftConfig surface)") {
     val base = java.nio.file.Files.createTempDirectory("graft-ttl-test").toString
     def mk(name: String, ageMin: Long): java.io.File = {

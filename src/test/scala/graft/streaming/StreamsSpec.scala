@@ -392,8 +392,12 @@ class StreamsSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(t0))
     }
     drifted.coalesce(1).write.mode("append").parquet(src)
+    // keepGenerations = 2 keeps gen-init as a rollback copy through the
+    // cutover, so the delta-append assertion below can still see it; the
+    // default keepN = 1 path (reclaim-at-cutover) is exercised explicitly
+    // after.
     val q = IndexLifecycle.runStream(spark, src, lcRoot, ckpt,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), keepGenerations = 2)
     q.awaitTermination(120000)
     // the drifted batch must have cut over to a retrain generation
     val gen = IndexLifecycle.currentRoot(spark, lcRoot).get
@@ -405,8 +409,24 @@ class StreamsSpec extends SparkSpec {
     // the in-distribution batch landed as a DELTA on gen-init first
     assert(Files.exists(Paths.get(s"$lcRoot/gen-init/deltas/batch=0")),
       "batch 0 must have delta-appended to the initial generation")
-    // replay the whole stream with a fresh checkpoint: applied-set +
-    // idempotent deltas must leave the lifecycle unchanged
+    // retention policy: reclaim deletes the dead generation, never the
+    // serving one — and recovery still works afterwards (the pointer
+    // fallback must find gen-b1, not fail or resurrect a ghost)
+    val reclaimed = IndexLifecycle.reclaimDeadGenerations(spark, lcRoot)
+    assert(reclaimed === Seq("gen-init"), s"expected [gen-init], got $reclaimed")
+    assert(!Files.exists(Paths.get(s"$lcRoot/gen-init")),
+      "reclaim must delete the dead generation")
+    assert(Files.exists(Paths.get(gen.stripPrefix("file:"))),
+      "reclaim must never touch the serving generation")
+    Files.delete(Paths.get(s"$lcRoot/CURRENT")) // simulate a torn pointer
+    assert(IndexLifecycle.currentRoot(spark, lcRoot).get === gen,
+      "recovery after reclaim must find the serving generation")
+    assert(IndexLifecycle.reclaimDeadGenerations(spark, lcRoot).isEmpty,
+      "re-reclaim must be a no-op")
+    // replay the whole stream with a fresh checkpoint AFTER the reclaim:
+    // applied-set + idempotent deltas must leave the lifecycle unchanged
+    // (the applied set travels with the serving generation, so deleting
+    // dead generations cannot reopen a replay window)
     val q2 = IndexLifecycle.runStream(spark, src, lcRoot,
       tmpDir("st12-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
     q2.awaitTermination(120000)
@@ -426,6 +446,29 @@ class StreamsSpec extends SparkSpec {
     val recall = served.intersect(exact).size.toDouble / exact.size
     info(s"st12 post-retrain serving recall = $recall")
     assert(recall >= 0.8)
+  }
+
+  test("st12 drift decision is batch-proportional: scans only the persisted reference sample") {
+    import graft.llm.Similarity
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val lcRoot = tmpDir("st12-ref") + "/lc"
+    IndexLifecycle.init(spark, lcRoot, e)
+    val g = IndexLifecycle.currentRoot(spark, lcRoot).get
+    val drift = IndexLifecycle.driftBase(spark, g)
+    // plan-level: every file the drift decision can read lives under the
+    // generation's driftref dir — no base/delta assignment file is an
+    // input, so an in-distribution tick never rescans the corpus
+    val files = drift.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/driftref")),
+      s"drift decision must read only driftref, got ${files.mkString(",")}")
+    // bounded: the sample is capped near the target regardless of corpus
+    // size (hash-mod sampling overshoots by at most ~2x at the cut)
+    assert(drift.count() <= IndexLifecycle.DriftRefTargetRows * 2)
+    // decision-equivalence at small scale: corpus below the target means
+    // the sample IS the corpus, so the sampled decision is bit-identical
+    // to the full-scan one there
+    if (e.count() <= IndexLifecycle.DriftRefTargetRows)
+      assert(drift.count() === e.count())
   }
 
   test("st11 incremental closure: streamed N-tick labels == batch fold == replay-invariant") {
