@@ -468,7 +468,8 @@ object Similarity {
     * their previous centroid.
     */
   def trainCodebook(corpus: DataFrame, nlist: Int, seed: Long,
-      sampleN: Int = 0, iters: Int = 10): Seq[Seq[Double]] = {
+      sampleN: Int = 0, iters: Int = 10,
+      flatMax: Int = FlatTrainMaxCells): Seq[Seq[Double]] = {
     // sample size scales WITH the requested cell count (32 training
     // points per cell, floor 2048) so the realized codebook always has
     // `nlist` cells when the corpus does — a fixed 2048 silently capped
@@ -486,16 +487,116 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "IVF codebook training: empty corpus")
     val k = math.min(nlist, sample.length)
-    val dim = sample(0).length
-    var centers: Array[Array[Double]] = sample.take(k).map(_.clone)
-    // Assignment cost is k·|sample|·dim per iteration — with the scaled
-    // sample that is ~32·k²·dim, driver-noticeable at large k, so the
-    // assignment fans out over fixed 1024-row chunks (Java parallel
-    // stream) and partials merge IN CHUNK ORDER: bit-identical to any
-    // scheduling, and deterministic run-to-run (per-point assignment is
-    // independent; only the merge order could leak nondeterminism).
+    if (k <= flatMax) lloydFlat(sample, k, iters).map(_.toSeq).toSeq
+    else {
+      // Two-level (hierarchical) training for large cell counts — the
+      // r10 ADVICE finding: flat Lloyd's at the 65536-cell cap is
+      // Θ(32·k²·dim·iters) ≈ 10^15 FLOPs on the driver, i.e. the "√N
+      // cells" posture was not actually runnable at the scale its
+      // scaladoc advertised. The standard fix (FAISS's own large-nlist
+      // recipe is hierarchical/approximate assignment during training):
+      // train √k level-1 cells flat, partition the sample by level-1
+      // assignment, and train each level-1 cell's share of sub-cells on
+      // its own points — per-point assignment cost falls from k dots to
+      // ~2·√k, making the cap ≈ 2·√k/k ≈ 1/128 of the flat cost
+      // (minutes → seconds at k = 65536). Sub-cell counts are allocated
+      // proportionally to level-1 cell mass by largest remainder
+      // (capped at the cell's point count; Σ = k exactly, feasible
+      // because |sample| ≥ k), so dense regions get finer routing —
+      // the property the flat trainer buys implicitly. Deterministic:
+      // level-1 via the chunk-order merge, partitioning preserves
+      // sample order, sub-trainings are independent and concatenate in
+      // (cell, subcell) index order. The result is still ONE flat
+      // k-cell codebook — every consumer (cellRoute, deriveNprobe off
+      // realized length) is unchanged.
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val l1 = lloydFlat(sample, math.min(k1, sample.length), iters)
+      val assign = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { s =>
+        val v = sample(s)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < l1.length) {
+          var dsum = 0.0; var i = 0
+          val cc = l1(c)
+          while (i < v.length) { val t = v(i) - cc(i); dsum += t * t; i += 1 }
+          if (dsum < bd) { bd = dsum; best = c }
+          c += 1
+        }
+        assign(s) = best
+      }
+      val byCell: Array[Array[Array[Double]]] = {
+        val builders = Array.fill(l1.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        var s = 0
+        while (s < sample.length) { builders(assign(s)) += sample(s); s += 1 }
+        builders.map(_.toArray)
+      }
+      // largest-remainder allocation of k sub-cells over level-1 cells,
+      // capped at each cell's point count; spare capacity absorbs any
+      // shortfall in deterministic (remainder, index) order
+      val sizes = byCell.map(_.length)
+      val total = sizes.sum.toDouble
+      val quota = sizes.map(s => k * (s / total))
+      val alloc = quota.map(q => math.floor(q).toInt)
+        .zip(sizes).map { case (a, s) => math.min(math.max(a, math.min(1, s)), s) }
+      var deficit = k - alloc.sum
+      val order = quota.zipWithIndex
+        .map { case (q, i) => (q - math.floor(q), i) }
+        .sortBy { case (r, i) => (-r, i) }
+      var oi = 0
+      while (deficit > 0 && oi < order.length * 2) {
+        val i = order(oi % order.length)._2
+        if (alloc(i) < sizes(i)) { alloc(i) += 1; deficit -= 1 }
+        oi += 1
+      }
+      // any residual deficit (pathological skew) drains left-to-right
+      var i2 = 0
+      while (deficit > 0 && i2 < alloc.length) {
+        val room = sizes(i2) - alloc(i2)
+        val take = math.min(room, deficit)
+        alloc(i2) += take; deficit -= take; i2 += 1
+      }
+      // a SURPLUS can arise from the every-nonempty-cell-gets-one floor
+      // (many tiny level-1 cells): shed it from multi-cell allocations
+      // in deterministic (smallest remainder, index) order
+      val shedOrder = order.reverse
+      var si = 0
+      while (deficit < 0 && si < shedOrder.length * k) {
+        val i = shedOrder(si % shedOrder.length)._2
+        if (alloc(i) > 1) { alloc(i) -= 1; deficit += 1 }
+        si += 1
+      }
+      val subs: Array[Array[Array[Double]]] =
+        java.util.stream.IntStream.range(0, byCell.length).parallel().mapToObj { c =>
+          if (alloc(c) == 0) Array.empty[Array[Double]]
+          else lloydFlat(byCell(c), alloc(c), iters)
+        }.toArray(new Array[Array[Array[Double]]](_))
+      subs.flatten.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Cells at/below which [[trainCodebook]] runs plain flat Lloyd's on
+    * the driver; above it the two-level scheme takes over. 4096 cells ×
+    * a 32·k sample ≈ 5·10^11 multiply-adds per full training — the
+    * practical flat-trainer ceiling on one driver.
+    */
+  val FlatTrainMaxCells = 4096
+
+  /** Flat Lloyd's iterations on an in-memory sample. Assignment cost is
+    * k·|points|·dim per iteration, fanned out over fixed 1024-row
+    * chunks (Java parallel stream) with partials merged IN CHUNK ORDER:
+    * bit-identical to any scheduling, and deterministic run-to-run
+    * (per-point assignment is independent; only the merge order could
+    * leak nondeterminism). Init = first k points; an emptied cell keeps
+    * its previous centroid.
+    */
+  private def lloydFlat(points: Array[Array[Double]], k0: Int,
+      iters: Int): Array[Array[Double]] = {
+    val k = math.min(k0, points.length)
+    val dim = points(0).length
+    var centers: Array[Array[Double]] = points.take(k).map(_.clone)
     val chunkSize = 1024
-    val nChunks = (sample.length + chunkSize - 1) / chunkSize
+    val nChunks = (points.length + chunkSize - 1) / chunkSize
     for (_ <- 0 until iters) {
       val cs = centers
       val partials: Array[(Array[Array[Double]], Array[Long])] =
@@ -503,9 +604,9 @@ object Similarity {
           val sums = Array.fill(k)(new Array[Double](dim))
           val counts = new Array[Long](k)
           var s = ch * chunkSize
-          val end = math.min(s + chunkSize, sample.length)
+          val end = math.min(s + chunkSize, points.length)
           while (s < end) {
-            val v = sample(s)
+            val v = points(s)
             var best = 0
             var bd = Double.MaxValue
             var c = 0
@@ -538,7 +639,7 @@ object Similarity {
         if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c))
       }
     }
-    centers.map(_.toSeq).toSeq
+    centers
   }
 
   /** IVF (inverted-file) approximate top-k — the true 100 TB scale path:

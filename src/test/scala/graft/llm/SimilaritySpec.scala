@@ -429,6 +429,35 @@ class SimilaritySpec extends SparkSpec {
         s"$c*N*np/nlist = $probeBound bound")
   }
 
+  test("two-level codebook training: realized cells, determinism, sane centers, routing balance") {
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val n = e.count()
+    val k = math.min(64L, n / 4).toInt
+    // force the hierarchical path with a tiny flatMax (in production it
+    // takes over beyond FlatTrainMaxCells = 4096 cells, a scale no test
+    // corpus reaches — the knob exists exactly for this spec)
+    val hier = Similarity.trainCodebook(e, k, 42L, flatMax = 8)
+    assert(hier.length === k, s"realized cells ${hier.length} != requested $k")
+    assert(hier.forall(c => c.forall(x => !x.isNaN && !x.isInfinite)))
+    // run-to-run determinism (chunk-order merges + index-ordered concat)
+    val hier2 = Similarity.trainCodebook(e, k, 42L, flatMax = 8)
+    assert(hier === hier2, "hierarchical training must be deterministic")
+    // the codebook still ROUTES: no cell hoards more than a small
+    // multiple of its fair share on the clustered fixture (the property
+    // the two-level allocation's proportional split exists to keep)
+    val perCell = e.select(
+      Similarity.cellScores(hier)(col("embedding")).as("cs"))
+      .select(array_min(col("cs")).getField("cid").as("cell"))
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    info(s"two-level: n=$n k=$k cells used=${perCell.size} " +
+      s"maxCell=${perCell.values.max}")
+    assert(perCell.values.max <= 8.0 * n / k,
+      s"a cell holds ${perCell.values.max} of $n vectors — routing collapsed")
+    // flat path is untouched for small k (same call, default flatMax)
+    val flat = Similarity.trainCodebook(e, 8, 42L)
+    assert(flat.length === 8)
+  }
+
   test("cluster-balanced sample: exactly min(5, |cluster|) per cluster, consistent with s7") {
     val e = Tables.embeddings(spark, sf)
     val assign = Similarity.kmeansAssign(e, k = Similarity.KmeansRegistryK, iters = 1)
