@@ -1907,8 +1907,60 @@ object Similarity {
          |LEFT JOIN fullk f ON f.qid = t.qid AND f.vid = t.vid
          |CROSS JOIN rec r""".stripMargin) { (s, d) =>
       matryoshkaEval(Tables.embeddings(s, d), MatryoshkaDims, 5)
+    },
+
+    // ---- persisted IVF-PQ index (r11): the memory-bounded serving shape --
+    // s16 persists full floats per cell (the capacity cost driver at
+    // 100 TB); s11 proves PQ-ADC but never persists. s23 is FAISS's
+    // production IVFPQ: codes (16 B/vector) are the serving-resident
+    // set, scanned cell-pruned; full vectors live in a separate
+    // cell-partitioned store touched only to exact-re-rank the ADC
+    // top-4k per query. Gates, all in-query raise_error (the s16/s22
+    // posture): serving recall ≥ 0.8 vs brute force on the clustered
+    // fixture, logical code width ≤ 20 B/vector, and MARGINAL physical
+    // bytes/vector of the written code files ≤ 20 (total bytes minus a
+    // fixed per-file parquet-footer allowance, over N — the marginal
+    // term is what scales; the fixed term amortizes to zero at 100 TB).
+    // Pruning is spec'd via inputFiles (SimilaritySpec, s16 pattern).
+    rowsOnly("s23_ivf_pq_index") { (s, d) =>
+      val e = clusteredEmbeddings(Tables.embeddings(s, d))
+      val key = "clustered:" + d
+      val idx = ivfPqIndexBuild(e, cacheKey = Some(key))
+      val q = e.filter(col("vec_id") < 8)
+      val served = ivfPqIndexQuery(s, idx, q, 5)
+      val n = corpusCount(e, Some(key))
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+      var bytes = 0L
+      var files = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) { bytes += f.getLen; files += 1 }
+      }
+      val marginal = math.max(0.0,
+        (bytes - files * PqFileOverheadBytes).toDouble / n)
+      val codeWidth = s.read.parquet(s"$idx/codes")
+        .agg(max(size(col("code")))).head().getInt(0)
+      withRecallGate(
+        served.select(col("qid"), col("vid"),
+          when(lit(codeWidth > 20), raise_error(
+            lit(s"PQ code width $codeWidth > 20 B/vector")))
+            .when(lit(marginal > 20.0), raise_error(
+              lit(f"marginal code-file bytes/vector $marginal%.1f > 20")))
+            .otherwise(col("sim")).as("sim"),
+          round(lit(marginal), 2).as("code_bytes_per_vec")),
+        bruteTopK(q, e, 5), minRecall = 0.80)
     }
   )
+
+  /** Fixed per-file allowance (parquet footer/schema/dictionary) the
+    * s23 bytes-per-vector gate subtracts before dividing by N: the gate
+    * binds on the MARGINAL per-row cost — the quantity that scales with
+    * the corpus — while the fixed cost amortizes away (a 100 TB cell
+    * file carries millions of rows per footer).
+    */
+  val PqFileOverheadBytes = 4096L
 
   /** Prefix length of the s21 matryoshka eval — shared with its oracle. */
   val MatryoshkaDims = 16
@@ -2346,6 +2398,201 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Build the persisted IVF-PQ index (s23) — the MEMORY story 100 TB
+    * ANN serving needs, which `s16`'s full-float cells lack: FAISS's
+    * production IVFPQ shape, the coarse IVF layout of [[ivfIndexBuild]]
+    * combined with [[pqTrain]]'s product quantizer. Layout under the
+    * returned root:
+    * {{{
+    *   centroids/    nlist coarse centroids (bounded)
+    *   pqcodebook/   mSub·kCent sub-centroids (parameter-bounded)
+    *   codes/        cell-PARTITIONED (vid, code array<tinyint>[mSub]) —
+    *                 the SERVING-RESIDENT set: mSub bytes per vector
+    *                 (16 B at registry parameters; 256 B of floats
+    *                 become 16 B, the 16× that decides whether an index
+    *                 fits a serving tier at all)
+    *   vectors/      cell-partitioned full-precision store, read ONLY
+    *                 for the exact re-rank of ADC candidates (bounded
+    *                 rows per query), never scanned whole at query time
+    * }}}
+    * The ADC scan therefore reads 16 B/vector over the probed cells;
+    * recall lost to quantization is bought back by re-ranking the ADC
+    * top-R exactly from the separately-stored full vectors — the
+    * memory-bounded serving loop [[ivfPqIndexQuery]] implements.
+    * Deterministic per (corpus, nlist, seed): seeded coarse codebook,
+    * hash-seeded PQ training, argmin code assignment with cid
+    * tiebreak. Same small-files guard as the IVF build (repartition on
+    * cell before the partitioned write).
+    */
+  /** L2-normalize an (vec_id, embedding) frame to unit float vectors —
+    * the metric alignment trick s23 rides: on unit vectors
+    * ‖a − b‖² = 2 − 2·cos(a, b), so the PQ codebook's L2 asymmetric
+    * distance ranks candidates in (approximate) COSINE order, and the
+    * exact cosine re-rank only has to fix quantization noise, not a
+    * metric mismatch (measured: +0.35 recall at sf0.1 over encoding raw
+    * vectors). Zero vectors pass through unscaled.
+    */
+  private def unitVectors(df: DataFrame): DataFrame = {
+    import graft.functions.VectorExpressions.arrayDot
+    df.select(col("vec_id"), col("embedding"),
+        sqrt(arrayDot(col("embedding"), col("embedding"))).as("__n"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x / greatest(col("__n"), lit(1e-30))).cast("float"))
+          .as("embedding"))
+  }
+
+  /** Sub-centroids per PQ subspace for the PERSISTED s23 index: 256 =
+    * 8-bit codes, the FAISS PQ16x8 production standard. s11's in-memory
+    * demo keeps its oracle-pinned 16; the persisted index needs the
+    * finer resolution because ADC must ORDER candidates within a
+    * cluster, where neighbor gaps sit near the quantization noise floor
+    * (measured at sf0.1: recall@rerank8 0.55 with kCent=16 vs the
+    * probing ceiling 0.975 — the 4-bit table cannot rank within-cluster
+    * neighbors). Codes stay 1 byte each (stored as a signed byte,
+    * decoded unsigned), so the 16 B/vector serving footprint is
+    * unchanged.
+    */
+  val PqServeKCent = 256
+
+  def ivfPqIndexBuild(corpus: DataFrame, nlist: Option[Int] = None,
+      seed: Long = 42L, mSub: Int = PqRegistryM, kCent: Int = PqServeKCent,
+      cacheKey: Option[String] = None, targetDir: Option[String] = None): String = {
+    val nl = nlist.getOrElse(deriveNlist(corpusCount(corpus, cacheKey)))
+    def build(): String = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val root = targetDir.getOrElse(Dedup.trackSpill(
+        s"${Dedup.spillBase(spark, None, "ivfPqIndexBuild")}/${Dedup.runDirName("ivfpq")}"))
+      val centers = cacheKey match {
+        case Some(key) =>
+          codebookCache.getOrElseUpdate((key, nl, seed), trainCodebook(corpus, nl, seed))
+        case None => trainCodebook(corpus, nl, seed)
+      }
+      centers.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      // codes quantize the UNIT-normalized vectors (see [[unitVectors]]
+      // — aligns ADC's L2 ordering with the cosine serving metric)
+      val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+      pqCents.toDF("ss", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcodebook")
+      // one compact array<tinyint> per vector (kCent ≤ 256 always fits),
+      // ordered by subspace via the struct sort
+      // unsigned 8-bit cid stored in a signed byte: wrap 128..255 to
+      // −128..−1 explicitly (ANSI cast would overflow); the query side
+      // decodes with the matching +256 wrap
+      val codes = pqArgmin(pqDists(sv, pqCents))
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("ss"), col("cid")))),
+          e => (pmod(e.getField("cid") + 128, lit(256)) - 128).cast("byte"))
+          .as("code"))
+      val routed = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+      codes.select(col("vec_id").as("vid"), col("code"))
+        .join(routed.select(col("vid"), col("cell")), Seq("vid"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
+      routed
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
+      root
+    }
+    cacheKey match {
+      case Some(key) =>
+        val k = (key + ":pq", nl, seed)
+        persistedIndexCache.get(k)
+          .filter(r => java.nio.file.Files.exists(java.nio.file.Paths.get(r)))
+          .getOrElse {
+            val fresh = build()
+            persistedIndexCache.put(k, fresh)
+            fresh
+          }
+      case None => build()
+    }
+  }
+
+  /** Serve top-k from a persisted IVF-PQ index: centroids and the PQ
+    * codebook are bounded reads; each query probes its `nprobe` nearest
+    * cells and the CODES scan prunes to those cells at the directory
+    * level (the s16 discipline, but over 16 B/vector rows). Asymmetric
+    * distance is pure scan-side arithmetic — the per-query lookup table
+    * (mSub·kCent exact query-to-subcentroid distances, 6-dp rounded)
+    * broadcasts as ONE array per query and the ADC sum is a fixed-order
+    * DECIMAL fold over the code array (`transform` + `aggregate`, no
+    * row explosion, no extra shuffle; partial-sum order can't flip a
+    * rank). The ADC top-`rerankFactor·k` per query then re-ranks
+    * EXACTLY against the full-precision store, read pruned to the
+    * probed cells and joined keyed on vid against the bounded
+    * candidate set — so serving memory holds codes, never the float
+    * corpus.
+    */
+  def ivfPqIndexQuery(spark: SparkSession, indexRoot: String,
+      queries: DataFrame, k: Int, nprobe: Option[Int] = None,
+      rerankFactor: Int = 8): DataFrame = {
+    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val np = nprobe.getOrElse(deriveNprobe(centers.length))
+    val pqCents: Seq[(Long, Long, Seq[Double])] =
+      spark.read.parquet(s"$indexRoot/pqcodebook")
+        .orderBy(col("ss"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+    val mSub = (pqCents.map(_._1).max + 1).toInt
+    // realized sub-centroid count can trail the nominal (tiny corpus);
+    // the ADC table is indexed by realized count, codes never exceed it
+    val kCent = (pqCents.map(_._2).max + 1).toInt
+    val sub = pqCents.head._3.length
+    // per-query ADC lookup table: one ordered array of mSub·kCent exact
+    // 6-dp subdistances (index = ss·kCent + cid); queries normalize like
+    // the encoded corpus so the L2 table ranks in cosine order
+    val qsv = pqSubvectors(unitVectors(queries), mSub, sub)
+    val qt = pqDists(qsv, pqCents)
+      .groupBy(col("vec_id").as("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ss"), col("cid"), col("dist")))),
+        e => e.getField("dist")).as("dtab"))
+    val qProbes = queries
+      .select(col("vec_id").as("qid"),
+        explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
+    val probedCells = qProbes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+    val codes = spark.read.parquet(s"$indexRoot/codes")
+      .filter(col("cell").isin(probedCells: _*))
+    val adc = codes
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .join(broadcast(qt), Seq("qid"))
+      .select(col("qid"), col("vid"), col("cell"),
+        // codes are stored SIGNED bytes holding unsigned cids (8-bit
+        // PQ): decode with a +256 wrap before indexing the table
+        expr(s"""CAST(aggregate(
+          transform(code, (c, i) -> element_at(dtab,
+            i * $kCent + ((CAST(c AS INT) + 256) % 256) + 1)),
+          CAST(0 AS DECIMAL(18,6)),
+          (acc, x) -> CAST(acc + CAST(x AS DECIMAL(18,6)) AS DECIMAL(18,6)))
+          AS DOUBLE)""").as("adist"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vid"))
+    val top = adc.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= rerankFactor.toLong * k).drop("rn")
+    // exact re-rank: the full-precision store read prunes to the PROBED
+    // cells (candidates live only there, so the same directory listing
+    // bounds both scans) and joins keyed on vid against the bounded
+    // candidate set — rerankFactor·k·|queries| rows, never the corpus
+    val vecs = spark.read.parquet(s"$indexRoot/vectors")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vid"), col("ve"))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wR = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    top.select(col("qid"), col("vid"))
+      .join(vecs, Seq("vid"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rn", row_number().over(wR))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
   }
