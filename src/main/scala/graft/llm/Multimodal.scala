@@ -11,16 +11,19 @@ import graft.OpQuery.sql
   * `binary` columns with a typed metadata struct, batch-shaped
   * decode/feature-extract over partitions.
   *
-  * Codec status (round 10): the IMAGE leg (m1/m2) is a REAL codec —
-  * actual PNG bytes encoded and decoded through `javax.imageio` inside
-  * the mapPartitions seam, full-oracle-verified pixel for pixel
-  * ([[imageTable]]/[[decodeImage]]). The audio/video legs keep
+  * Codec status (round 11): the IMAGE legs are a REAL codec — m1/m2
+  * (decode + pixel stats), m3's resize (decode → area-average raster →
+  * re-encode → re-decode, [[resizeImageStats]]), and m6's scene cuts
+  * (per-frame PNG clips decoded for frame-difference energies,
+  * [[videoTable]]/[[sceneCutsImage]]) all run actual PNG bytes through
+  * `javax.imageio` inside the mapPartitions seam, full-oracle-verified
+  * pixel for pixel. The AUDIO leg and the generic byte-blob seam keep
   * deterministic STUBS ([[decodeStub]], [[audioLandmarkStub]],
-  * [[resizeStub]], [[frameSampleStub]]) because this container has no
-  * audio/video libraries; everything around them — schema, batch
-  * iteration shape, partition parallelism, output contract — is real and
-  * tested, and the image leg proves the seam's contract holds when a
-  * real decoder fills it.
+  * [[resizeStub]], [[frameSampleStub]], [[sceneSegments]]) because this
+  * container has no audio/video codec libraries; everything around them
+  * — schema, batch iteration shape, partition parallelism, output
+  * contract — is real and tested, and the image legs prove the seam's
+  * contract holds when a real decoder fills it.
   */
 object Multimodal {
 
@@ -223,6 +226,151 @@ object Multimodal {
     keys.toArray
   }
 
+  /** Area-average image resize over the REAL decoded raster (r11 — the
+    * m3 image leg moves off the byte-stride stub): decode the PNG,
+    * halve each dimension (ceil) by integer-floor box averaging (2×2
+    * boxes; edge boxes shrink on odd dims), then ENCODE the resized
+    * raster back to PNG and RE-DECODE it, reporting stats from the
+    * re-decoded pixels — so one row exercises decode → raster math →
+    * encode → decode, and the lossless-grayscale contract is what makes
+    * the closed-form oracle able to predict the output exactly.
+    * `checksum` is the position-weighted pixel sum Σ v(o)·(o+1) in
+    * row-major output order — a wrong stride/transpose mismatches it
+    * even when the plain total survives.
+    */
+  def resizeImageStats(id: Long, payload: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val tw = (w + 1) / 2
+    val th = (h + 1) / 2
+    val in = img.getRaster
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val or = out.getRaster
+    var yy = 0
+    while (yy < th) {
+      var xx = 0
+      while (xx < tw) {
+        var sum = 0
+        var cnt = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val x = 2 * xx + dx
+            val y = 2 * yy + dy
+            if (x < w && y < h) { sum += in.getSample(x, y, 0); cnt += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        or.setSample(xx, yy, 0, sum / cnt)
+        xx += 1
+      }
+      yy += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    val rd = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val rr = rd.getRaster
+    var tot = 0L
+    var chk = 0L
+    var o = 0
+    while (o < tw * th) {
+      val v = rr.getSample(o % tw, o / tw, 0).toLong
+      tot += v
+      chk += v * (o + 1)
+      o += 1
+    }
+    (id, tw.toLong, th.toLong, tot, chk)
+  }
+
+  /** Closed-form VIDEO fixture (the m6 real-codec leg): doc `id` is a
+    * clip of `3 + id mod 5` grayscale frames, frame f's pixel
+    * (id·31 + f·53 + x·7 + y·13) mod 256 at the m1 geometry — each
+    * frame a REAL encoded PNG, the clip an `array<binary>` payload (the
+    * multimodal layout for video: one row, one frame sequence).
+    */
+  def videoFrameCount(id: Long): Int = 3 + (id % 5).toInt
+  def videoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 53 + x * 7 + y * 13) % 256).toInt
+
+  /** Real scene-cut detection over decoded frames (r11 — m6 moves off
+    * the byte-window stub for IMAGES; audio stays stubbed): each frame
+    * PNG-encoded inside the partition, decoded back, per-frame energy =
+    * exact pixel sum, and a cut between adjacent frames iff
+    * 4·|Δenergy| > 255·n_pixels (mean absolute frame difference above a
+    * quarter of full scale — all-integer, so the oracle replays the
+    * threshold exactly). Scenes are the runs between cuts. One scan,
+    * map-side only.
+    */
+  def videoTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = imageWidth(id)
+        val h = imageHeight(id)
+        val frames: Seq[Array[Byte]] = (0 until videoFrameCount(id)).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { r.setSample(x, y, 0, videoPixel(id, f, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        (id, frames)
+      })
+      .toDF("doc_id", "frames")
+      .select(col("doc_id"), col("frames"),
+        struct(lit("video/png-frames").as("format"),
+          size(col("frames")).cast("long").as("n_frames"),
+          lit("synthetic").as("source")).as("meta"))
+  }
+
+  def sceneCutsImage(s: SparkSession, docs: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    videoTable(docs)
+      .select(col("doc_id"), col("frames"))
+      .as[(Long, Seq[Array[Byte]])]
+      .mapPartitions(_.map { case (id, frames) =>
+        val energies = frames.map { p =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          require(img != null, s"doc $id: frame is not a decodable image")
+          val rr = img.getRaster
+          var tot = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { tot += rr.getSample(x, y, 0).toLong; x += 1 }
+            y += 1
+          }
+          tot
+        }
+        val nf = frames.length
+        val npx = imageWidth(id).toLong * imageHeight(id)
+        val cuts = (1 until nf).filter(f =>
+          4L * math.abs(energies(f) - energies(f - 1)) > 255L * npx)
+        val bounds = 0 +: cuts :+ nf
+        val longest =
+          if (nf == 0) 0L
+          else bounds.sliding(2).map(p => (p(1) - p(0)).toLong).max
+        (id, nf.toLong, cuts.length.toLong,
+          if (nf == 0) 0L else cuts.length.toLong + 1, longest)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "n_scenes", "longest_scene")
+  }
+
   /** ======= STUB — replace with a real resampler =======
     * "Resize": deterministic stride-subsample of the payload to at most
     * `targetBytes` bytes — stands in for image resize (the byte-budget
@@ -395,41 +543,73 @@ object Multimodal {
               (col("strips")(j) % 1000).cast("double").as(s"f$j")): _*)
     },
 
-    // ---- resize + frame-sample plumbing (stub decode; real batch shape) --
-    // FULL oracle: the reported SIZES are closed integer forms of the
-    // payload length — resize keeps every stride-th byte
-    // (stride = ⌈n/256⌉ → ⌊(n−1)/stride⌋+1 survivors), frame-sampling
-    // takes 4 windows of ≤64 bytes at step max(n/4, 1) — so DuckDB
-    // verifies the Spark-side mapPartitions decode row for row without
-    // needing the byte content.
+    // ---- image resize (REAL codec, r11) + frame-sample plumbing ----------
+    // The image leg now runs the full decode → area-average raster
+    // resize → re-encode → re-decode loop on actual PNG bytes
+    // ([[resizeImageStats]]); the oracle predicts the resized pixels
+    // from the fixture's closed-form image (2×2 integer-floor box
+    // means, edge boxes shrink on odd dims) and pins both the plain
+    // total AND a position-weighted checksum — a transposed stride or
+    // wrong box clipping mismatches immediately. The frame-sample leg
+    // keeps the documented byte-window STUB over the text payload
+    // (video sampling; no video codec in this container) with its
+    // original closed-form size oracle.
     sql("m3_media_resize_frames", {
       val starts = (0 until 4).map(i => s"least($i * step, greatest(n - 1, 0))")
       val flens = starts.map(st => s"(least(($st) + 64, n) - ($st))")
       s"""WITH b AS (
          |  SELECT doc_id, octet_length(coalesce(encode(text), encode(''))) AS n
          |  FROM documents
-         |), s AS (
-         |  SELECT doc_id, n, greatest(n // 4, 1) AS step,
-         |    CASE WHEN n <= 256 THEN n
-         |         ELSE (n - 1) // ((n + 255) // 256) + 1 END AS resized_bytes
-         |  FROM b
+         |), fs AS (
+         |  SELECT doc_id, n, greatest(n // 4, 1) AS step FROM b
+         |), fleg AS (
+         |  SELECT doc_id,
+         |    CAST(${flens.map(f => s"CASE WHEN $f > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INTEGER) AS n_frames,
+         |    CAST(${flens.mkString(" + ")} AS INTEGER) AS frame_bytes_total
+         |  FROM fs
+         |), g AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, w, h, (w + 1) // 2 AS tw, (h + 1) // 2 AS th FROM g
+         |), rv AS (
+         |  SELECT doc_id, tw, th,
+         |    [ CAST(list_sum([ (doc_id*31 + (2*(o % tw) + i % 2)*7
+         |                       + (2*(o // tw) + i // 2)*13) % 256
+         |          FOR i IN range(4)
+         |          IF 2*(o % tw) + i % 2 < w AND 2*(o // tw) + i // 2 < h ])
+         |        // len([ i FOR i IN range(4)
+         |          IF 2*(o % tw) + i % 2 < w AND 2*(o // tw) + i // 2 < h ])
+         |        AS BIGINT)
+         |      FOR o IN range(tw*th) ] AS v
+         |  FROM r
          |)
-         |SELECT doc_id, CAST(resized_bytes AS INTEGER) AS resized_bytes,
-         |  CAST(${flens.map(f => s"CASE WHEN $f > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INTEGER) AS n_frames,
-         |  CAST(${flens.mkString(" + ")} AS INTEGER) AS frame_bytes_total
-         |FROM s""".stripMargin
+         |SELECT rv.doc_id, CAST(tw AS BIGINT) AS resized_w,
+         |  CAST(th AS BIGINT) AS resized_h,
+         |  CAST(list_sum(v) AS BIGINT) AS resized_total,
+         |  CAST(list_sum([ v[o+1] * (o+1) FOR o IN range(tw*th) ]) AS BIGINT)
+         |    AS resized_checksum,
+         |  fleg.n_frames, fleg.frame_bytes_total
+         |FROM rv JOIN fleg ON fleg.doc_id = rv.doc_id""".stripMargin
     }) { (s, d) =>
       val spark = s
       import spark.implicits._
-      mediaTable(Tables.spread(Tables.documents(s, d)))
+      val docs = Tables.documents(s, d)
+      val resize = imageTable(Tables.spread(docs))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => resizeImageStats(id, p) })
+        .toDF("doc_id", "resized_w", "resized_h", "resized_total",
+          "resized_checksum")
+      val framesLeg = mediaTable(Tables.spread(docs))
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) =>
-          val resized = resizeStub(p, 256)
           val frames = frameSampleStub(p, 4, 64)
-          (id, resized.length, frames.length, frames.map(_.length).sum)
+          (id, frames.length, frames.map(_.length).sum)
         })
-        .toDF("doc_id", "resized_bytes", "n_frames", "frame_bytes_total")
+        .toDF("doc_id", "n_frames", "frame_bytes_total")
+      resize.join(framesLeg, Seq("doc_id"))
     },
 
     // ---- perceptual-hash near-dup (media dedup without exact bytes) ------
@@ -658,39 +838,36 @@ object Multimodal {
           round(col("shared").cast("double") / least(col("na"), col("nb")), 6).as("score"))
     },
 
-    // ---- video scene segmentation (shot-cut detection) -------------------
+    // ---- video scene segmentation (REAL frame codec, r11) ----------------
     // The frame-difference shot detector every video-curation pipeline
-    // runs before sampling clips: adjacent frames whose energy
-    // signatures differ beyond a threshold mark a cut; scenes are the
-    // runs between cuts. The decode is the usual environment STUB
-    // ([[sceneCutStub]]: fixed 64-byte "frames", byte-sum energies
-    // standing in for frame histograms); the mapPartitions batch seam,
-    // the per-row bounded output (≤ frames-per-item cut positions), and
-    // the closed-form scene math are real. FULL oracle: all-integer —
-    // DuckDB re-derives frame sums from hex(blob) and replays the cut
-    // threshold and the longest-run fold exactly. Scale: one scan,
-    // per-row CPU-bound work spread across partitions, no shuffle at
-    // all — the whole operator is map-side.
+    // runs before sampling clips, now over REAL decoded frames: the
+    // clip fixture is an `array<binary>` of per-frame PNGs
+    // ([[videoTable]] — one row per clip, the multimodal video layout),
+    // each frame decoded back through javax.imageio and its energy
+    // taken as the exact pixel sum; a cut fires between adjacent frames
+    // iff 4·|Δenergy| > 255·n_pixels (all-integer threshold). FULL
+    // oracle: the fixture's pixels are a closed form of (doc_id, frame),
+    // so DuckDB recomputes every frame energy and replays the threshold
+    // and longest-run fold exactly — while Spark must recover identical
+    // energies through the encode → PNG → decode round trip per frame.
+    // Scale: one scan, per-row CPU-bound decode spread across
+    // partitions, no shuffle at all — the whole operator is map-side.
     sql("m6_scene_cuts", {
-      s"""WITH b AS (
-         |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
-         |         octet_length(coalesce(encode(text), encode(''))) AS n
+      s"""WITH p AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         |         3 + doc_id % 5 AS nf
          |  FROM documents
-         |), e AS (
-         |  SELECT doc_id, n // $SceneFrame AS nf,
-         |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-         |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
-         |      FOR i IN range(n) ] AS bytes
-         |  FROM b
-         |), fr AS (
-         |  SELECT doc_id, nf,
-         |    [ CAST(list_sum(bytes[f*$SceneFrame + 1 : (f+1)*$SceneFrame]) AS BIGINT)
+         |), en AS (
+         |  SELECT doc_id, nf, w*h AS npx,
+         |    [ CAST(list_sum([ (doc_id*31 + f*53 + (i // h)*7 + (i % h)*13) % 256
+         |          FOR i IN range(w*h) ]) AS BIGINT)
          |      FOR f IN range(nf) ] AS sums
-         |  FROM e
+         |  FROM p
          |), cuts AS (
          |  SELECT doc_id, nf,
-         |    [ f FOR f IN range(1, nf) IF abs(sums[f+1] - sums[f]) > $SceneCutThresh ] AS cutpos
-         |  FROM fr
+         |    [ f FOR f IN range(1, nf) IF 4*abs(sums[f+1] - sums[f]) > 255*npx ]
+         |      AS cutpos
+         |  FROM en
          |)
          |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
          |  CAST(len(cutpos) AS BIGINT) AS n_cuts,
@@ -701,7 +878,7 @@ object Multimodal {
          |  END AS BIGINT) AS longest_scene
          |FROM cuts""".stripMargin
     }) { (s, d) =>
-      sceneSegments(mediaTable(Tables.spread(Tables.documents(s, d))))
+      sceneCutsImage(s, Tables.spread(Tables.documents(s, d)))
     },
 
     // ---- media–embedding alignment filter (CLIP-score shape) -------------

@@ -84,6 +84,70 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeStub(payload, 256).toSeq === resized.toSeq)
   }
 
+  test("real image resize: hand-computed 2x2 box means; round-trips through PNG") {
+    for (id <- Seq(0L, 7L, 23L, 100L)) {
+      val w = Multimodal.imageWidth(id)
+      val h = Multimodal.imageHeight(id)
+      // encode the fixture image independently of the seam
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, Multimodal.imagePixel(id, x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val (rid, tw, th, tot, chk) = Multimodal.resizeImageStats(id, bos.toByteArray)
+      assert(rid === id)
+      assert(tw === (w + 1) / 2 && th === (h + 1) / 2)
+      // plain-Scala box means (integer floor; edge boxes shrink)
+      var wantTot = 0L
+      var wantChk = 0L
+      for (o <- 0 until (tw * th).toInt) {
+        val bx = (o % tw).toInt; val by = (o / tw).toInt
+        val pix = for {
+          dy <- 0 until 2; dx <- 0 until 2
+          if 2 * bx + dx < w && 2 * by + dy < h
+        } yield Multimodal.imagePixel(id, 2 * bx + dx, 2 * by + dy)
+        val v = (pix.sum / pix.length).toLong
+        wantTot += v
+        wantChk += v * (o + 1)
+      }
+      assert(tot === wantTot, s"doc $id resized total")
+      assert(chk === wantChk, s"doc $id resized checksum")
+    }
+  }
+
+  test("real scene cuts: decoded-frame energies equal closed form; threshold replays") {
+    val docs = Tables.documents(spark, sf).limit(30)
+    val out = Multimodal.sceneCutsImage(spark, docs)
+      .select("doc_id", "n_frames", "n_cuts", "n_scenes", "longest_scene")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nf, nc, ns, ls) =>
+      val w = Multimodal.imageWidth(id)
+      val h = Multimodal.imageHeight(id)
+      assert(nf === Multimodal.videoFrameCount(id).toLong)
+      val energies = (0 until nf.toInt).map(f =>
+        (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.videoPixel(id, f, x, y).toLong).sum)
+      val cuts = (1 until nf.toInt).filter(f =>
+        4L * math.abs(energies(f) - energies(f - 1)) > 255L * w * h)
+      assert(nc === cuts.length.toLong, s"doc $id cuts")
+      assert(ns === cuts.length.toLong + 1, s"doc $id scenes")
+      val bounds = 0 +: cuts :+ nf.toInt
+      assert(ls === bounds.sliding(2).map(p => (p(1) - p(0)).toLong).max,
+        s"doc $id longest scene")
+    }
+    // the clip payload really is a sequence of genuine PNGs
+    val clip = Multimodal.videoTable(docs.limit(3))
+      .select(col("doc_id"), col("frames"), col("meta.format"))
+      .as[(Long, Seq[Array[Byte]], String)].collect()
+    clip.foreach { case (id, frames, fmt) =>
+      assert(fmt === "video/png-frames")
+      assert(frames.length === Multimodal.videoFrameCount(id))
+      frames.foreach(p => assert((p(0) & 0xff) === 0x89 && p(1) === 'P'.toByte))
+    }
+  }
+
   test("fingerprint: identical texts collide, sketch bounded, scalar schema") {
     val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "zzzzyyyyxxxxwwww"))
       .toDF("doc_id", "text")
