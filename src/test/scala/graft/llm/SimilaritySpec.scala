@@ -429,6 +429,33 @@ class SimilaritySpec extends SparkSpec {
         s"$c*N*np/nlist = $probeBound bound")
   }
 
+  test("multi-probe LSH: recall monotone in probe depth, candidates grow, deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteTopK(q, e, 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    def run(pb: Int): (Double, Long) = {
+      val got = Similarity.lshMultiProbeTopK(q, e, 5, probeBits = pb)
+        .select("qid", "vid").as[(Long, Long)].collect().toSet
+      val cand = Similarity.lshMultiProbeCandidates(q, e, probeBits = pb).count()
+      (got.intersect(exact).size.toDouble / exact.size, cand)
+    }
+    val curve = Seq(0, 1, 3).map(pb => (pb, run(pb)))
+    info(s"multi-probe curve (probeBits -> (recall, candidates)): $curve")
+    // the tuning-curve laws: deeper probing never loses recall (probe
+    // sets are supersets) and never shrinks the candidate set
+    curve.sliding(2).foreach { case Seq((_, (r1, c1)), (_, (r2, c2))) =>
+      assert(r2 >= r1, s"recall must be monotone in probeBits: $curve")
+      assert(c2 >= c1, s"candidates must be monotone in probeBits: $curve")
+    }
+    // the flips must buy real recall in the adversarial regime (the
+    // whole point of multi-probe)
+    assert(curve.last._2._1 > curve.head._2._1,
+      s"probing flips bought no recall: $curve")
+    // determinism: seeded planes + deterministic flip ranks
+    assert(run(3) === run(3))
+  }
+
   test("two-level codebook training: realized cells, determinism, sane centers, routing balance") {
     val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
     val n = e.count()
