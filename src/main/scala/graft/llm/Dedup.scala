@@ -1240,6 +1240,15 @@ object Dedup {
   private[graft] def runDirName(prefix: String): String =
     s"$prefix-$sessionTag-${java.util.UUID.randomUUID()}"
 
+  /** A DETERMINISTIC session-scoped dir name (no UUID): same prefix +
+    * name within one JVM always maps to the same path, so a build-once
+    * artifact (the s23 serving index) survives across bench reps while
+    * the TTL pruner still recognizes other sessions' copies as foreign
+    * (the session tag is embedded exactly like [[runDirName]]).
+    */
+  private[graft] def sessionDirName(prefix: String, name: String): String =
+    s"$prefix-$sessionTag-$name"
+
   /** Run dirs created by THIS session whose returned plans may still be
     * live (the cc-/tok-/snm- spills). Recorded at creation so
     * [[releaseSpills]] can reclaim them on the caller's say-so; other
@@ -1294,7 +1303,8 @@ object Dedup {
         val foreignRun =
           (n.startsWith("cc-") || n.startsWith("tok-") || n.startsWith("snm-") ||
             n.startsWith("lm-") || n.startsWith("mmr-") || n.startsWith("ivf-") ||
-            n.startsWith("ivfidx-") || n.startsWith("incart-")) &&
+            n.startsWith("ivfidx-") || n.startsWith("ivfpq-") ||
+            n.startsWith("incart-")) &&
             !n.contains(sessionTag)
         if (foreignRun && st.getModificationTime < cutoff)
           fs.delete(st.getPath, true)
