@@ -1465,6 +1465,41 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** See the `t34` registry notes. `docs` needs (doc_id, source, text).
+    * Effective per-source token mass over the DEDUPED corpus: a doc
+    * contributes its tokens iff it is unpaired or its d8 cluster's
+    * min-label keeper (integer-exact — no rational 1/n weights, so the
+    * oracle hash cannot drift on division rounding), then t32's
+    * √-tempered mixture math on the corrected counts. The Σ√n
+    * denominator folds driver-side in lexicographic source order over
+    * the |sources|-row frame (the t21/t32 bounded-fold rule).
+    */
+  def dedupCorrectedMixture(docs: DataFrame): DataFrame = {
+    val keep = dedupClusters(minhashPairs(docs))
+      .select(col("doc_id"), col("is_keeper").as("__k"))
+    val s = docs
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextStats.tokens(col("text"))).cast("long").as("nt"))
+      .join(keep, Seq("doc_id"), "left")
+      .select(col("source"), col("nt"), coalesce(col("__k"), lit(true)).as("k"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tok_raw"),
+        sum(when(col("k"), col("nt")).otherwise(0L)).as("n_tok_dedup"))
+    val perSource = s.orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val tot = perSource.map(_._2).sum
+    val wsum = perSource.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    s.select(col("source"), col("n_tok_raw"), col("n_tok_dedup"),
+      round(col("n_tok_dedup").cast("double") / col("n_tok_raw"), 6)
+        .as("dedup_frac"),
+      round(col("n_tok_dedup").cast("double") / lit(tot), 6).as("nat_frac"),
+      round(sqrt(col("n_tok_dedup").cast("double")) / lit(wsum), 6).as("weight"),
+      round(sqrt(col("n_tok_dedup").cast("double")) / lit(wsum) * lit(tot) /
+        col("n_tok_dedup"), 6).as("epochs"))
+  }
+
   def clusterKeepBest(docs: DataFrame): DataFrame = {
     val comp = dedupClusters(minhashPairs(docs))
     val sw = typedLit(graft.llm.TextStats.enStopwords)
@@ -2302,6 +2337,58 @@ object Dedup {
           coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
           round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") / lit(nDocs), 6)
             .as("dup_frac"))
+    },
+
+    // ---- dedup-corrected mixture weights (d29's ACTION, r11) -------------
+    // d29 showed this corpus's near-dup pairs are overwhelmingly
+    // cross-source — a source that is largely another's content inflates
+    // its raw token mass and with it its t32 sampling weight. This is
+    // the re-weighting step that observation demands: per-source token
+    // counts recomputed over the DEDUPED corpus (each d8 near-dup
+    // cluster contributes only its min-label keeper's tokens — the
+    // cluster-mass rule d17 states, here in the integer-exact keep-best
+    // form so the oracle never divides), then the t32 √-tempered
+    // weight/fraction/epochs on the corrected counts, with the raw
+    // counts and survival fraction alongside so the shift is readable.
+    // Scale shape: the d8 machinery (capped LSH pairs → closure) plus
+    // ONE keyed join of the token projection against the keeper flags
+    // and a |sources|-row aggregation; the Σ√n denominator folds in
+    // lexicographic source order on both engines (the t21/t32 rule).
+    sql("t34_dedup_corrected_mixture",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+         |), keep AS (
+         |  SELECT d.source,
+         |    CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS nt,
+         |    (c.doc_id IS NULL OR c.comp_id = d.doc_id) AS kept
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), s AS (
+         |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tok_raw,
+         |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS n_tok_dedup
+         |  FROM keep GROUP BY source
+         |), t AS (
+         |  SELECT CAST(sum(n_tok_dedup) AS BIGINT) AS tot,
+         |    list_sum(list(sqrt(CAST(n_tok_dedup AS DOUBLE)) ORDER BY source))
+         |      AS wsum
+         |  FROM s
+         |)
+         |SELECT source, n_tok_raw, n_tok_dedup,
+         |  round(CAST(n_tok_dedup AS DOUBLE) / n_tok_raw, 6) AS dedup_frac,
+         |  round(CAST(n_tok_dedup AS DOUBLE) / t.tot, 6) AS nat_frac,
+         |  round(sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum, 6) AS weight,
+         |  round(sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum * t.tot / n_tok_dedup, 6)
+         |    AS epochs
+         |FROM s, t""".stripMargin) { (s, d) =>
+      dedupCorrectedMixture(Tables.documents(s, d))
     },
 
     sql("d26_lsh_diagnostics", {

@@ -399,6 +399,30 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseSpills(spark)
   }
 
+  test("t34 dedup-corrected mixture: mass conservation, weights sum to 1, keeper rule") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.dedupCorrectedMixture(docs)
+      .select("source", "n_tok_raw", "n_tok_dedup", "weight")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, raw, dedup, _) =>
+      assert(dedup <= raw, s"source $src gained tokens from dedup")
+      assert(dedup > 0, s"source $src lost all mass")
+    }
+    // weights are a distribution (6-dp rounding slack per source)
+    assert(math.abs(out.map(_._4).sum - 1.0) <= out.length * 1e-6)
+    // keeper rule re-derived: total dedup mass == sum of token counts of
+    // unpaired docs + cluster min-label keepers
+    val keepers = Dedup.dedupClusters(Dedup.minhashPairs(docs))
+      .select("doc_id", "is_keeper").as[(Long, Boolean)].collect().toMap
+    val want = docs.select(col("doc_id"),
+        size(graft.llm.TextStats.tokens(col("text"))).cast("long").as("nt"))
+      .as[(Long, Long)].collect()
+      .collect { case (id, nt) if keepers.getOrElse(id, true) => nt }.sum
+    assert(out.map(_._3).sum === want, "deduped mass != keeper mass")
+    Dedup.releaseSpills(spark)
+  }
+
   test("spill TTL pruner honors the spark.graft.spill.ttl.minutes conf (GraftConfig surface)") {
     val base = java.nio.file.Files.createTempDirectory("graft-ttl-test").toString
     def mk(name: String, ageMin: Long): java.io.File = {
