@@ -1491,13 +1491,20 @@ object Dedup {
     val wsum = perSource.foldLeft(0.0) { case (acc, (_, n)) =>
       acc + math.sqrt(n.toDouble)
     }
+    // n_tok_dedup = 0 is reachable (a source whose entire token mass is
+    // cross-source-duplicated away — exactly the d29/t34 target): the
+    // unguarded divisions would emit 0/0 NaN epochs and lean on Spark
+    // and DuckDB agreeing on NaN serialization for the oracle hash.
+    // Such a source gets weight 0 and epochs 0 by definition.
+    val nonEmpty = col("n_tok_dedup") > 0L
     s.select(col("source"), col("n_tok_raw"), col("n_tok_dedup"),
       round(col("n_tok_dedup").cast("double") / col("n_tok_raw"), 6)
         .as("dedup_frac"),
       round(col("n_tok_dedup").cast("double") / lit(tot), 6).as("nat_frac"),
-      round(sqrt(col("n_tok_dedup").cast("double")) / lit(wsum), 6).as("weight"),
-      round(sqrt(col("n_tok_dedup").cast("double")) / lit(wsum) * lit(tot) /
-        col("n_tok_dedup"), 6).as("epochs"))
+      round(when(nonEmpty, sqrt(col("n_tok_dedup").cast("double")) / lit(wsum))
+        .otherwise(0.0), 6).as("weight"),
+      round(when(nonEmpty, sqrt(col("n_tok_dedup").cast("double")) / lit(wsum) *
+        lit(tot) / col("n_tok_dedup")).otherwise(0.0), 6).as("epochs"))
   }
 
   def clusterKeepBest(docs: DataFrame): DataFrame = {
@@ -2384,9 +2391,12 @@ object Dedup {
          |SELECT source, n_tok_raw, n_tok_dedup,
          |  round(CAST(n_tok_dedup AS DOUBLE) / n_tok_raw, 6) AS dedup_frac,
          |  round(CAST(n_tok_dedup AS DOUBLE) / t.tot, 6) AS nat_frac,
-         |  round(sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum, 6) AS weight,
-         |  round(sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum * t.tot / n_tok_dedup, 6)
-         |    AS epochs
+         |  round(CASE WHEN n_tok_dedup > 0
+         |    THEN sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum ELSE 0 END, 6)
+         |    AS weight,
+         |  round(CASE WHEN n_tok_dedup > 0
+         |    THEN sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum * t.tot / n_tok_dedup
+         |    ELSE 0 END, 6) AS epochs
          |FROM s, t""".stripMargin) { (s, d) =>
       dedupCorrectedMixture(Tables.documents(s, d))
     },

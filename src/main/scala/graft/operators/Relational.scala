@@ -524,12 +524,20 @@ object Relational {
     *      count, so rows are globally ordered and each group spans a
     *      contiguous run of partitions (skew-immune: a dominant group
     *      just spans more partitions);
-    *   2. per-partition running sums and per-(partition, group) subtotals
-    *      in ONE pass over the sorted partitions;
-    *   3. shift each (partition, group) run by the totals of the group's
-    *      earlier partitions — the offset table is at most #partitions +
-    *      #groups entries (the one sanctioned driver round-trip, same
-    *      class as a q44 salt table) and ships back as a broadcast.
+    *   2. per-partition running sums and BOUNDARY-run subtotals in ONE
+    *      pass over the sorted partitions: because the rows are range-
+    *      sorted, only the FIRST and LAST group-run of a partition can
+    *      straddle a partition boundary — interior groups live entirely
+    *      inside the partition and need no offset at all — so pass 1
+    *      emits at most 2 entries per partition, independent of group
+    *      cardinality (the d3/d4 band-bucket and d25/s17 per-cluster
+    *      ranks have O(N) groups; collecting one partial per group
+    *      would be a driver OOM at the 100 TB point);
+    *   3. shift each straddling (partition, group) run by the totals of
+    *      the group's earlier partitions — the offset table is ≤
+    *      2 · #partitions entries (the one sanctioned driver
+    *      round-trip, same class as a q44 salt table) and ships back
+    *      as a broadcast; interior runs miss the map and get offset 0.
     *
     * This is the one operator family implemented on RDD
     * `mapPartitionsWithIndex` rather than DataFrame windows, deliberately:
@@ -550,6 +558,13 @@ object Relational {
     * decimal (accumulated as exact BigDecimal, emitted as
     * DECIMAL(38, s) — float running sums would be fold-order-dependent).
     */
+  /** Size of the last pass-1 collect (test probe: PartitioningSpec
+    * asserts it stays ≤ 2 · numShufflePartitions on a grouped rank
+    * whose group count far exceeds the partition count). Single-JVM
+    * visibility only — local tests, not a runtime contract.
+    */
+  private[graft] val lastPartialCount = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def groupedRunningSum(df: org.apache.spark.sql.DataFrame, group: Seq[String],
       sort: Seq[Column], value: Column, as: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -588,22 +603,31 @@ object Relational {
 
     val out = decScale match {
       case None =>
-        // pass 1: per-(partition, group) totals — rows are sorted, so a
-        // group's rows are contiguous and one running variable suffices
+        // pass 1: FIRST and LAST run subtotals only — rows are sorted,
+        // so a group's rows are contiguous within a partition AND a
+        // group spanning multiple partitions is the last run of one and
+        // the first run of the next (range partitioning on the group-
+        // prefixed keys is monotonic). Interior runs are whole groups
+        // that need no offset; emitting them would make the collect
+        // O(#groups) — the at-scale driver-OOM this helper exists to
+        // avoid. ≤ 2 entries per partition, any group cardinality.
         val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
-          val sums = List.newBuilder[(Int, List[Any], Long)]
+          var firstKey: List[Any] = null; var firstAcc = 0L
           var cur: List[Any] = null; var acc = 0L; var any = false
           it.foreach { r =>
             val k = groupKey(r)
-            if (!any || k != cur) {
-              if (any) sums += ((pid, cur, acc))
-              cur = k; acc = 0L; any = true
+            if (!any) { cur = k; any = true }
+            else if (k != cur) {
+              if (firstKey == null) { firstKey = cur; firstAcc = acc }
+              cur = k; acc = 0L
             }
             acc += r.getLong(vIdx)
           }
-          if (any) sums += ((pid, cur, acc))
-          sums.result().iterator
+          if (!any) Iterator.empty
+          else if (firstKey == null) Iterator((pid, cur, acc)) // one run
+          else Iterator((pid, firstKey, firstAcc), (pid, cur, acc))
         }.collect()
+        lastPartialCount.set(partials.length)
         val offsets: Map[(Int, List[Any]), Long] =
           partials.groupBy(_._2).iterator.flatMap { case (k, arr) =>
             var acc = 0L
@@ -626,20 +650,24 @@ object Relational {
         }
       case Some(scale) =>
         val zero = java.math.BigDecimal.ZERO.setScale(scale)
+        // same first/last-run bound as the Long branch
         val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
-          val sums = List.newBuilder[(Int, List[Any], java.math.BigDecimal)]
+          var firstKey: List[Any] = null; var firstAcc = zero
           var cur: List[Any] = null; var acc = zero; var any = false
           it.foreach { r =>
             val k = groupKey(r)
-            if (!any || k != cur) {
-              if (any) sums += ((pid, cur, acc))
-              cur = k; acc = zero; any = true
+            if (!any) { cur = k; any = true }
+            else if (k != cur) {
+              if (firstKey == null) { firstKey = cur; firstAcc = acc }
+              cur = k; acc = zero
             }
             acc = acc.add(r.getDecimal(vIdx))
           }
-          if (any) sums += ((pid, cur, acc))
-          sums.result().iterator
+          if (!any) Iterator.empty
+          else if (firstKey == null) Iterator((pid, cur, acc))
+          else Iterator((pid, firstKey, firstAcc), (pid, cur, acc))
         }.collect()
+        lastPartialCount.set(partials.length)
         val offsets: Map[(Int, List[Any]), java.math.BigDecimal] =
           partials.groupBy(_._2).iterator.flatMap { case (k, arr) =>
             var acc = zero

@@ -323,6 +323,76 @@ class PartitioningSpec extends SparkSpec {
     }
   }
 
+  test("groupedRunningSum: pass-1 collect bounded by 2·numParts at high group cardinality") {
+    import org.apache.spark.sql.expressions.Window
+    // the d3 banding shape: one group per distinct (band, bandkey) —
+    // group count grows with the corpus (here 20k groups over 60k rows,
+    // far above the 32 shuffle partitions). The r11 form collected one
+    // partial PER GROUP (driver OOM at 100 TB); the bounded form may
+    // only collect the straddling first/last runs of each partition.
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val df = spark.range(60000).select(
+      (col("id") % 20000).cast("string").as("g"),
+      col("id").as("k"),
+      (col("id") % 7 + 1).as("v"))
+    val got = graft.operators.Relational
+      .groupedRunningSum(df, Seq("g"), Seq(col("k")), col("v"), "cum")
+    val n = graft.operators.Relational.lastPartialCount.get
+    assert(n >= 0 && n <= 2 * numParts,
+      s"pass-1 collected $n partials for 20k groups (bound: ${2 * numParts})")
+    // and the bound costs no correctness: exact window equality
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+    assert(got.select("g", "k", "cum").collect().map(_.toSeq).toSet ===
+      want.select("g", "k", "cum").collect().map(_.toSeq).toSet)
+  }
+
+  test("groupedRunningSum: interior / straddling / ≥3-partition-spanning groups") {
+    import org.apache.spark.sql.expressions.Window
+    // Adversarial geometry for the first/last-run bound, at several
+    // partition counts: a dominant group g_mid that must span ≥3
+    // partitions, plus thousands of tiny groups that are interior to a
+    // single partition or straddle exactly one boundary. Property:
+    // equality with the window form in every configuration, for both
+    // the Long and the exact-DECIMAL accumulator branches.
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for (parts <- Seq(3, 7, 32)) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val df = spark.range(30000).select(
+          when(col("id").between(10000, 24999), lit("g_mid"))
+            .otherwise(concat(lit("t"), (col("id") / 4).cast("string"))).as("g"),
+          col("id").as("k"),
+          (col("id") % 5 + 1).as("v"))
+        val got = graft.operators.Relational
+          .groupedRunningSum(df, Seq("g"), Seq(col("k")), col("v"), "cum")
+        // the dominant group really does span ≥3 partitions (otherwise
+        // this fixture wouldn't exercise the middle-partition case where
+        // a group is both first AND last run)
+        if (parts >= 7) {
+          val span = got.filter(col("g") === "g_mid")
+            .select(spark_partition_id()).distinct().count()
+          assert(span >= 3, s"g_mid spans only $span partitions at parts=$parts")
+        }
+        val want = df.withColumn("cum", sum(col("v")).over(w))
+        assert(got.select("g", "k", "cum").collect().map(_.toSeq).toSet ===
+          want.select("g", "k", "cum").collect().map(_.toSeq).toSet,
+          s"Long branch mismatch at parts=$parts")
+        // decimal branch on the same geometry (exact accumulation)
+        val dfd = df.withColumn("v", col("v").cast("decimal(12,2)"))
+        val gotD = graft.operators.Relational
+          .groupedRunningSum(dfd, Seq("g"), Seq(col("k")), col("v"), "cum")
+        val wantD = dfd.withColumn("cum",
+          sum(col("v")).over(w).cast("decimal(38,2)"))
+        assert(gotD.select("g", "k", "cum").collect().map(_.toSeq).toSet ===
+          wantD.select("g", "k", "cum").collect().map(_.toSeq).toSet,
+          s"Decimal branch mismatch at parts=$parts")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+    }
+  }
+
   test("t20 reads the lm score artifact twice, never the raw corpus twice") {
     // The lp frame feeds both the percentile aggregate and the output
     // rows. Without the spill, each consumer re-runs the corpus-wide
