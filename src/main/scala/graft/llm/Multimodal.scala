@@ -11,19 +11,25 @@ import graft.OpQuery.sql
   * `binary` columns with a typed metadata struct, batch-shaped
   * decode/feature-extract over partitions.
   *
-  * Codec status (round 11): the IMAGE legs are a REAL codec — m1/m2
-  * (decode + pixel stats), m3's resize (decode → area-average raster →
-  * re-encode → re-decode, [[resizeImageStats]]), and m6's scene cuts
-  * (per-frame PNG clips decoded for frame-difference energies,
-  * [[videoTable]]/[[sceneCutsImage]]) all run actual PNG bytes through
-  * `javax.imageio` inside the mapPartitions seam, full-oracle-verified
-  * pixel for pixel. The AUDIO leg and the generic byte-blob seam keep
-  * deterministic STUBS ([[decodeStub]], [[audioLandmarkStub]],
-  * [[resizeStub]], [[frameSampleStub]], [[sceneSegments]]) because this
-  * container has no audio/video codec libraries; everything around them
-  * — schema, batch iteration shape, partition parallelism, output
-  * contract — is real and tested, and the image legs prove the seam's
-  * contract holds when a real decoder fills it.
+  * Codec status (round 12): the IMAGE legs are a REAL codec — m1/m2
+  * (decode + pixel stats + the 8-bin raster histogram features), m3's
+  * resize (decode → area-average raster → re-encode → re-decode,
+  * [[resizeImageStats]]), m6's scene cuts (per-frame PNG clips decoded
+  * for frame-difference energies, [[videoTable]]/[[sceneCutsImage]]),
+  * and m7's alignment features ([[extractFeatures]]) all run actual PNG
+  * bytes through `javax.imageio` inside the mapPartitions seam,
+  * full-oracle-verified pixel for pixel. The AUDIO leg (r12) is a real
+  * codec too: documents become genuine RIFF/WAV clips ([[audioTable]]),
+  * decoded through `javax.sound.sampled` and fingerprinted off a real
+  * DFT spectrogram ([[audioLandmarks]]). Remaining deterministic STUBS
+  * — [[resizeStub]] (byte-budget resize of generic blobs),
+  * [[frameSampleStub]], [[sceneCutStub]]/[[sceneSegments]] (byte-window
+  * generic-blob variants; the PNG legs supersede them where a codec
+  * exists) — cover formats this container has no libraries for;
+  * everything around them — schema, batch iteration shape, partition
+  * parallelism, output contract — is real and tested, and the image +
+  * audio legs prove the seam's contract holds when a real decoder
+  * fills it.
   */
 object Multimodal {
 
@@ -56,9 +62,13 @@ object Multimodal {
         col("source").as("source")).as("meta"))
   }
 
-  /** Extracted features per media item. */
+  /** Extracted features per media item: brightness plus the 8-bin
+    * intensity histogram of the DECODED raster as the feature vector
+    * (the r12 real-codec feature leg — integer pixel counts, so the
+    * closed-form oracle replays them exactly).
+    */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, brightness: Double, feature: Array[Float])
+      doc_id: Long, n_pixels: Long, brightness: Double, feature: Array[Float])
 
   /** ======= REAL CODEC (round-10: one genuine decoder behind the seam) ==
     * The m1/m2 leg runs on ACTUAL PNG bytes through `javax.imageio` —
@@ -114,12 +124,15 @@ object Multimodal {
 
   /** Decoded-image row: dimensions, raster band count, pixel volume,
     * exact integer pixel total (mean derives from it divisionless until
-    * the final double), and 8 diagonal-strip sums ((x+y) mod 8 — every
+    * the final double), 8 diagonal-strip sums ((x+y) mod 8 — every
     * geometry the fixture produces populates a strip or coalesces to 0
-    * on both engines).
+    * on both engines), and an 8-bin intensity HISTOGRAM (bin = v div 32
+    * over the 0..255 gray range — the r12 real feature leg: integer
+    * counts from the decoded raster, exactly replayable closed-form).
     */
   final case class DecodedImage(doc_id: Long, width: Long, height: Long,
-      channels: Long, n_pixels: Long, total: Long, strips: Array[Long])
+      channels: Long, n_pixels: Long, total: Long, strips: Array[Long],
+      hist: Array[Long])
 
   /** Real PNG decode + pixel stats for one payload — `javax.imageio`
     * end to end.
@@ -132,6 +145,7 @@ object Multimodal {
     val r = img.getRaster
     var tot = 0L
     val strips = new Array[Long](8)
+    val hist = new Array[Long](8)
     var y = 0
     while (y < h) {
       var x = 0
@@ -139,12 +153,13 @@ object Multimodal {
         val v = r.getSample(x, y, 0).toLong
         tot += v
         strips((x + y) % 8) += v
+        hist((v / 32).toInt) += 1L
         x += 1
       }
       y += 1
     }
     DecodedImage(id, w.toLong, h.toLong, r.getNumBands.toLong,
-      (w.toLong * h), tot, strips)
+      (w.toLong * h), tot, strips, hist)
   }
 
   /** Shared m1/m2 decode stage: imageTable → mapPartitions decode. */
@@ -158,42 +173,49 @@ object Multimodal {
       .toDF()
   }
 
-  /** ======= STUB — replace with a real decoder =======
-    * Deterministic fake "decode + feature-extract" for one payload:
-    * brightness = mean byte value; feature = 8 floats from simple
-    * byte-window sums. Stands in for e.g. JPEG decode + CNN features.
+  /** Batch feature extraction over the REAL codec (r12 — the last image
+    * stub retired): decode each PNG payload, brightness = exact pixel
+    * mean, feature = the 8-bin intensity histogram as floats (counts
+    * ≤ 255·n_pixels fit a float exactly at fixture scale). The Scala
+    * analogue of an Arrow-batched Pandas UDF: one iterator per
+    * partition, constant memory, no driver involvement.
     */
-  def decodeStub(payload: Array[Byte]): (Double, Array[Float]) = {
-    if (payload == null || payload.isEmpty) (0.0, Array.fill(8)(0.0f))
-    else {
-      val brightness = payload.map(b => (b & 0xff).toDouble).sum / payload.length
-      val win = math.max(payload.length / 8, 1)
-      val feature = Array.tabulate(8) { i =>
-        val slice = payload.slice(i * win, math.min((i + 1) * win, payload.length))
-        if (slice.isEmpty) 0.0f else (slice.map(b => (b & 0xff).toLong).sum % 1000L).toFloat
-      }
-      (brightness, feature)
-    }
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val d = decodeImage(id, payload)
+        MediaFeatures(id, d.n_pixels,
+          d.total.toDouble / d.n_pixels, d.hist.map(_.toFloat))
+      })
+      .toDF()
   }
 
-  /** m5 constants, shared by the stub and the oracle CTE string. */
-  val LmkFrame = 64     // bytes per "audio frame"
-  val LmkBands = 8      // energy bands per frame
+  /** m5 constants, shared by the codec path and the oracle CTE string. */
+  val LmkFrame = 64     // text bytes per audio frame (and samples per frame)
+  val LmkBands = 8      // spectral bands (DFT bins 1..8) per frame
   val LmkMaxDelta = 2   // landmark pairs span 1..this many frames
   val LmkBucketCap = 50 // inverted-index skew guard (the d3 cap)
   val LmkMinShared = 5  // pairs below this many shared landmarks drop
+  val LmkRateHz = 8000f   // WAV sample rate (bins 1..8 → 125..1000 Hz)
+  val LmkAmpMajor = 9000  // dominant-tone amplitude (16-bit headroom)
+  val LmkAmpMinor = 4500  // secondary-tone amplitude (4× energy apart)
 
-  /** ======= STUB — replace with a real spectral peak finder =======
-    * Deterministic fake "audio fingerprint" landmarks for one payload —
-    * the Shazam-style constellation scheme with byte-band energies
-    * standing in for FFT bins: frame the payload ([[LmkFrame]] bytes),
-    * take each frame's top-2 energy bands (ties to the lower band) as
-    * its state, and emit the DISTINCT hashed (state_a, state_b, delta)
-    * keys for frame pairs up to [[LmkMaxDelta]] apart. A real
-    * implementation swaps the band energies for spectrogram peaks; the
-    * landmark/key/matching contract is unchanged.
+  /** ======= REAL CODEC (r12 — the audio stub retired) ==================
+    * The m5 fixture's closed-form TONE SCHEDULE — the audio analogue of
+    * [[imagePixel]]: frame the document's TEXT bytes ([[LmkFrame]]
+    * bytes per frame), and a frame's (dominant, secondary) tone pair is
+    * its top-2 byte-band energies (byte positions ≡ b mod
+    * [[LmkBands]]; ties to the lower band, secondary excludes the
+    * dominant). State = p1·[[LmkBands]] + p2, one per frame. The WAV
+    * synthesis plants sinusoids at DFT bins p1+1 / p2+1 so a real
+    * spectral peak-pick must recover exactly these states — and the
+    * DuckDB oracle recomputes them from hex(text) without ever touching
+    * audio, the m1/m3/m6 closed-form pattern.
     */
-  def audioLandmarkStub(payload: Array[Byte]): Array[Int] = {
+  def audioFrameStates(payload: Array[Byte]): Array[Int] = {
     val nF = if (payload == null) 0 else payload.length / LmkFrame
     if (nF <= 0) return Array.empty
     val states = new Array[Int](nF)
@@ -211,8 +233,17 @@ object Multimodal {
       states(f) = p1 * LmkBands + p2
       f += 1
     }
+    states
+  }
+
+  /** Shazam-scheme landmark keys from a frame-state sequence: the
+    * DISTINCT hashed (state_a, state_b, delta) keys for frame pairs up
+    * to [[LmkMaxDelta]] apart, sorted.
+    */
+  def landmarkKeys(states: Array[Int]): Array[Int] = {
     val keys = scala.collection.mutable.SortedSet.empty[Int]
     val nStates = LmkBands * LmkBands
+    val nF = states.length
     var i = 0
     while (i < nF) {
       var d = 1
@@ -224,6 +255,118 @@ object Multimodal {
       i += 1
     }
     keys.toArray
+  }
+
+  /** Synthesize one REAL RIFF/WAV payload (16-bit signed PCM mono,
+    * [[LmkRateHz]]) from a document's tone schedule: frame f carries
+    * [[LmkFrame]] samples of two sinusoids at DFT bins p1+1 and p2+1
+    * (bin 0 = DC is skipped), amplitudes [[LmkAmpMajor]]/[[LmkAmpMinor]]
+    * — energies 4× apart, so peak order is unambiguous against the
+    * ≤ 0.5/sample integer-rounding noise floor. Encoded through
+    * `javax.sound.sampled.AudioSystem` (public stdlib), not hand-built
+    * headers.
+    */
+  def audioWav(payload: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val states = audioFrameStates(payload)
+    val pcm = new Array[Byte](states.length * LmkFrame * 2)
+    var f = 0
+    while (f < states.length) {
+      val p1 = states(f) / LmkBands
+      val p2 = states(f) % LmkBands
+      var n = 0
+      while (n < LmkFrame) {
+        val t = 2.0 * math.Pi * n / LmkFrame
+        val v = math.round(LmkAmpMajor * math.sin((p1 + 1) * t) +
+          LmkAmpMinor * math.sin((p2 + 1) * t)).toInt
+        val o = (f * LmkFrame + n) * 2
+        pcm(o) = (v & 0xff).toByte          // little-endian 16-bit
+        pcm(o + 1) = ((v >> 8) & 0xff).toByte
+        n += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(LmkRateHz, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, states.length.toLong * LmkFrame)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio fingerprint: decode a WAV payload through
+    * `javax.sound.sampled`, frame the PCM ([[LmkFrame]] samples), take
+    * each frame's spectrogram via a direct 64-point DFT (bins
+    * 1..[[LmkBands]]), peak-pick the top-2 energy bins (ties to the
+    * lower bin — unreachable on the fixture's 4×-separated tones) as
+    * the frame state, and emit the constellation's [[landmarkKeys]].
+    * The decode → spectrogram → peak chain is what replaces r11's byte-
+    * band stub; the key/matching contract is unchanged.
+    */
+  def audioLandmarks(id: Long, wav: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled._
+    if (wav == null || wav.isEmpty) return Array.empty
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"doc $id: expected 16-bit mono little-endian PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val nSamples = raw.length / 2
+    val samples = new Array[Double](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8)).toShort.toDouble
+      i += 1
+    }
+    val nF = nSamples / LmkFrame
+    val states = new Array[Int](nF)
+    var f = 0
+    while (f < nF) {
+      val en = new Array[Double](LmkBands)
+      var k = 1
+      while (k <= LmkBands) {
+        var re = 0.0
+        var im = 0.0
+        var n = 0
+        while (n < LmkFrame) {
+          val t = 2.0 * math.Pi * k * n / LmkFrame
+          val s = samples(f * LmkFrame + n)
+          re += s * math.cos(t)
+          im += s * math.sin(t)
+          n += 1
+        }
+        en(k - 1) = re * re + im * im
+        k += 1
+      }
+      var p1 = 0
+      var b = 1
+      while (b < LmkBands) { if (en(b) > en(p1)) p1 = b; b += 1 }
+      var p2 = -1
+      b = 0
+      while (b < LmkBands) { if (b != p1 && (p2 == -1 || en(b) > en(p2))) p2 = b; b += 1 }
+      states(f) = p1 * LmkBands + p2
+      f += 1
+    }
+    landmarkKeys(states)
+  }
+
+  /** Real-WAV media table: one encoded RIFF/WAV clip per document,
+    * synthesized from the text-derived tone schedule inside the
+    * partition (no driver involvement) — the audio analogue of
+    * [[imageTable]].
+    */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, audioWav(p)) })
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("audio/wav").as("format"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("synthetic").as("source")).as("meta"))
   }
 
   /** Area-average image resize over the REAL decoded raster (r11 — the
@@ -397,24 +540,6 @@ object Multimodal {
         payload.slice(start, math.min(start + frameBytes, payload.length))
       }.filter(_.nonEmpty)
     }
-  }
-
-  /** Batch feature extraction: `mapPartitions` over the media table — the
-    * Scala analogue of an Arrow-batched Pandas UDF: one iterator per
-    * partition, constant memory, no driver involvement.
-    */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
-      .as[(Long, Array[Byte], Long)]
-      .mapPartitions { it =>
-        it.map { case (id, payload, nBytes) =>
-          val (brightness, feature) = decodeStub(payload)
-          MediaFeatures(id, nBytes, brightness, feature)
-        }
-      }
-      .toDF()
   }
 
   /** m4's banded perceptual-hash near-dup pairs as a reusable frame —
@@ -753,14 +878,20 @@ object Multimodal {
 
     // ---- audio-fingerprint near-dup (landmark constellation) -------------
     // The Shazam-scheme shape m4's banded hamming can't give: matching
-    // via an INVERTED INDEX of hashed landmark keys (top-2-band states
-    // of frame pairs, [[audioLandmarkStub]] — the FFT-peak stand-in), so
-    // a pair matches on shared local structure rather than one global
-    // bit signature. Scale shape: landmark keys meet in ONE keyed
-    // shuffle with the d3 bucket cap (a hot landmark shared by
-    // everything is noise, not signal); ids-only through the self-join;
-    // sizes re-attach per side after. The oracle replays the stub's
-    // arithmetic byte-for-byte from the hex payload.
+    // via an INVERTED INDEX of hashed landmark keys, so a pair matches
+    // on shared local structure rather than one global bit signature.
+    // REAL CODEC (r12 — audio off the stub): each document becomes a
+    // genuine RIFF/WAV clip ([[audioTable]] — tones planted at the
+    // text-derived schedule), and the fingerprint path decodes it
+    // through javax.sound.sampled, takes a per-frame 64-point DFT
+    // spectrogram, and peak-picks the top-2 bins ([[audioLandmarks]]).
+    // Scale shape: landmark keys meet in ONE keyed shuffle with the d3
+    // bucket cap (a hot landmark shared by everything is noise, not
+    // signal); ids-only through the self-join; sizes re-attach per side
+    // after. FULL oracle: the planted tones make the frame states a
+    // closed integer form of the text bytes, so DuckDB replays the
+    // schedule from hex(text) while Spark must recover identical states
+    // through the synth → WAV → decode → DFT → peak round trip.
     sql("m5_audio_fingerprint", {
       val nStates = LmkBands * LmkBands
       val deltas = (1 to LmkMaxDelta).mkString(", ")
@@ -811,10 +942,10 @@ object Multimodal {
     }) { (s, d) =>
       val spark = s
       import spark.implicits._
-      val lmk = mediaTable(Tables.spread(Tables.documents(s, d)))
+      val lmk = audioTable(Tables.spread(Tables.documents(s, d)))
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) => (id, audioLandmarkStub(p)) })
+        .mapPartitions(_.map { case (id, p) => (id, audioLandmarks(id, p)) })
         .toDF("doc_id", "keys")
       val ex = lmk.select(col("doc_id"), explode(col("keys")).as("key"))
       val sizes = lmk.filter(size(col("keys")) > 0)
@@ -886,34 +1017,33 @@ object Multimodal {
     // pair by the cosine between the decoded media features and the
     // paired text/embedding vector, drop the bottom decile as
     // misaligned (caption doesn't match image, corrupt pairs). Feature
-    // extraction is m2's stub decoder (8-dim byte-sum features standing
-    // in for CNN features; the first 8 embedding dims stand in for the
-    // text tower); the pairing join, zero-norm guard, score math, and
-    // decile flag are real. FULL oracle: DuckDB re-derives the stub
-    // features from hex(blob) (the m2 CTEs), slices the embedding, and
-    // replays the 6-dp-rounded cosine; both engines rank on the
-    // ROUNDED score with a doc_id tiebreak; flag = 10·rank ≤ n. Scale
-    // shape: pairing is a keyed equi-join on the id (both sides
+    // extraction is the REAL raster leg (r12): the 8-bin intensity
+    // histogram of the DECODED PNG pixels ([[extractFeatures]] — the
+    // CNN-feature stand-in is now genuine decoded-image statistics; the
+    // first 8 embedding dims stand in for the text tower). FULL oracle:
+    // DuckDB recomputes the histogram from the fixture's closed-form
+    // pixels (the m1/m2 CTEs) while Spark must recover identical counts
+    // through the real encode → PNG → decode round trip; both engines
+    // slice the embedding, replay the 6-dp-rounded cosine, and rank on
+    // the ROUNDED score with a doc_id tiebreak; flag = 10·rank ≤ n.
+    // Scale shape: pairing is a keyed equi-join on the id (both sides
     // corpus-sized — shuffle join, no hints); the global rank rides
     // globalRowNumber's two-pass form; the count is a 1-row broadcast.
-    sql("m7_alignment_filter",
-      """WITH b AS (
-        |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
-        |         octet_length(coalesce(encode(text), encode(''))) AS n
-        |  FROM documents
-        |), e AS (
-        |  SELECT doc_id, n,
-        |    [ (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-        |      + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)
-        |      FOR i IN range(n) ] AS bytes,
-        |    greatest(n // 8, 1) AS win
-        |  FROM b
-        |), f AS (
+    sql("m7_alignment_filter", {
+      val bins = (0 until 8).map(k =>
+        s"CAST(coalesce(count(*) FILTER (bin = $k), 0) AS DOUBLE)").mkString(", ")
+      s"""WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+        |), px AS (
         |  SELECT doc_id,
-        |    [ CAST(coalesce(list_sum(bytes[k*win + 1 : least((k+1)*win, n)]), 0) % 1000 AS DOUBLE)
-        |      FOR k IN range(8) ] AS fv
-        |  FROM e
-        |), g AS (
+        |         ((doc_id * 31 + x.range * 7 + y.range * 13) % 256) // 32 AS bin
+        |  FROM d
+        |  JOIN range(0, 17) x ON x.range < d.w
+        |  JOIN range(0, 10) y ON y.range < d.h
+        |), f AS (
+        |  SELECT doc_id, [ $bins ] AS fv
+        |  FROM px GROUP BY doc_id
+        |), g AS (""".stripMargin + """
         |  SELECT f.doc_id, fv,
         |    [ CAST(x AS DOUBLE) FOR x IN emb.embedding[1:8] ] AS ev
         |  FROM f JOIN embeddings emb ON emb.vec_id = f.doc_id
@@ -931,19 +1061,22 @@ object Multimodal {
         |  FROM sc
         |)
         |SELECT doc_id, align_score, rank, 10 * rank <= n.n AS misaligned
-        |FROM r, n""".stripMargin) { (s, d) =>
+        |FROM r, n""".stripMargin
+    }) { (s, d) =>
       alignmentFilter(
-        mediaTable(Tables.spread(Tables.documents(s, d))),
+        extractFeatures(imageTable(Tables.spread(Tables.documents(s, d)))),
         Tables.embeddings(s, d))
     }
   )
 
-  /** See the `m7` registry notes. `media` needs (doc_id, payload); `emb`
-    * needs (vec_id, embedding) with vec_id sharing media's id space.
+  /** See the `m7` registry notes. `featFrame` needs (doc_id, feature:
+    * array<float>) — e.g. [[extractFeatures]] over a real-PNG media
+    * table; `emb` needs (vec_id, embedding) with vec_id sharing the
+    * feature frame's id space.
     */
-  def alignmentFilter(media: DataFrame, emb: DataFrame): DataFrame = {
+  def alignmentFilter(featFrame: DataFrame, emb: DataFrame): DataFrame = {
     import graft.functions.VectorExpressions.arrayDot
-    val feats = extractFeatures(media).select(col("doc_id"), col("feature"))
+    val feats = featFrame.select(col("doc_id"), col("feature"))
     val e8 = emb.select(col("vec_id").as("doc_id"),
       slice(col("embedding"), 1, 8).as("ev"))
     val sc = feats.join(e8, Seq("doc_id"))

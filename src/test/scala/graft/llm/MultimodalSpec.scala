@@ -15,8 +15,9 @@ class MultimodalSpec extends SparkSpec {
     assert(r._4 === "text/plain")
   }
 
-  test("feature extraction is deterministic and batch-shaped") {
-    val media = Multimodal.mediaTable(Tables.documents(spark, sf)).limit(50)
+  test("feature extraction is deterministic, batch-shaped, and matches closed-form histograms") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.imageTable(docs)
     val run1 = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     val run2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("doc_id").collect()
     assert(run1.length === 50)
@@ -26,16 +27,22 @@ class MultimodalSpec extends SparkSpec {
       assert(a.getDouble(2) === b.getDouble(2))
       assert(a.getSeq[Float](3) === b.getSeq[Float](3))
     }
-    // feature contract: 8 floats, brightness in byte range
+    // feature contract: 8 floats = the 8-bin intensity histogram of the
+    // DECODED raster (the r12 real leg) — recompute from the fixture's
+    // closed pixel form and compare count for count
     run1.foreach { r =>
-      assert(r.getSeq[Float](3).length === 8)
+      val id = r.getLong(0)
+      val fv = r.getSeq[Float](3)
+      assert(fv.length === 8)
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 255.0)
+      val w = Multimodal.imageWidth(id)
+      val h = Multimodal.imageHeight(id)
+      val want = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        want(Multimodal.imagePixel(id, x, y) / 32) += 1
+      assert(fv.map(_.toLong) === want.toSeq, s"doc $id histogram")
+      assert(fv.map(_.toLong).sum === w.toLong * h, s"doc $id bins must cover all pixels")
     }
-  }
-
-  test("decode stub handles empty payload") {
-    val (b, f) = Multimodal.decodeStub(Array.emptyByteArray)
-    assert(b === 0.0 && f.toSeq === Seq.fill(8)(0.0f))
   }
 
   test("real PNG codec: payloads are genuine PNGs; decode round-trips pixels exactly") {
@@ -172,20 +179,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L)._2 === 8)
   }
 
-  test("audio landmarks: identical payloads collide, short payloads stay silent") {
+  test("audio landmarks: real WAV codec recovers the closed-form tone schedule") {
     val r = new scala.util.Random(5)
     // payload bytes must survive the text round-trip, so build from a-z
     def txtBytes(n: Int) = Array.fill(n)((r.nextInt(26) + 'a').toByte)
     val song = txtBytes(64 * 10) // 10 frames -> 17 landmark pairs
     val other = txtBytes(64 * 10)
     val tiny = txtBytes(40) // under one frame: no landmarks
-    // stub contract: sorted distinct keys inside the hashed key space
-    val k1 = Multimodal.audioLandmarkStub(song)
+    // the synthesized payload is a GENUINE RIFF/WAV container
+    val wav = Multimodal.audioWav(song)
+    assert(wav(0) === 'R'.toByte && wav(1) === 'I'.toByte &&
+      wav(2) === 'F'.toByte && wav(3) === 'F'.toByte, "payload is not a RIFF/WAV")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    // independent decode: javax.sound.sampled sees 16-bit mono PCM with
+    // exactly nFrames·LmkFrame samples
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleSizeInBits === 16)
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFrameLength === 10L * Multimodal.LmkFrame)
+    // the decode → DFT → peak-pick chain must recover EXACTLY the keys
+    // the closed-form tone schedule predicts (what the oracle replays)
+    val k1 = Multimodal.audioLandmarks(1L, wav)
+    val want = Multimodal.landmarkKeys(Multimodal.audioFrameStates(song))
+    assert(k1.toSeq === want.toSeq, "codec round trip lost the tone schedule")
     assert(k1.nonEmpty && k1.toSeq === k1.sorted.toSeq && k1.distinct.length === k1.length)
     val space = Multimodal.LmkBands * Multimodal.LmkBands
     assert(k1.forall(k => k >= 0 && k < space * space * Multimodal.LmkMaxDelta))
-    assert(Multimodal.audioLandmarkStub(tiny).isEmpty, "sub-frame payload must be silent")
-    assert(k1.toSeq === Multimodal.audioLandmarkStub(song.clone()).toSeq)
+    assert(Multimodal.audioLandmarks(2L, Multimodal.audioWav(tiny)).isEmpty,
+      "sub-frame payload must be silent")
+    assert(Multimodal.audioLandmarks(3L, Multimodal.audioWav(song.clone())).toSeq === k1.toSeq)
     // the registry op end-to-end on a synthetic corpus: the planted dup
     // (1,2) matches at score 1.0; the sub-frame doc never appears
     val docs = Seq(
@@ -255,29 +278,24 @@ class MultimodalSpec extends SparkSpec {
   test("alignment filter: plain-Scala cosines agree; decile flag; zero guard") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // 8-byte payloads → win=1 → the stub feature IS the byte vector
     val rng = new scala.util.Random(11)
-    val payloads: Seq[(Long, Array[Byte])] =
-      (1L to 9L).map(i => i -> Array.fill(8)((rng.nextInt(120) + 1).toByte)) :+
-        (10L -> Array.emptyByteArray) // zero feature → guarded score 0.0
-    val media = payloads.toDF("doc_id", "payload")
-      .withColumn("meta", struct(
-        lit("application/octet-stream").as("format"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        lit("spec").as("source")))
-    val embs = payloads.map { case (id, p) =>
+    val featRows: Seq[(Long, Array[Float])] =
+      (1L to 9L).map(i => i -> Array.fill(8)((rng.nextInt(120) + 1).toFloat)) :+
+        (10L -> Array.fill(8)(0.0f)) // zero feature → guarded score 0.0
+    val feats = featRows.toDF("doc_id", "feature")
+    val embs = featRows.map { case (id, p) =>
       val ev: Array[Float] =
-        if (id == 1L) p.map(b => (b & 0xff).toFloat * 2)        // parallel → 1.0
-        else if (id == 2L) p.map(b => -(b & 0xff).toFloat)      // opposite → −1.0
+        if (id == 1L) p.map(_ * 2)        // parallel → 1.0
+        else if (id == 2L) p.map(-_)      // opposite → −1.0
         else Array.fill(8)(rng.nextFloat * 2 - 1)
       (id, ev ++ Array.fill(56)(0.0f)) // dims past 8 must be ignored
     }.toDF("vec_id", "embedding")
-    val out = Multimodal.alignmentFilter(media, embs).collect()
+    val out = Multimodal.alignmentFilter(feats, embs).collect()
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3))))
       .toMap
 
-    val expected = payloads.map { case (id, p) =>
-      val fv = p.map(b => (b & 0xff).toDouble)
+    val expected = featRows.map { case (id, p) =>
+      val fv = p.map(_.toDouble)
       val evRow = embs.filter(col("vec_id") === id).head().getSeq[Float](1).take(8)
       val ev = evRow.map(_.toDouble)
       val (na, nb) = (fv.map(x => x * x).sum, ev.map(x => x * x).sum)
