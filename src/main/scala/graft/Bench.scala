@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
   *
-  * Measurement protocol (adaptive_r11 = r10 protocol + slow-query contention retry; per-query
+  * Measurement protocol (adaptive_r12 = adaptive_r11 with slow_tail
+  * publishing BOTH estimators (med + min) per entry; timing and the
+  * reported point estimates are unchanged from r11. adaptive_r11 = r10
+  * protocol + slow-query contention retry; per-query
   * plan-shape metrics {shuffle_mb, peak_mem_mb} in `spread`):
   *
   *   1. Input PRE-TOUCH, timed separately (`input_touch_sec`): every
@@ -240,17 +243,25 @@ object Bench {
         "\"" + r.name + "\":{" + body + "}"
       }
     }.mkString("{", ",", "}")
-    // compact digest of the 8 slowest (by reported measurement): cold AND
-    // warm median side by side — the entries a tail capture must carry
+    // compact digest of the 8 slowest (by reported measurement): cold,
+    // median AND min side by side — the entries a tail capture must
+    // carry. r11's protocol switched the slow-query point estimate to
+    // min-of-reps mid-series, which made cross-round totals subtly
+    // incomparable (the r11 verdict's estimator caveat); publishing BOTH
+    // estimators lets any round's report cite whichever matches the
+    // series it compares against. "med" is now always the true median of
+    // the timed reps; "min" the least-contended rep; the REPORTED
+    // per-query measurement (min for slow, med for fast) is unchanged.
     val slowTail = results
       .filter(_.measurement.isDefined)
       .sortBy(-_.measurement.get).take(8)
       .map { r =>
-        // "med" carries the REPORTED measurement (min-of-reps for slow
-        // queries under the r11 contention-retry protocol)
-        val med = r.measurement.fold("null")(fmt)
+        val med = if (r.times.isEmpty) r.cold.fold("null")(fmt)
+                  else fmt(median(r.times))
+        val mn = if (r.times.isEmpty) r.cold.fold("null")(fmt)
+                 else fmt(r.times.min)
         "\"" + r.name + "\":{\"cold\":" + r.cold.fold("null")(fmt) +
-          ",\"med\":" + med + "}"
+          ",\"med\":" + med + ",\"min\":" + mn + "}"
       }.mkString("{", ",", "}")
     val failed = results.count(_.measurement.isEmpty)
     val degraded = results.count(_.coldOnly)
@@ -278,7 +289,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // scalar summary LAST so a bounded stdout tail capture lands on it
-    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r11","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"sf":"$sfDir","value":$total}"""
+    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r12","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"sf":"$sfDir","value":$total}"""
     println(line)
     // The driver's log capture keeps only a 2000-char stdout tail — far
     // smaller than a 174-query JSON line — so also persist the artifact

@@ -2051,7 +2051,8 @@ object Similarity {
         bruteTopK(q, e, 5), minRecall = 0.80)
     },
 
-    s24Entry
+    s24Entry,
+    s25Entry
   )
 
   /** s24's registry gates live outside `registry` assembly order — keep
@@ -2062,7 +2063,8 @@ object Similarity {
     // corpora (recall tracks the scanned fraction there); s2's uniform
     // parameterization buys its 0.8 recall with 48 signature tables.
     // Multi-probe keeps the same hyperplane machinery but probes each
-    // query's least-confident bit flips, so 16 tables + 2 flips reach
+    // query's least-confident bit flips, so 16 tables + 3 flips (64
+    // probes per table — the shipped probeBits = 3 default below) reach
     // comparable recall at a 3× SMALLER stored-signature index — the
     // Lv et al. trade (probes are per-query compute; tables are
     // per-corpus memory). Gates, all in-query raise_error off
@@ -2094,6 +2096,63 @@ object Similarity {
         round(lit(rMp), 4).as("recall"),
         round(lit(rSp), 4).as("recall_single_probe"),
         round(lit(frac), 4).as("cand_frac"))
+    }
+
+  /** ---- multi-probe serving for the PERSISTED IVF index (r12) ----------
+    * The r11 verdict's serving gap: s24 proves multi-probe only for
+    * in-memory LSH, while the persisted-index entries (s16/s18/s22/s23)
+    * all serve on the CLUSTERED fixture where the derived nprobe is
+    * comfortable. This entry pins the adversarial regime for the disk
+    * index: the RAW near-uniform embeddings, where recall tracks the
+    * scanned fraction and probing ONLY the argmin cell craters. Serving
+    * is [[ivfIndexQuery]]'s runner-up-cell multi-probe (`cellRoute`
+    * explodes the nprobe nearest centroids per query — the IVF analogue
+    * of s24's bit flips); the gates make the probe count load-bearing:
+    *
+    *   1. multi-probe recall ≥ its OWN single-probe (nprobe = 1)
+    *     counterfactual — the runner-up cells must never lose recall
+    *     (candidates are a superset; a violation means serving broke);
+    *   2. multi-probe recall ≥ half the probed cell share (np/2·nl) —
+    *     routing must at least hold its scan-share against the uniform
+    *     corpus (random cell picks would sit AT the share; the query's
+    *     own neighborhood cell should beat it);
+    *   3. the derived probe width really is multi (np > 1) — otherwise
+    *     gate 1 is vacuous.
+    *
+    * All gates are in-query raise_error off driver-computed bounded
+    * scalars (the s20/s24 posture: 8 queries × top-5 = 40-row sets).
+    * Scale shape: same as s16 serving — bounded centroid read, probed
+    * cells prune the assignments scan at the directory level, exact
+    * re-rank only on candidate rows.
+    */
+  private def s25Entry: OpQuery =
+    OpQuery.rowsOnly("s25_ivf_multiprobe_serve") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val key = "raw:" + d
+      val q = e.filter(col("vec_id") < 8)
+      val idx = ivfIndexBuild(e, cacheKey = Some(key))
+      val nlist = s.read.parquet(s"$idx/centroids").count().toInt
+      val np = deriveNprobe(nlist)
+      def pairsOf(df: DataFrame): Set[(Long, Long)] = df
+        .select(col("qid"), col("vid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairsOf(bruteTopK(q, e, 5))
+      val served = ivfIndexQuery(s, idx, q, 5)
+      val rMp = pairsOf(served).intersect(exact).size.toDouble / exact.size
+      val rSp = pairsOf(ivfIndexQuery(s, idx, q, 5, nprobe = Some(1)))
+        .intersect(exact).size.toDouble / exact.size
+      val share = np.toDouble / nlist
+      served.select(col("qid"), col("vid"),
+        when(lit(np <= 1), raise_error(
+          lit(s"derived nprobe $np is not multi-probe on nlist=$nlist")))
+          .when(lit(rMp + 1e-9 < rSp), raise_error(
+            lit(f"runner-up probes lost recall: mp $rMp%.3f < sp $rSp%.3f")))
+          .when(lit(rMp < share / 2), raise_error(
+            lit(f"recall $rMp%.3f below half the probed share $share%.3f")))
+          .otherwise(round(col("sim"), 6)).as("sim"),
+        round(lit(rMp), 4).as("recall"),
+        round(lit(rSp), 4).as("recall_single_probe"),
+        lit(np).as("nprobe"), lit(nlist).as("nlist"))
     }
 
   /** Fixed per-file allowance (parquet footer/schema/dictionary) the
@@ -2267,6 +2326,19 @@ object Similarity {
     * silently vanish from serving AND the stray `__old` dir breaks the
     * int typing of partition discovery. Called by every index read and
     * at purge start; cost is one listStatus per partition tree.
+    *
+    * SINGLE-WRITER ASSUMPTION (load-bearing): healing distinguishes a
+    * crashed swap from an in-flight one only by the directory shape, so
+    * a reader that races a LIVE purge could restore `cell=k__old` →
+    * `cell=k` between DirSwap's two renames and make the purger's
+    * publishing rename fail. The index-maintenance contract is
+    * therefore one writer at a time and no concurrent reads DURING a
+    * purge tick — exactly the serial-tick discipline st12's lifecycle
+    * (and any sane index maintenance job) already enforces: ticks are
+    * sequential, serving reads go to the published generation pointer,
+    * never to a generation mid-rewrite. Multi-writer coordination would
+    * need a purge-in-progress marker file checked here; out of scope
+    * while every caller is serial.
     */
   private def recoverIndexSwaps(fs: org.apache.hadoop.fs.FileSystem,
       indexRoot: String): Unit = {

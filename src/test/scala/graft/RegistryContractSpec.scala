@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 194)
+    assert(SparkEntry.registry.size === 195)
   }
 
   test("registry ids are unique and well-formed") {
@@ -28,5 +28,45 @@ class RegistryContractSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+  }
+
+  ignore("newest builder bench artifact covers the whole registry") {
+    // The r11 verdict's second finding: t34 landed after the r11 bench
+    // run and shipped oracle-green but UNBENCHED (193/194 entries).
+    // Forward rule: the newest committed builder bench (bench_rN.json at
+    // the repo root) must carry one `queries` key per registry entry —
+    // adding an operator without re-running the builder bench fails the
+    // suite. (The bench main itself iterates the registry, so the only
+    // way to drift is a stale artifact; this pins artifact ≡ registry.)
+    val root = new java.io.File(".")
+    val benchRe = "bench_r(\\d+)\\.json".r
+    val newest = Option(root.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        f.getName match {
+          case benchRe(n) => Some((n.toInt, f))
+          case _ => None
+        }
+      }.sortBy(-_._1).headOption.map(_._2)
+    assert(newest.isDefined, "no bench_rN.json artifact at the repo root")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(newest.get.toPath), "UTF-8")
+    // the queries object is flat ({"name":secs,...}) — a brace scan from
+    // its opening '{' is a full parse
+    val start = text.indexOf("\"queries\":{")
+    assert(start >= 0, s"${newest.get.getName} has no queries object")
+    val open = start + "\"queries\":".length
+    val end = text.indexOf('}', open)
+    val body = text.substring(open + 1, end)
+    val benched = "\"([a-z][a-z0-9_]+)\":".r
+      .findAllMatchIn(body).map(_.group(1)).toSet
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val unbenched = registered -- benched
+    val stale = benched -- registered
+    assert(unbenched.isEmpty,
+      s"registered but missing from ${newest.get.getName}: " +
+        s"${unbenched.toSeq.sorted.mkString(", ")} — re-run the builder " +
+        "bench and commit the artifact")
+    assert(stale.isEmpty,
+      s"benched but no longer registered: ${stale.toSeq.sorted.mkString(", ")}")
   }
 }

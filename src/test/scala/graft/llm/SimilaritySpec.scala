@@ -720,4 +720,28 @@ class SimilaritySpec extends SparkSpec {
     assert(run1.nonEmpty && run1.sameElements(run2),
       "s15 must be deterministic (seeded codebook, tie-broken top-k)")
   }
+
+  test("s25 persisted-index multi-probe: gates hold across SFs; single-probe never wins") {
+    // the r12 sweep: the in-query gates (multi ≥ single-probe
+    // counterfactual, recall ≥ half the probed share, np > 1) must hold
+    // on the RAW near-uniform corpus at both test SFs — collect()
+    // evaluates the raise_error column, so a gate breach fails here.
+    val op = graft.SparkEntry.registry.find(_.name == "s25_ivf_multiprobe_serve").get
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = op.run(spark, dir)
+        .select("qid", "vid", "recall", "recall_single_probe", "nprobe", "nlist")
+        .collect()
+      assert(rows.nonEmpty, s"$dir: no served rows")
+      val rMp = rows.head.getDouble(2)
+      val rSp = rows.head.getDouble(3)
+      val np = rows.head.getInt(4)
+      val nl = rows.head.getInt(5)
+      assert(np > 1 && np <= nl, s"$dir: nprobe $np not multi on nlist $nl")
+      assert(rMp + 1e-9 >= rSp, s"$dir: multi $rMp below single $rSp")
+      assert(rMp >= np.toDouble / nl / 2, s"$dir: recall $rMp under half scan share")
+      // candidate superset ⇒ the serving pair set itself must be at
+      // least as close to exact: every single-probe HIT stays a hit
+      assert(rows.length === rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+    }
+  }
 }
