@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * | `spark.graft.ledger.compact.every` | off | default compaction cadence
   *   for the st9/st11 streaming ledgers: compact after every N-th tick
   *   when the caller doesn't pass `compactEvery` explicitly |
+  * | `spark.graft.closure.unionFindMax` | 2000000 | edge bound up to which
+  *   [[graft.llm.Dedup.mergeClosureLabels]] folds a tick's representative
+  *   graph driver-side; a larger tick (an AvailableNow catch-up replaying
+  *   a backlog) falls back to the distributed spill-looped closure.
+  *   Lower it when driver memory is tight; StreamsSpec drives a stream
+  *   tick across the bound to prove both paths yield identical labels |
   *
   * The legacy `graft.spill.ttl.minutes` JVM sysprop is honored as a
   * fallback (it predates this surface); the SparkConf key wins.
@@ -38,4 +44,11 @@ object GraftConfig {
   def ledgerCompactEvery(spark: SparkSession): Option[Int] =
     spark.conf.getOption(LedgerCompactEveryKey)
       .map(_.trim.toInt).filter(_ >= 1)
+
+  val ClosureUnionFindMaxKey = "spark.graft.closure.unionFindMax"
+
+  /** None = the [[graft.llm.Dedup.MergeUnionFindMax]] default. */
+  def closureUnionFindMax(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(ClosureUnionFindMaxKey)
+      .map(_.trim.toInt).filter(_ >= 0)
 }

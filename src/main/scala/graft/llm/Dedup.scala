@@ -397,9 +397,20 @@ object Dedup {
   /** Edge bound up to which [[mergeClosureLabels]] folds a tick's
     * representative graph driver-side (union-find) instead of spinning
     * the distributed spill-looped closure — 2M edges ≈ 32 MB of longs,
-    * far inside the codebook-collect budget.
+    * far inside the codebook-collect budget. Overridable per session
+    * via `spark.graft.closure.unionFindMax` ([[graft.GraftConfig]]) —
+    * how StreamsSpec drives a real stream tick across the bound to
+    * prove the distributed fallback yields identical labels.
     */
   val MergeUnionFindMax: Int = 2000000
+
+  /** Which closure path the last [[mergeClosureLabels]] fold took
+    * ("unionfind" | "distributed" | "" before any fold) — a test probe
+    * like Relational.lastPartialCount: single-JVM visibility, local
+    * specs only, not a runtime contract.
+    */
+  private[graft] val lastMergePath =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   def readClosureLabels(spark: SparkSession, labelsDir: String): DataFrame = {
     graft.core.DirSwap.recover(spark, labelsDir)
@@ -466,11 +477,14 @@ object Dedup {
     // below doubles as the emptiness check (a separate isEmpty would
     // re-run the LSH/Jaccard pipeline).
     import spark.implicits._
-    val edgeRows = repEdges.limit(MergeUnionFindMax + 1)
+    val ufMax = graft.GraftConfig.closureUnionFindMax(spark)
+      .getOrElse(MergeUnionFindMax)
+    val edgeRows = repEdges.limit(ufMax + 1)
       .as[(Long, Long)].collect()
     if (edgeRows.nonEmpty) {
       val comp: DataFrame =
-        if (edgeRows.length <= MergeUnionFindMax) {
+        if (edgeRows.length <= ufMax) {
+          lastMergePath.set("unionfind")
           val parent = scala.collection.mutable.Map.empty[Long, Long]
           def find(x: Long): Long = {
             var r = x
@@ -491,6 +505,7 @@ object Dedup {
           val nodes = edgeRows.flatMap { case (a, b) => Seq(a, b) }.distinct
           nodes.map(n => (n, find(n))).toSeq.toDF("__node", "__nc")
         } else {
+          lastMergePath.set("distributed")
           dedupClusters(repEdges)
             .select(col("doc_id").as("__node"), col("comp_id").as("__nc"))
         }

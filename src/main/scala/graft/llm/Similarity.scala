@@ -970,6 +970,21 @@ object Similarity {
       .select(col("vec_id"), col("ss"),
         col("__m.cid").as("cid"), col("__m.dist").as("dist"))
 
+  /** One compact `array<tinyint>` code per vector from a subvector-
+    * distance frame: per-subspace argmin cids, subspace-ordered via the
+    * struct sort, each unsigned 8-bit cid wrapped into a signed byte
+    * (128..255 → −128..−1 explicitly; an ANSI cast would overflow) —
+    * the decode side applies the matching +256 wrap. Shared by the s23
+    * build, the generation augment, and the delta encode so every code
+    * on disk is bit-identical for the same (vector, codebook).
+    */
+  private def pqCodeArrays(dists: DataFrame): DataFrame =
+    pqArgmin(dists)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("ss"), col("cid")))),
+        e => (pmod(e.getField("cid") + 128, lit(256)) - 128).cast("byte"))
+        .as("code"))
+
   /** Train the per-subspace codebooks (deterministic hash-first seeds +
     * one decimal-exact Lloyd round; an emptied cell keeps its seed — the
     * trainCodebook rule) and return the subvector frame alongside them.
@@ -2453,6 +2468,64 @@ object Similarity {
         ()
       }
     }
+
+    // a PQ-augmented generation (st12 r12) also holds the tombstoned
+    // vectors' CODES — derived data the RTBF cascade must reach (a
+    // 16-byte sketch of a forgotten embedding is still retained data).
+    // Same pruned-rewrite + DirSwap discipline over codes/ and the
+    // committed codes_deltas/ batches.
+    if (hasPqShape(spark, indexRoot)) {
+      val codesPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes")
+      graft.core.DirSwap.recoverChildren(fs, codesPath)
+      val codes = spark.read.parquet(codesPath.toString)
+      val hitCodeCells = codes.join(tomb, Seq("vid"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+      if (hitCodeCells.nonEmpty) {
+        val tmpRoot = s"$indexRoot/codes__purging"
+        codes.filter(col("cell").isin(hitCodeCells.map(Integer.valueOf): _*))
+          .join(tomb, Seq("vid"), "left_anti")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmpRoot)
+        hitCodeCells.foreach { k =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/cell=$k")
+          val dst = new org.apache.hadoop.fs.Path(s"$indexRoot/codes/cell=$k")
+          if (fs.exists(tmp)) graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+          else { fs.delete(dst, true); () }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+        ()
+      }
+      val cdPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
+      val cdCommitted = committedDeltaDirs(fs, cdPath)
+      if (cdCommitted.nonEmpty) {
+        val cdeltas = spark.read.option("basePath", cdPath.toString)
+          .parquet(cdCommitted: _*)
+          .withColumn("batch", col("batch").cast("long"))
+        val hitPairs = cdeltas.join(tomb, Seq("vid"), "left_semi")
+          .select(col("batch"), col("cell")).distinct().collect()
+          .map(r => (r.getLong(0), r.getInt(1))).sorted
+        if (hitPairs.nonEmpty) {
+          val tmpRoot = s"$indexRoot/codes_deltas__purging"
+          cdeltas
+            .filter(col("batch").isin(hitPairs.map(_._1).distinct
+              .map(java.lang.Long.valueOf): _*))
+            .filter(col("cell").isin(hitPairs.map(_._2).distinct
+              .map(Integer.valueOf): _*))
+            .join(tomb, Seq("vid"), "left_anti")
+            .repartition(col("batch"), col("cell"))
+            .write.mode("overwrite").partitionBy("batch", "cell").parquet(tmpRoot)
+          hitPairs.foreach { case (b, k) =>
+            val tmp = new org.apache.hadoop.fs.Path(s"$tmpRoot/batch=$b/cell=$k")
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$indexRoot/codes_deltas/batch=$b/cell=$k")
+            if (fs.exists(tmp)) graft.core.DirSwap.swapIntoPlace(fs, tmp, dst)
+            else { fs.delete(dst, true); () }
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(tmpRoot), true)
+          ()
+        }
+      }
+    }
   }
 
   /** PSI at/above which an append batch triggers a codebook rebuild —
@@ -2695,16 +2768,9 @@ object Similarity {
       val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
       pqCents.toDF("ss", "cid", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcodebook")
-      // one compact array<tinyint> per vector (kCent ≤ 256 always fits),
-      // ordered by subspace via the struct sort
-      // unsigned 8-bit cid stored in a signed byte: wrap 128..255 to
-      // −128..−1 explicitly (ANSI cast would overflow); the query side
-      // decodes with the matching +256 wrap
-      val codes = pqArgmin(pqDists(sv, pqCents))
-        .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("ss"), col("cid")))),
-          e => (pmod(e.getField("cid") + 128, lit(256)) - 128).cast("byte"))
-          .as("code"))
+      // one compact array<tinyint> per vector (kCent ≤ 256 always fits)
+      // — see [[pqCodeArrays]] for the signed-byte wrap contract
+      val codes = pqCodeArrays(pqDists(sv, pqCents))
       val routed = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
       codes.select(col("vec_id").as("vid"), col("code"))
@@ -2747,7 +2813,24 @@ object Similarity {
     */
   def ivfPqIndexQuery(spark: SparkSession, indexRoot: String,
       queries: DataFrame, k: Int, nprobe: Option[Int] = None,
-      rerankFactor: Int = 8): DataFrame = {
+      rerankFactor: Int = 8): DataFrame =
+    pqServeCore(spark, indexRoot,
+      spark.read.parquet(s"$indexRoot/codes"),
+      spark.read.parquet(s"$indexRoot/vectors"),
+      queries, k, nprobe, rerankFactor)
+
+  /** The ADC + exact-re-rank serving loop shared by the standalone s23
+    * index ([[ivfPqIndexQuery]] — `codes/` + `vectors/` stores) and the
+    * st12 PQ-serving generations ([[ivfPqGenQuery]] — base ∪ delta
+    * codes over the `assignments/` full-precision store). `codesAll`
+    * needs (vid, code, cell); `vecsAll` (vid, ve, cell); both are
+    * filtered to the probed cells before any scan, so partition pruning
+    * applies wherever cell is a partition column.
+    */
+  private def pqServeCore(spark: SparkSession, indexRoot: String,
+      codesAll: DataFrame, vecsAll: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Option[Int],
+      rerankFactor: Int): DataFrame = {
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -2775,8 +2858,7 @@ object Similarity {
         explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
-    val codes = spark.read.parquet(s"$indexRoot/codes")
-      .filter(col("cell").isin(probedCells: _*))
+    val codes = codesAll.filter(col("cell").isin(probedCells: _*))
     val adc = codes
       .join(broadcast(qProbes), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
@@ -2797,7 +2879,7 @@ object Similarity {
     // cells (candidates live only there, so the same directory listing
     // bounds both scans) and joins keyed on vid against the bounded
     // candidate set — rerankFactor·k·|queries| rows, never the corpus
-    val vecs = spark.read.parquet(s"$indexRoot/vectors")
+    val vecs = vecsAll
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vid"), col("ve"))
     val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -2810,6 +2892,117 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
   }
+
+  /** ===== st12 × s23 (r12): PQ-serving index GENERATIONS ================
+    * Augment a plain persisted IVF generation (`centroids/` +
+    * `assignments/`) with the s23 memory-bounded serving shape: train a
+    * PQ codebook on the generation's corpus and write
+    * {{{
+    *   pqcodebook/   mSub·kCent sub-centroids (parameter-bounded)
+    *   codes/        cell-PARTITIONED (vid, code array<tinyint>[mSub])
+    * }}}
+    * The `assignments/` store stays the full-precision side (re-rank
+    * source), so EVERY existing maintenance path — drift-reference
+    * sampling, delta appends, RTBF purge, retention — keeps working on
+    * the generation unchanged; the augment only adds the
+    * serving-resident code set. Cells come from the assignments already
+    * on disk (never re-routed), so codes and vectors can't disagree
+    * about placement.
+    */
+  def pqAugmentIndex(spark: SparkSession, indexRoot: String,
+      corpus: DataFrame, mSub: Int = PqRegistryM,
+      kCent: Int = PqServeKCent): Unit = {
+    import spark.implicits._
+    val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+    pqCents.toDF("ss", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
+    pqCodeArrays(pqDists(sv, pqCents))
+      .select(col("vec_id").as("vid"), col("code"))
+      .join(spark.read.parquet(s"$indexRoot/assignments")
+        .select(col("vid"), col("cell")), Seq("vid"))
+      .repartition(col("cell")) // one file set per cell (the build rule)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexRoot/codes")
+  }
+
+  /** True iff `indexRoot` carries the PQ serving shape (a pre-r12
+    * generation has no `pqcodebook/` — the serve-side compat probe).
+    */
+  def hasPqShape(spark: SparkSession, indexRoot: String): Boolean =
+    new org.apache.hadoop.fs.Path(s"$indexRoot/pqcodebook")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(s"$indexRoot/pqcodebook"))
+
+  /** Read an index's persisted PQ codebook in [[pqTrain]]'s in-memory
+    * form (parameter-bounded collect: mSub·kCent rows).
+    */
+  private def readPqCodebook(spark: SparkSession,
+      indexRoot: String): Seq[(Long, Long, Seq[Double])] =
+    spark.read.parquet(s"$indexRoot/pqcodebook")
+      .orderBy(col("ss"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq)).toSeq
+
+  /** Encode a delta batch through the generation's EXISTING codebooks
+    * (coarse cells via the persisted centroids, codes via the persisted
+    * PQ codebook — no retraining on the delta path: routing new
+    * arrivals through frozen codebooks IS the append lifecycle, and
+    * drift decides when that stops being OK). The batch lands as its
+    * own `codes_deltas/batch=<id>/cell=<k>` tree, OVERWRITTEN whole —
+    * the [[ivfIndexAppendDelta]] idempotence contract, applied to the
+    * code store: a replayed micro-batch rewrites identical bytes.
+    */
+  def ivfPqEncodeDelta(spark: SparkSession, indexRoot: String,
+      newVecs: DataFrame, batchId: Long): Unit = {
+    val pqCents = readPqCodebook(spark, indexRoot)
+    val mSub = (pqCents.map(_._1).max + 1).toInt
+    val sub = pqCents.head._3.length
+    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val sv = pqSubvectors(unitVectors(newVecs), mSub, sub)
+    pqCodeArrays(pqDists(sv, pqCents))
+      .select(col("vec_id").as("vid"), col("code"))
+      .join(newVecs.select(col("vec_id").as("vid"),
+        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell")), Seq("vid"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexRoot/codes_deltas/batch=$batchId")
+  }
+
+  /** Every code row of a PQ generation: the base cell-partitioned
+    * `codes/` plus any COMMITTED streaming code deltas — the
+    * [[ivfIndexAssignments]] read discipline (same `_SUCCESS` listing,
+    * same basePath partition-column recovery) applied to the code
+    * store, so the serving-resident set and the full-precision set can
+    * never disagree about which batches exist.
+    */
+  def ivfPqCodes(spark: SparkSession, indexRoot: String): DataFrame = {
+    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
+    val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.DirSwap.recoverChildren(fs,
+      new org.apache.hadoop.fs.Path(s"$indexRoot/codes"))
+    val base = spark.read.parquet(s"$indexRoot/codes")
+    val committed = committedDeltaDirs(fs, dPath)
+    if (committed.nonEmpty)
+      base.unionByName(spark.read.option("basePath", dPath.toString)
+        .parquet(committed: _*)
+        .select(col("vid"), col("code"), col("cell")))
+    else base
+  }
+
+  /** Serve top-k from a PQ-augmented GENERATION (st12's steady state):
+    * the s23 ADC + exact-re-rank loop, with codes = base ∪ committed
+    * code deltas and the re-rank side = the generation's assignments
+    * (base ∪ vector deltas). Memory-bounded exactly like the standalone
+    * s23 index — the scan-resident set is mSub bytes/vector however
+    * many deltas have accumulated.
+    */
+  def ivfPqGenQuery(spark: SparkSession, genRoot: String,
+      queries: DataFrame, k: Int, nprobe: Option[Int] = None,
+      rerankFactor: Int = 8): DataFrame =
+    pqServeCore(spark, genRoot,
+      ivfPqCodes(spark, genRoot),
+      ivfIndexAssignments(spark, genRoot),
+      queries, k, nprobe, rerankFactor)
 
   /** Approximate kNN graph over one embedding table: IVF cell routing with
     * the table on BOTH sides of a cell-keyed join (see the `s15` registry

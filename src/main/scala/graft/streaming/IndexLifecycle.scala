@@ -18,9 +18,24 @@ import graft.llm.Similarity
   * Layout under `lcRoot`:
   * {{{
   *   gen-init/, gen-b<batchId>/   full index roots (centroids +
-  *                                assignments [+ deltas/batch=<id>])
+  *                                assignments [+ deltas/batch=<id>]
+  *                                + pqcodebook + codes
+  *                                [+ codes_deltas/batch=<id>] — the
+  *                                r12 s23 serving shape)
   *   CURRENT                      pointer file naming the serving gen
   * }}}
+  *
+  * r12 — generations SERVE the s23 memory-bounded shape: every build
+  * (init and retrain) trains a PQ codebook alongside the coarse
+  * centroids and writes cell-partitioned 16 B/vector codes; a delta
+  * tick encodes its batch through the generation's FROZEN codebooks
+  * into an idempotent `codes_deltas/batch=<id>` overwrite (mirroring
+  * the vector delta); [[serve]] runs ADC over base ∪ delta codes with
+  * exact re-rank against the full-precision assignments. A retrain
+  * re-trains BOTH codebooks. The assignments store remains the
+  * full-precision source of truth, so drift sampling, RTBF purge
+  * (which r12 extends into the code stores), retention, and replay
+  * semantics are unchanged.
   *
   * Exactly-once without a fragile after-effect marker (the manifest
   * lesson, applied twice):
@@ -163,12 +178,20 @@ object IndexLifecycle {
       .select(col("vid").as("vec_id"), col("ve").as("embedding"))
   }
 
-  /** Build the initial generation from a base corpus and commit it. */
+  /** Build the initial generation from a base corpus and commit it.
+    * r12: generations carry the s23 PQ serving shape from birth —
+    * [[Similarity.pqAugmentIndex]] trains the generation's PQ codebook
+    * and writes the cell-partitioned code store beside the assignments,
+    * all BEFORE the commit marker (a generation is never committed
+    * half-shaped; a crash mid-augment leaves an uncommitted dir its
+    * replay overwrites).
+    */
   def init(spark: SparkSession, lcRoot: String, baseVecs: DataFrame): String = {
     val root = s"$lcRoot/gen-init"
     fsOf(spark, lcRoot).delete(new Path(root), true) // replayed init rebuilds
     Similarity.ivfIndexBuild(baseVecs, targetDir = Some(root))
     writeDriftRef(spark, root, baseVecs, baseVecs.count())
+    Similarity.pqAugmentIndex(spark, root, baseVecs)
     commitGen(spark, lcRoot, "gen-init")
     root
   }
@@ -240,6 +263,10 @@ object IndexLifecycle {
         // counting parquet+batch here is one metadata-cheap job ON THE
         // RETRAIN PATH only (retrains are rare by construction)
         writeDriftRef(spark, newRoot, full, full.count())
+        // retrain re-trains BOTH codebooks (the r11 verdict's wiring
+        // item): the coarse centroids above, and the PQ codebook here —
+        // a drifted corpus moved off the old quantizer's manifold too
+        Similarity.pqAugmentIndex(spark, newRoot, full)
         Streams.writeAppliedBatches(fs, new Path(newRoot), applied + batchId)
         commitGen(spark, lcRoot, name)
         // the retention policy: dead generations are reclaimed at the
@@ -249,6 +276,13 @@ object IndexLifecycle {
         true
       } else {
         Similarity.ivfIndexAppendDelta(spark, g, batch, batchId)
+        // the serving-resident side of the same delta: encode the batch
+        // through the generation's FROZEN codebooks into its own
+        // overwritten codes_deltas/batch dir (idempotent like the
+        // vector delta; a pre-r12 generation without a codebook keeps
+        // full-precision serving and skips the encode)
+        if (Similarity.hasPqShape(spark, g))
+          Similarity.ivfPqEncodeDelta(spark, g, batch, batchId)
         // informational (the delta overwrite is the idempotence); also
         // lets a replay skip the drift scan entirely
         Streams.writeAppliedBatches(fs, new Path(g), applied + batchId)
@@ -257,12 +291,20 @@ object IndexLifecycle {
     }
   }
 
-  /** Serve top-k from the current generation (base ∪ deltas). */
+  /** Serve top-k from the current generation. r12: a PQ-shaped
+    * generation serves the MEMORY-BOUNDED loop — ADC over base ∪ delta
+    * codes (mSub bytes/vector resident) with exact re-rank against the
+    * full-precision assignments, the s23 serving shape running on
+    * streaming generations. A pre-r12 generation (no pqcodebook/) falls
+    * back to full-precision serving — the driftBase compat rule.
+    */
   def serve(spark: SparkSession, lcRoot: String, queries: DataFrame,
       k: Int): DataFrame = {
     val g = currentRoot(spark, lcRoot).getOrElse(
       throw new IllegalStateException(s"IndexLifecycle at $lcRoot not initialized"))
-    Similarity.ivfIndexQuery(spark, g, queries, k)
+    if (Similarity.hasPqShape(spark, g))
+      Similarity.ivfPqGenQuery(spark, g, queries, k)
+    else Similarity.ivfIndexQuery(spark, g, queries, k)
   }
 
   /** Drive the lifecycle from a parquet stream of (vec_id, embedding)

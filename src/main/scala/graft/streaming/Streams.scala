@@ -776,20 +776,28 @@ object Streams {
         Tables.documents(s, d), col("doc_id") % 3 === 0)
     },
 
-    // ---- drift-aware streaming index lifecycle (st12, r10) ---------------
+    // ---- drift-aware streaming index lifecycle (st12, r10; PQ r12) -------
     // s20 proves the append-or-retrain DECISION; this proves the
     // DURABLE lifecycle around it: generation dirs + committed-pointer
     // cutover, idempotent per-batch delta appends (overwrite, never
-    // parquet-append), applied-set-guarded retrains. Ticked in-process
-    // here (the batch-equivalent form, like st1–st10); StreamsSpec
-    // drives the same arc through a real file-source stream with
-    // replay. Gates, all in-query raise_error: the in-distribution
-    // batch must NOT cut over (same generation, lands as a delta), its
-    // REPLAY must leave the assignment set unchanged (exactly-once
-    // without markers), the drifted batch MUST cut over to a new
-    // generation whose assignments hold every vector exactly once
-    // (deltas absorbed), and serving recall from the final generation
-    // clears the s4 floor.
+    // parquet-append), applied-set-guarded retrains. r12: generations
+    // carry the s23 IVF-PQ serving shape — builds train BOTH codebooks,
+    // delta ticks encode through the generation's frozen codebooks
+    // (codes_deltas/batch overwrite), and serve() runs ADC over
+    // base ∪ delta codes with exact re-rank off the assignments.
+    // Ticked in-process here (the batch-equivalent form, like
+    // st1–st10); StreamsSpec drives the same arc through a real
+    // file-source stream with replay. Gates, all in-query raise_error:
+    // the in-distribution batch must NOT cut over (same generation,
+    // lands as a delta) and must leave a COMMITTED code delta beside
+    // the vector delta, its REPLAY must leave assignment AND code sets
+    // unchanged (exactly-once without markers), the drifted batch MUST
+    // cut over to a new generation whose assignments hold every vector
+    // exactly once (deltas absorbed) and whose code store covers the
+    // same set at ≤ 20 logical bytes/vector (the s23 memory contract,
+    // now on a STREAMING generation), and serving recall from the
+    // final generation — through the PQ + re-rank path — clears the
+    // s4 floor.
     OpQuery.rowsOnly("st12_drift_aware_index") { (s, d) =>
       import graft.llm.Similarity
       val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
@@ -805,28 +813,44 @@ object Streams {
       val r1 = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
       val gen1 = IndexLifecycle.currentRoot(s, lcRoot).get
       val nAfter1 = Similarity.ivfIndexAssignments(s, gen1).count()
+      val nCodes1 = Similarity.ivfPqCodes(s, gen1).count()
       val r1replay = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
-      val nAfterReplay = Similarity.ivfIndexAssignments(s,
-        IndexLifecycle.currentRoot(s, lcRoot).get).count()
+      val genReplay = IndexLifecycle.currentRoot(s, lcRoot).get
+      val nAfterReplay = Similarity.ivfIndexAssignments(s, genReplay).count()
+      val nCodesReplay = Similarity.ivfPqCodes(s, genReplay).count()
       val r2 = IndexLifecycle.tick(s, lcRoot, drifted, 2L)
       val gen2 = IndexLifecycle.currentRoot(s, lcRoot).get
       val finalAsg = Similarity.ivfIndexAssignments(s, gen2)
       val nFinal = finalAsg.count()
       val nDistinct = finalAsg.select(col("vid")).distinct().count()
       val nCorpus = e.count()
+      // the s23 memory contract on the STREAMING generation: the
+      // serving-resident set covers every vector exactly once at a
+      // bounded logical width
+      val finalCodes = Similarity.ivfPqCodes(s, gen2)
+      val nCodesFinal = finalCodes.select(col("vid")).distinct().count()
+      val codeWidth = finalCodes.agg(max(size(col("code")))).head().getInt(0)
       val q = drifted.filter(col("vec_id") < 32)
       val full = base.unionByName(undrifted).unionByName(drifted)
       Similarity.withRecallGate(
         IndexLifecycle.serve(s, lcRoot, q, 5).select(col("qid"), col("vid"),
           when(lit(r1 || gen1 != gen0), raise_error(
             lit("in-distribution batch must delta-append on the same generation")))
-            .when(lit(r1replay || nAfterReplay != nAfter1), raise_error(
-              lit("replayed delta batch must be a no-op")))
+            .when(lit(nCodes1 != nAfter1), raise_error(
+              lit(s"delta tick must encode its batch into the code store " +
+                s"($nCodes1 codes vs $nAfter1 vectors)")))
+            .when(lit(r1replay || nAfterReplay != nAfter1 || nCodesReplay != nCodes1),
+              raise_error(
+                lit("replayed delta batch must be a no-op on vectors AND codes")))
             .when(lit(!r2 || gen2 == gen1), raise_error(
               lit("drifted batch must cut over to a new generation")))
             .when(lit(nFinal != nCorpus || nDistinct != nCorpus), raise_error(
               lit(s"final generation must hold every vector exactly once " +
                 s"($nFinal/$nDistinct vs $nCorpus)")))
+            .when(lit(nCodesFinal != nCorpus), raise_error(
+              lit(s"final code store must cover every vector ($nCodesFinal vs $nCorpus)")))
+            .when(lit(codeWidth > 20), raise_error(
+              lit(s"generation PQ code width $codeWidth > 20 B/vector")))
             .otherwise(col("sim")).as("sim")),
         Similarity.bruteTopK(q, full, 5), minRecall = 0.80)
     },

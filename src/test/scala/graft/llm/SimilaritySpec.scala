@@ -721,6 +721,47 @@ class SimilaritySpec extends SparkSpec {
       "s15 must be deterministic (seeded codebook, tie-broken top-k)")
   }
 
+  test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
+    import graft.streaming.IndexLifecycle
+    // an st12-shaped generation: init (base codes) + one delta tick
+    // (codes_deltas/batch=1), then a purge campaign hitting vectors in
+    // BOTH stores. The r12 contract: a 16-byte sketch of a forgotten
+    // embedding is still retained data — the cascade must clear codes
+    // like it clears assignments, and survivors' codes must be
+    // bit-identical afterwards.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val lcRoot = java.nio.file.Files.createTempDirectory("pqpurge").toString
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+    IndexLifecycle.init(spark, lcRoot, base)
+    val g = IndexLifecycle.currentRoot(spark, lcRoot).get
+    // in-distribution delta tick (clustered fixture, no drift)
+    assert(!IndexLifecycle.tick(spark, lcRoot, delta, 1L), "delta tick must not cut over")
+    val before = Similarity.ivfPqCodes(spark, g)
+      .select(col("vid"), col("code")).as[(Long, Seq[Byte])].collect().toMap
+    val nAll = before.size
+    // tombstones: one base-resident vid, one delta-resident vid
+    val baseVid = base.select(min(col("vec_id"))).head().getLong(0)
+    val deltaVid = delta.select(min(col("vec_id"))).head().getLong(0)
+    val tomb = Seq(baseVid, deltaVid).toDF("vid")
+    Similarity.ivfIndexPurge(spark, g, tomb)
+    val after = Similarity.ivfPqCodes(spark, g)
+      .select(col("vid"), col("code")).as[(Long, Seq[Byte])].collect().toMap
+    assert(!after.contains(baseVid) && !after.contains(deltaVid),
+      "tombstoned vids must leave the code stores")
+    assert(after.size === nAll - 2, "exactly the tombstones leave")
+    after.foreach { case (vid, code) =>
+      assert(code === before(vid), s"survivor $vid code changed")
+    }
+    // the full-precision side purged too, and serving still works
+    val asg = Similarity.ivfIndexAssignments(spark, g)
+      .select(col("vid")).as[Long].collect().toSet
+    assert(!asg.contains(baseVid) && !asg.contains(deltaVid))
+    val q = e.filter(col("vec_id") < 8 && col("vec_id") =!= baseVid
+      && col("vec_id") =!= deltaVid)
+    assert(IndexLifecycle.serve(spark, lcRoot, q, 5).count() > 0)
+  }
+
   test("s25 persisted-index multi-probe: gates hold across SFs; single-probe never wins") {
     // the r12 sweep: the in-query gates (multi ≥ single-probe
     // counterfactual, recall ≥ half the probed share, np > 1) must hold

@@ -533,6 +533,45 @@ class StreamsSpec extends SparkSpec {
       === ledgerRows, "replayed ticks must not re-append ledger rows")
   }
 
+  test("st11 closure fallback: a tick across the union-find bound folds distributed, same labels") {
+    // the r11 verdict's untested path: mergeClosureLabels documents a
+    // distributed dedupClusters fallback for ticks whose representative
+    // graph exceeds MergeUnionFindMax, but no stream ever crossed the
+    // bound. Lower the bound to 0 via the GraftConfig knob so EVERY
+    // tick takes the fallback, drive the real file-source stream, and
+    // pin labels ≡ the batch fold (identical to the union-find path the
+    // main st11 test proves).
+    val docs = Tables.documents(spark, sf)
+    val snapshot = docs.filter(col("doc_id") % 3 === 0)
+    val streamDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val expected = graft.llm.Dedup
+      .incrementalClosure(docs, col("doc_id") % 3 === 0)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(expected.nonEmpty, "corpus must contain near-dup pairs to cluster")
+    spark.conf.set(graft.GraftConfig.ClosureUnionFindMaxKey, "0")
+    try {
+      graft.llm.Dedup.lastMergePath.set("")
+      val src = tmpDir("st11fb-src")
+      val ledger = tmpDir("st11fb-ledger") + "/l"
+      val labels = tmpDir("st11fb-labels") + "/lab"
+      val ckpt = tmpDir("st11fb-ckpt") + "/c"
+      Streams.seedIncrementalLedger(snapshot, ledger)
+      streamDocs.coalesce(1).write.mode("append").parquet(src)
+      val q = Streams.runIncrementalClosureStream(spark, src, ledger, labels, ckpt)
+      q.awaitTermination(120000)
+      assert(graft.llm.Dedup.lastMergePath.get === "distributed",
+        "the lowered bound must route the fold through dedupClusters")
+      val l = graft.llm.Dedup.readClosureLabels(spark, labels)
+      val sizes = l.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      val got = l.join(sizes, Seq("comp"))
+        .select(col("doc_id"), col("comp").as("comp_id"), col("cluster_size"),
+          (col("doc_id") === col("comp")).as("is_keeper"))
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.sameElements(expected),
+        "distributed-fallback labels must equal the batch fold")
+    } finally spark.conf.unset(graft.GraftConfig.ClosureUnionFindMaxKey)
+  }
+
   test("st9 incremental near-dup: verdicts are identical for 1-batch and 3-batch runs == batch kernel") {
     val docs = Tables.documents(spark, sf)
     val snapshot = docs.filter(col("doc_id") % 3 === 0)
