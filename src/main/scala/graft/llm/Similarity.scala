@@ -2497,6 +2497,9 @@ object Similarity {
       }
       val cdPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
       val cdCommitted = committedDeltaDirs(fs, cdPath)
+      cdCommitted.foreach { cd =>
+        graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(cd))
+      }
       if (cdCommitted.nonEmpty) {
         val cdeltas = spark.read.option("basePath", cdPath.toString)
           .parquet(cdCommitted: _*)
@@ -2764,8 +2767,11 @@ object Similarity {
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
       // codes quantize the UNIT-normalized vectors (see [[unitVectors]]
-      // — aligns ADC's L2 ordering with the cosine serving metric)
-      val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+      // — aligns ADC's L2 ordering with the cosine serving metric);
+      // codebook training is SAMPLED above PqTrainSampleTarget (the
+      // FAISS train-on-sample / add-everything discipline)
+      val (sv, pqCents) = pqTrainForIndex(corpus, mSub, kCent,
+        corpusCount(corpus, cacheKey))
       pqCents.toDF("ss", "cid", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcodebook")
       // one compact array<tinyint> per vector (kCent ≤ 256 always fits)
@@ -2893,6 +2899,38 @@ object Similarity {
       .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Row-count threshold above which persisted-index PQ codebooks train
+    * on a deterministic hash SAMPLE of the corpus instead of the whole
+    * thing — the FAISS discipline (`train()` on a sample, `add()`
+    * everything): the codebook needs the DISTRIBUTION, only the encode
+    * pass needs every vector, and a corpus-wide Lloyd round at 100 TB
+    * is pure waste (the r12 bench driver: st12 pays two PQ builds per
+    * lifecycle run). Same target as the st12 drift reference; a corpus
+    * at or below the target trains on everything, so small-scale
+    * results are bit-identical to full training. s11's in-memory
+    * pqTrain keeps full-corpus training — its DuckDB oracle replays the
+    * Lloyd round over the whole table.
+    */
+  val PqTrainSampleTarget: Long = 8192L
+
+  /** Train a persisted-index PQ codebook (sampled per
+    * [[PqTrainSampleTarget]]) and return it WITH the full corpus's
+    * subvector frame for the encode pass.
+    */
+  private def pqTrainForIndex(corpus: DataFrame, mSub: Int, kCent: Int,
+      n: Long): (DataFrame, Seq[(Long, Long, Seq[Double])]) = {
+    val unit = unitVectors(corpus)
+    if (n <= PqTrainSampleTarget) pqTrain(unit, mSub, kCent)
+    else {
+      val mod = math.max(1L, n / PqTrainSampleTarget)
+      val sample = unit.filter(
+        pmod(xxhash64(col("vec_id"), lit(42L)), lit(mod)) === 0)
+      val cents = pqTrain(sample, mSub, kCent)._2
+      val sub = cents.head._3.length
+      (pqSubvectors(unit, mSub, sub), cents)
+    }
+  }
+
   /** ===== st12 × s23 (r12): PQ-serving index GENERATIONS ================
     * Augment a plain persisted IVF generation (`centroids/` +
     * `assignments/`) with the s23 memory-bounded serving shape: train a
@@ -2911,9 +2949,10 @@ object Similarity {
     */
   def pqAugmentIndex(spark: SparkSession, indexRoot: String,
       corpus: DataFrame, mSub: Int = PqRegistryM,
-      kCent: Int = PqServeKCent): Unit = {
+      kCent: Int = PqServeKCent, nRows: Option[Long] = None): Unit = {
     import spark.implicits._
-    val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+    val n = nRows.getOrElse(corpus.count())
+    val (sv, pqCents) = pqTrainForIndex(corpus, mSub, kCent, n)
     pqCents.toDF("ss", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
     pqCodeArrays(pqDists(sv, pqCents))
@@ -2978,10 +3017,16 @@ object Similarity {
   def ivfPqCodes(spark: SparkSession, indexRoot: String): DataFrame = {
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal crashed purge swaps in BOTH code stores before reading (the
+    // recoverIndexSwaps discipline, applied to the serving-resident set)
     graft.core.DirSwap.recoverChildren(fs,
       new org.apache.hadoop.fs.Path(s"$indexRoot/codes"))
+    val committedPre = committedDeltaDirs(fs, dPath)
+    committedPre.foreach { d =>
+      graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
+    }
     val base = spark.read.parquet(s"$indexRoot/codes")
-    val committed = committedDeltaDirs(fs, dPath)
+    val committed = committedPre
     if (committed.nonEmpty)
       base.unionByName(spark.read.option("basePath", dPath.toString)
         .parquet(committed: _*)

@@ -190,8 +190,9 @@ object IndexLifecycle {
     val root = s"$lcRoot/gen-init"
     fsOf(spark, lcRoot).delete(new Path(root), true) // replayed init rebuilds
     Similarity.ivfIndexBuild(baseVecs, targetDir = Some(root))
-    writeDriftRef(spark, root, baseVecs, baseVecs.count())
-    Similarity.pqAugmentIndex(spark, root, baseVecs)
+    val nBase = baseVecs.count()
+    writeDriftRef(spark, root, baseVecs, nBase)
+    Similarity.pqAugmentIndex(spark, root, baseVecs, nRows = Some(nBase))
     commitGen(spark, lcRoot, "gen-init")
     root
   }
@@ -262,11 +263,12 @@ object IndexLifecycle {
         // the rebuild's corpus count prices the new reference sample;
         // counting parquet+batch here is one metadata-cheap job ON THE
         // RETRAIN PATH only (retrains are rare by construction)
-        writeDriftRef(spark, newRoot, full, full.count())
+        val nFull = full.count()
+        writeDriftRef(spark, newRoot, full, nFull)
         // retrain re-trains BOTH codebooks (the r11 verdict's wiring
         // item): the coarse centroids above, and the PQ codebook here —
         // a drifted corpus moved off the old quantizer's manifold too
-        Similarity.pqAugmentIndex(spark, newRoot, full)
+        Similarity.pqAugmentIndex(spark, newRoot, full, nRows = Some(nFull))
         Streams.writeAppliedBatches(fs, new Path(newRoot), applied + batchId)
         commitGen(spark, lcRoot, name)
         // the retention policy: dead generations are reclaimed at the
