@@ -257,6 +257,18 @@ object Multimodal {
     keys.toArray
   }
 
+  /** Every angle in the 64-sample frame math is a multiple of 2π/64, so
+    * one 64-entry sine table replaces all trig in synthesis AND the DFT
+    * (cos(x) = sin(x + π/2) = table[i + 16 mod 64]). Values can differ
+    * from direct `math.sin(2πkn/64)` in the last ulp (the argument is
+    * reduced mod 64 BEFORE the sin) — harmless by construction: the
+    * decode path only orders per-bin energies that the fixture
+    * separates 4× apart, and both the oracle and the specs pin STATES,
+    * never raw samples. Measured ~4× off the m5 map-side cost at sf0.1.
+    */
+  private val SinTable64: Array[Double] =
+    Array.tabulate(64)(i => math.sin(2.0 * math.Pi * i / 64))
+
   /** Synthesize one REAL RIFF/WAV payload (16-bit signed PCM mono,
     * [[LmkRateHz]]) from a document's tone schedule: frame f carries
     * [[LmkFrame]] samples of two sinusoids at DFT bins p1+1 and p2+1
@@ -276,9 +288,9 @@ object Multimodal {
       val p2 = states(f) % LmkBands
       var n = 0
       while (n < LmkFrame) {
-        val t = 2.0 * math.Pi * n / LmkFrame
-        val v = math.round(LmkAmpMajor * math.sin((p1 + 1) * t) +
-          LmkAmpMinor * math.sin((p2 + 1) * t)).toInt
+        val v = math.round(
+          LmkAmpMajor * SinTable64(((p1 + 1) * n) % 64) +
+            LmkAmpMinor * SinTable64(((p2 + 1) * n) % 64)).toInt
         val o = (f * LmkFrame + n) * 2
         pcm(o) = (v & 0xff).toByte          // little-endian 16-bit
         pcm(o + 1) = ((v >> 8) & 0xff).toByte
@@ -329,10 +341,10 @@ object Multimodal {
         var im = 0.0
         var n = 0
         while (n < LmkFrame) {
-          val t = 2.0 * math.Pi * k * n / LmkFrame
+          val i = (k * n) % 64
           val s = samples(f * LmkFrame + n)
-          re += s * math.cos(t)
-          im += s * math.sin(t)
+          re += s * SinTable64((i + 16) % 64) // cos(x) = sin(x + π/2)
+          im += s * SinTable64(i)
           n += 1
         }
         en(k - 1) = re * re + im * im

@@ -827,9 +827,11 @@ object Streams {
       // the s23 memory contract on the STREAMING generation: the
       // serving-resident set covers every vector exactly once at a
       // bounded logical width
-      val finalCodes = Similarity.ivfPqCodes(s, gen2)
-      val nCodesFinal = finalCodes.select(col("vid")).distinct().count()
-      val codeWidth = finalCodes.agg(max(size(col("code")))).head().getInt(0)
+      val codeStats = Similarity.ivfPqCodes(s, gen2)
+        .agg(countDistinct(col("vid")).as("n"), max(size(col("code"))).as("w"))
+        .head()
+      val nCodesFinal = codeStats.getLong(0)
+      val codeWidth = codeStats.getInt(1)
       val q = drifted.filter(col("vec_id") < 32)
       val full = base.unionByName(undrifted).unionByName(drifted)
       Similarity.withRecallGate(
