@@ -264,7 +264,10 @@ object Multimodal {
     * reduced mod 64 BEFORE the sin) — harmless by construction: the
     * decode path only orders per-bin energies that the fixture
     * separates 4× apart, and both the oracle and the specs pin STATES,
-    * never raw samples. Measured ~4× off the m5 map-side cost at sf0.1.
+    * never raw samples. Modest in the measured m5 wall (the query is
+    * join/shuffle-bound at sf0.1, ~5% off) — the point is the per-core
+    * decode throughput at the 100 TB tier, where the map side IS the
+    * cost.
     */
   private val SinTable64: Array[Double] =
     Array.tabulate(64)(i => math.sin(2.0 * math.Pi * i / 64))

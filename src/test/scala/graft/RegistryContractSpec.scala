@@ -30,7 +30,7 @@ class RegistryContractSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
   }
 
-  ignore("newest builder bench artifact covers the whole registry") {
+  test("newest builder bench artifact covers the whole registry") {
     // The r11 verdict's second finding: t34 landed after the r11 bench
     // run and shipped oracle-green but UNBENCHED (193/194 entries).
     // Forward rule: the newest committed builder bench (bench_rN.json at
