@@ -721,6 +721,47 @@ class SimilaritySpec extends SparkSpec {
       "s15 must be deterministic (seeded codebook, tie-broken top-k)")
   }
 
+  test("PQ generation serving: code scan prunes cell dirs even with deltas present") {
+    import graft.streaming.IndexLifecycle
+    // the s23 pruning spec, on a GENERATION with code deltas: serving
+    // must still prune the base code scan at the directory level (cell
+    // is a partition column in base and in every codes_deltas batch),
+    // and the served rows must come from the memory-bounded path
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val lcRoot = java.nio.file.Files.createTempDirectory("pqprune").toString
+    IndexLifecycle.init(spark, lcRoot,
+      e.filter(pmod(col("vec_id"), lit(3)) === 0))
+    assert(!IndexLifecycle.tick(spark, lcRoot,
+      e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L))
+    val g = IndexLifecycle.currentRoot(spark, lcRoot).get
+    assert(Similarity.hasPqShape(spark, g), "generation must carry the PQ shape")
+    assert(new java.io.File(s"$g/codes_deltas/batch=1").exists,
+      "delta tick must write a code delta")
+    val q = e.filter(col("vec_id") < 4)
+    val served = Similarity.ivfPqGenQuery(spark, g, q, 3, nprobe = Some(1))
+    served.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan,
+        dir: String): Seq[Long] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan, dir)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan, dir)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(p2 => scans(p2, dir))
+    })
+    val fullCodeFiles = spark.read.parquet(s"$g/codes").inputFiles.length
+    val pruned = scans(served.queryExecution.executedPlan, "codes")
+    assert(pruned.nonEmpty && pruned.sum < fullCodeFiles,
+      s"nprobe=1 generation code scan must prune cell dirs ($pruned vs $fullCodeFiles)")
+    // and serving ≡ the full-precision answer class: every served pair
+    // is a real vector pair (ids exist in the assignments)
+    val vids = Similarity.ivfIndexAssignments(spark, g)
+      .select("vid").as[Long].collect().toSet
+    served.select("vid").as[Long].collect().foreach(v => assert(vids(v)))
+  }
+
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
     import graft.streaming.IndexLifecycle
     // an st12-shaped generation: init (base codes) + one delta tick
