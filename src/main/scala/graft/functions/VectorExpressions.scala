@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for cosine similarity over `array<float>`
   * embedding columns, with full whole-stage codegen (`doGenCode` emits a
@@ -141,10 +141,126 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native product-quantization ENCODER over an `array<float>` embedding:
+  * per subspace m, the argmin-L2 sub-centroid id (ties to the smaller
+  * cid via strict `<`), emitted as one `array<tinyint>` code (unsigned
+  * 8-bit cids wrapped into signed bytes — `toByte` IS the wrap; the ADC
+  * decode applies the matching +256). The codebook rides the expression
+  * as a reference object (mSub·kCent·sub doubles — parameter-bounded),
+  * so encoding a corpus is ONE narrow codegen'd projection: no
+  * subspace explode, no broadcast join, no pair of hash aggregates —
+  * the r12 replacement for the pqDists/pqArgmin/collect_list encode
+  * pipeline on the persisted-index paths (s23 build, st12 generation
+  * augment, delta encode), worth ~2 shuffles per build. Distances are
+  * the plain running Σ(v−c)² — NOT pqDists's 6-dp-rounded expansion:
+  * the rounding exists so s11's in-memory demo matches its SQL oracle
+  * CTE-for-CTE; a persisted index has no SQL oracle to replay, and
+  * rounding before an argmin only manufactures 1e-6 knife-edge ties.
+  * Deterministic per (vector, codebook) either way.
+  */
+case class PqEncodeF32(child: Expression,
+    cents: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def prettyName: String = "pq_encode_f32"
+
+  // [ss][cid][j] — compiled once per task from the (small) Seq form the
+  // tree carries for equality/explain
+  @transient private lazy val table: Array[Array[Array[Double]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+
+  private def encode(x: ArrayData): Array[Byte] = {
+    val mSub = table.length
+    val sub = table(0)(0).length
+    val code = new Array[Byte](mSub)
+    var m = 0
+    while (m < mSub) {
+      val cb = table(m)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var cid = 0
+      while (cid < cb.length) {
+        val c = cb(cid)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = x.getFloat(m * sub + j).toDouble - c(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+        cid += 1
+      }
+      code(m) = best.toByte
+      m += 1
+    }
+    code
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(encode(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tbl = ctx.addReferenceObj("pqTable", table, "double[][][]")
+      val mSub = table.length
+      val sub = table(0)(0).length
+      val code = ctx.freshName("code")
+      val m = ctx.freshName("m")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cid = ctx.freshName("cid")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      s"""
+         |byte[] $code = new byte[$mSub];
+         |for (int $m = 0; $m < $mSub; $m++) {
+         |  double[][] $cb = $tbl[$m];
+         |  int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $cid = 0; $cid < $cb.length; $cid++) {
+         |    double[] $c = $cb[$cid];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $sub; $j++) {
+         |      double $diff = ((double) $a.getFloat($m * $sub + $j)) - $c[$j];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $cid; }
+         |  }
+         |  $code[$m] = (byte) $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($code);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[CosineSimF32]]. */
   def cosineF32(a: Column, b: Column): Column =
     Shim.column(CosineSimF32(Shim.expression(a), Shim.expression(b)))
+
+  /** Column API for [[PqEncodeF32]] — `cents` in the `pqTrain` layout
+    * (ss, cid, centroid), regrouped here to the [ss][cid][j] table.
+    */
+  def pqEncodeF32(a: Column, cents: Seq[(Long, Long, Seq[Double])]): Column = {
+    val table: Seq[Seq[Seq[Double]]] = cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    Shim.column(PqEncodeF32(Shim.expression(a), table))
+  }
 
   /** Column API for [[ArrayDot]]. */
   def arrayDot(a: Column, b: Column): Column =

@@ -970,21 +970,6 @@ object Similarity {
       .select(col("vec_id"), col("ss"),
         col("__m.cid").as("cid"), col("__m.dist").as("dist"))
 
-  /** One compact `array<tinyint>` code per vector from a subvector-
-    * distance frame: per-subspace argmin cids, subspace-ordered via the
-    * struct sort, each unsigned 8-bit cid wrapped into a signed byte
-    * (128..255 → −128..−1 explicitly; an ANSI cast would overflow) —
-    * the decode side applies the matching +256 wrap. Shared by the s23
-    * build, the generation augment, and the delta encode so every code
-    * on disk is bit-identical for the same (vector, codebook).
-    */
-  private def pqCodeArrays(dists: DataFrame): DataFrame =
-    pqArgmin(dists)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("ss"), col("cid")))),
-        e => (pmod(e.getField("cid") + 128, lit(256)) - 128).cast("byte"))
-        .as("code"))
-
   /** Train the per-subspace codebooks (deterministic hash-first seeds +
     * one decimal-exact Lloyd round; an emptied cell keeps its seed — the
     * trainCodebook rule) and return the subvector frame alongside them.
@@ -2769,14 +2754,13 @@ object Similarity {
       // codes quantize the UNIT-normalized vectors (see [[unitVectors]]
       // — aligns ADC's L2 ordering with the cosine serving metric);
       // codebook training is SAMPLED above PqTrainSampleTarget (the
-      // FAISS train-on-sample / add-everything discipline)
-      val (sv, pqCents) = pqTrainForIndex(corpus, mSub, kCent,
+      // FAISS train-on-sample / add-everything discipline), and the
+      // encode is the one-stage codegen'd projection
+      val pqCents = pqTrainForIndex(corpus, mSub, kCent,
         corpusCount(corpus, cacheKey))
       pqCents.toDF("ss", "cid", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcodebook")
-      // one compact array<tinyint> per vector (kCent ≤ 256 always fits)
-      // — see [[pqCodeArrays]] for the signed-byte wrap contract
-      val codes = pqCodeArrays(pqDists(sv, pqCents))
+      val codes = pqEncodeVectors(corpus, pqCents)
       val routed = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
       codes.select(col("vec_id").as("vid"), col("code"))
@@ -2914,22 +2898,34 @@ object Similarity {
   val PqTrainSampleTarget: Long = 8192L
 
   /** Train a persisted-index PQ codebook (sampled per
-    * [[PqTrainSampleTarget]]) and return it WITH the full corpus's
-    * subvector frame for the encode pass.
+    * [[PqTrainSampleTarget]]). The encode pass is separate — the
+    * codegen'd [[graft.functions.PqEncodeF32]] projection over the full
+    * corpus.
     */
   private def pqTrainForIndex(corpus: DataFrame, mSub: Int, kCent: Int,
-      n: Long): (DataFrame, Seq[(Long, Long, Seq[Double])]) = {
+      n: Long): Seq[(Long, Long, Seq[Double])] = {
     val unit = unitVectors(corpus)
-    if (n <= PqTrainSampleTarget) pqTrain(unit, mSub, kCent)
+    if (n <= PqTrainSampleTarget) pqTrain(unit, mSub, kCent)._2
     else {
       val mod = math.max(1L, n / PqTrainSampleTarget)
-      val sample = unit.filter(
-        pmod(xxhash64(col("vec_id"), lit(42L)), lit(mod)) === 0)
-      val cents = pqTrain(sample, mSub, kCent)._2
-      val sub = cents.head._3.length
-      (pqSubvectors(unit, mSub, sub), cents)
+      pqTrain(unit.filter(
+        pmod(xxhash64(col("vec_id"), lit(42L)), lit(mod)) === 0),
+        mSub, kCent)._2
     }
   }
+
+  /** The persisted-index encode pass: one narrow codegen'd projection
+    * ([[graft.functions.PqEncodeF32]] with the codebook as a reference
+    * object) over the unit-normalized corpus — replaces the former
+    * subspace-explode → broadcast-join → double-hash-agg pipeline
+    * (corpus·mSub·kCent intermediate rows and two shuffles per build;
+    * the st12 lifecycle pays two builds per run).
+    */
+  private def pqEncodeVectors(vecs: DataFrame,
+      pqCents: Seq[(Long, Long, Seq[Double])]): DataFrame =
+    unitVectors(vecs).select(col("vec_id"),
+      graft.functions.VectorExpressions.pqEncodeF32(col("embedding"), pqCents)
+        .as("code"))
 
   /** ===== st12 × s23 (r12): PQ-serving index GENERATIONS ================
     * Augment a plain persisted IVF generation (`centroids/` +
@@ -2952,10 +2948,10 @@ object Similarity {
       kCent: Int = PqServeKCent, nRows: Option[Long] = None): Unit = {
     import spark.implicits._
     val n = nRows.getOrElse(corpus.count())
-    val (sv, pqCents) = pqTrainForIndex(corpus, mSub, kCent, n)
+    val pqCents = pqTrainForIndex(corpus, mSub, kCent, n)
     pqCents.toDF("ss", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
-    pqCodeArrays(pqDists(sv, pqCents))
+    pqEncodeVectors(corpus, pqCents)
       .select(col("vec_id").as("vid"), col("code"))
       .join(spark.read.parquet(s"$indexRoot/assignments")
         .select(col("vid"), col("cell")), Seq("vid"))
@@ -2992,13 +2988,10 @@ object Similarity {
   def ivfPqEncodeDelta(spark: SparkSession, indexRoot: String,
       newVecs: DataFrame, batchId: Long): Unit = {
     val pqCents = readPqCodebook(spark, indexRoot)
-    val mSub = (pqCents.map(_._1).max + 1).toInt
-    val sub = pqCents.head._3.length
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
-    val sv = pqSubvectors(unitVectors(newVecs), mSub, sub)
-    pqCodeArrays(pqDists(sv, pqCents))
+    pqEncodeVectors(newVecs, pqCents)
       .select(col("vec_id").as("vid"), col("code"))
       .join(newVecs.select(col("vec_id").as("vid"),
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell")), Seq("vid"))
