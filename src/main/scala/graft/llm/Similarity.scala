@@ -2897,20 +2897,73 @@ object Similarity {
     */
   val PqTrainSampleTarget: Long = 8192L
 
+  /** The persisted-path Lloyd round: pqTrain's EXACT seed rule
+    * (hash-first kCent vectors) and decimal-exact per-position means,
+    * but the assignment pass rides the codegen'd
+    * [[graft.functions.PqEncodeF32]] projection — one narrow stage over
+    * corpus rows plus a corpus·dim-row mean aggregate (16k groups),
+    * instead of pqDists's corpus·mSub·kCent-row broadcast join + two
+    * hash aggregates. Assignment distances are the unrounded L2 (see
+    * PqEncodeF32's scaladoc for why the persisted paths don't carry
+    * s11's oracle rounding); an emptied cell keeps its seed, the
+    * trainCodebook rule.
+    */
+  private def pqTrainFast(emb: DataFrame, mSub: Int,
+      kCent: Int): Seq[(Long, Long, Seq[Double])] = {
+    val seedRows = emb
+      .select(col("vec_id"), col("embedding"),
+        Dedup.hash60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(kCent)
+      .collect()
+      .sortBy(r => (r.getLong(2), r.getLong(0)))
+    require(seedRows.nonEmpty, "PQ training: empty corpus")
+    val dim = seedRows(0).getSeq[Float](1).length
+    require(seedRows.forall(_.getSeq[Float](1).length == dim),
+      "PQ training: embedding dims differ within the seed sample")
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val sub = dim / mSub
+    val seeds: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
+      case (r, cid) =>
+        val full = r.getSeq[Float](1).map(_.toDouble)
+        (0 until mSub).map(m => (m.toLong, cid.toLong, full.slice(m * sub, m * sub + sub)))
+    }
+    val comps = emb.select(
+        graft.functions.VectorExpressions.pqEncodeF32(col("embedding"), seeds)
+          .as("code"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .select((col("j") / lit(sub)).cast("long").as("ss"),
+        pmod(element_at(col("code"),
+          (col("j") / lit(sub)).cast("int") + 1).cast("int") + 256, lit(256))
+          .cast("long").as("cid"),
+        pmod(col("j"), lit(sub)).cast("int").as("jj"),
+        col("x"))
+      .groupBy(col("ss"), col("cid"), col("jj"))
+      .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .collect()
+    val updated = comps.groupBy(r => (r.getLong(0), r.getLong(1))).map {
+      case (key, rows) => key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+    }
+    seeds.map { case (ss, cid, prev) =>
+      (ss, cid, updated.getOrElse((ss, cid), prev))
+    }
+  }
+
   /** Train a persisted-index PQ codebook (sampled per
-    * [[PqTrainSampleTarget]]). The encode pass is separate — the
+    * [[PqTrainSampleTarget]], assigned via the codegen'd encoder — see
+    * [[pqTrainFast]]). The encode pass is separate — the
     * codegen'd [[graft.functions.PqEncodeF32]] projection over the full
     * corpus.
     */
   private def pqTrainForIndex(corpus: DataFrame, mSub: Int, kCent: Int,
       n: Long): Seq[(Long, Long, Seq[Double])] = {
     val unit = unitVectors(corpus)
-    if (n <= PqTrainSampleTarget) pqTrain(unit, mSub, kCent)._2
+    if (n <= PqTrainSampleTarget) pqTrainFast(unit, mSub, kCent)
     else {
       val mod = math.max(1L, n / PqTrainSampleTarget)
-      pqTrain(unit.filter(
+      pqTrainFast(unit.filter(
         pmod(xxhash64(col("vec_id"), lit(42L)), lit(mod)) === 0),
-        mSub, kCent)._2
+        mSub, kCent)
     }
   }
 
