@@ -2760,14 +2760,11 @@ object Similarity {
         corpusCount(corpus, cacheKey))
       pqCents.toDF("ss", "cid", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/pqcodebook")
-      val codes = pqEncodeVectors(corpus, pqCents)
-      val routed = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
-      codes.select(col("vec_id").as("vid"), col("code"))
-        .join(routed.select(col("vid"), col("cell")), Seq("vid"))
+      pqEncodeRouted(corpus, pqCents, centers)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/codes")
-      routed
+      corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+          cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
       root
@@ -2927,16 +2924,18 @@ object Similarity {
         val full = r.getSeq[Float](1).map(_.toDouble)
         (0 until mSub).map(m => (m.toLong, cid.toLong, full.slice(m * sub, m * sub + sub)))
     }
-    val comps = emb.select(
-        graft.functions.VectorExpressions.pqEncodeF32(col("embedding"), seeds)
-          .as("code"),
-        posexplode(col("embedding")).as(Seq("j", "x")))
-      .select((col("j") / lit(sub)).cast("long").as("ss"),
-        pmod(element_at(col("code"),
-          (col("j") / lit(sub)).cast("int") + 1).cast("int") + 256, lit(256))
-          .cast("long").as("cid"),
-        pmod(col("j"), lit(sub)).cast("int").as("jj"),
-        col("x"))
+    // the ENCODE expression is the generator input, so Generate
+    // evaluates it once per row — selecting it NEXT TO a
+    // posexplode(embedding) made the outer projection recompute the
+    // full argmin per exploded element (measured 5× the whole-train
+    // cost); the per-subspace values are re-derived by a cheap slice
+    val comps = emb.select(col("embedding"),
+        posexplode(graft.functions.VectorExpressions
+          .pqEncodeF32(col("embedding"), seeds)).as(Seq("ss", "cidb")))
+      .select(col("ss").cast("long").as("ss"),
+        pmod(col("cidb").cast("int") + 256, lit(256)).cast("long").as("cid"),
+        posexplode(slice(col("embedding"), col("ss") * lit(sub) + 1, lit(sub)))
+          .as(Seq("jj", "x")))
       .groupBy(col("ss"), col("cid"), col("jj"))
       .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double") /
         count(lit(1))).as("c"))
@@ -2967,18 +2966,29 @@ object Similarity {
     }
   }
 
-  /** The persisted-index encode pass: one narrow codegen'd projection
-    * ([[graft.functions.PqEncodeF32]] with the codebook as a reference
-    * object) over the unit-normalized corpus — replaces the former
-    * subspace-explode → broadcast-join → double-hash-agg pipeline
-    * (corpus·mSub·kCent intermediate rows and two shuffles per build;
-    * the st12 lifecycle pays two builds per run).
+  /** The persisted-index encode pass: ONE narrow codegen'd projection
+    * emitting (vid, code, cell) — [[graft.functions.PqEncodeF32]] with
+    * the codebook as a reference object over the inline-unit-normalized
+    * embedding (the exact [[unitVectors]] expression), plus the coarse
+    * cell via the same `cellRoute` argmin that placed the vector store.
+    * Replaces the former subspace-explode → broadcast-join →
+    * double-hash-agg pipeline AND the corpus-sized codes⋈cells join:
+    * cellRoute is a deterministic function of (embedding, centroids),
+    * so recomputing it here cannot disagree with the assignments on
+    * disk. The only shuffle left in an encode is the write's
+    * repartition-on-cell.
     */
-  private def pqEncodeVectors(vecs: DataFrame,
-      pqCents: Seq[(Long, Long, Seq[Double])]): DataFrame =
-    unitVectors(vecs).select(col("vec_id"),
-      graft.functions.VectorExpressions.pqEncodeF32(col("embedding"), pqCents)
-        .as("code"))
+  private def pqEncodeRouted(vecs: DataFrame,
+      pqCents: Seq[(Long, Long, Seq[Double])],
+      centers: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.VectorExpressions.arrayDot
+    val n = sqrt(arrayDot(col("embedding"), col("embedding")))
+    val unit = transform(col("embedding"),
+      x => (x / greatest(n, lit(1e-30))).cast("float"))
+    vecs.select(col("vec_id").as("vid"),
+      graft.functions.VectorExpressions.pqEncodeF32(unit, pqCents).as("code"),
+      cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+  }
 
   /** ===== st12 × s23 (r12): PQ-serving index GENERATIONS ================
     * Augment a plain persisted IVF generation (`centroids/` +
@@ -2992,9 +3002,12 @@ object Similarity {
     * source), so EVERY existing maintenance path — drift-reference
     * sampling, delta appends, RTBF purge, retention — keeps working on
     * the generation unchanged; the augment only adds the
-    * serving-resident code set. Cells come from the assignments already
-    * on disk (never re-routed), so codes and vectors can't disagree
-    * about placement.
+    * serving-resident code set. Cells are recomputed by the SAME
+    * deterministic `cellRoute` argmin over the same persisted centroids
+    * that placed the assignments (one narrow projection — a
+    * corpus-sized codes⋈assignments join bought nothing: a
+    * deterministic function of (embedding, centroids) cannot disagree
+    * with its own prior output).
     */
   def pqAugmentIndex(spark: SparkSession, indexRoot: String,
       corpus: DataFrame, mSub: Int = PqRegistryM,
@@ -3004,10 +3017,10 @@ object Similarity {
     val pqCents = pqTrainForIndex(corpus, mSub, kCent, n)
     pqCents.toDF("ss", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
-    pqEncodeVectors(corpus, pqCents)
-      .select(col("vec_id").as("vid"), col("code"))
-      .join(spark.read.parquet(s"$indexRoot/assignments")
-        .select(col("vid"), col("cell")), Seq("vid"))
+    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    pqEncodeRouted(corpus, pqCents, centers)
       .repartition(col("cell")) // one file set per cell (the build rule)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexRoot/codes")
   }
@@ -3044,10 +3057,7 @@ object Similarity {
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
-    pqEncodeVectors(newVecs, pqCents)
-      .select(col("vec_id").as("vid"), col("code"))
-      .join(newVecs.select(col("vec_id").as("vid"),
-        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell")), Seq("vid"))
+    pqEncodeRouted(newVecs, pqCents, centers)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexRoot/codes_deltas/batch=$batchId")
