@@ -108,9 +108,13 @@ object TextStats {
         graft.llm.Dedup.hash60(concat(lit(s"$seed|"), col("doc_id").cast("string")))
           .as("h60"))
       .withColumn("shard", col("h60") % shards)
-    val w = Window.partitionBy(col("shard")).orderBy(col("h60"), col("doc_id"))
-    h.select(col("doc_id"), col("shard"),
-      row_number().over(w).cast("long").as("pos"))
+    // shard count is FIXED (default 8), so a Window.partitionBy(shard)
+    // would sort N/shards rows in one task at the 100 TB point — the
+    // r12 bounded two-pass rank spreads each shard's extent over many
+    // range partitions instead (the groupedRunningSum scale rule)
+    graft.operators.Relational
+      .groupedRowNumber(h, Seq("shard"), Seq(col("h60"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("shard"), col("pos"))
   }
 
   /** Fixed 32-token context windows with stride 24 (8-token overlap) per

@@ -940,11 +940,13 @@ object Functions {
         |SELECT a.p_partkey, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS name_dist
         |FROM ranked a JOIN ranked b
         |  ON a.p_brand = b.p_brand AND b.rk = a.rk + 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
-      val ranked = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_brand"), col("p_name"))
-        .withColumn("rk", row_number().over(w))
+      // p_brand is a ~25-value dim key: a Window.partitionBy(p_brand)
+      // sorts N/25 part rows in one task at scale — the bounded
+      // two-pass rank spreads each brand across range partitions
+      val ranked = graft.operators.Relational.groupedRowNumber(
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_name")),
+        Seq("p_brand"), Seq(col("p_partkey")), "rk")
       val a = ranked.select(col("p_brand"), col("rk"),
         col("p_partkey"), col("p_name").as("na"))
       val b = ranked.select(col("p_brand"), (col("rk") - 1).as("rk"),

@@ -256,17 +256,19 @@ class PartitioningSpec extends SparkSpec {
       s"unexpected scan source in t15 plan: $roots")
   }
 
-  test("t9/d5/d16/q46/q73 rank/cumsum run two-pass: no Window, no single-partition stage") {
+  test("t9/d5/d16/q46/q73/t14/q53 rank/cumsum run two-pass: no Window, no single-partition stage") {
     // `source` is a FIXED-cardinality column (~20 values in any corpus):
     // a Window.partitionBy(source) puts N/20 rows on ONE task — a
     // multi-TB single-task sort at the 100 TB point; an unpartitioned
-    // Window (q46/q73's global order) is worse. All five now run on
+    // Window (q46/q73's global order) is worse. All of these now run on
     // Relational.groupedRunningSum's RDD two-pass, so their visible
     // plans must carry NO Window operator at all and no SinglePartition
     // exchange — the ranking work lives in the fixed-geometry range
-    // partitioning inside the RDD lineage.
+    // partitioning inside the RDD lineage. t14 (8 fixed shards) and q53
+    // (~25 brands) joined the list in the r12 fixed-cardinality sweep.
     for (name <- Seq("t9_sequence_packing", "d5_ngram_jaccard",
-        "d16_containment", "q46_window_distribution", "q73_pareto_coverage")) {
+        "d16_containment", "q46_window_distribution", "q73_pareto_coverage",
+        "t14_training_order", "q53_levenshtein")) {
       val q = SparkEntry.registry.find(_.name == name).get
       val df = q.run(spark, sf)
       df.collect()
