@@ -406,9 +406,20 @@ class StreamsSpec extends SparkSpec {
     assert(asg.count() === e.count())
     assert(asg.select("vid").distinct().count() === e.count(),
       "every vector exactly once after cutover")
-    // the in-distribution batch landed as a DELTA on gen-init first
+    // the in-distribution batch landed as a DELTA on gen-init first —
+    // vectors AND codes (the r12 PQ shape: the tick encodes through the
+    // generation's frozen codebooks into its own code-delta dir)
     assert(Files.exists(Paths.get(s"$lcRoot/gen-init/deltas/batch=0")),
       "batch 0 must have delta-appended to the initial generation")
+    assert(Files.exists(Paths.get(s"$lcRoot/gen-init/codes_deltas/batch=0")),
+      "batch 0 must have encoded a code delta beside the vector delta")
+    // the retrain generation carries the full PQ serving shape and its
+    // code store covers the absorbed corpus exactly
+    assert(Similarity.hasPqShape(spark, gen),
+      "retrain generation must carry pqcodebook + codes")
+    assert(Similarity.ivfPqCodes(spark, gen)
+      .select("vid").distinct().count() === e.count(),
+      "generation code store must cover every vector after cutover")
     // retention policy: reclaim deletes the dead generation, never the
     // serving one — and recovery still works afterwards (the pointer
     // fallback must find gen-b1, not fail or resurrect a ghost)
