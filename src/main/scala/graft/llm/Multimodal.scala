@@ -21,11 +21,13 @@ import graft.OpQuery.sql
   * full-oracle-verified pixel for pixel. The AUDIO leg (r12) is a real
   * codec too: documents become genuine RIFF/WAV clips ([[audioTable]]),
   * decoded through `javax.sound.sampled` and fingerprinted off a real
-  * DFT spectrogram ([[audioLandmarks]]). Remaining deterministic STUBS
+  * DFT spectrogram ([[audioLandmarks]]); m3's frame-sample leg (r12)
+  * samples and decodes real clip frames. Remaining deterministic STUBS
   * — [[resizeStub]] (byte-budget resize of generic blobs),
   * [[frameSampleStub]], [[sceneCutStub]]/[[sceneSegments]] (byte-window
-  * generic-blob variants; the PNG legs supersede them where a codec
-  * exists) — cover formats this container has no libraries for;
+  * generic-blob variants; every REGISTRY leg now runs a real codec, so
+  * these serve only container formats with no library here) — are
+  * spec-tested seams;
   * everything around them — schema, batch iteration shape, partition
   * parallelism, output contract — is real and tested, and the image +
   * audio legs prove the seam's contract holds when a real decoder
@@ -683,30 +685,42 @@ object Multimodal {
               (col("strips")(j) % 1000).cast("double").as(s"f$j")): _*)
     },
 
-    // ---- image resize (REAL codec, r11) + frame-sample plumbing ----------
-    // The image leg now runs the full decode → area-average raster
+    // ---- image resize (REAL codec, r11) + frame sampling (REAL, r12) -----
+    // The image leg runs the full decode → area-average raster
     // resize → re-encode → re-decode loop on actual PNG bytes
     // ([[resizeImageStats]]); the oracle predicts the resized pixels
     // from the fixture's closed-form image (2×2 integer-floor box
     // means, edge boxes shrink on odd dims) and pins both the plain
     // total AND a position-weighted checksum — a transposed stride or
-    // wrong box clipping mismatches immediately. The frame-sample leg
-    // keeps the documented byte-window STUB over the text payload
-    // (video sampling; no video codec in this container) with its
-    // original closed-form size oracle.
+    // wrong box clipping mismatches immediately. r12: the FRAME leg
+    // moves off the byte-window stub too — it samples 2 evenly-spaced
+    // frames from the [[videoTable]] clip (real per-frame PNGs) and
+    // decodes ONLY those (the point of sampling: a curation pass never
+    // decodes the whole clip), reporting their exact pixel energies;
+    // the oracle replays the sampled indices (0 and nf÷2) and energies
+    // from the closed-form frame pixels while Spark must recover them
+    // through the PNG round trip. (PNG byte SIZES are encoder-defined
+    // and not oracle-expressible — that is what kept this leg stubbed;
+    // energies are.) The generic byte-window sampler remains as the
+    // spec-tested seam for container formats with no codec here.
     sql("m3_media_resize_frames", {
-      val starts = (0 until 4).map(i => s"least($i * step, greatest(n - 1, 0))")
-      val flens = starts.map(st => s"(least(($st) + 64, n) - ($st))")
-      s"""WITH b AS (
-         |  SELECT doc_id, octet_length(coalesce(encode(text), encode(''))) AS n
+      s"""WITH vf AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         |         3 + doc_id % 5 AS nf
          |  FROM documents
-         |), fs AS (
-         |  SELECT doc_id, n, greatest(n // 4, 1) AS step FROM b
+         |), en AS (
+         |  SELECT doc_id, nf,
+         |    [ CAST(list_sum([ (doc_id*31 + f*53 + (i // h)*7 + (i % h)*13) % 256
+         |          FOR i IN range(w*h) ]) AS BIGINT)
+         |      FOR f IN range(nf) ] AS sums
+         |  FROM vf
          |), fleg AS (
-         |  SELECT doc_id,
-         |    CAST(${flens.map(f => s"CASE WHEN $f > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS INTEGER) AS n_frames,
-         |    CAST(${flens.mkString(" + ")} AS INTEGER) AS frame_bytes_total
-         |  FROM fs
+         |  SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+         |    CAST(2 AS BIGINT) AS n_sampled,
+         |    CAST(sums[1] + sums[nf // 2 + 1] AS BIGINT) AS sampled_energy,
+         |    CAST(1 * sums[1] + 2 * sums[nf // 2 + 1] AS BIGINT)
+         |      AS sampled_checksum
+         |  FROM en
          |), g AS (
          |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
          |  FROM documents
@@ -729,7 +743,8 @@ object Multimodal {
          |  CAST(list_sum(v) AS BIGINT) AS resized_total,
          |  CAST(list_sum([ v[o+1] * (o+1) FOR o IN range(tw*th) ]) AS BIGINT)
          |    AS resized_checksum,
-         |  fleg.n_frames, fleg.frame_bytes_total
+         |  fleg.n_frames, fleg.n_sampled, fleg.sampled_energy,
+         |  fleg.sampled_checksum
          |FROM rv JOIN fleg ON fleg.doc_id = rv.doc_id""".stripMargin
     }) { (s, d) =>
       val spark = s
@@ -741,14 +756,33 @@ object Multimodal {
         .mapPartitions(_.map { case (id, p) => resizeImageStats(id, p) })
         .toDF("doc_id", "resized_w", "resized_h", "resized_total",
           "resized_checksum")
-      val framesLeg = mediaTable(Tables.spread(docs))
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, p) =>
-          val frames = frameSampleStub(p, 4, 64)
-          (id, frames.length, frames.map(_.length).sum)
+      val framesLeg = videoTable(Tables.spread(docs))
+        .select(col("doc_id"), col("frames"))
+        .as[(Long, Seq[Array[Byte]])]
+        .mapPartitions(_.map { case (id, frames) =>
+          val nf = frames.length
+          val k = math.min(2, nf)
+          // evenly-spaced sample indices: j·nf/2 (0 and nf÷2) — decode
+          // ONLY the sampled frames; the clip's other PNGs stay bytes
+          val energies = (0 until k).map { j =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(j * nf / 2)))
+            require(img != null, s"doc $id: sampled frame not decodable")
+            val rr = img.getRaster
+            var tot = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { tot += rr.getSample(x, y, 0).toLong; x += 1 }
+              y += 1
+            }
+            tot
+          }
+          (id, nf.toLong, k.toLong, energies.sum,
+            energies.zipWithIndex.map { case (e, j) => (j + 1) * e }.sum)
         })
-        .toDF("doc_id", "n_frames", "frame_bytes_total")
+        .toDF("doc_id", "n_frames", "n_sampled", "sampled_energy",
+          "sampled_checksum")
       resize.join(framesLeg, Seq("doc_id"))
     },
 
