@@ -2265,6 +2265,16 @@ object Similarity {
         cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
       .repartition(col("cell")) // one appended file set per cell (see build)
       .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+    // a PQ-shaped index (r12) must append CODES symmetrically, encoded
+    // through the frozen codebook, or the appended vectors would sit in
+    // the re-rank store but never surface as ADC candidates — present
+    // yet unservable. Same FAISS `add` posture as the vector append;
+    // the delta/streaming variant stays the idempotent per-batch
+    // overwrite ([[ivfPqEncodeDelta]]).
+    if (hasPqShape(spark, indexRoot))
+      pqEncodeRouted(newVecs, readPqCodebook(spark, indexRoot), centers)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/codes")
     // the corpus under this snapshot key just GREW: the memoized count
     // would mis-size every later derived parameter (nlist, and through
     // it nprobe) — drop it. The codebook deliberately survives: routing

@@ -762,6 +762,32 @@ class SimilaritySpec extends SparkSpec {
     served.select("vid").as[Long].collect().foreach(v => assert(vids(v)))
   }
 
+  test("PQ-shaped append: batch append encodes codes symmetrically, serving sees the arrivals") {
+    // ivfIndexAppend on a PQ-augmented index must land CODES beside the
+    // assignments (encoded through the frozen codebook) — otherwise the
+    // appended vectors sit in the re-rank store but never surface as
+    // ADC candidates: present yet unservable.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("pqappend").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    Similarity.pqAugmentIndex(spark, root, base)
+    Similarity.ivfIndexAppend(spark, root, delta)
+    val codes = Similarity.ivfPqCodes(spark, root)
+    assert(codes.select("vid").distinct().count() === e.count(),
+      "appended vectors must be encoded into the code store")
+    assert(codes.count() === e.count(), "append must not duplicate codes")
+    // an appended vector is actually SERVABLE through the ADC path:
+    // query AT an appended vector — its own cell is the argmin probe,
+    // so top-1 must be a real near neighbor with sim computed (and the
+    // vector itself excluded by the vid != qid rule)
+    val probe = delta.orderBy(col("vec_id")).limit(1)
+    val got = Similarity.ivfPqGenQuery(spark, root, probe, 3,
+      nprobe = Some(2))
+    assert(got.count() > 0, "ADC serving must see appended vectors' cells")
+  }
+
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
     import graft.streaming.IndexLifecycle
     // an st12-shaped generation: init (base codes) + one delta tick
