@@ -22,7 +22,10 @@ import graft.OpQuery.sql
   * codec too: documents become genuine RIFF/WAV clips ([[audioTable]]),
   * decoded through `javax.sound.sampled` and fingerprinted off a real
   * DFT spectrogram ([[audioLandmarks]]); m3's frame-sample leg (r12)
-  * samples and decodes real clip frames. Remaining deterministic STUBS
+  * samples and decodes real clip frames. m4's perceptual hash (r13) is
+  * a TRUE average-hash of the DECODED raster of a real content-image
+  * PNG ([[contentImageTable]] → [[imageAHash]]) — every registry codec
+  * leg now decodes. Remaining deterministic STUBS
   * — [[resizeStub]] (byte-budget resize of generic blobs),
   * [[frameSampleStub]], [[sceneCutStub]]/[[sceneSegments]] (byte-window
   * generic-blob variants; every REGISTRY leg now runs a real codec, so
@@ -559,38 +562,119 @@ object Multimodal {
     }
   }
 
+  /** m4's content-image fixture (r13 — the byte-stub signature retired):
+    * each document becomes a REAL [[AHashSide]]×[[AHashSide]] grayscale
+    * PNG whose pixels TILE the document's text bytes
+    * (pixel(x, y) = byte[(y·side + x) mod n], 0 for an empty doc) — the
+    * image analogue of [[audioTable]]'s tone schedule: identical texts
+    * encode to identical images, so media near-dup stays the dedup
+    * signal it should be, while the pixels remain a closed integer form
+    * of hex(text) the oracle can replay. Encoded inside the partition
+    * (no driver involvement).
+    */
+  val AHashSide = 16
+  def contentImagePixel(bytes: Array[Byte], x: Int, y: Int): Int =
+    if (bytes.length == 0) 0 else bytes((y * AHashSide + x) % bytes.length) & 0xff
+
+  def contentImageTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        coalesce(col("text").cast("binary"), lit(Array.emptyByteArray)).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = new java.awt.image.BufferedImage(
+          AHashSide, AHashSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < AHashSide) {
+          var x = 0
+          while (x < AHashSide) {
+            r.setSample(x, y, 0, contentImagePixel(bytes, x, y)); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** TRUE average-hash over the DECODED raster (r13 — the last stub
+    * codec leg closed): decode the PNG, partition the raster into an
+    * 8×8 grid of boxes (box (i, j) covers x ∈ [i·w/8, (i+1)·w/8), same
+    * for y — exact 2×2 boxes at the fixture's 16×16, degenerate boxes
+    * empty below 8 px), bit k set iff the box MEAN exceeds the global
+    * pixel mean, compared cross-multiplied (s_k·n_pixels > tot·cnt_k)
+    * so the whole hash is exact integer math both engines agree on bit
+    * for bit. Two 32-bit halves (a 1<<63 BIGINT shift overflows in the
+    * oracle). Unlike the retired byte-slot stub, two identical rasters
+    * through ANY lossless encoder now collide — the hash sees pixels,
+    * not encoder trivia.
+    */
+  def imageAHash(id: Long, payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = img.getRaster
+    val s = new Array[Long](64)
+    val c = new Array[Long](64)
+    var tot = 0L
+    var npx = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val x1 = (i + 1) * w / 8
+        val y1 = (j + 1) * h / 8
+        var sum = 0L
+        var cnt = 0L
+        var y = j * h / 8
+        while (y < y1) {
+          var x = i * w / 8
+          while (x < x1) { sum += r.getSample(x, y, 0); cnt += 1; x += 1 }
+          y += 1
+        }
+        val k = j * 8 + i
+        s(k) = sum; c(k) = cnt; tot += sum; npx += cnt
+        i += 1
+      }
+      j += 1
+    }
+    def half(off: Int): Long = {
+      var acc = 0L
+      var k = 0
+      while (k < 32) {
+        if (s(off + k) * npx > tot * c(off + k)) acc |= 1L << k
+        k += 1
+      }
+      acc
+    }
+    (half(0), half(32))
+  }
+
   /** m4's banded perceptual-hash near-dup pairs as a reusable frame —
-    * signature via the mapPartitions decode seam, 4×16 pigeonhole
-    * banding (lossless for hamming ≤ 3), d3's bucket cap, exact hamming
-    * verify on candidates. Feeds the m4 registry entry and the m8
-    * cluster composition.
+    * the aHash signature comes off the REAL decoded raster
+    * ([[contentImageTable]] → [[imageAHash]] through the mapPartitions
+    * decode seam), 4×16 pigeonhole banding (lossless for hamming ≤ 3),
+    * d3's bucket cap, exact hamming verify on candidates. Feeds the m4
+    * registry entry and the m8 cluster composition. The bucket cap is
+    * a skew-safe `groupBy(band, bk).count()` + keyed join (r13): the
+    * hash-agg partials absorb a degenerate hot bucket map-side, where
+    * the old `count().over(Window.partitionBy(band, bk))` would land
+    * the whole uncapped bucket on one window task first.
     */
   def phashPairs(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    val ph = mediaTable(Tables.spread(docs))
+    val ph = contentImageTable(Tables.spread(docs))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
-        val slots = new Array[Long](64)
-        var tot = 0L
-        var j = 0
-        while (j < p.length) {
-          val v = (p(j) & 0xff).toLong
-          slots(j % 64) += v
-          tot += v
-          j += 1
-        }
-        def half(off: Int): Long = {
-          var acc = 0L
-          var i = 0
-          while (i < 32) {
-            if (slots(off + i) * 64 > tot) acc |= 1L << i
-            i += 1
-          }
-          acc
-        }
-        (id, half(0), half(32))
+        val (lo, hi) = imageAHash(id, p)
+        (id, lo, hi)
       })
       .toDF("doc_id", "lo", "hi")
     val bands = ph.select(col("doc_id"), col("lo"), col("hi"),
@@ -598,11 +682,11 @@ object Multimodal {
       .withColumn("bk",
         when(col("band") < 2, expr("(lo >> (band * 16)) & 65535"))
           .otherwise(expr("(hi >> ((band - 2) * 16)) & 65535")))
-    val capped = bands
-      .withColumn("nb", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))))
+    val smallBuckets = bands.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("nb"))
       .filter(col("nb") <= 50)
-      .drop("nb")
+      .select(col("band"), col("bk"))
+    val capped = bands.join(smallBuckets, Seq("band", "bk"))
     val a = capped.select(col("band"), col("bk"), col("doc_id").as("da"),
       col("lo").as("la"), col("hi").as("ha"))
     val b = capped.select(col("band"), col("bk"), col("doc_id").as("db"),
@@ -787,17 +871,25 @@ object Multimodal {
     },
 
     // ---- perceptual-hash near-dup (media dedup without exact bytes) ------
-    // pHash posture over the stub decoder: a 64-bit signature from byte-
-    // position sums (bit i set iff the bytes at positions ≡ i mod 64 sum
-    // above the per-slot mean — all INTEGER math, so both engines agree
-    // bit for bit), banded 4×16 (d4's pigeonhole: hamming ≤ 3 ⇒ some
-    // band equal — lossless), candidates verified at exact hamming.
-    // The hash lives in two 32-bit halves (a 1<<63 BIGINT shift
-    // overflows in the oracle; hamming = popcount(xor) per half, summed).
-    // Scale shape: signature via mapPartitions (the decode seam, embar-
-    // rassingly parallel); band buckets are CORPUS-DERIVED and meet in a
-    // keyed shuffle self-join with the d3/d4 bucket cap (≤ 50) bounding
-    // degenerate buckets; exact verify only on candidates.
+    // TRUE aHash over the REAL decoder (r13 — the last stub codec leg
+    // closed): each document is a real 16×16 content-image PNG (pixels
+    // tile the text bytes, [[contentImageTable]]), DECODED through
+    // javax.imageio, and the 64-bit signature is the 8×8 box-mean
+    // average hash of the DECODED raster ([[imageAHash]] — bit k iff
+    // box mean > global mean, cross-multiplied integer compare), banded
+    // 4×16 (d4's pigeonhole: hamming ≤ 3 ⇒ some band equal — lossless),
+    // candidates verified at exact hamming. The hash lives in two
+    // 32-bit halves (a 1<<63 BIGINT shift overflows in the oracle;
+    // hamming = popcount(xor) per half, summed). FULL oracle: the
+    // fixture pixels are a closed integer form of hex(text), so DuckDB
+    // replays tile → 2×2 box sums → threshold while Spark must recover
+    // the identical bits through the encode → PNG → decode round trip
+    // (the m5/m7 precedent). Scale shape: signature via mapPartitions
+    // (the decode seam, embarrassingly parallel); band buckets are
+    // CORPUS-DERIVED and meet in a keyed shuffle self-join with the
+    // d3/d4 bucket cap (≤ 50) bounding degenerate buckets — applied via
+    // skew-safe groupBy-count + join, not a window; exact verify only
+    // on candidates.
     sql("m4_phash_neardup",
       """WITH b AS (
         |  SELECT doc_id, hex(coalesce(encode(text), encode(''))) AS hx,
@@ -811,9 +903,14 @@ object Multimodal {
         |  FROM b
         |), sums AS (
         |  SELECT doc_id,
-        |    [ CAST(coalesce(list_sum([bytes[j + 1] FOR j IN range(n) IF j % 64 = i]), 0) AS BIGINT)
-        |      FOR i IN range(64) ] AS s,
-        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS tot
+        |    [ CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |        list_sum([ bytes[((((k // 8) * 2 + d // 2) * 16
+        |                          + (k % 8) * 2 + d % 2) % n) + 1]
+        |          FOR d IN range(4) ]) END AS BIGINT)
+        |      FOR k IN range(64) ] AS s,
+        |    CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |      list_sum([ bytes[(p % n) + 1] FOR p IN range(256) ]) END AS BIGINT)
+        |      AS tot
         |  FROM e
         |), ph AS (
         |  SELECT doc_id,
@@ -866,9 +963,14 @@ object Multimodal {
         |  FROM b
         |), sums AS (
         |  SELECT doc_id,
-        |    [ CAST(coalesce(list_sum([bytes[j + 1] FOR j IN range(n) IF j % 64 = i]), 0) AS BIGINT)
-        |      FOR i IN range(64) ] AS s,
-        |    CAST(coalesce(list_sum(bytes), 0) AS BIGINT) AS tot
+        |    [ CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |        list_sum([ bytes[((((k // 8) * 2 + d // 2) * 16
+        |                          + (k % 8) * 2 + d % 2) % n) + 1]
+        |          FOR d IN range(4) ]) END AS BIGINT)
+        |      FOR k IN range(64) ] AS s,
+        |    CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |      list_sum([ bytes[(p % n) + 1] FOR p IN range(256) ]) END AS BIGINT)
+        |      AS tot
         |  FROM e
         |), ph AS (
         |  SELECT doc_id,
@@ -999,11 +1101,14 @@ object Multimodal {
       val ex = lmk.select(col("doc_id"), explode(col("keys")).as("key"))
       val sizes = lmk.filter(size(col("keys")) > 0)
         .select(col("doc_id"), size(col("keys")).cast("long").as("nk"))
-      val capped = ex
-        .withColumn("nb", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("key"))))
+      // skew-safe cap (r13): groupBy-count partials absorb a hot landmark
+      // map-side; the old count-over-Window landed the whole uncapped
+      // bucket on one window task before the filter could drop it
+      val smallKeys = ex.groupBy(col("key"))
+        .agg(count(lit(1)).as("nb"))
         .filter(col("nb") <= LmkBucketCap)
-        .drop("nb")
+        .select(col("key"))
+      val capped = ex.join(smallKeys, Seq("key"))
       val a = capped.select(col("key"), col("doc_id").as("da"))
       val c = capped.select(col("key"), col("doc_id").as("db"))
       a.join(c, Seq("key"))

@@ -15,6 +15,77 @@ class MultimodalSpec extends SparkSpec {
     assert(r._4 === "text/plain")
   }
 
+  test("true aHash: decoded-raster signature replays the closed form; encoder-independent") {
+    // closed-form recompute of the content-image aHash: tile the text
+    // bytes into the 16x16 raster, 2x2 box sums, bit iff box mean >
+    // global mean (cross-multiplied: s*64 > tot at this geometry)
+    def closedForm(bytes: Array[Byte]): (Long, Long) = {
+      val side = Multimodal.AHashSide
+      val s = new Array[Long](64)
+      var tot = 0L
+      for (k <- 0 until 64; d <- 0 until 4) {
+        val x = (k % 8) * 2 + d % 2
+        val y = (k / 8) * 2 + d / 2
+        val v = Multimodal.contentImagePixel(bytes, x, y).toLong
+        s(k) += v; tot += v
+      }
+      require(side == 16, "closed form assumes the 16x16 fixture")
+      def half(off: Int): Long = {
+        var acc = 0L
+        for (i <- 0 until 32) if (s(off + i) * 64 > tot) acc |= 1L << i
+        acc
+      }
+      (half(0), half(32))
+    }
+    val docs = Tables.documents(spark, sf).limit(40)
+    val viaCodec = Multimodal.contentImageTable(docs)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .collect().map { case (id, p) => id -> Multimodal.imageAHash(id, p) }.toMap
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    texts.foreach { case (id, t) =>
+      val bytes = Option(t).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray)
+      assert(viaCodec(id) === closedForm(bytes),
+        s"doc $id: encode->decode->aHash lost the closed-form signature")
+    }
+    // the point of the real decoder: the hash sees PIXELS, so the same
+    // raster re-encoded (a second, independent PNG byte stream) must
+    // collide exactly — the retired byte-slot stub failed this
+    val p0 = Multimodal.contentImageTable(docs.limit(1))
+      .select(col("payload")).as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p0))
+    val copy = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    copy.getGraphics.drawImage(img, 0, 0, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(copy, "png", bos)
+    assert(Multimodal.imageAHash(0L, bos.toByteArray) === Multimodal.imageAHash(0L, p0),
+      "re-encoded identical raster changed the perceptual hash")
+    // generic box partition on odd geometry (5x3: some 8x8 grid boxes
+    // are empty): hash must equal a direct box-partition recompute
+    val odd = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val orr = odd.getRaster
+    for (y <- 0 until 3; x <- 0 until 5) orr.setSample(x, y, 0, (x * 37 + y * 101) % 256)
+    val ob = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(odd, "png", ob)
+    val (olo, ohi) = Multimodal.imageAHash(7L, ob.toByteArray)
+    val s = new Array[Long](64); val c = new Array[Long](64)
+    var tot = 0L; var npx = 0L
+    for (j <- 0 until 8; i <- 0 until 8;
+         y <- j * 3 / 8 until (j + 1) * 3 / 8; x <- i * 5 / 8 until (i + 1) * 5 / 8) {
+      val k = j * 8 + i
+      s(k) += (x * 37 + y * 101) % 256; c(k) += 1
+      tot += (x * 37 + y * 101) % 256; npx += 1
+    }
+    def wantHalf(off: Int): Long = {
+      var acc = 0L
+      for (k <- 0 until 32) if (s(off + k) * npx > tot * c(off + k)) acc |= 1L << k
+      acc
+    }
+    assert((olo, ohi) === ((wantHalf(0), wantHalf(32))),
+      "odd-geometry box partition disagrees with the direct recompute")
+  }
+
   test("feature extraction is deterministic, batch-shaped, and matches closed-form histograms") {
     val docs = Tables.documents(spark, sf).limit(50)
     val media = Multimodal.imageTable(docs)
