@@ -139,12 +139,10 @@ object Dedup {
 
     def capped(docs: DataFrame): DataFrame = {
       val sigs = minhashSignatures(shingleStringRows(graft.Tables.spread(docs)))
-      sigs.select(col("doc_id"), explode(bandKeyEntries).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-        .withColumn("__n",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
-        .filter(col("__n") <= maxBucket)
-        .drop("__n")
+      capBuckets(
+        sigs.select(col("doc_id"), explode(bandKeyEntries).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey")),
+        Seq("band", "bandkey"), maxBucket)
     }
     val cand = capped(newDocs)
       .select(col("band"), col("bandkey"), col("doc_id").as("nd"))
@@ -1017,6 +1015,23 @@ object Dedup {
       .select(col("doc_id"), sh60.as("sh60"))
   }
 
+  /** Skew-safe bucket cap (r13): keep rows whose key-group has at most
+    * `maxN` members. groupBy-count + keyed join instead of the old
+    * count-over-Window: hash-agg PARTIALS absorb a degenerate hot
+    * bucket map-side (a near-constant corpus putting N rows in one
+    * band bucket), where the window form lands the whole uncapped
+    * bucket on a single window task before the `<= maxN` filter can
+    * drop it. Same shuffle count — the join reuses the count's key
+    * partitioning.
+    */
+  private[llm] def capBuckets(df: DataFrame, keys: Seq[String], maxN: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxN)
+      .select(keys.map(col): _*)
+    df.join(small, keys)
+  }
+
   /** LSH candidate pairs from a signature frame. Buckets on band keys;
     * ids only through the self-join — the shingle arrays (the heavy
     * payload) are re-attached per-side AFTER the candidate set is known,
@@ -1027,10 +1042,7 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-    val sized = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val sized = capBuckets(buckets, Seq("band", "bandkey"), maxBucket)
     sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
       .join(sized.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
         Seq("band", "bandkey"))
@@ -1108,13 +1120,10 @@ object Dedup {
       .write.mode("overwrite").parquet(artDir)
     val art = spark.read.parquet(artDir)
     val sigs = art.drop("sh")
-    val banded = sigs
-      .select(col("doc_id"), explode(bandKeyEntries).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bandkey"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), explode(bandKeyEntries).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey")),
+      Seq("band", "bandkey"), maxBucket)
     val nBands = banded.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_a"))
       .join(banded.select(col("band"), col("bandkey"), col("doc_id").as("doc_id_b")),
         Seq("band", "bandkey"))
@@ -1178,10 +1187,7 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("sh60"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftright(sh60, b * $bandBits) & ${mask}L AS key))")).as("bk"))
       .select(col("doc_id"), col("sh60"), col("bk.band"), col("bk.key"))
-    val sized = banded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
+    val sized = capBuckets(banded, Seq("band", "key"), maxBucket)
     val a = sized.select(col("band"), col("key"), col("doc_id").as("doc_id_a"), col("sh60").as("ha"))
     val b = sized.select(col("band"), col("key"), col("doc_id").as("doc_id_b"), col("sh60").as("hb"))
     a.join(b, Seq("band", "key"))
@@ -2519,8 +2525,9 @@ object Dedup {
     // storage dedup. The boundary hash is the cross-engine sha256-prefix
     // (hash60), so DuckDB replays boundaries bit-identically. Scale
     // shape: position explode (t5's codegen'd shape) → per-doc window on
-    // doc_id (one keyed shuffle) → chunk-hash counts via a window keyed
-    // on chash (corpus-derived, keyed shuffle — never broadcast).
+    // doc_id (one keyed shuffle) → chunk-hash counts via a skew-safe
+    // groupBy-count + keyed join on chash (corpus-derived, keyed
+    // shuffle — never broadcast, never a single window task).
     sql("d15_cdc_chunks", {
       val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(gk, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
       s"""WITH pos AS (
@@ -2566,9 +2573,14 @@ object Dedup {
         .select(col("doc_id"), col("s").as("start_pos"), (col("e") - col("s") + 1).as("len"),
           substring(sha2(col("text").substr(col("s").cast("int"),
             (col("e") - col("s") + 1).cast("int")), 256), 1, 15).as("chash"))
+      // shared flag via groupBy-count + join (r13 skew-safe form): a
+      // degenerate corpus making one chunk hash dominate stays a
+      // map-side partial, not a single window task
       chunks
-        .withColumn("shared",
-          count(lit(1)).over(Window.partitionBy(col("chash"))) > 1)
+        .join(chunks.groupBy(col("chash"))
+          .agg((count(lit(1)) > 1).as("shared")), Seq("chash"))
+        .select(col("doc_id"), col("start_pos"), col("len"), col("chash"),
+          col("shared"))
     },
 
     // ---- sorted-neighborhood near-dup (the non-LSH blocking family) ------
@@ -2800,15 +2812,19 @@ object Dedup {
         |    count(*) OVER (PARTITION BY sha256(text)) AS n_copies,
         |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents) t""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("content_hash"))
-      val wo = w.orderBy(col("doc_id"))
-      Tables.documents(s, d)
+      // window-free form (r13): n_copies and the canonical pick are both
+      // per-hash aggregates (count, min(doc_id)) — hash-agg partials
+      // stay skew-robust where a content_hash window would land a
+      // degenerate dup group on one task
+      val hashed = Tables.documents(s, d)
         .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-        .withColumn("n_copies", count(lit(1)).over(w))
-        .withColumn("rn", row_number().over(wo))
+      hashed.join(
+          hashed.groupBy(col("content_hash"))
+            .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("__first")),
+          Seq("content_hash"))
         .select(col("doc_id"), col("content_hash"), col("n_copies"),
           round(lit(1.0) / col("n_copies"), 6).as("weight"),
-          (col("rn") === 1).as("is_canonical"))
+          (col("doc_id") === col("__first")).as("is_canonical"))
     },
 
     // ---- containment (asymmetric near-dup: quote/superset inclusion) -----

@@ -1064,9 +1064,13 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max(when(col("ss") === 0, col("cid"))).as("c0"),
         max(when(col("ss") === 1, col("cid"))).as("c1"))
-    val wb = Window.partitionBy(col("c0"), col("c1"))
-    val capped = bk.withColumn("nb", count(lit(1)).over(wb))
-      .filter(col("nb") <= maxBucket).drop("nb")
+    // skew-safe cap (r13): groupBy-count partials absorb a hot block
+    // map-side; the old count-over-Window landed the whole uncapped
+    // block on one window task first
+    val capped = bk.join(
+      bk.groupBy(col("c0"), col("c1")).agg(count(lit(1)).as("nb"))
+        .filter(col("nb") <= maxBucket).select(col("c0"), col("c1")),
+      Seq("c0", "c1"))
     val pairs = capped.select(col("c0"), col("c1"), col("vec_id").as("va"))
       .join(capped.select(col("c0"), col("c1"), col("vec_id").as("vb")),
         Seq("c0", "c1"))
@@ -3171,12 +3175,15 @@ object Similarity {
   def rangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-    val w = Window.partitionBy(col("qid"))
-    c.crossJoin(broadcast(q))
+    val hits = c.crossJoin(broadcast(q))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), round(cosine(col("qe"), col("ve")), 6).as("sim"))
       .filter(col("sim") >= tau)
-      .withColumn("n_in_range", count(lit(1)).over(w))
+    // per-query result count via groupBy + join (r13): a loose tau can
+    // put most of the corpus in one query's range — hash-agg partials
+    // stay skew-robust where a qid window would not
+    hits.join(
+      hits.groupBy(col("qid")).agg(count(lit(1)).as("n_in_range")), Seq("qid"))
   }
 
   /** Members drawn per cluster by [[clusterBalancedSample]] — shared

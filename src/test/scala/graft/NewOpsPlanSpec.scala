@@ -55,10 +55,29 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation in q66:\n${plan.take(900)}")
   }
 
-  test("d17 soft dedup: ONE shuffle serves count, rank, and the verdict") {
+  test("d17 soft dedup: window-free — agg partials + keyed join, no WindowExec") {
+    // r13: the content_hash Window (count + row_number) became a
+    // groupBy(count, min) + keyed join. One more shuffle than the window
+    // form, bought deliberately: a dup-heavy corpus (d17's whole point)
+    // makes content_hash groups hot, and hash-agg PARTIALS absorb a hot
+    // group map-side where a window task cannot.
     val (n, plan) = shuffles("d17_soft_dedup_weights")
-    assert(n <= 1, s"d17 shuffles $n times — count/rank lost the shared " +
-      s"content_hash partitioning:\n${plan.take(1200)}")
+    assert(n <= 2, s"d17 shuffles $n times — expected count-agg + join:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"d17 still runs a content_hash window:\n${plan.take(1200)}")
+  }
+
+  test("skew-safe caps: no WindowExec on the m4/d3 bucket-cap paths") {
+    // r13: every LSH/pHash bucket cap is groupBy-count + keyed join; a
+    // count-over-Window here would land a degenerate uncapped bucket on
+    // a single window task before the <= cap filter could drop it.
+    for (name <- Seq("m4_phash_neardup", "d3_minhash_pairs")) {
+      val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name cap path still runs a window:\n${plan.take(1200)}")
+    }
   }
 
   test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {
