@@ -17,14 +17,17 @@ import graft.core.Envelope.{intOrZero, v}
   * Structural divergences from the reference, both deliberate (SURVEY §7
   * risk 2):
   *  - the reference's per-row GET/PUT loop (the N+1 anti-pattern) becomes
-  *    one broadcast join + one merged write;
+  *    one keyed join + one merged write;
   *  - the reference aborts mid-loop on a stock violation, leaving earlier
   *    PUTs applied (non-atomic). We validate first and split violations to
   *    a dead-letter output — no partial application.
   *
   * Scale: order events shuffle only for the per-event dedup window
-  * (partitioned by event × inventory key — high cardinality); inventory is
-  * the small side and broadcasts; the merge is one keyed outer join.
+  * (partitioned by event × inventory key — high cardinality); the merge is
+  * one keyed outer join with NO broadcast hints — every join side here is
+  * batch-derived, and AQE broadcast-converts while a side is actually
+  * small instead of the hint forcing driver materialization at any
+  * cardinality.
   */
 object OrderApproval {
 
@@ -97,7 +100,12 @@ object OrderApproval {
     // Missing inventory key = the reference's GET-404 error path → dead letter.
     val missing = items.join(inventory.select("inventory_id"), Seq("inventory_id"), "left_anti")
 
-    val joined = inventory.join(broadcast(deltas), Seq("inventory_id"), "left")
+    // deltas is one row per touched inventory key — BATCH-DERIVED, so no
+    // broadcast hint: a hint would force driver materialization at any
+    // key cardinality, while the plain keyed join lets AQE
+    // broadcast-convert only while the side is actually small (the
+    // Analog pattern).
+    val joined = inventory.join(deltas, Seq("inventory_id"), "left")
 
     // P7: stock constraint — validated atomically BEFORE any update.
     val violating = joined
@@ -106,8 +114,9 @@ object OrderApproval {
     val violatingKeys = violating.select("inventory_id")
 
     // A1: the transfer — general_stock_qty -= qty; qty_office += qty.
+    // violatingKeys is batch-derived too — same no-hint discipline.
     val applied = joined
-      .join(broadcast(violatingKeys.withColumn("__viol", lit(true))), Seq("inventory_id"), "left")
+      .join(violatingKeys.withColumn("__viol", lit(true)), Seq("inventory_id"), "left")
       .withColumn("__apply", col("delta").isNotNull && col("__viol").isNull)
       .withColumn("general_stock_qty",
         when(col("__apply"), col("general_stock_qty") - col("delta"))

@@ -118,8 +118,10 @@ object ProcessMovement {
     // Merge into the ledger: counter += delta for every station column.
     val d = deltas.columns.filter(_ != "inventory_id")
       .foldLeft(deltas) { (df, c) => df.withColumnRenamed(c, s"__d_$c") }
+    // d is one row per touched inventory key — batch-derived, so no
+    // broadcast hint (AQE converts while small; see OrderApproval).
     val merged = Envelope.counterCols
-      .foldLeft(inventory.join(broadcast(d), Seq("inventory_id"), "left")) { (df, c) =>
+      .foldLeft(inventory.join(d, Seq("inventory_id"), "left")) { (df, c) =>
         df.withColumn(c, col(c) + coalesce(col(s"__d_$c"), lit(0L)))
       }
       .drop(d.columns.filter(_ != "inventory_id").toIndexedSeq: _*)

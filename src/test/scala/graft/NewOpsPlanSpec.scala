@@ -181,6 +181,29 @@ class NewOpsPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ep1/ep2 merges: no forced broadcast — keyed joins survive above the threshold") {
+    // r13: the batch-derived delta/violation frames lost their hard
+    // broadcast() hints. With the threshold off (every side "too big"),
+    // the merges must still plan as keyed joins (SMJ/shuffled-hash), not
+    // a driver-materialized broadcast and not a nested-loop fallback.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("ep1_order_approval", "ep2_process_movement")) {
+        val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name degenerated to all-pairs with broadcast off:\n${plan.take(1200)}")
+        // the hint is gone: nothing broadcasts when the threshold says no
+        // (typedLit/statusMap literal dims are not joins in these plans)
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name still forces a broadcast with the threshold off:\n${plan.take(1200)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t33 packed shards: the cumsum's keyed partials feed ONE final aggregation") {
     val df = SparkEntry.registry.find(_.name == "t33_packed_shards").get.run(spark, sf)
     df.collect()
