@@ -968,8 +968,19 @@ object TextStats {
       val k = 3
       val mgf = udaf(new graft.functions.MisraGries(m),
         org.apache.spark.sql.Encoders.STRING)
-      val tok = Tables.spread(Tables.documents(s, d))
+      // the token frame feeds BOTH the MG aggregation and the candidate
+      // recount — consumed twice from a live plan it would re-scan and
+      // re-tokenize the whole corpus once per consumer (r12's slowest
+      // cold entry after st12; at 100 TB a second full read). Spill the
+      // tokens once (the t20 artifact pattern — dictionary-encoded
+      // parquet, released by Verify/Bench per query) so the second
+      // consumer reads the compact artifact, not `documents`.
+      val tokDir = Dedup.trackSpill(
+        s"${Dedup.spillBase(s, None, "t24_grouped_heavy_hitters")}/${Dedup.runDirName("tok")}")
+      Tables.spread(Tables.documents(s, d))
         .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("t"))
+        .write.mode("overwrite").parquet(tokDir)
+      val tok = s.read.parquet(tokDir)
       val cands = tok.groupBy(col("source"))
         .agg(mgf(col("t")).as("sk"), count(lit(1)).as("n"))
         .select(col("source"), col("n"), explode(map_keys(col("sk"))).as("t"))
