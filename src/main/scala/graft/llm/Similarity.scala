@@ -828,6 +828,88 @@ object Similarity {
       .drop("rn")
   }
 
+  /** ======= REPLAYABLE IVF (r13 — s4/s16 promoted to FULL oracles) ======
+    * The same IVF serving shape as [[ivfTopK]] — derived √N cells,
+    * derived log-growing probes, route/probe/exact-re-rank — but with
+    * every arithmetic step on the CROSS-ENGINE machinery the s7 oracle
+    * already replays in SQL: the codebook is [[kmeansCentroids]] (hash60
+    * seeds + one decimal-exact Lloyd round over the full corpus, not
+    * [[trainCodebook]]'s xxhash64-ordered driver sample whose chunk-order
+    * double sums no SQL engine can replay), and routing is
+    * [[cellAssignRounded]]'s 6-dp rounded distances. DuckDB replays
+    * seeds → Lloyd → route → probe → cosine → rank and must get the
+    * identical rows; the sampled [[trainCodebook]] path stays the
+    * production default for every other consumer (s15/s18/s23/st12).
+    */
+  def ivfTopKReplayable(queries: DataFrame, corpus: DataFrame, k: Int,
+      nl: Int, np: Int): DataFrame =
+    ivfServeReplayable(queries, corpus.select(col("vec_id"), col("embedding")),
+      kmeansCentroids(corpus, nl, iters = 1), k, np)
+
+  private def ivfServeReplayable(queries: DataFrame, assignedOrCorpus: DataFrame,
+      cents: Seq[(Int, Seq[Double])], k: Int, np: Int): DataFrame = {
+    val assigned =
+      if (assignedOrCorpus.columns.contains("cell")) assignedOrCorpus
+      else cellAssignRounded(assignedOrCorpus, cents, 1)
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+          col("cid").as("cell"))
+    val probes = cellAssignRounded(queries, cents, np)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Persist the replayable IVF index (s16's full-oracle round trip):
+    * centroids + rounded-routing cell assignments, the
+    * [[ivfIndexBuild]] directory layout and small-files discipline
+    * (repartition on cell before the partitioned write). The oracle
+    * replays the routing math; Spark must recover identical serving
+    * results THROUGH the parquet persist → read round trip — the codec
+    * philosophy applied to an index store.
+    */
+  def ivfIndexBuildReplayable(corpus: DataFrame, nl: Int): String = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val root = Dedup.trackSpill(
+      s"${Dedup.spillBase(spark, None, "ivfIndexBuildReplayable")}/${Dedup.runDirName("ivfrx")}")
+    val cents = kmeansCentroids(corpus, nl, iters = 1)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    cellAssignRounded(corpus, cents, 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("cid").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments")
+    root
+  }
+
+  /** Serve top-k from a [[ivfIndexBuildReplayable]] root: centroids and
+    * assignments come OFF DISK, probing prunes to the probed cell
+    * directories (the ivfIndexQuery discipline), and the routing/rank
+    * math is the replayable rounded form.
+    */
+  def ivfIndexQueryReplayable(spark: SparkSession, indexRoot: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val cents: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$indexRoot/centroids")
+        .orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val np = deriveNprobe(cents.length)
+    val probes = cellAssignRounded(queries, cents, np)
+    val probedCells = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+    val assigned = spark.read.parquet(s"$indexRoot/assignments")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vid"), col("ve"), col("cell"))
+    ivfServeReplayable(queries, assigned, cents, k, np)
+  }
+
   /** Attach global recall-vs-exact as a constant `recall` column and FAIL
     * the query (raise_error) if it falls below `minRecall` — so the
     * rows-only correctness gate carries the quantitative criterion inside
@@ -861,12 +943,45 @@ object Similarity {
     * model artifact, like [[trainCodebook]]). Rounds are sequential by
     * nature of Lloyd's; `iters` bounds them.
     */
-  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
-    val spark = emb.sparkSession
+  /** Top-`n` cells per row by the CROSS-ENGINE rounded distance
+    * (round(‖x‖² − 2·x·c + ‖c‖², 6), ties to the smaller cid) — the
+    * routing rule the s7 oracle replays in SQL, shared by k-means
+    * assignment and the replayable IVF chain (s4/s16). The centroid
+    * frame is parameter-bounded (k·dim doubles) and broadcasts; the
+    * per-row window is keyed on vec_id (high cardinality, ≤ k rows per
+    * group). The production serving path keeps [[cellRoute]]'s O(1)
+    * plan expression; this DataFrame form is the variant whose every
+    * arithmetic step a SQL oracle can replay.
+    */
+  def cellAssignRounded(df: DataFrame,
+      cents: Seq[(Int, Seq[Double])], n: Int): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     import graft.functions.VectorExpressions.arrayDot
-    val e = emb.select(col("vec_id"), col("embedding"))
+    val cdf = cents.toDF("cid", "cvec")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    df.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(arrayDot(col("embedding"), col("embedding"))
+          - lit(2.0) * arrayDot(col("embedding"), col("cvec"))
+          + arrayDot(col("cvec"), col("cvec")), 6).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+  }
 
+  /** The seeded deterministic Lloyd trainer behind [[kmeansAssign]],
+    * exposed (r13) so the replayable IVF chain can reuse the EXACT
+    * machinery the s7 oracle replays: init = the k corpus vectors with
+    * the smallest cross-engine [[Dedup.hash60]] of their vec_id, each
+    * round one rounded-distance assignment plus a DECIMAL(25,12)-exact
+    * centroid mean (emptied clusters keep their previous centroid).
+    * Returns the parameter-bounded (cid, centroid) model artifact —
+    * the k·dim collect every codebook trainer ends with.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int,
+      iters: Int = 1): Seq[(Int, Seq[Double])] = {
+    val e = emb.select(col("vec_id"), col("embedding"))
     val seeds = e
       .select(col("vec_id"), col("embedding"),
         Dedup.hash60(col("vec_id").cast("string")).as("h"))
@@ -876,21 +991,8 @@ object Similarity {
     var cents: Seq[(Int, Seq[Double])] = seeds.toSeq.zipWithIndex.map { case (r, i) =>
       (i, r.getSeq[Float](1).map(_.toDouble))
     }
-
-    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame = {
-      val cdf = cs.toDF("cid", "cvec")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      e.crossJoin(broadcast(cdf))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          round(arrayDot(col("embedding"), col("embedding"))
-            - lit(2.0) * arrayDot(col("embedding"), col("cvec"))
-            + arrayDot(col("cvec"), col("cvec")), 6).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
-
     for (_ <- 0 until iters) {
-      val comps = assign(cents)
+      val comps = cellAssignRounded(e, cents, 1)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cid"), col("i"))
         .agg((sum(col("x").cast("double").cast("decimal(25,12)")).cast("double") /
@@ -903,10 +1005,12 @@ object Similarity {
       // rule; the oracle mirrors it with a coalesce over the prior round)
       cents = cents.map { case (cid, prev) => (cid, updated.getOrElse(cid, prev)) }
     }
-
-    assign(cents)
-      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"), col("dist"))
+    cents
   }
+
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 1): DataFrame =
+    cellAssignRounded(emb, kmeansCentroids(emb, k, iters), 1)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"), col("dist"))
 
   /** Product-quantization ADC top-k (Jégou/Douze/Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
@@ -1204,6 +1308,122 @@ object Similarity {
        |FROM approx a CROSS JOIN rec r""".stripMargin
   }
 
+  /** The s4/s16 full-oracle SQL (r13): DuckDB replays the ENTIRE
+    * replayable-IVF chain — clustered fixture, √N/log-probe parameter
+    * derivation FROM count(*), hash60 seeds, one decimal-exact Lloyd
+    * round, rounded-distance corpus assignment and query probing,
+    * exact-cosine re-rank, recall vs the brute baseline — while Spark
+    * must produce identical rows through [[ivfTopKReplayable]] (s4) or
+    * the persisted index round trip (s16). Conventions are s2's
+    * (raw-double rank with vid tiebreak, 6-dp sims, 4-dp recall) plus
+    * s7's Lloyd CTEs generalized to a data-derived k.
+    */
+  private def ivfReplayOracleSql(withScanFrac: Boolean): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    val scanFracCol =
+      if (withScanFrac)
+        ",\n  round(CAST((SELECT np FROM par) AS DOUBLE) / (SELECT nl FROM par), 4) AS scan_frac"
+      else ""
+    s"""WITH centers(ccid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+       |),
+       |el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
+       |),
+       |par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 8) r
+       |  WHERE rn <= (SELECT np FROM par)
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |), norms AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |), approx AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM cand cd
+       |    JOIN fe a ON a.vec_id = cd.qid JOIN fe b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= 5
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |    JOIN norms na ON na.vec_id = a.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= 5
+       |), rec AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
+       |)
+       |SELECT a.qid, a.vid, round(a.sim, 6) AS sim, r.recall$scanFracCol
+       |FROM approx a CROSS JOIN rec r""".stripMargin
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact brute-force cosine top-5 for 8 probe queries --------------
@@ -1266,19 +1486,30 @@ object Similarity {
     },
 
     // ---- IVF approximate top-5 on the CLUSTERED fixture ------------------
-    // Shipped defaults exactly as a user gets them: derived √N cells,
-    // derived log-growing probe count (scan fraction FALLS with N —
-    // 7/71 ≈ 0.099 at sf0.1), recall ≥ 0.80 raise_error'd in-query plus
-    // the ≤ 0.105 asymptotic scan-fraction gate. The near-uniform
+    // Shipped parameter defaults exactly as a user gets them: derived √N
+    // cells, derived log-growing probe count (scan fraction FALLS with
+    // N), recall ≥ 0.80 raise_error'd in-query plus the ≤ 0.105
+    // asymptotic scan-fraction gate. FULL oracle (r13 — rows-only
+    // through r12): the codebook comes off the REPLAYABLE trainer
+    // ([[kmeansCentroids]] — hash60 seeds + one decimal-exact Lloyd
+    // round, the s7-proven machinery) instead of the sampled
+    // [[trainCodebook]] (whose xxhash64 sample order no SQL engine can
+    // replay; that path stays the production default for
+    // s15/s18/s23/st12 and keeps its SimilaritySpec coverage), so
+    // DuckDB replays derive-√N → seeds → Lloyd → route → probe →
+    // exact-cosine rank end to end and both engines must compute THE
+    // SAME top-5 sets, recall, and scan fraction. The near-uniform
     // corpus — where recall can only track the scanned fraction — stays
     // covered in SimilaritySpec with an explicit nprobeForFraction.
-    rowsOnly("s4_ann_ivf") { (s, d) =>
+    sql("s4_ann_ivf", ivfReplayOracleSql(withScanFrac = true)) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val q = e.filter(col("vec_id") < 8)
       val key = "clustered:" + d
+      val n = corpusCount(e, Some(key))
+      val nl = deriveNlist(n)
       withRecallGate(
-        withScanFractionGate(ivfTopK(q, e, 5, cacheKey = Some(key)),
-          corpusCount(e, Some(key))),
+        withScanFractionGate(
+          ivfTopKReplayable(q, e, 5, nl, deriveNprobe(nl)), n),
         bruteTopK(q, e, 5), minRecall = 0.80)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"),
           col("recall"), col("scan_frac"))
@@ -1810,13 +2041,24 @@ object Similarity {
       embeddingDrift(Tables.embeddings(s, d), pmod(col("vec_id"), lit(3)) === 0)
     },
 
-    rowsOnly("s16_ivf_index_persist") { (s, d) =>
+    // ---- persisted IVF index round trip (FULL oracle, r13) ---------------
+    // Build → parquet (centroids + cell-partitioned assignments) → read
+    // back → serve, on the replayable chain: the oracle replays the
+    // routing/serving MATH while Spark must recover the identical rows
+    // THROUGH the persist → read round trip (the m1 codec philosophy
+    // applied to an index store — any layout/type/partition-column
+    // corruption mismatches the hash). The in-query drift gate (served
+    // ≡ fresh in-memory serve) and the recall floor stay as
+    // raise_error gates on top of the oracle.
+    sql("s16_ivf_index_persist", ivfReplayOracleSql(withScanFrac = false)) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val key = "clustered:" + d
       val q = e.filter(col("vec_id") < 8)
-      val idx = ivfIndexBuild(e, cacheKey = Some(key))
-      val served = ivfIndexQuery(s, idx, q, 5)
-      val fresh = ivfTopK(q, e, 5, cacheKey = Some(key))
+      val nl = deriveNlist(corpusCount(e, Some(key)))
+      val idx = ivfIndexBuildReplayable(e, nl)
+      val served = ivfIndexQueryReplayable(s, idx, q, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      val fresh = ivfTopKReplayable(q, e, 5, nl, deriveNprobe(nl))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
       val drift = served.select(col("qid"), col("vid"), col("sim"))
         .unionByName(fresh).groupBy(col("qid"), col("vid"), col("sim"))
