@@ -2583,21 +2583,39 @@ object Similarity {
     * int typing of partition discovery. Called by every index read and
     * at purge start; cost is one listStatus per partition tree.
     *
-    * SINGLE-WRITER ASSUMPTION (load-bearing): healing distinguishes a
-    * crashed swap from an in-flight one only by the directory shape, so
-    * a reader that races a LIVE purge could restore `cell=k__old` →
-    * `cell=k` between DirSwap's two renames and make the purger's
-    * publishing rename fail. The index-maintenance contract is
-    * therefore one writer at a time and no concurrent reads DURING a
-    * purge tick — exactly the serial-tick discipline st12's lifecycle
-    * (and any sane index maintenance job) already enforces: ticks are
-    * sequential, serving reads go to the published generation pointer,
-    * never to a generation mid-rewrite. Multi-writer coordination would
-    * need a purge-in-progress marker file checked here; out of scope
-    * while every caller is serial.
+    * WRITER COORDINATION (r13 — closes the r11 ADVICE race, which this
+    * scaladoc previously documented as a single-writer assumption):
+    * healing distinguishes a crashed swap from an in-flight one only by
+    * the directory shape, so a reader that races a LIVE purge could
+    * restore `cell=k__old` → `cell=k` between DirSwap's two renames and
+    * make the purger's publishing rename fail. [[ivfIndexPurge]]
+    * therefore holds a `__purge_inprogress` MARKER for the duration of
+    * its swaps, and reader-side healing is suppressed while it exists —
+    * a concurrent reader serves the intact cell dirs as they are
+    * (mid-swap cells invisible until published, never resurrected). A
+    * STALE marker (purge crashed mid-tick) is removed by the next
+    * purge — still the single WRITER — which heals and re-marks;
+    * readers in that window keep serving without healing, which is
+    * conservative: a crashed-swap cell stays invisible until the next
+    * purge tick, never corrupted.
     */
+  private def purgeMarker(indexRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$indexRoot/__purge_inprogress")
+
+  /** Well-formed `prefix=<digits>` child dirs of `parent` — the
+    * marker-up read path: explicit dirs keep a mid-swap `<name>__old`
+    * sibling from breaking integer partition-column inference.
+    */
+  private def intactPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+      parent: org.apache.hadoop.fs.Path, prefix: String): Seq[String] =
+    if (!fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches(s"$prefix=\\d+"))
+      .map(_.getPath.toString)
+
   private def recoverIndexSwaps(fs: org.apache.hadoop.fs.FileSystem,
       indexRoot: String): Unit = {
+    if (fs.exists(purgeMarker(indexRoot))) return // live purge owns the swaps
     val aPath = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments")
     graft.core.DirSwap.recoverChildren(fs, aPath)
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
@@ -2609,14 +2627,27 @@ object Similarity {
   def ivfIndexAssignments(spark: SparkSession, indexRoot: String): DataFrame = {
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverIndexSwaps(fs, indexRoot) // heal crashed purge swaps pre-read
-    val base = spark.read.parquet(s"$indexRoot/assignments")
+    val purging = fs.exists(purgeMarker(indexRoot))
+    if (!purging) recoverIndexSwaps(fs, indexRoot) // heal crashed swaps pre-read
+    val aPath = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments")
+    val base =
+      if (!purging) spark.read.parquet(aPath.toString)
+      else {
+        // live purge: neither heal nor fail — serve the intact cell dirs
+        val dirs = intactPartDirs(fs, aPath, "cell")
+        if (dirs.isEmpty) spark.read.parquet(aPath.toString)
+        else spark.read.option("basePath", aPath.toString).parquet(dirs: _*)
+      }
     // basePath keeps the batch/cell partition columns when loading the
     // committed dirs explicitly.
     val committed = committedDeltaDirs(fs, dPath)
-    if (committed.nonEmpty)
+    val deltaDirs =
+      if (!purging) committed
+      else committed.flatMap(b =>
+        intactPartDirs(fs, new org.apache.hadoop.fs.Path(b), "cell"))
+    if (deltaDirs.nonEmpty)
       base.unionByName(spark.read.option("basePath", dPath.toString)
-        .parquet(committed: _*)
+        .parquet(deltaDirs: _*)
         .select(col("vid"), col("ve"), col("cell")))
     else base
   }
@@ -2641,8 +2672,20 @@ object Similarity {
     val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // a stale marker means the PRIOR purge crashed mid-tick; this purge
+    // is the single WRITER, so reclaim the marker, heal, and re-mark —
+    // readers suppressed their healing the whole time (see the
+    // recoverIndexSwaps scaladoc)
+    val marker = purgeMarker(indexRoot)
+    fs.delete(marker, false)
     recoverIndexSwaps(fs, indexRoot) // heal a crashed prior purge first
+    fs.create(marker).close() // suppress reader-side healing during swaps
+    try purgeStores(spark, indexRoot, tomb, fs)
+    finally { fs.delete(marker, false); () }
+  }
 
+  private def purgeStores(spark: SparkSession, indexRoot: String,
+      tomb: DataFrame, fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val assignments = spark.read.parquet(s"$indexRoot/assignments")
     // cells holding tombstoned vectors: bounded by nlist (collect is
     // sanctioned — ≤ 2^16 ints however large the corpus or the request)
@@ -2692,9 +2735,16 @@ object Similarity {
         val tmpRoot = s"$indexRoot/deltas__purging"
         val hitBatches = hitPairs.map(_._1).distinct
         deltas
+          // single-column isin filters PRUNE partition dirs (to the
+          // batch × cell cross product); the struct-pair filter then
+          // keeps only the EXACT hit pairs, so untouched (batch, cell)
+          // partitions inside the cross product are not rewritten into
+          // the tmp dir just to be discarded (r12 ADVICE)
           .filter(col("batch").isin(hitBatches.map(java.lang.Long.valueOf): _*))
           .filter(col("cell").isin(hitPairs.map(_._2).distinct
             .map(Integer.valueOf): _*))
+          .filter(struct(col("batch"), col("cell"))
+            .isin(hitPairs.map { case (b, k) => struct(lit(b), lit(k)) }.toSeq: _*))
           .join(tomb, Seq("vid"), "left_anti")
           .repartition(col("batch"), col("cell"))
           .write.mode("overwrite").partitionBy("batch", "cell").parquet(tmpRoot)
@@ -2751,10 +2801,15 @@ object Similarity {
         if (hitPairs.nonEmpty) {
           val tmpRoot = s"$indexRoot/codes_deltas__purging"
           cdeltas
+            // prune dirs on the single columns, then keep only the
+            // exact (batch, cell) hit pairs — no cross-product rewrite
+            // (r12 ADVICE; same discipline as the vector deltas)
             .filter(col("batch").isin(hitPairs.map(_._1).distinct
               .map(java.lang.Long.valueOf): _*))
             .filter(col("cell").isin(hitPairs.map(_._2).distinct
               .map(Integer.valueOf): _*))
+            .filter(struct(col("batch"), col("cell"))
+              .isin(hitPairs.map { case (b, k) => struct(lit(b), lit(k)) }.toSeq: _*))
             .join(tomb, Seq("vid"), "left_anti")
             .repartition(col("batch"), col("cell"))
             .write.mode("overwrite").partitionBy("batch", "cell").parquet(tmpRoot)
@@ -3329,16 +3384,30 @@ object Similarity {
   def ivfPqCodes(spark: SparkSession, indexRoot: String): DataFrame = {
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val cPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes")
+    val purging = fs.exists(purgeMarker(indexRoot))
     // heal crashed purge swaps in BOTH code stores before reading (the
-    // recoverIndexSwaps discipline, applied to the serving-resident set)
-    graft.core.DirSwap.recoverChildren(fs,
-      new org.apache.hadoop.fs.Path(s"$indexRoot/codes"))
+    // recoverIndexSwaps discipline, applied to the serving-resident
+    // set) — suppressed while a purge is LIVE (the marker), in which
+    // case only the intact cell dirs are served (see recoverIndexSwaps)
     val committedPre = committedDeltaDirs(fs, dPath)
-    committedPre.foreach { d =>
-      graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
+    if (!purging) {
+      graft.core.DirSwap.recoverChildren(fs, cPath)
+      committedPre.foreach { d =>
+        graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
+      }
     }
-    val base = spark.read.parquet(s"$indexRoot/codes")
-    val committed = committedPre
+    val base =
+      if (!purging) spark.read.parquet(cPath.toString)
+      else {
+        val dirs = intactPartDirs(fs, cPath, "cell")
+        if (dirs.isEmpty) spark.read.parquet(cPath.toString)
+        else spark.read.option("basePath", cPath.toString).parquet(dirs: _*)
+      }
+    val committed =
+      if (!purging) committedPre
+      else committedPre.flatMap(b =>
+        intactPartDirs(fs, new org.apache.hadoop.fs.Path(b), "cell"))
     if (committed.nonEmpty)
       base.unionByName(spark.read.option("basePath", dPath.toString)
         .parquet(committed: _*)

@@ -687,6 +687,42 @@ class SimilaritySpec extends SparkSpec {
     assert(files() === snapshot, "re-purge of already-purged ids must not rewrite")
   }
 
+  test("purge marker: reader neither heals nor fails during a live purge; heals after") {
+    // r13 (the r11 ADVICE race): while __purge_inprogress exists, a
+    // reader must not restore a mid-swap cell=k__old (that rename would
+    // break the live purger's publishing rename) and must still serve
+    // the intact cells without failing; once the marker is gone the
+    // next read heals.
+    val e = Tables.embeddings(spark, sf)
+    val idx = Similarity.ivfIndexBuild(e)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val total = Similarity.ivfIndexAssignments(spark, idx).count()
+    val cells = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/assignments"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath).sortBy(_.getName)
+    assert(cells.length >= 2, "fixture must produce multiple cells")
+    val victim = cells.head
+    val parked = new org.apache.hadoop.fs.Path(victim.toString + "__old")
+    val victimRows = spark.read.parquet(victim.toString).count()
+    // simulate the purger crash window: dst parked at __old, dst missing
+    assert(fs.rename(victim, parked))
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/__purge_inprogress")
+    fs.create(marker).close()
+    try {
+      val served = Similarity.ivfIndexAssignments(spark, idx)
+      assert(served.count() === total - victimRows,
+        "marker-up reader must serve exactly the intact cells")
+      assert(fs.exists(parked) && !fs.exists(victim),
+        "reader healed a swap while the purge marker was up")
+    } finally { fs.delete(marker, false); () }
+    // marker gone (purge finished, or the next purge tick reclaimed a
+    // stale one): the read-side heal restores the parked cell
+    assert(Similarity.ivfIndexAssignments(spark, idx).count() === total)
+    assert(!fs.exists(parked) && fs.exists(victim),
+      "heal did not run after marker removal")
+  }
+
   test("matryoshka eval: hit flags = trunc∩full, recall in [0,1], full-width is identity") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.matryoshkaEval(e, Similarity.MatryoshkaDims, 5)
