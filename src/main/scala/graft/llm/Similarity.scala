@@ -2501,6 +2501,21 @@ object Similarity {
     * (every vector assigned exactly once) and post-append serving
     * recall in-query; IvfIndexSpec pins per-vector cell correctness
     * against the centroids.
+    *
+    * NOT CRASH-REPLAYABLE (r12 ADVICE, documented like the purge's
+    * writer contract): on a PQ-shaped index this performs TWO separate
+    * append-mode writes (vectors, then codes). A crash between them
+    * leaves the appended vectors in the re-rank store but ADC-invisible
+    * (present yet unservable until the batch is re-run), and RE-RUNNING
+    * a batch whose first write landed duplicates rows in both stores —
+    * append-mode parquet has no per-batch identity to dedup on. Callers
+    * that need replay safety must use the streaming path
+    * ([[ivfIndexAppendDelta]] / [[ivfPqEncodeDelta]]): its per-batch
+    * OVERWRITE into `batch=<id>` dirs with a trailing `_SUCCESS` marker
+    * makes a replayed tick idempotent and a torn tick invisible to
+    * readers. This batch API is for one-shot bulk loads under the same
+    * single-writer, no-retry-without-inspection discipline the FAISS
+    * `add` analogy implies.
     */
   def ivfIndexAppend(spark: SparkSession, indexRoot: String,
       newVecs: DataFrame, cacheKey: Option[String] = None): Unit = {

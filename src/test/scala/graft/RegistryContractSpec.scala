@@ -50,12 +50,24 @@ class RegistryContractSpec extends AnyFunSuite {
     assert(newest.isDefined, "no bench_rN.json artifact at the repo root")
     val text = new String(
       java.nio.file.Files.readAllBytes(newest.get.toPath), "UTF-8")
-    // the queries object is flat ({"name":secs,...}) — a brace scan from
-    // its opening '{' is a full parse
+    // brace-DEPTH scan to the queries object's matching close (r12
+    // ADVICE: a first-'}' scan silently truncates the moment per-query
+    // values become nested objects, the way `spread` already is)
     val start = text.indexOf("\"queries\":{")
     assert(start >= 0, s"${newest.get.getName} has no queries object")
     val open = start + "\"queries\":".length
-    val end = text.indexOf('}', open)
+    var depth = 0
+    var i = open
+    var end = -1
+    while (end < 0 && i < text.length) {
+      text.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    assert(end > open, s"${newest.get.getName}: unbalanced queries object")
     val body = text.substring(open + 1, end)
     val benched = "\"([a-z][a-z0-9_]+)\":".r
       .findAllMatchIn(body).map(_.group(1)).toSet
