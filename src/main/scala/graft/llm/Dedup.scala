@@ -1498,6 +1498,8 @@ object Dedup {
   def dedupCorrectedMixture(docs: DataFrame): DataFrame = {
     val keep = dedupClusters(minhashPairs(docs))
       .select(col("doc_id"), col("is_keeper").as("__k"))
+    val spark = docs.sparkSession
+    import spark.implicits._
     val s = docs
       .select(col("doc_id"), col("source"),
         size(graft.llm.TextStats.tokens(col("text"))).cast("long").as("nt"))
@@ -1506,10 +1508,14 @@ object Dedup {
       .groupBy(col("source"))
       .agg(sum(col("nt")).as("n_tok_raw"),
         sum(when(col("k"), col("nt")).otherwise(0L)).as("n_tok_dedup"))
+    // collect the |sources|-row frame ONCE (the t21/t32 bounded-fold
+    // rule) and build the output from it — r13: consuming `s` again for
+    // the final select re-ran the whole LSH + closure lineage a second
+    // time (it was the corpus-heavy half of the entry's cost)
     val perSource = s.orderBy(col("source")).collect()
-      .map(r => (r.getString(0), r.getLong(2)))
-    val tot = perSource.map(_._2).sum
-    val wsum = perSource.foldLeft(0.0) { case (acc, (_, n)) =>
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tot = perSource.map(_._3).sum
+    val wsum = perSource.foldLeft(0.0) { case (acc, (_, _, n)) =>
       acc + math.sqrt(n.toDouble)
     }
     // n_tok_dedup = 0 is reachable (a source whose entire token mass is
@@ -1518,7 +1524,8 @@ object Dedup {
     // and DuckDB agreeing on NaN serialization for the oracle hash.
     // Such a source gets weight 0 and epochs 0 by definition.
     val nonEmpty = col("n_tok_dedup") > 0L
-    s.select(col("source"), col("n_tok_raw"), col("n_tok_dedup"),
+    perSource.toSeq.toDF("source", "n_tok_raw", "n_tok_dedup")
+      .select(col("source"), col("n_tok_raw"), col("n_tok_dedup"),
       round(col("n_tok_dedup").cast("double") / col("n_tok_raw"), 6)
         .as("dedup_frac"),
       round(col("n_tok_dedup").cast("double") / lit(tot), 6).as("nat_frac"),

@@ -669,7 +669,14 @@ object Multimodal {
   def phashPairs(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    val ph = contentImageTable(Tables.spread(docs))
+    // the signature frame feeds the bucket-count aggregation AND both
+    // sides of the candidate self-join — live, the encode→decode→aHash
+    // codec pass would run once per consumer. Spill the 24 B/doc
+    // signatures once (the t20/t24 artifact pattern; released by
+    // Verify/Bench per query) and every consumer reads the artifact.
+    val phDir = graft.llm.Dedup.trackSpill(
+      s"${graft.llm.Dedup.spillBase(s, None, "phashPairs")}/${graft.llm.Dedup.runDirName("ph")}")
+    contentImageTable(Tables.spread(docs))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
@@ -677,6 +684,8 @@ object Multimodal {
         (id, lo, hi)
       })
       .toDF("doc_id", "lo", "hi")
+      .write.mode("overwrite").parquet(phDir)
+    val ph = s.read.parquet(phDir)
     val bands = ph.select(col("doc_id"), col("lo"), col("hi"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bk",
@@ -1093,11 +1102,19 @@ object Multimodal {
     }) { (s, d) =>
       val spark = s
       import spark.implicits._
-      val lmk = audioTable(Tables.spread(Tables.documents(s, d)))
+      // landmark extraction is the expensive leg (WAV synth + decode +
+      // per-frame DFT); it feeds sizes, the cap counts, and both join
+      // sides — spill the compact (doc_id, keys) frame once so the
+      // codec pass runs once (the phashPairs artifact discipline)
+      val lmkDir = graft.llm.Dedup.trackSpill(
+        s"${graft.llm.Dedup.spillBase(s, None, "m5_audio")}/${graft.llm.Dedup.runDirName("lmk")}")
+      audioTable(Tables.spread(Tables.documents(s, d)))
         .select(col("doc_id"), col("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) => (id, audioLandmarks(id, p)) })
         .toDF("doc_id", "keys")
+        .write.mode("overwrite").parquet(lmkDir)
+      val lmk = s.read.parquet(lmkDir)
       val ex = lmk.select(col("doc_id"), explode(col("keys")).as("key"))
       val sizes = lmk.filter(size(col("keys")) > 0)
         .select(col("doc_id"), size(col("keys")).cast("long").as("nk"))

@@ -2104,15 +2104,19 @@ object Similarity {
       val idxForced = ivfIndexBuild(base)
       ivfIndexAppend(s, idxForced, undrifted)
       ivfIndexAppend(s, idxForced, drifted)
-      def maxCellShare(root: String): Double = {
-        val sizes = s.read.parquet(s"$root/assignments")
-          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
-            count(lit(1)).as("nc")).head()
-        sizes.getLong(0).toDouble / (sizes.getLong(1).toDouble / sizes.getLong(2))
-      }
-      val forcedShare = maxCellShare(idxForced)
-      val retrainedShare = maxCellShare(idx2)
+      // both indexes' occupancy stats in ONE fused action (r13: the
+      // 1-row aggregate crossJoin costs one job where two .head() calls
+      // cost one each)
+      def cellStats(root: String) = s.read.parquet(s"$root/assignments")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+          count(lit(1)).as("nc"))
+      val sr = cellStats(idxForced)
+        .crossJoin(cellStats(idx2).toDF("mx2", "tot2", "nc2")).head()
+      def share(mx: Long, tot: Long, nc: Long): Double =
+        mx.toDouble / (tot.toDouble / nc)
+      val forcedShare = share(sr.getLong(0), sr.getLong(1), sr.getLong(2))
+      val retrainedShare = share(sr.getLong(3), sr.getLong(4), sr.getLong(5))
       val full = base.unionByName(undrifted).unionByName(drifted)
       val q = drifted.filter(col("vec_id") < 32)
       val served = ivfIndexQuery(s, idx2, q, 5)
@@ -2150,9 +2154,12 @@ object Similarity {
           .groupBy(f => f.substring(f.indexOf("cell=")).takeWhile(_ != '/'))
       val beforeFiles = filesByCell()
       val before = s.read.parquet(s"$idx/assignments")
-      val nBefore = before.count()
       val tomb = e.filter(pmod(col("vec_id"), lit(97)) === 0).select(col("vec_id"))
-      val nTomb = tomb.count()
+      // pre-purge ledger probes fused into one action (r13)
+      val br = before.agg(count(lit(1)).as("nb"))
+        .crossJoin(tomb.agg(count(lit(1)).as("nt"))).head()
+      val nBefore = br.getLong(0)
+      val nTomb = br.getLong(1)
       val hit = before
         .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
         .select(col("cell")).distinct().collect()
@@ -2163,10 +2170,13 @@ object Similarity {
       val untouchedOk =
         beforeFiles.view.filterKeys(k => !hit(k)).toMap ==
           afterFiles.view.filterKeys(k => !hit(k)).toMap
-      val remainingTomb = after
-        .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
-        .count()
-      val nAfter = after.count()
+      // post-purge ledger probes fused into one action (r13)
+      val ar = after.agg(count(lit(1)).as("na"))
+        .crossJoin(after
+          .join(tomb.select(col("vec_id").as("vid")), Seq("vid"), "left_semi")
+          .agg(count(lit(1)).as("nr"))).head()
+      val nAfter = ar.getLong(0)
+      val remainingTomb = ar.getLong(1)
       val survivors = e.join(tomb, Seq("vec_id"), "left_anti")
       val q = survivors.filter(col("vec_id") < 24)
       withRecallGate(

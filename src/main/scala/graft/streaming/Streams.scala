@@ -812,26 +812,38 @@ object Streams {
       val gen0 = IndexLifecycle.currentRoot(s, lcRoot).get
       val r1 = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
       val gen1 = IndexLifecycle.currentRoot(s, lcRoot).get
-      val nAfter1 = Similarity.ivfIndexAssignments(s, gen1).count()
-      val nCodes1 = Similarity.ivfPqCodes(s, gen1).count()
+      // gate probes fused into ONE action per checkpoint (r13): the
+      // crossJoin of 1-row aggregates costs one job where separate
+      // .count() calls cost one EACH — at the lifecycle's
+      // many-small-jobs profile the scheduler overhead was a third of
+      // the entry's wall
+      def storeCounts(root: String): (Long, Long) = {
+        val r = Similarity.ivfIndexAssignments(s, root)
+          .agg(count(lit(1)).as("na"))
+          .crossJoin(Similarity.ivfPqCodes(s, root).agg(count(lit(1)).as("nc")))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (nAfter1, nCodes1) = storeCounts(gen1)
       val r1replay = IndexLifecycle.tick(s, lcRoot, undrifted, 1L)
       val genReplay = IndexLifecycle.currentRoot(s, lcRoot).get
-      val nAfterReplay = Similarity.ivfIndexAssignments(s, genReplay).count()
-      val nCodesReplay = Similarity.ivfPqCodes(s, genReplay).count()
+      val (nAfterReplay, nCodesReplay) = storeCounts(genReplay)
       val r2 = IndexLifecycle.tick(s, lcRoot, drifted, 2L)
       val gen2 = IndexLifecycle.currentRoot(s, lcRoot).get
-      val finalAsg = Similarity.ivfIndexAssignments(s, gen2)
-      val nFinal = finalAsg.count()
-      val nDistinct = finalAsg.select(col("vid")).distinct().count()
-      val nCorpus = e.count()
-      // the s23 memory contract on the STREAMING generation: the
-      // serving-resident set covers every vector exactly once at a
-      // bounded logical width
-      val codeStats = Similarity.ivfPqCodes(s, gen2)
-        .agg(countDistinct(col("vid")).as("n"), max(size(col("code"))).as("w"))
+      // final checkpoint: vector-store totals, code-store coverage (the
+      // s23 memory contract: every vector exactly once at a bounded
+      // logical width), and the corpus size — one fused action
+      val fr = Similarity.ivfIndexAssignments(s, gen2)
+        .agg(count(lit(1)).as("nf"), countDistinct(col("vid")).as("nd"))
+        .crossJoin(Similarity.ivfPqCodes(s, gen2)
+          .agg(countDistinct(col("vid")).as("ncd"), max(size(col("code"))).as("w")))
+        .crossJoin(e.agg(count(lit(1)).as("ncorp")))
         .head()
-      val nCodesFinal = codeStats.getLong(0)
-      val codeWidth = codeStats.getInt(1)
+      val nFinal = fr.getLong(0)
+      val nDistinct = fr.getLong(1)
+      val nCodesFinal = fr.getLong(2)
+      val codeWidth = fr.getInt(3)
+      val nCorpus = fr.getLong(4)
       val q = drifted.filter(col("vec_id") < 32)
       val full = base.unionByName(undrifted).unionByName(drifted)
       Similarity.withRecallGate(
