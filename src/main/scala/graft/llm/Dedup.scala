@@ -1025,11 +1025,21 @@ object Dedup {
     * partitioning.
     */
   private[llm] def capBuckets(df: DataFrame, keys: Seq[String], maxN: Int): DataFrame = {
-    val small = df.groupBy(keys.map(col): _*)
+    // spill the (compact) bucket frame once: it feeds the count
+    // aggregation AND both sides of the downstream self-join, and live
+    // it would re-run its upstream (signature/shingle) lineage once per
+    // consumer — at 100 TB, two extra corpus scans traded for one
+    // narrow-column artifact write (the t20 discipline; released by
+    // Verify/Bench per query). Wall-neutral at test SFs, measured.
+    val spark = df.sparkSession
+    val dir = trackSpill(s"${spillBase(spark, None, "capBuckets")}/${runDirName("cap")}")
+    df.write.mode("overwrite").parquet(dir)
+    val mat = spark.read.parquet(dir)
+    val small = mat.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxN)
       .select(keys.map(col): _*)
-    df.join(small, keys)
+    mat.join(small, keys)
   }
 
   /** LSH candidate pairs from a signature frame. Buckets on band keys;
