@@ -150,13 +150,19 @@ object Similarity {
     * instead of re-running nlist aggregate chains twice.
     */
   def ivfRecallSweep(queries: DataFrame, corpus: DataFrame, k: Int = 5,
-      nlist: Int = 8, seed: Long = 42L): DataFrame = {
+      nlist: Int = 8): DataFrame = {
     val s = queries.sparkSession
     val dir = Dedup.trackSpill(
       s"${Dedup.spillBase(s, None, "ivfRecallSweep")}/${Dedup.runDirName("ivf")}")
-    val centers = trainCodebook(corpus, nlist, seed)
-    corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        array_min(cellScores(centers)(col("embedding"))).getField("cid").as("__cell"))
+    // r13 (full-oracle promotion): the replayable trainer + rounded
+    // routing — the s4/s16 machinery — so DuckDB can replay the whole
+    // curve (codebook, assignment, probe ranks, recalls, scan
+    // fractions); the sampled trainCodebook/cellScores path stays the
+    // production default elsewhere
+    val centers = kmeansCentroids(corpus, nlist, iters = 1)
+    cellAssignRounded(corpus, centers, 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("cid").as("__cell"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
     val assigned = s.read.parquet(s"$dir/assigned")
     bruteTopK(queries, corpus, k).select(col("qid"), col("vid"))
@@ -173,12 +179,9 @@ object Similarity {
     // `sequence(prank, nlist)` widens it to exactly those curve points.
     // Amplification equals the total work the nlist sweeps did, but in one
     // job with one window over (qid, nprobe).
-    val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(col("qid"), col("qe"),
-        posexplode(array_sort(cellScores(centers)(col("qe")))))
-      .select(col("qid"), col("qe"), (col("pos") + 1).as("prank"),
-        col("col").getField("cid").as("__cell"))
+    val probes = cellAssignRounded(queries, centers, nlist)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("rn").cast("int").as("prank"), col("cid").as("__cell"))
     val wp = Window.partitionBy(col("qid"), col("nprobe"))
       .orderBy(col("sim").desc, col("vid"))
     val hits = assigned.join(broadcast(probes), Seq("__cell"))
@@ -967,7 +970,7 @@ object Similarity {
           - lit(2.0) * arrayDot(col("embedding"), col("cvec"))
           + arrayDot(col("cvec"), col("cvec")), 6).as("dist"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n).drop("rn")
+      .filter(col("rn") <= n) // rn kept: it IS the probe rank (s10)
   }
 
   /** The seeded deterministic Lloyd trainer behind [[kmeansAssign]],
@@ -1424,6 +1427,71 @@ object Similarity {
        |FROM approx a CROSS JOIN rec r""".stripMargin
   }
 
+  /** s10's full-oracle SQL (r13): the s7 Lloyd CTE chain generalized to
+    * k = nlist over the RAW embeddings, probe RANKS from the same
+    * rounded-distance frame (d1), the nested-probe sweep (rank ≤ p ⊂
+    * rank ≤ p+1 — each candidate widens to every nprobe ≥ its probe
+    * rank), exact-cosine re-rank per (query, nprobe) on s1's raw-double
+    * conventions, recall vs the brute top-k, and scanned fractions from
+    * the per-cell occupancy — the whole curve, both engines.
+    */
+  private def ivfRecallCurveOracleSql(k: Int = 5, nlist: Int = 8): String =
+    s"""WITH ${kmeansCtes(nlist)},
+       |csz AS (SELECT cid, count(*) AS csz FROM afin GROUP BY cid),
+       |pr AS (
+       |  SELECT vec_id AS qid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS prank
+       |  FROM d1 WHERE vec_id < 8
+       |), norms AS (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
+       |), exd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.x * b.x) AS dot
+       |  FROM e a JOIN e b ON b.i = a.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8 GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT d.qid, d.vid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+       |        d.dot / (nq.nrm * nv.nrm) DESC, d.vid) AS rn
+       |    FROM exd d JOIN norms nq ON nq.vec_id = d.qid
+       |               JOIN norms nv ON nv.vec_id = d.vid) t
+       |  WHERE rn <= $k
+       |), cand AS (
+       |  SELECT p.qid, p.prank, a.vec_id AS vid
+       |  FROM pr p JOIN afin a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |), cd AS (
+       |  SELECT c.qid, c.vid, c.prank, sum(ea.x * eb.x) AS dot
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.qid
+       |  JOIN e eb ON eb.vec_id = c.vid AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3
+       |), sims AS (
+       |  SELECT cd.qid, cd.vid, cd.prank, cd.dot / (nq.nrm * nv.nrm) AS sim
+       |  FROM cd JOIN norms nq ON nq.vec_id = cd.qid
+       |          JOIN norms nv ON nv.vec_id = cd.vid
+       |), ranked AS (
+       |  SELECT s.qid, s.vid, t.np,
+       |    ROW_NUMBER() OVER (PARTITION BY s.qid, t.np
+       |      ORDER BY s.sim DESC, s.vid) AS rn
+       |  FROM sims s, unnest(range(1, ${nlist + 1})) AS t(np)
+       |  WHERE t.np >= s.prank
+       |), hits AS (
+       |  SELECT np AS nprobe, count(*) AS n_hit
+       |  FROM ranked r JOIN exact x ON x.qid = r.qid AND x.vid = r.vid
+       |  WHERE r.rn <= $k GROUP BY 1
+       |), scanned AS (
+       |  SELECT t.np AS nprobe, sum(c.csz) AS n_scanned
+       |  FROM pr p JOIN csz c ON c.cid = p.cid,
+       |       unnest(range(1, ${nlist + 1})) AS t(np)
+       |  WHERE t.np >= p.prank
+       |  GROUP BY 1
+       |), nn AS (SELECT count(*) AS nc FROM embeddings),
+       |nq2 AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 8)
+       |SELECT CAST(s2.nprobe AS BIGINT) AS nprobe,
+       |  round(coalesce(h.n_hit, 0) * 1.0 / (nq2.nq * $k), 4) AS recall,
+       |  round(s2.n_scanned * 1.0 / (nn.nc * nq2.nq), 6) AS cand_frac
+       |FROM scanned s2 LEFT JOIN hits h ON h.nprobe = s2.nprobe, nn, nq2""".stripMargin
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- exact brute-force cosine top-5 for 8 probe queries --------------
@@ -1781,12 +1849,16 @@ object Similarity {
     },
 
     // ---- IVF recall/cost curve (the ANN tuning measurement) --------------
-    // See [[ivfRecallSweep]]. rows-only by design: the quantitative
-    // criteria (recall monotone in nprobe, scanned fraction monotone,
-    // EXACT 1.0 recall at full probe) ride in-query as raise_error
-    // gates — the s2/s4 pattern; a DuckDB replay of seeded k-means++
-    // training would only restate the Scala, not independently verify it.
-    OpQuery.rowsOnly("s10_ivf_recall_curve") { (s, d) =>
+    // See [[ivfRecallSweep]]. FULL oracle (r13 — rows-only through
+    // r12): the sweep now rides the replayable chain (hash60-seeded
+    // decimal-exact Lloyd + rounded routing — the s4/s16 machinery), so
+    // DuckDB replays codebook → assignment → probe ranks → nested-probe
+    // candidate widening → per-(query, nprobe) exact re-rank → recall
+    // and scan-fraction curve, and both engines must emit the identical
+    // 8 curve rows. The quantitative gates (recall monotone in nprobe,
+    // scanned fraction monotone, EXACT 1.0 recall at full probe) stay
+    // in-query as raise_error on top.
+    sql("s10_ivf_recall_curve", ivfRecallCurveOracleSql()) { (s, d) =>
       val e = Tables.embeddings(s, d)
       ivfRecallSweep(e.filter(col("vec_id") < 8), e)
     },
