@@ -958,19 +958,54 @@ object Similarity {
     */
   def cellAssignRounded(df: DataFrame,
       cents: Seq[(Int, Seq[Double])], n: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    import graft.functions.VectorExpressions.arrayDot
-    val cdf = cents.toDF("cid", "cvec")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    df.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cdf))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        round(arrayDot(col("embedding"), col("embedding"))
-          - lit(2.0) * arrayDot(col("embedding"), col("cvec"))
-          + arrayDot(col("cvec"), col("cvec")), 6).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n) // rn kept: it IS the probe rank (s10)
+    // O(1)-plan closure routing (r13 — the cellRoute posture applied to
+    // the replayable chain): the first cut crossJoined the centroid
+    // frame and windowed per vec_id, materializing N×nlist rows — at
+    // the √N rule's 65536-cell cap that amplification is the one shape
+    // that does NOT survive a 100× scale-up. The loop below runs over
+    // the captured codebook per row (shipped once per executor in the
+    // task closure) and emits only the top-n (rank, cid, dist) structs;
+    // NO shuffle at all. Arithmetic is BIT-IDENTICAL to what the SQL
+    // oracle replays: index-order float→double dots ([[ArrayDot]]'s
+    // accumulation), (‖x‖² − 2·x·c) + ‖c‖² association, and HALF_UP
+    // 6-dp rounding via BigDecimal(Double.toString) — exactly Spark's
+    // round() on doubles — with ties to the smaller cid. A null
+    // embedding routes nowhere (explode drops it), matching
+    // [[cellRoute]].
+    val cids = cents.map(_._1).toArray
+    val cs = cents.map(_._2.toArray).toArray
+    val norms = cs.map { c =>
+      var s2 = 0.0; var i = 0
+      while (i < c.length) { s2 += c(i) * c(i); i += 1 }
+      s2
+    }
+    val route = udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val e = emb.toArray
+        var x2 = 0.0
+        var i = 0
+        while (i < e.length) { x2 += e(i).toDouble * e(i).toDouble; i += 1 }
+        val ds = new Array[Double](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var dot = 0.0
+          var j = 0
+          val m = math.min(e.length, cc.length)
+          while (j < m) { dot += e(j).toDouble * cc(j); j += 1 }
+          ds(c) = BigDecimal(x2 - 2.0 * dot + norms(c))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          c += 1
+        }
+        cs.indices.sortBy(i2 => (ds(i2), cids(i2))).take(n)
+          .zipWithIndex.map { case (i2, r) => (r + 1, cids(i2), ds(i2)) }
+      }
+    }
+    df.select(col("vec_id"), col("embedding"),
+        explode(route(col("embedding"))).as("rt"))
+      .select(col("vec_id"), col("embedding"),
+        col("rt._2").as("cid"), col("rt._3").as("dist"), col("rt._1").as("rn"))
   }
 
   /** The seeded deterministic Lloyd trainer behind [[kmeansAssign]],
