@@ -849,6 +849,32 @@ object Similarity {
     ivfServeReplayable(queries, corpus.select(col("vec_id"), col("embedding")),
       kmeansCentroids(corpus, nl, iters = 1), k, np)
 
+  /** s15's replayable kNN graph (r13): the replayable chain with the
+    * WHOLE corpus as the query set — so no broadcast anywhere, cells
+    * meet in one keyed shuffle, and the top-k reduction is the bounded
+    * [[graft.functions.TopKAggregator]] (map tasks emit ≤ k rows per
+    * query pre-shuffle; its (sim desc, vid) order is exactly the
+    * oracle's rank convention). Candidate volume keeps s15's
+    * Θ(N^1.5·log N) shape under the √N rule.
+    */
+  def knnGraphReplayable(emb: DataFrame, k: Int, nl: Int, np: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, nl, iters = 1)
+    val assigned = cellAssignRounded(emb, cents, 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("cid").as("cell"))
+    val probes = cellAssignRounded(emb, cents, np)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("vid"), col("sim")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vid").as("vid"), col("t.sim").as("sim"))
+  }
+
   private def ivfServeReplayable(queries: DataFrame, assignedOrCorpus: DataFrame,
       cents: Seq[(Int, Seq[Double])], k: Int, np: Int): DataFrame = {
     val assigned =
@@ -1356,7 +1382,9 @@ object Similarity {
     * (raw-double rank with vid tiebreak, 6-dp sims, 4-dp recall) plus
     * s7's Lloyd CTEs generalized to a data-derived k.
     */
-  private def ivfReplayOracleSql(withScanFrac: Boolean): String = {
+  private def ivfReplayOracleSql(withScanFrac: Boolean,
+      queryPred: String = "vec_id < 8",
+      exactPred: String = "a.vec_id < 8"): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val centerVals = clusteredFixtureCenters().zipWithIndex
       .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
@@ -1422,7 +1450,7 @@ object Similarity {
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM d1 WHERE vec_id < 8) r
+       |    FROM d1 WHERE $queryPred) r
        |  WHERE rn <= (SELECT np FROM par)
        |), cand AS (
        |  SELECT p.qid, a.vec_id AS vid
@@ -1452,7 +1480,7 @@ object Similarity {
        |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
        |    JOIN norms na ON na.vec_id = a.vec_id
        |    JOIN norms nb ON nb.vec_id = b.vec_id
-       |    WHERE a.vec_id < 8) t
+       |    WHERE $exactPred) t
        |  WHERE rn <= 5
        |), rec AS (
        |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
@@ -2048,13 +2076,21 @@ object Similarity {
     // Gates: exact recall ≥ 0.80 on a deterministic 1-in-25 query
     // sample + the ≤ 0.105 asymptotic scan-fraction bound, both
     // in-query raise_error.
-    rowsOnly("s15_knn_graph") { (s, d) =>
+    // FULL oracle (r13 — rows-only through r12): the graph rides the
+    // replayable chain (the s4/s10 machinery with queryPred = the whole
+    // corpus); DuckDB replays every vector's probe set and top-5, plus
+    // the sampled exact recall and scan fraction. The sampled-trainer
+    // knnGraph stays the production default elsewhere.
+    sql("s15_knn_graph", ivfReplayOracleSql(withScanFrac = true,
+        queryPred = "TRUE", exactPred = "a.vec_id % 25 = 0")) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val key = "clustered:" + d
       val sample = e.filter(pmod(col("vec_id"), lit(25)) === 0)
+      val n = corpusCount(e, Some(key))
+      val nl = deriveNlist(n)
       withRecallGate(
-        withScanFractionGate(knnGraph(e, 5, cacheKey = Some(key)),
-          corpusCount(e, Some(key))),
+        withScanFractionGate(
+          knnGraphReplayable(e, 5, nl, deriveNprobe(nl)), n),
         bruteTopK(sample, e, 5), minRecall = 0.80)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"),
           col("recall"), col("scan_frac"))
