@@ -918,6 +918,26 @@ object Similarity {
     root
   }
 
+  /** Append new vectors to a [[ivfIndexBuildReplayable]] root: route
+    * through the READ-BACK centroids (rounded routing) into the
+    * existing cell dirs as new files — the FAISS `add` posture on the
+    * replayable chain (s18's full-oracle leg). Same non-replayability
+    * caveat as [[ivfIndexAppend]]: one-shot bulk loads only.
+    */
+  def ivfIndexAppendReplayable(spark: SparkSession, indexRoot: String,
+      newVecs: DataFrame): Unit = {
+    val cents: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$indexRoot/centroids")
+        .orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    cellAssignRounded(newVecs, cents, 1)
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+        col("cid").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+    ()
+  }
+
   /** Serve top-k from a [[ivfIndexBuildReplayable]] root: centroids and
     * assignments come OFF DISK, probing prunes to the probed cell
     * directories (the ivfIndexQuery discipline), and the routing/rank
@@ -1384,7 +1404,8 @@ object Similarity {
     */
   private def ivfReplayOracleSql(withScanFrac: Boolean,
       queryPred: String = "vec_id < 8",
-      exactPred: String = "a.vec_id < 8"): String = {
+      exactPred: String = "a.vec_id < 8",
+      trainPred: String = "TRUE"): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val centerVals = clusteredFixtureCenters().zipWithIndex
       .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
@@ -1405,26 +1426,29 @@ object Similarity {
        |el AS (
        |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
        |),
+       |elt AS (
+       |  SELECT * FROM el WHERE $trainPred
+       |),
        |par AS (
        |  SELECT nl, least(nl, greatest($MinProbeCells,
        |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
        |  FROM (SELECT greatest(8, least(65536,
        |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
-       |        FROM embeddings) t
+       |        FROM embeddings WHERE $trainPred) t
        |),
        |seeds AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
        |  FROM (SELECT vec_id, $parse15 AS h60
        |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
-       |              FROM embeddings) t) h
+       |              FROM embeddings WHERE $trainPred) t) h
        |), c0 AS (
        |  SELECT s.cid, e.i, e.x AS c
-       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  FROM seeds s JOIN elt e ON e.vec_id = s.vec_id
        |  WHERE s.cid < (SELECT nl FROM par)
        |), d0 AS (
        |  SELECT e.vec_id, c.cid,
        |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
-       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |  FROM elt e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
        |), a0 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
@@ -1433,7 +1457,7 @@ object Similarity {
        |), c1m AS (
        |  SELECT a.cid, e.i,
        |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
-       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |  FROM elt e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
        |), c1 AS (
        |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
        |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
@@ -2118,14 +2142,23 @@ object Similarity {
     // over the APPENDED index clears the floor vs brute force on the
     // full corpus — the sample-trained codebook must route vectors it
     // never saw.
-    rowsOnly("s18_ivf_index_append") { (s, d) =>
+    // FULL oracle (r13 — rows-only through r12): build on the BASE
+    // carve through the replayable trainer (the oracle's Lloyd CTEs run
+    // over `elt` = the base subset), append the delta through the
+    // READ-BACK centroids, serve through the persisted round trip —
+    // DuckDB replays base-trained codebook → full-corpus routing →
+    // probe → rank, so a lost or duplicated append row mismatches the
+    // hash, not just the in-query audit.
+    sql("s18_ivf_index_append", ivfReplayOracleSql(withScanFrac = false,
+        trainPred = "vec_id % 3 = 0")) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
       val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
-      val idx = ivfIndexBuild(base)
-      ivfIndexAppend(s, idx, delta)
+      val idx = ivfIndexBuildReplayable(base, deriveNlist(base.count()))
+      ivfIndexAppendReplayable(s, idx, delta)
       val q = e.filter(col("vec_id") < 8)
-      val served = ivfIndexQuery(s, idx, q, 5)
+      val served = ivfIndexQueryReplayable(s, idx, q, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
       val nCorpus = e.count()
       val perVid = s.read.parquet(s"$idx/assignments").groupBy(col("vid"))
         .agg(count(lit(1)).as("c"))
