@@ -1405,7 +1405,8 @@ object Similarity {
   private def ivfReplayOracleSql(withScanFrac: Boolean,
       queryPred: String = "vec_id < 8",
       exactPred: String = "a.vec_id < 8",
-      trainPred: String = "TRUE"): String = {
+      trainPred: String = "TRUE",
+      corpusPred: String = "TRUE"): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val centerVals = clusteredFixtureCenters().zipWithIndex
       .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
@@ -1479,6 +1480,7 @@ object Similarity {
        |), cand AS (
        |  SELECT p.qid, a.vec_id AS vid
        |  FROM probes p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  WHERE ${corpusPred.replace("vec_id", "a.vec_id")}
        |), norms AS (
        |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
        |  FROM fe
@@ -1504,7 +1506,7 @@ object Similarity {
        |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
        |    JOIN norms na ON na.vec_id = a.vec_id
        |    JOIN norms nb ON nb.vec_id = b.vec_id
-       |    WHERE $exactPred) t
+       |    WHERE ($exactPred) AND (${corpusPred.replace("vec_id", "b.vec_id")})) t
        |  WHERE rn <= 5
        |), rec AS (
        |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
@@ -2322,9 +2324,20 @@ object Similarity {
     // inventories unchanged, and post-purge serving recall for
     // surviving queries clears the s4 floor against brute force over
     // the purged corpus.
-    rowsOnly("s22_ivf_index_purge") { (s, d) =>
+    // FULL oracle (r13 — rows-only through r12): the index builds on
+    // the replayable chain, the purge runs for real on its directories,
+    // and DuckDB replays full-corpus training + SURVIVOR-restricted
+    // candidates/baseline (corpusPred) — so a purge that left a
+    // tombstone servable, or dropped a survivor, mismatches the hash.
+    // The file-inventory and ledger gates stay in-query (file-system
+    // facts no SQL oracle can see).
+    sql("s22_ivf_index_purge", ivfReplayOracleSql(withScanFrac = false,
+        queryPred = "vec_id < 24 AND vec_id % 97 <> 0",
+        exactPred = "a.vec_id < 24 AND a.vec_id % 97 <> 0",
+        corpusPred = "vec_id % 97 <> 0")) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
-      val idx = ivfIndexBuild(e)
+      val idx = ivfIndexBuildReplayable(e,
+        deriveNlist(corpusCount(e, Some("clustered:" + d))))
       def filesByCell(): Map[String, Set[String]] =
         s.read.parquet(s"$idx/assignments").inputFiles.toSet
           .groupBy(f => f.substring(f.indexOf("cell=")).takeWhile(_ != '/'))
@@ -2356,7 +2369,9 @@ object Similarity {
       val survivors = e.join(tomb, Seq("vec_id"), "left_anti")
       val q = survivors.filter(col("vec_id") < 24)
       withRecallGate(
-        ivfIndexQuery(s, idx, q, 5).select(col("qid"), col("vid"),
+        ivfIndexQueryReplayable(s, idx, q, 5)
+          .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+          .select(col("qid"), col("vid"),
           when(lit(remainingTomb > 0), raise_error(
             lit(s"purge left $remainingTomb tombstoned vectors in the index")))
             .when(lit(nAfter != nBefore - nTomb), raise_error(
