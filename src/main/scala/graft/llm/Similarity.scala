@@ -2502,6 +2502,112 @@ object Similarity {
     s25Entry
   )
 
+  /** s24's full-oracle SQL (r13): the s2 hyperplane replay extended to
+    * multi-probe — seeded plane literals, per-bit query margins, the
+    * probeBits least-confident flips (ORDER BY abs(dot), bit — the
+    * identical rule), base ∪ flipped probe signatures, bucket-join
+    * candidates for BOTH the multi-probe and the single-probe
+    * counterfactual, raw-double exact-cosine ranks, and all three gate
+    * constants (recall, single-probe recall, candidate fraction) —
+    * every number in the output computed independently by DuckDB.
+    */
+  private def s24OracleSql(k: Int = 5, tables: Int = 16, bits: Int = 7,
+      probeBits: Int = 3): String = {
+    val planeVals = hyperplanes(64, tables, bits).zipWithIndex.flatMap {
+      case (tp, t) =>
+        tp.zipWithIndex.map { case (p, b) => s"($t, $b, ${sqlDoubleList(p)})" }
+    }.mkString(",\n    ")
+    s"""WITH planes(tbl, bit, w) AS (VALUES
+       |    $planeVals),
+       |eb AS (
+       |  SELECT vec_id,
+       |    [CAST(embedding[i+1] AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings
+       |), sigs AS (
+       |  SELECT b.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_sum([b.emb[i+1] * p.w[i+1] FOR i IN range(64)]) > 0
+       |             THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS sig
+       |  FROM eb b CROSS JOIN planes p GROUP BY 1, 2
+       |), qb AS (
+       |  SELECT b.vec_id AS qid, p.tbl, p.bit,
+       |    list_sum([b.emb[i+1] * p.w[i+1] FOR i IN range(64)]) AS dot
+       |  FROM eb b CROSS JOIN planes p WHERE b.vec_id < 8
+       |), qsig AS (
+       |  SELECT qid, tbl,
+       |    CAST(sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+       |  FROM qb GROUP BY 1, 2
+       |), flips AS (
+       |  SELECT f.qid, f.tbl, CAST(xor(s.sig, 1 << f.bit) AS BIGINT) AS sig
+       |  FROM (SELECT qid, tbl, bit,
+       |          ROW_NUMBER() OVER (PARTITION BY qid, tbl
+       |            ORDER BY abs(dot), bit) AS rn
+       |        FROM qb) f
+       |  JOIN qsig s ON s.qid = f.qid AND s.tbl = f.tbl
+       |  WHERE f.rn <= $probeBits
+       |), probes AS (
+       |  SELECT qid, tbl, sig FROM qsig
+       |  UNION ALL SELECT qid, tbl, sig FROM flips
+       |), candm AS (
+       |  SELECT DISTINCT p.qid, c.vec_id AS vid
+       |  FROM probes p JOIN sigs c ON c.tbl = p.tbl AND c.sig = p.sig
+       |    AND c.vec_id <> p.qid
+       |), cands AS (
+       |  SELECT DISTINCT p.qid, c.vec_id AS vid
+       |  FROM qsig p JOIN sigs c ON c.tbl = p.tbl AND c.sig = p.sig
+       |    AND c.vec_id <> p.qid
+       |), norms AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM eb
+       |), topm AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM candm cd
+       |    JOIN eb a ON a.vec_id = cd.qid JOIN eb b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= $k
+       |), tops AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM cands cd
+       |    JOIN eb a ON a.vec_id = cd.qid JOIN eb b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= $k
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM eb a JOIN eb b ON b.vec_id <> a.vec_id
+       |    JOIN norms na ON na.vec_id = a.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= $k
+       |), consts AS (
+       |  SELECT
+       |    round(CAST((SELECT count(*) FROM topm JOIN exact USING (qid, vid))
+       |      AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall,
+       |    round(CAST((SELECT count(*) FROM tops JOIN exact USING (qid, vid))
+       |      AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall_single_probe,
+       |    round(CAST((SELECT count(*) FROM candm) AS DOUBLE)
+       |      / ((SELECT count(*) FROM eb WHERE vec_id < 8)
+       |         * ((SELECT count(*) FROM eb) - 1)), 4) AS cand_frac
+       |)
+       |SELECT t.qid, t.vid, round(t.sim, 6) AS sim,
+       |  c.recall, c.recall_single_probe, c.cand_frac
+       |FROM topm t CROSS JOIN consts c""".stripMargin
+  }
+
   /** s24's registry gates live outside `registry` assembly order — keep
     * the entry adjacent to the other ANN lifecycle members. */
   private def s24Entry: OpQuery =
@@ -2519,7 +2625,12 @@ object Similarity {
     // near-uniform embeddings — the adversarial regime is the point:
     // recall ≥ 0.75, multi-probe ≥ its own single-probe counterfactual
     // (the flips must actually buy recall), candidate fraction ≤ 0.5.
-    OpQuery.rowsOnly("s24_multiprobe_lsh") { (s, d) =>
+    // FULL oracle (r13 — rows-only through r12): [[s24OracleSql]]
+    // replays planes → margins → flips → probes → candidates →
+    // raw-rank top-5, INCLUDING the single-probe counterfactual and the
+    // candidate fraction, so all three gate constants are
+    // independently recomputed rather than merely "didn't fire".
+    OpQuery.sql("s24_multiprobe_lsh", s24OracleSql()) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 8)
       def pairsOf(df: DataFrame): Set[(Long, Long)] = df
