@@ -944,12 +944,12 @@ object Similarity {
     * math is the replayable rounded form.
     */
   def ivfIndexQueryReplayable(spark: SparkSession, indexRoot: String,
-      queries: DataFrame, k: Int): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Option[Int] = None): DataFrame = {
     val cents: Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$indexRoot/centroids")
         .orderBy(col("cell")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
-    val np = deriveNprobe(cents.length)
+    val np = nprobe.getOrElse(deriveNprobe(cents.length))
     val probes = cellAssignRounded(queries, cents, np)
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
@@ -2683,21 +2683,146 @@ object Similarity {
     * cells prune the assignments scan at the directory level, exact
     * re-rank only on candidate rows.
     */
+  /** s25's full-oracle SQL (r13): the replayable chain over the RAW
+    * near-uniform embeddings (no clustered fe), serving the derived
+    * multi-probe AND the nprobe = 1 counterfactual, with both recall
+    * constants and the derived (nprobe, nlist) in the output — every
+    * gate scalar independently recomputed by DuckDB.
+    */
+  private def s25OracleSql(k: Int = 5): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    s"""WITH eb AS (
+       |  SELECT vec_id,
+       |    [CAST(embedding[i+1] AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings
+       |), el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM eb
+       |), par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |), seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), pranks AS (
+       |  SELECT vec_id AS qid, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d1 WHERE vec_id < 8
+       |), candm AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM pranks p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  WHERE p.rn <= (SELECT np FROM par)
+       |), cands AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM pranks p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  WHERE p.rn <= 1
+       |), norms AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM eb
+       |), topm AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM candm cd
+       |    JOIN eb a ON a.vec_id = cd.qid JOIN eb b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= $k
+       |), tops AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM cands cd
+       |    JOIN eb a ON a.vec_id = cd.qid JOIN eb b ON b.vec_id = cd.vid
+       |    JOIN norms na ON na.vec_id = cd.qid
+       |    JOIN norms nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= $k
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM eb a JOIN eb b ON b.vec_id <> a.vec_id
+       |    JOIN norms na ON na.vec_id = a.vec_id
+       |    JOIN norms nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= $k
+       |), consts AS (
+       |  SELECT
+       |    round(CAST((SELECT count(*) FROM topm JOIN exact USING (qid, vid))
+       |      AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall,
+       |    round(CAST((SELECT count(*) FROM tops JOIN exact USING (qid, vid))
+       |      AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall_single_probe
+       |)
+       |SELECT t.qid, t.vid, round(t.sim, 6) AS sim,
+       |  c.recall, c.recall_single_probe,
+       |  CAST((SELECT np FROM par) AS BIGINT) AS nprobe,
+       |  CAST((SELECT nl FROM par) AS BIGINT) AS nlist
+       |FROM topm t CROSS JOIN consts c""".stripMargin
+  }
+
   private def s25Entry: OpQuery =
-    OpQuery.rowsOnly("s25_ivf_multiprobe_serve") { (s, d) =>
+    // FULL oracle (r13 — rows-only through r12): replayable build +
+    // persisted serve on the RAW near-uniform corpus; DuckDB replays
+    // both the multi-probe serve and the nprobe = 1 counterfactual,
+    // so "runner-up cells never lose recall" is recomputed, not just
+    // un-fired.
+    OpQuery.sql("s25_ivf_multiprobe_serve", s25OracleSql()) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val key = "raw:" + d
       val q = e.filter(col("vec_id") < 8)
-      val idx = ivfIndexBuild(e, cacheKey = Some(key))
+      val nl = deriveNlist(corpusCount(e, Some(key)))
+      val idx = ivfIndexBuildReplayable(e, nl)
       val nlist = s.read.parquet(s"$idx/centroids").count().toInt
       val np = deriveNprobe(nlist)
       def pairsOf(df: DataFrame): Set[(Long, Long)] = df
         .select(col("qid"), col("vid"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairsOf(bruteTopK(q, e, 5))
-      val served = ivfIndexQuery(s, idx, q, 5)
+      val served = ivfIndexQueryReplayable(s, idx, q, 5)
+        .select(col("qid"), col("vid"), col("sim"))
       val rMp = pairsOf(served).intersect(exact).size.toDouble / exact.size
-      val rSp = pairsOf(ivfIndexQuery(s, idx, q, 5, nprobe = Some(1)))
+      val rSp = pairsOf(ivfIndexQueryReplayable(s, idx, q, 5, nprobe = Some(1)))
         .intersect(exact).size.toDouble / exact.size
       val share = np.toDouble / nlist
       served.select(col("qid"), col("vid"),
@@ -2710,7 +2835,7 @@ object Similarity {
           .otherwise(round(col("sim"), 6)).as("sim"),
         round(lit(rMp), 4).as("recall"),
         round(lit(rSp), 4).as("recall_single_probe"),
-        lit(np).as("nprobe"), lit(nlist).as("nlist"))
+        lit(np.toLong).as("nprobe"), lit(nlist.toLong).as("nlist"))
     }
 
   /** Fixed per-file allowance (parquet footer/schema/dictionary) the
