@@ -2265,30 +2265,23 @@ object Similarity {
     // above the retrained index's — while the retrained index restores
     // balance and serves the drifted queries at the s4 recall floor.
     // All four criteria raise_error in-query (the s2/s4 posture).
-    // FULL oracle (r13 — rows-only through r12): the whole arc rides
-    // the replayable chain, and [[s20OracleSql]] replays BOTH codebooks
-    // (base-trained for the forced counterfactual, full-trained for the
-    // retrained index), both occupancy shares, the retrained serve of
-    // the drifted queries, and the recall constant. The PSI decision
-    // gates stay in-query.
-    sql("s20_drift_retrain", s20OracleSql()) { (s, d) =>
+    rowsOnly("s20_drift_retrain") { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
       val undrifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
       val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)
         .select(col("vec_id"),
           transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
-      val nlBase = deriveNlist(base.count())
       // lifecycle path: build on base, append in-distribution, then meet
       // the drifted batch through the monitor
-      val idx0 = ivfIndexBuildReplayable(base, nlBase)
-      val (idx1, retrain1) = ivfAppendOrRetrainReplayable(s, idx0, undrifted)
-      val (idx2, retrain2) = ivfAppendOrRetrainReplayable(s, idx1, drifted)
+      val idx0 = ivfIndexBuild(base)
+      val (idx1, retrain1) = ivfAppendOrRetrain(s, idx0, undrifted)
+      val (idx2, retrain2) = ivfAppendOrRetrain(s, idx1, drifted)
       // counterfactual path: same codebook (deterministic retrain-free
       // rebuild of base), appends forced blind — what s18 alone would do
-      val idxForced = ivfIndexBuildReplayable(base, nlBase)
-      ivfIndexAppendReplayable(s, idxForced, undrifted)
-      ivfIndexAppendReplayable(s, idxForced, drifted)
+      val idxForced = ivfIndexBuild(base)
+      ivfIndexAppend(s, idxForced, undrifted)
+      ivfIndexAppend(s, idxForced, drifted)
       // both indexes' occupancy stats in ONE fused action (r13: the
       // 1-row aggregate crossJoin costs one job where two .head() calls
       // cost one each)
@@ -2304,8 +2297,7 @@ object Similarity {
       val retrainedShare = share(sr.getLong(3), sr.getLong(4), sr.getLong(5))
       val full = base.unionByName(undrifted).unionByName(drifted)
       val q = drifted.filter(col("vec_id") < 32)
-      val served = ivfIndexQueryReplayable(s, idx2, q, 5)
-        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      val served = ivfIndexQuery(s, idx2, q, 5)
       withRecallGate(
         served.select(col("qid"), col("vid"),
           when(lit(retrain1), raise_error(
@@ -2614,142 +2606,6 @@ object Similarity {
        |SELECT t.qid, t.vid, round(t.sim, 6) AS sim,
        |  c.recall, c.recall_single_probe, c.cand_frac
        |FROM topm t CROSS JOIN consts c""".stripMargin
-  }
-
-  /** s20's full-oracle SQL (r13): TWO replayable Lloyd chains over the
-    * drift-transformed clustered fixture — one trained on the BASE
-    * carve (the forced-append counterfactual's codebook), one on the
-    * FULL corpus (the retrained index) — each routing the whole corpus
-    * for its occupancy share, plus the retrained chain's serve of the
-    * drifted queries and the brute recall baseline. The drift
-    * transform replays exactly: float(x) + float(0.75) ≡
-    * float(double-sum) (IEEE float add IS round-to-nearest of the
-    * exact sum). The PSI retrain DECISION stays a Spark-side gate (it
-    * selects which structure exists; the oracle pins the structure).
-    */
-  private def s20OracleSql(k: Int = 5): String = {
-    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
-    val centerVals = clusteredFixtureCenters().zipWithIndex
-      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
-    val c = ClusteredFixtureC
-    val noise = ClusteredFixtureNoise
-    // one Lloyd chain, suffix-parameterized; trains on `trainPred`
-    // rows of the transformed corpus, routes ALL rows (d1<sfx>)
-    def chain(sfx: String, trainPred: String): String =
-      s"""par$sfx AS (
-         |  SELECT greatest(8, least(65536,
-         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
-         |  FROM embeddings WHERE $trainPred
-         |), seeds$sfx AS (
-         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
-         |  FROM (SELECT vec_id, $parse15 AS h60
-         |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
-         |              FROM embeddings WHERE $trainPred) t) h
-         |), c0$sfx AS (
-         |  SELECT s.cid, e.i, e.x AS c
-         |  FROM seeds$sfx s JOIN el e ON e.vec_id = s.vec_id
-         |  WHERE s.cid < (SELECT nl FROM par$sfx)
-         |), d0$sfx AS (
-         |  SELECT e.vec_id, cc.cid,
-         |    round(sum(e.x * e.x) - 2 * sum(e.x * cc.c) + sum(cc.c * cc.c), 6) AS dist
-         |  FROM el e JOIN c0$sfx cc ON cc.i = e.i
-         |  WHERE ${trainPred.replace("vec_id", "e.vec_id")} GROUP BY 1, 2
-         |), a0$sfx AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d0$sfx) r WHERE rn = 1
-         |), c1m$sfx AS (
-         |  SELECT a.cid, e.i,
-         |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
-         |  FROM el e JOIN a0$sfx a ON a.vec_id = e.vec_id GROUP BY 1, 2
-         |), c1$sfx AS (
-         |  SELECT c0$sfx.cid, c0$sfx.i, coalesce(c1m$sfx.c, c0$sfx.c) AS c
-         |  FROM c0$sfx LEFT JOIN c1m$sfx
-         |    ON c1m$sfx.cid = c0$sfx.cid AND c1m$sfx.i = c0$sfx.i
-         |), d1$sfx AS (
-         |  SELECT e.vec_id, cc.cid,
-         |    round(sum(e.x * e.x) - 2 * sum(e.x * cc.c) + sum(cc.c * cc.c), 6) AS dist
-         |  FROM el e JOIN c1$sfx cc ON cc.i = e.i GROUP BY 1, 2
-         |), acell$sfx AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM d1$sfx) r WHERE rn = 1
-         |), occ$sfx AS (
-         |  SELECT max(n) AS mx, sum(n) AS tot, count(*) AS nc FROM (
-         |    SELECT cid, count(*) AS n FROM acell$sfx GROUP BY cid) g
-         |)"""
-    s"""WITH centers(ccid, c) AS (VALUES
-       |    $centerVals),
-       |fe0 AS (
-       |  SELECT e.vec_id,
-       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
-       |      AS DOUBLE) FOR i IN range(64)] AS emb
-       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
-       |),
-       |fe AS (
-       |  SELECT vec_id,
-       |    CASE WHEN vec_id % 3 = 2
-       |      THEN [CAST(CAST(emb[i+1] + 0.75 AS FLOAT) AS DOUBLE) FOR i IN range(64)]
-       |      ELSE emb END AS emb
-       |  FROM fe0
-       |),
-       |el AS (
-       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
-       |),
-       |${chain("b", "vec_id % 3 = 0")},
-       |${chain("f", "TRUE")},
-       |parp AS (
-       |  SELECT nl, least(nl, greatest($MinProbeCells,
-       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
-       |  FROM parf
-       |), pranks AS (
-       |  SELECT vec_id AS qid, cid,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM d1f WHERE vec_id % 3 = 2 AND vec_id < 32
-       |), cand AS (
-       |  SELECT p.qid, a.vec_id AS vid
-       |  FROM pranks p JOIN acellf a ON a.cid = p.cid AND a.vec_id <> p.qid
-       |  WHERE p.rn <= (SELECT np FROM parp)
-       |), norms AS (
-       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
-       |  FROM fe
-       |), topm AS (
-       |  SELECT qid, vid, sim FROM (
-       |    SELECT cd.qid, cd.vid,
-       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
-       |        / (na.nrm * nb.nrm) AS sim,
-       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
-       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
-       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
-       |    FROM cand cd
-       |    JOIN fe a ON a.vec_id = cd.qid JOIN fe b ON b.vec_id = cd.vid
-       |    JOIN norms na ON na.vec_id = cd.qid
-       |    JOIN norms nb ON nb.vec_id = cd.vid) t
-       |  WHERE rn <= $k
-       |), exact AS (
-       |  SELECT qid, vid FROM (
-       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
-       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
-       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
-       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
-       |    JOIN norms na ON na.vec_id = a.vec_id
-       |    JOIN norms nb ON nb.vec_id = b.vec_id
-       |    WHERE a.vec_id % 3 = 2 AND a.vec_id < 32) t
-       |  WHERE rn <= $k
-       |), rec AS (
-       |  SELECT round(CAST((SELECT count(*) FROM topm JOIN exact USING (qid, vid))
-       |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
-       |)
-       |SELECT t.qid, t.vid, round(t.sim, 6) AS sim,
-       |  round((SELECT CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / nc) FROM occb), 4)
-       |    AS forced_max_share,
-       |  round((SELECT CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / nc) FROM occf), 4)
-       |    AS retrained_max_share,
-       |  r.recall
-       |FROM topm t CROSS JOIN rec r""".stripMargin
   }
 
   /** s24's registry gates live outside `registry` assembly order — keep
@@ -3496,26 +3352,6 @@ object Similarity {
       (ivfIndexBuild(oldCorpus.unionByName(newBatch), seed = seed), true)
     } else {
       ivfIndexAppend(spark, indexRoot, newBatch)
-      (indexRoot, false)
-    }
-  }
-
-  /** [[ivfAppendOrRetrain]] on the replayable chain (s20's full-oracle
-    * leg): same PSI decision, but builds/appends ride
-    * [[ivfIndexBuildReplayable]]/[[ivfIndexAppendReplayable]] so the
-    * resulting index is the one the SQL oracle replays.
-    */
-  def ivfAppendOrRetrainReplayable(spark: SparkSession, indexRoot: String,
-      newVecs: DataFrame,
-      psiThreshold: Double = RetrainPsiThreshold): (String, Boolean) = {
-    val oldCorpus = spark.read.parquet(s"$indexRoot/assignments")
-      .select(col("vid").as("vec_id"), col("ve").as("embedding"))
-    val newBatch = newVecs.select(col("vec_id"), col("embedding"))
-    if (correctedMaxPsi(oldCorpus, newBatch) >= psiThreshold) {
-      val full = oldCorpus.unionByName(newBatch)
-      (ivfIndexBuildReplayable(full, deriveNlist(full.count())), true)
-    } else {
-      ivfIndexAppendReplayable(spark, indexRoot, newBatch)
       (indexRoot, false)
     }
   }
