@@ -202,7 +202,8 @@ object Similarity {
       .join(hits, Seq("nprobe"), "left")
       .select(col("nprobe").cast("long").as("nprobe"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(nQueries * k)).as("recall_raw"),
-        (col("n_scanned").cast("double") / lit(nCorpus * nQueries)).as("frac_raw"))
+        (col("n_scanned").cast("double") / lit(nCorpus * nQueries)).as("frac_raw"),
+        col("n_scanned"))
       .write.mode("overwrite").parquet(s"$dir/curve")
     val curve = s.read.parquet(s"$dir/curve")
     val prev = curve.select((col("nprobe") + 1).as("nprobe"),
@@ -217,7 +218,16 @@ object Similarity {
           .otherwise(round(col("recall_raw"), 4)).as("recall"),
         when(col("prev_frac").isNotNull && col("frac_raw") < col("prev_frac"),
           raise_error(lit("IVF scanned fraction decreased with nprobe")))
-          .otherwise(round(col("frac_raw"), 6)).as("cand_frac"))
+          // INTEGER half-up rounding of n_scanned/D at 6 dp:
+          // floor((2·n·10⁶ + D)/(2D))/10⁶ — n_scanned/(nc·nq) often has a
+          // TERMINATING 7-digit decimal form (D = 16000 at sf0.1), and on
+          // an exact half DuckDB rounds the binary double while the JVM
+          // rounds the decimal string, diverging by 1e-6. Exact integer
+          // math removes the boundary from both engines.
+          .otherwise(
+            expr(s"(n_scanned * 2000000 + ${nCorpus * nQueries}) div " +
+              s"${2 * nCorpus * nQueries}").cast("double") / lit(1e6))
+          .as("cand_frac"))
   }
 
   /** Brute-force cosine top-k: exact, O(|queries|·|corpus|) — the baseline
@@ -902,12 +912,13 @@ object Similarity {
     * results THROUGH the parquet persist → read round trip — the codec
     * philosophy applied to an index store.
     */
-  def ivfIndexBuildReplayable(corpus: DataFrame, nl: Int): String = {
+  def ivfIndexBuildReplayable(corpus: DataFrame, nl: Int,
+      iters: Int = 1): String = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val root = Dedup.trackSpill(
       s"${Dedup.spillBase(spark, None, "ivfIndexBuildReplayable")}/${Dedup.runDirName("ivfrx")}")
-    val cents = kmeansCentroids(corpus, nl, iters = 1)
+    val cents = kmeansCentroids(corpus, nl, iters)
     cents.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     cellAssignRounded(corpus, cents, 1)
@@ -1578,7 +1589,8 @@ object Similarity {
        |nq2 AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id < 8)
        |SELECT CAST(s2.nprobe AS BIGINT) AS nprobe,
        |  round(coalesce(h.n_hit, 0) * 1.0 / (nq2.nq * $k), 4) AS recall,
-       |  round(s2.n_scanned * 1.0 / (nn.nc * nq2.nq), 6) AS cand_frac
+       |  CAST((s2.n_scanned * 2000000 + nn.nc * nq2.nq)
+       |    // (2 * nn.nc * nq2.nq) AS DOUBLE) / 1000000.0 AS cand_frac
        |FROM scanned s2 LEFT JOIN hits h ON h.nprobe = s2.nprobe, nn, nq2""".stripMargin
 
   def registry: Seq[OpQuery] = Seq(
