@@ -24,17 +24,13 @@ import graft.OpQuery.sql
   * DFT spectrogram ([[audioLandmarks]]); m3's frame-sample leg (r12)
   * samples and decodes real clip frames. m4's perceptual hash (r13) is
   * a TRUE average-hash of the DECODED raster of a real content-image
-  * PNG ([[contentImageTable]] → [[imageAHash]]) — every registry codec
-  * leg now decodes. Remaining deterministic STUBS
-  * — [[resizeStub]] (byte-budget resize of generic blobs),
-  * [[frameSampleStub]], [[sceneCutStub]]/[[sceneSegments]] (byte-window
-  * generic-blob variants; every REGISTRY leg now runs a real codec, so
-  * these serve only container formats with no library here) — are
-  * spec-tested seams;
-  * everything around them — schema, batch iteration shape, partition
-  * parallelism, output contract — is real and tested, and the image +
-  * audio legs prove the seam's contract holds when a real decoder
-  * fills it.
+  * PNG ([[contentImageTable]] → [[imageAHash]]) — every codec leg,
+  * registry and helper alike, now decodes real container bytes; the
+  * generic byte-window stand-ins were deleted once the last consumer
+  * (m3's frame sampling) moved onto the real decoder. New container
+  * formats slot into the same mapPartitions seam the PNG/WAV legs use
+  * — schema, batch iteration shape, partition parallelism, and output
+  * contract are format-independent and proven by those legs.
   */
 object Multimodal {
 
@@ -532,34 +528,6 @@ object Multimodal {
           if (nf == 0) 0L else cuts.length.toLong + 1, longest)
       })
       .toDF("doc_id", "n_frames", "n_cuts", "n_scenes", "longest_scene")
-  }
-
-  /** ======= STUB — replace with a real resampler =======
-    * "Resize": deterministic stride-subsample of the payload to at most
-    * `targetBytes` bytes — stands in for image resize (the byte-budget
-    * contract and batch shape are the real part).
-    */
-  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
-    if (payload == null || payload.length <= targetBytes) payload
-    else {
-      val stride = math.ceil(payload.length.toDouble / targetBytes).toInt
-      payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
-    }
-  }
-
-  /** ======= STUB — replace with a real frame decoder =======
-    * "Frame-sample": split the payload into `n` evenly-spaced fixed-width
-    * windows — stands in for video frame sampling.
-    */
-  def frameSampleStub(payload: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] = {
-    if (payload == null || payload.isEmpty) Seq.empty
-    else {
-      val step = math.max(payload.length / n, 1)
-      (0 until n).map { i =>
-        val start = math.min(i * step, math.max(payload.length - 1, 0))
-        payload.slice(start, math.min(start + frameBytes, payload.length))
-      }.filter(_.nonEmpty)
-    }
   }
 
   /** m4's content-image fixture (r13 — the byte-stub signature retired):
@@ -1265,56 +1233,4 @@ object Multimodal {
         (col("rank") * 10 <= col("n")).as("misaligned"))
   }
 
-  /** m6 constants, shared by the stub and the oracle CTE string. */
-  val SceneFrame = 64       // bytes per "video frame"
-  val SceneCutThresh = 150L // energy delta that counts as a shot cut
-
-  /** ======= STUB — replace with a real frame decoder + histogram diff ====
-    * Deterministic fake shot-cut detector for one payload: frame the
-    * payload ([[SceneFrame]] bytes, complete frames only), energy = byte
-    * sum per frame, cut where adjacent energies differ by more than
-    * [[SceneCutThresh]]. A real implementation swaps byte sums for frame
-    * histogram distances; the cut-position contract is unchanged.
-    */
-  def sceneCutStub(payload: Array[Byte]): (Int, Array[Int]) = {
-    val nF = if (payload == null) 0 else payload.length / SceneFrame
-    if (nF <= 0) (0, Array.empty)
-    else {
-      val sums = new Array[Long](nF)
-      var f = 0
-      while (f < nF) {
-        var j = f * SceneFrame
-        var acc = 0L
-        while (j < (f + 1) * SceneFrame) { acc += (payload(j) & 0xff).toLong; j += 1 }
-        sums(f) = acc
-        f += 1
-      }
-      (nF, (1 until nF).filter(f => math.abs(sums(f) - sums(f - 1)) > SceneCutThresh).toArray)
-    }
-  }
-
-  /** See the `m6` registry notes. `media` needs (doc_id, payload). The
-    * scene math on the cut positions is closed-form array algebra:
-    * boundaries = 0 :: cuts :: nF, scene lengths = adjacent differences.
-    */
-  def sceneSegments(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
-        val (nf, cuts) = sceneCutStub(p)
-        (id, nf.toLong, cuts)
-      })
-      .toDF("doc_id", "n_frames", "cuts")
-      .select(col("doc_id"), col("n_frames"),
-        size(col("cuts")).cast("long").as("n_cuts"),
-        when(col("n_frames") === 0, lit(0L))
-          .otherwise(size(col("cuts")).cast("long") + 1).as("n_scenes"),
-        when(col("n_frames") === 0, lit(0L))
-          .otherwise(array_max(zip_with(
-            concat(col("cuts"), array(col("n_frames").cast("int"))),
-            concat(array(lit(0)), col("cuts")),
-            (x, y) => x - y)).cast("long")).as("longest_scene"))
-  }
 }

@@ -149,19 +149,6 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub honors the byte budget; frame sampling yields bounded windows") {
-    val payload = Array.tabulate(1000)(_.toByte)
-    val resized = Multimodal.resizeStub(payload, 256)
-    assert(resized.length <= 256 && resized.length > 0)
-    assert(Multimodal.resizeStub(payload, 2000) eq payload) // under budget: untouched
-    val frames = Multimodal.frameSampleStub(payload, 4, 64)
-    assert(frames.length === 4)
-    assert(frames.forall(f => f.length > 0 && f.length <= 64))
-    assert(Multimodal.frameSampleStub(Array.emptyByteArray, 4, 64).isEmpty)
-    // determinism
-    assert(Multimodal.resizeStub(payload, 256).toSeq === resized.toSeq)
-  }
-
   test("real image resize: hand-computed 2x2 box means; round-trips through PNG") {
     for (id <- Seq(0L, 7L, 23L, 100L)) {
       val w = Multimodal.imageWidth(id)
@@ -321,29 +308,6 @@ class MultimodalSpec extends SparkSpec {
       assert(keepers.head._2 === members.map(_._2).max,
         s"component $c keeper is not byte-largest")
     }
-  }
-
-  test("scene cuts: hand-built frames produce the expected segmentation") {
-    // constant-byte frames make the expected cuts exact by construction:
-    // frame energy = 64·v, so a cut fires iff |v2 − v1| ≥ 3
-    // (64·3 = 192 > 150; 64·2 = 128 ≤ 150)
-    def frames(vs: Int*): Array[Byte] =
-      vs.flatMap(v => Array.fill(Multimodal.SceneFrame)(v.toByte)).toArray
-    val rows = Seq(
-      (1L, Array.fill(30)(7.toByte)),          // sub-frame → 0 frames
-      (2L, frames(10, 10, 10)),                // flat → 1 scene of 3
-      (3L, frames(10, 20, 20, 5)),             // cuts at 1 and 3
-      (4L, frames(10, 12, 14)),                // deltas of 2 → no cuts
-      (5L, frames(10, 20) ++ Array.fill(10)(9.toByte)) // trailing partial dropped
-    ).toDF("doc_id", "payload")
-    val out = Multimodal.sceneSegments(rows).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))).toMap
-    assert(out(1L) === ((0L, 0L, 0L, 0L)))
-    assert(out(2L) === ((3L, 0L, 1L, 3L)))
-    assert(out(3L) === ((4L, 2L, 3L, 2L)))
-    assert(out(4L) === ((3L, 0L, 1L, 3L)))
-    assert(out(5L) === ((2L, 1L, 2L, 1L)))
   }
 
   test("alignment filter: plain-Scala cosines agree; decile flag; zero guard") {
