@@ -1728,13 +1728,41 @@ object Similarity {
     // ---- int8 embedding quantization with reconstruction-error gate ------
     // The embedding-store compression step at 100 TB scale: per-vector
     // affine int8 quantization (scale = (max−min)/255, 4× smaller than
-    // f32). Rows-only gate, but the query computes its own criterion:
-    // the worst per-element reconstruction error normalized by scale
-    // must be ≤ 0.5 (the provable round-to-nearest bound) or the job
-    // raise_errors. Shape: explode elements scan-side, two partial-agg
-    // shuffles on vec_id (stats, then codes) — no HOFs (interpreted),
-    // no driver work.
-    rowsOnly("s6_quantize_embeddings") { (s, d) =>
+    // f32). FULL oracle (r13 — was rows-only): every step is pinned
+    // deterministic cross-engine arithmetic — float32→double widening
+    // is exact, min/max are order-free, and the code is
+    // floor(y + 0.5) (integer HALF_UP — the s10 rule: never a raw
+    // double round() at a representable half) — so DuckDB replays the
+    // whole quantize→reconstruct→error chain and the hashes match.
+    // The in-query raise_error gate (worst normalized reconstruction
+    // error ≤ 0.5, the provable round-to-nearest bound) stays on top.
+    // Shape: explode elements scan-side, two partial-agg shuffles on
+    // vec_id (stats, then codes) — no HOFs (interpreted), no driver
+    // work.
+    sql("s6_quantize_embeddings",
+      """WITH elems AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), stats AS (
+        |  SELECT vec_id, min(x) AS mn, max(x) AS mx,
+        |         (max(x) - min(x)) / 255.0 AS scale
+        |  FROM elems GROUP BY vec_id
+        |), coded AS (
+        |  SELECT e.vec_id, e.x, s.mn, s.mx, s.scale,
+        |    CASE WHEN s.scale = 0 THEN 0
+        |         ELSE CAST(floor((e.x - s.mn) / s.scale + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM elems e JOIN stats s ON s.vec_id = e.vec_id
+        |), errs AS (
+        |  SELECT vec_id, mn, mx, q,
+        |    CASE WHEN scale = 0 THEN 0.0
+        |         ELSE abs(x - (mn + q * scale)) / scale
+        |    END AS err
+        |  FROM coded
+        |)
+        |SELECT vec_id, round(min(mn), 6) AS mn, round(max(mx), 6) AS mx,
+        |  CAST(sum(q) AS BIGINT) AS code_sum,
+        |  round(max(err), 6) AS max_norm_err
+        |FROM errs GROUP BY vec_id""".stripMargin) { (s, d) =>
       val elems = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
         .select(col("vec_id"), col("x").cast("double").as("x"))
@@ -1743,7 +1771,7 @@ object Similarity {
         .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
       val coded = elems.join(stats, Seq("vec_id"))
         .withColumn("q", when(col("scale") === 0, lit(0L))
-          .otherwise(round((col("x") - col("mn")) / col("scale"), 0).cast("long")))
+          .otherwise(floor((col("x") - col("mn")) / col("scale") + lit(0.5)).cast("long")))
         .withColumn("err", when(col("scale") === 0, lit(0.0))
           .otherwise(abs(col("x") - (col("mn") + col("q") * col("scale"))) / col("scale")))
       coded.groupBy(col("vec_id"))
