@@ -1527,6 +1527,175 @@ object Similarity {
        |FROM approx a CROSS JOIN rec r""".stripMargin
   }
 
+  /** s23's full-oracle SQL (r13): the s4 replayable coarse chain
+    * (clustered fixture, hash60 seeds, decimal-exact Lloyd, rounded
+    * routing) composed with s11's replayable PQ chain re-rooted on the
+    * UNIT-NORMALIZED fixture vectors (s23's metric-alignment trick),
+    * then the serving loop: per-query rounded sub-distance tables,
+    * exact DECIMAL(18,6) ADC sums over each candidate's code,
+    * (adist, vid)-ranked top rerankFactor·k preselection, raw-double
+    * exact-cosine re-rank to top-k, and the recall constant vs the
+    * brute-force baseline — every number in the output computed
+    * independently by DuckDB. The code-width / marginal-bytes gates are
+    * filesystem facts and stay Spark-side raise_errors.
+    */
+  private def ivfPqReplayOracleSql(k: Int = 5, rerankFactor: Int = 8,
+      mSub: Int = PqRegistryM, kCent: Int = PqServeKCent): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    val sub = 64 / mSub
+    s"""WITH centers(ccid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+       |),
+       |el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
+       |),
+       |par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 8) r
+       |  WHERE rn <= (SELECT np FROM par)
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |), un AS (
+       |  SELECT f.vec_id,
+       |    [CAST(CAST(f.emb[i+1] / greatest(n.nrm, 1e-30) AS FLOAT) AS DOUBLE)
+       |      FOR i IN range(64)] AS u
+       |  FROM fe f JOIN nrm n ON n.vec_id = f.vec_id
+       |), us AS (
+       |  SELECT vec_id, CAST(i // $sub AS BIGINT) AS ss, i, x FROM (
+       |    SELECT vec_id, unnest(range(64)) AS i, unnest(u) AS x FROM un) t
+       |), pqc0 AS (
+       |  SELECT CAST(s.cid AS BIGINT) AS cid, u.ss, u.i, u.x AS c
+       |  FROM seeds s JOIN us u ON u.vec_id = s.vec_id
+       |  WHERE s.cid < $kCent
+       |), pqd0 AS (
+       |  SELECT u.vec_id, c.ss, c.cid,
+       |    round(sum(u.x * u.x) - 2 * sum(u.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM us u JOIN pqc0 c ON c.i = u.i GROUP BY 1, 2, 3
+       |), pqa0 AS (
+       |  SELECT vec_id, ss, cid FROM (
+       |    SELECT vec_id, ss, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY dist, cid) AS rn
+       |    FROM pqd0) r WHERE rn = 1
+       |), pqc1m AS (
+       |  SELECT a.ss, a.cid, u.i,
+       |    CAST(sum(CAST(u.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM us u JOIN pqa0 a ON a.vec_id = u.vec_id AND a.ss = u.ss
+       |  GROUP BY 1, 2, 3
+       |), pqc1 AS (
+       |  SELECT pqc0.ss, pqc0.cid, pqc0.i, coalesce(pqc1m.c, pqc0.c) AS c
+       |  FROM pqc0 LEFT JOIN pqc1m
+       |    ON pqc1m.ss = pqc0.ss AND pqc1m.cid = pqc0.cid AND pqc1m.i = pqc0.i
+       |), pqd1 AS (
+       |  SELECT u.vec_id, c.ss, c.cid,
+       |    round(sum(u.x * u.x) - 2 * sum(u.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM us u JOIN pqc1 c ON c.i = u.i GROUP BY 1, 2, 3
+       |), code AS (
+       |  SELECT vec_id, ss, cid FROM (
+       |    SELECT vec_id, ss, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, ss ORDER BY dist, cid) AS rn
+       |    FROM pqd1) r WHERE rn = 1
+       |), qt AS (
+       |  SELECT vec_id AS qid, ss, cid, dist FROM pqd1 WHERE vec_id < 8
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |), ad AS (
+       |  SELECT cd.qid, cd.vid,
+       |    CAST(sum(CAST(t.dist AS DECIMAL(18,6))) AS DOUBLE) AS adist
+       |  FROM cand cd
+       |  JOIN code v ON v.vec_id = cd.vid
+       |  JOIN qt t ON t.qid = cd.qid AND t.ss = v.ss AND t.cid = v.cid
+       |  GROUP BY 1, 2
+       |), adctop AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rn
+       |    FROM ad) t WHERE rn <= ${rerankFactor * k}
+       |), approx AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT a.qid, a.vid,
+       |      list_sum([fa.emb[i+1] * fb.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+       |        list_sum([fa.emb[i+1] * fb.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, a.vid) AS rn
+       |    FROM adctop a
+       |    JOIN fe fa ON fa.vec_id = a.qid JOIN fe fb ON fb.vec_id = a.vid
+       |    JOIN nrm na ON na.vec_id = a.qid
+       |    JOIN nrm nb ON nb.vec_id = a.vid) t
+       |  WHERE rn <= $k
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |    JOIN nrm na ON na.vec_id = a.vec_id
+       |    JOIN nrm nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= $k
+       |), rec AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
+       |)
+       |SELECT a.qid, a.vid, round(a.sim, 6) AS sim, r.recall
+       |FROM approx a CROSS JOIN rec r""".stripMargin
+  }
+
   /** s10's full-oracle SQL (r13): the s7 Lloyd CTE chain generalized to
     * k = nlist over the RAW embeddings, probe RANKS from the same
     * rounded-distance frame (d1), the nested-probe sweep (rank ≤ p ⊂
@@ -2484,14 +2653,25 @@ object Similarity {
     // production IVFPQ: codes (16 B/vector) are the serving-resident
     // set, scanned cell-pruned; full vectors live in a separate
     // cell-partitioned store touched only to exact-re-rank the ADC
-    // top-4k per query. Gates, all in-query raise_error (the s16/s22
-    // posture): serving recall ≥ 0.8 vs brute force on the clustered
-    // fixture, logical code width ≤ 20 B/vector, and MARGINAL physical
-    // bytes/vector of the written code files ≤ 20 (total bytes minus a
-    // fixed per-file parquet-footer allowance, over N — the marginal
-    // term is what scales; the fixed term amortizes to zero at 100 TB).
-    // Pruning is spec'd via inputFiles (SimilaritySpec, s16 pattern).
-    rowsOnly("s23_ivf_pq_index") { (s, d) =>
+    // top-4k per query. FULL oracle (r13 — rows-only through r12): the
+    // registry leg rides the REPLAYABLE build/serve
+    // ([[ivfPqIndexBuildReplayable]] — kmeansCentroids coarse codebook,
+    // rounded routing, s11's pqTrain over unit vectors, rounded-argmin
+    // codes), so DuckDB replays coarse-train → route → PQ-train →
+    // encode → ADC → exact re-rank → recall, and Spark must recover the
+    // identical rows THROUGH the codes/vectors parquet stores (the s16
+    // round-trip discipline over 16 B/vector rows). Gates, all in-query
+    // raise_error on top of the oracle: serving recall ≥ 0.8 vs brute
+    // force on the clustered fixture, logical code width ≤ 20 B/vector,
+    // and MARGINAL physical bytes/vector of the written code files ≤ 20
+    // (total bytes minus a fixed per-file parquet-footer allowance,
+    // over N — the marginal term is what scales; the fixed term
+    // amortizes to zero at 100 TB; filesystem facts, so they stay gates
+    // rather than oracle columns). Pruning is spec'd via inputFiles
+    // (SimilaritySpec, s16 pattern). The sampled-trainer production
+    // build ([[ivfPqIndexBuild]]) remains st12's lifecycle path and
+    // keeps its SimilaritySpec coverage.
+    sql("s23_ivf_pq_index", ivfPqReplayOracleSql()) { (s, d) =>
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
       val key = "clustered:" + d
       // BUILD-ONCE, SERVE-MANY is the operator's contract: the serving
@@ -2502,17 +2682,16 @@ object Similarity {
       // (each Verify run) builds fresh (new session tag); foreign
       // sessions' dirs are TTL-pruned like any other spill.
       val servingDir = s"${Dedup.spillBase(s, None, "ivfPqIndexBuild")}/" +
-        Dedup.sessionDirName("ivfpq", "s23-" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        Dedup.sessionDirName("ivfpq", "s23r-" + d.replaceAll("[^A-Za-z0-9]", "_"))
       val fsIdx = new org.apache.hadoop.fs.Path(servingDir)
         .getFileSystem(s.sessionState.newHadoopConf())
       val ready = fsIdx.exists(
         new org.apache.hadoop.fs.Path(s"$servingDir/vectors/_SUCCESS"))
       val idx =
         if (ready) servingDir
-        else ivfPqIndexBuild(e, cacheKey = Some(key),
-          targetDir = Some(servingDir))
+        else ivfPqIndexBuildReplayable(e, servingDir, cacheKey = Some(key))
       val q = e.filter(col("vec_id") < 8)
-      val served = ivfPqIndexQuery(s, idx, q, 5)
+      val served = ivfPqIndexQueryReplayable(s, idx, q, 5)
       val n = corpusCount(e, Some(key))
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(s.sessionState.newHadoopConf())
@@ -2533,8 +2712,7 @@ object Similarity {
             lit(s"PQ code width $codeWidth > 20 B/vector")))
             .when(lit(marginal > 20.0), raise_error(
               lit(f"marginal code-file bytes/vector $marginal%.1f > 20")))
-            .otherwise(col("sim")).as("sim"),
-          round(lit(marginal), 2).as("code_bytes_per_vec")),
+            .otherwise(col("sim")).as("sim")),
         bruteTopK(q, e, 5), minRecall = 0.80)
     },
 
@@ -3609,6 +3787,68 @@ object Similarity {
       spark.read.parquet(s"$indexRoot/vectors"),
       queries, k, nprobe, rerankFactor)
 
+  /** Build the REPLAYABLE IVF-PQ index (s23's full-oracle leg, r13): the
+    * exact [[ivfPqIndexBuild]] store layout — centroids/ pqcodebook/
+    * codes/ vectors/, cell-partitioned writes, signed-byte codes — but
+    * with every arithmetic step on the cross-engine machinery the
+    * oracles already replay: the coarse codebook is [[kmeansCentroids]]
+    * (hash60 seeds + one decimal-exact Lloyd round), routing is
+    * [[cellAssignRounded]]'s 6-dp rounded distances, the PQ codebook is
+    * [[pqTrain]] over the unit-normalized corpus (s11's seed rule,
+    * rounded subdistances, DECIMAL(25,12) means), and codes come from
+    * the rounded [[pqArgmin]]. The production [[ivfPqIndexBuild]]
+    * (sampled trainer + the codegen'd PqEncodeF32 one-stage encode)
+    * stays the default for st12's generation lifecycle; this leg exists
+    * so s23's correctness row is a DuckDB hash-match rather than a
+    * gate-didn't-fire.
+    */
+  def ivfPqIndexBuildReplayable(corpus: DataFrame, targetDir: String,
+      mSub: Int = PqRegistryM, kCent: Int = PqServeKCent,
+      cacheKey: Option[String] = None): String = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nl = deriveNlist(corpusCount(corpus, cacheKey))
+    val cents = kmeansCentroids(corpus, nl, iters = 1)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$targetDir/centroids")
+    val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+    pqCents.toDF("ss", "cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$targetDir/pqcodebook")
+    val cells = cellAssignRounded(corpus, cents, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    // codes: one signed byte per subspace, subspace order (the
+    // ivfPqIndexBuild wire format — unsigned cids stored wrapped; the
+    // explicit ±128 wrap keeps the cast ANSI-safe for cids ≥ 128)
+    pqArgmin(pqDists(sv, pqCents))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ss"), col("cid")))),
+        e => (pmod(e.getField("cid") + lit(128L), lit(256L)) - lit(128L))
+          .cast("byte")).as("code"))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("code"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$targetDir/codes")
+    corpus.join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("embedding").as("ve"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$targetDir/vectors")
+    targetDir
+  }
+
+  /** Serve a [[ivfPqIndexBuildReplayable]] root: [[pqServeCore]]'s ADC +
+    * exact-re-rank loop with query routing on [[cellAssignRounded]]'s
+    * 6-dp rounded distances (the oracle-replayable rule) instead of the
+    * production closure router.
+    */
+  def ivfPqIndexQueryReplayable(spark: SparkSession, indexRoot: String,
+      queries: DataFrame, k: Int, nprobe: Option[Int] = None,
+      rerankFactor: Int = 8): DataFrame =
+    pqServeCore(spark, indexRoot,
+      spark.read.parquet(s"$indexRoot/codes"),
+      spark.read.parquet(s"$indexRoot/vectors"),
+      queries, k, nprobe, rerankFactor, roundedRouting = true)
+
   /** The ADC + exact-re-rank serving loop shared by the standalone s23
     * index ([[ivfPqIndexQuery]] — `codes/` + `vectors/` stores) and the
     * st12 PQ-serving generations ([[ivfPqGenQuery]] — base ∪ delta
@@ -3620,7 +3860,7 @@ object Similarity {
   private def pqServeCore(spark: SparkSession, indexRoot: String,
       codesAll: DataFrame, vecsAll: DataFrame,
       queries: DataFrame, k: Int, nprobe: Option[Int],
-      rerankFactor: Int): DataFrame = {
+      rerankFactor: Int, roundedRouting: Boolean = false): DataFrame = {
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
@@ -3643,9 +3883,14 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("ss"), col("cid"), col("dist")))),
         e => e.getField("dist")).as("dtab"))
-    val qProbes = queries
-      .select(col("vec_id").as("qid"),
-        explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
+    val qProbes =
+      if (roundedRouting)
+        cellAssignRounded(queries,
+          centers.indices.map(i => (i, centers(i))), np)
+          .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      else queries
+        .select(col("vec_id").as("qid"),
+          explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
     val probedCells = qProbes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
     val codes = codesAll.filter(col("cell").isin(probedCells: _*))

@@ -599,6 +599,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("replayable IVF-PQ (s23's full-oracle leg): layout, pruning, byte codes, determinism") {
+    import spark.implicits._
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val q = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("pqreplay").toString + "/idx"
+    Similarity.ivfPqIndexBuildReplayable(e, root)
+    // same store layout as the production build: shared cell partitions,
+    // mSub signed-byte codes
+    val cellDirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length > 1, s"expected multiple cell partitions, got ${cellDirs.toSeq}")
+    assert(new java.io.File(s"$root/vectors").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+      .sameElements(cellDirs), "codes and vectors must share the cell layout")
+    val codeRow = spark.read.parquet(s"$root/codes").select("code").head()
+    assert(codeRow.getSeq[Byte](0).length === Similarity.PqRegistryM)
+    // the rounded-routing serve still prunes the code scan to probed cells
+    val served1 = Similarity.ivfPqIndexQueryReplayable(spark, root, q, 3,
+      nprobe = Some(1))
+    served1.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan,
+        dir: String): Seq[Long] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan, dir)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan, dir)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(p2 => scans(p2, dir))
+    })
+    val fullFiles = spark.read.parquet(s"$root/codes").inputFiles.length
+    val prunedCodes = scans(served1.queryExecution.executedPlan, "codes")
+    assert(prunedCodes.nonEmpty && prunedCodes.head < fullFiles,
+      s"nprobe=1 code scan must prune cell dirs ($prunedCodes vs $fullFiles)")
+    // build+serve determinism: a second build to a fresh dir serves the
+    // identical rows (the property the DuckDB oracle hash rides on)
+    val got = Similarity.ivfPqIndexQueryReplayable(spark, root, q, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect().sorted
+    val root2 = java.nio.file.Files.createTempDirectory("pqreplay2").toString + "/idx"
+    Similarity.ivfPqIndexBuildReplayable(e, root2)
+    val got2 = Similarity.ivfPqIndexQueryReplayable(spark, root2, q, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect().sorted
+    assert(got.sameElements(got2), "replayable IVF-PQ build/serve must be deterministic")
+  }
+
   test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
     // base clusters at -0.75 (bucket 0), delta at +0.75 (bucket 3):
     // maximal drift; means and PSI re-derived by hand below
@@ -878,8 +924,8 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.nonEmpty, s"$dir: no served rows")
       val rMp = rows.head.getDouble(2)
       val rSp = rows.head.getDouble(3)
-      val np = rows.head.getInt(4)
-      val nl = rows.head.getInt(5)
+      val np = rows.head.getLong(4).toInt
+      val nl = rows.head.getLong(5).toInt
       assert(np > 1 && np <= nl, s"$dir: nprobe $np not multi on nlist $nl")
       assert(rMp + 1e-9 >= rSp, s"$dir: multi $rMp below single $rSp")
       assert(rMp >= np.toDouble / nl / 2, s"$dir: recall $rMp under half scan share")
