@@ -1621,9 +1621,14 @@ object Similarity {
        |  FROM seeds s JOIN us u ON u.vec_id = s.vec_id
        |  WHERE s.cid < $kCent
        |), pqd0 AS (
+       |  -- the Lloyd assignment pass runs over the hash-first train
+       |  -- sample only (Spark's PqTrainSampleTarget rule, replayed via
+       |  -- the seed ranking; a no-op at or below the cap)
        |  SELECT u.vec_id, c.ss, c.cid,
        |    round(sum(u.x * u.x) - 2 * sum(u.x * c.c) + sum(c.c * c.c), 6) AS dist
-       |  FROM us u JOIN pqc0 c ON c.i = u.i GROUP BY 1, 2, 3
+       |  FROM us u
+       |  JOIN seeds tr ON tr.vec_id = u.vec_id AND tr.cid < $PqTrainSampleTarget
+       |  JOIN pqc0 c ON c.i = u.i GROUP BY 1, 2, 3
        |), pqa0 AS (
        |  SELECT vec_id, ss, cid FROM (
        |    SELECT vec_id, ss, cid,
@@ -1693,6 +1698,132 @@ object Similarity {
        |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
        |)
        |SELECT a.qid, a.vid, round(a.sim, 6) AS sim, r.recall
+       |FROM approx a CROSS JOIN rec r""".stripMargin
+  }
+
+  /** s26's full-oracle SQL (r13): the s4 replayable coarse chain composed
+    * with s6's floor-half-up affine quantizer — per-vector (mn, scale)
+    * stats, reconstructed vectors as ORDERED lists (xr_i = mn + q_i·scale
+    * — list comprehensions, never an unordered group sum, so the
+    * accumulation order matches ArrayDot's), the 6-dp ROUNDED
+    * reconstructed cosine ranked with a vid tiebreak, and the recall
+    * constant vs the brute-force baseline. The code-width and
+    * marginal-bytes gates are filesystem facts and stay Spark-side.
+    */
+  private def ivfSq8ReplayOracleSql(k: Int = 5): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    s"""WITH centers(ccid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+       |),
+       |el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
+       |),
+       |par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 8) r
+       |  WHERE rn <= (SELECT np FROM par)
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |), st AS (
+       |  SELECT vec_id, min(x) AS mn, max(x) AS mx,
+       |         (max(x) - min(x)) / 255.0 AS scale
+       |  FROM el GROUP BY vec_id
+       |), xr AS (
+       |  SELECT f.vec_id,
+       |    [ s.mn + (CASE WHEN s.scale = 0 THEN 0
+       |              ELSE CAST(floor((f.emb[i+1] - s.mn) / s.scale + 0.5) AS BIGINT)
+       |              END) * s.scale
+       |      FOR i IN range(64) ] AS xr
+       |  FROM fe f JOIN st s ON s.vec_id = f.vec_id
+       |), xrn AS (
+       |  SELECT vec_id, sqrt(list_sum([xr[i+1] * xr[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM xr
+       |), cand AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |), approx AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT c2.qid, c2.vid,
+       |      round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
+       |        / (nq.nrm * nx.nrm), 6) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY c2.qid ORDER BY
+       |        round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
+       |          / (nq.nrm * nx.nrm), 6) DESC, c2.vid) AS rn
+       |    FROM cand c2
+       |    JOIN fe fq ON fq.vec_id = c2.qid
+       |    JOIN xr x ON x.vec_id = c2.vid
+       |    JOIN nrm nq ON nq.vec_id = c2.qid
+       |    JOIN xrn nx ON nx.vec_id = c2.vid) t
+       |  WHERE rn <= $k
+       |), exact AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |    JOIN nrm na ON na.vec_id = a.vec_id
+       |    JOIN nrm nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= $k
+       |), rec AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approx JOIN exact USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS recall
+       |)
+       |SELECT a.qid, a.vid, a.sim, r.recall
        |FROM approx a CROSS JOIN rec r""".stripMargin
   }
 
@@ -2712,6 +2843,56 @@ object Similarity {
             lit(s"PQ code width $codeWidth > 20 B/vector")))
             .when(lit(marginal > 20.0), raise_error(
               lit(f"marginal code-file bytes/vector $marginal%.1f > 20")))
+            .otherwise(col("sim")).as("sim")),
+        bruteTopK(q, e, 5), minRecall = 0.80)
+    },
+
+    // ---- persisted IVF-SQ8 index (r13): the one-store serving shape ------
+    // FAISS's IndexIVFScalarQuantizer — the middle ground s16 and s23
+    // bracket: s6's per-vector affine int8 (64 one-byte codes + mn/scale
+    // ≈ 80 B/vector, 4× under floats) as the ONLY store, serving ranked
+    // on the reconstructed cosine directly (per-dim reconstruction
+    // error ≤ scale/2, so no second full-precision store and no re-rank
+    // pass — one scan, cell-pruned at the directory level). FULL oracle
+    // from day one: coarse train, routing, the floor-half-up quantizer,
+    // reconstruction, and the 6-dp rounded-rank serve are all the
+    // replayable machinery. Gates in-query: recall ≥ 0.8 vs brute force
+    // on the clustered fixture, logical code width = one byte per
+    // dimension, marginal physical bytes/vector ≤ 96 (the s23 marginal
+    // discipline at the SQ8 budget).
+    sql("s26_ivf_sq8_index", ivfSq8ReplayOracleSql()) { (s, d) =>
+      val e = clusteredEmbeddings(Tables.embeddings(s, d))
+      val key = "clustered:" + d
+      // build-once serve-many, the s23 session-dir discipline
+      val servingDir = s"${Dedup.spillBase(s, None, "ivfSq8IndexBuild")}/" +
+        Dedup.sessionDirName("ivfsq8", "s26-" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      val fsIdx = new org.apache.hadoop.fs.Path(servingDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val ready = fsIdx.exists(
+        new org.apache.hadoop.fs.Path(s"$servingDir/sq8/_SUCCESS"))
+      val idx =
+        if (ready) servingDir
+        else ivfSq8IndexBuild(e, servingDir, cacheKey = Some(key))
+      val q = e.filter(col("vec_id") < 8)
+      val served = ivfSq8IndexQuery(s, idx, q, 5)
+      val n = corpusCount(e, Some(key))
+      val it = fsIdx.listFiles(new org.apache.hadoop.fs.Path(s"$idx/sq8"), true)
+      var bytes = 0L
+      var files = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) { bytes += f.getLen; files += 1 }
+      }
+      val marginal = math.max(0.0,
+        (bytes - files * PqFileOverheadBytes).toDouble / n)
+      val codeWidth = s.read.parquet(s"$idx/sq8")
+        .agg(max(size(col("code"))), min(size(col("code")))).head()
+      withRecallGate(
+        served.select(col("qid"), col("vid"),
+          when(lit(codeWidth.getInt(0) != 64 || codeWidth.getInt(1) != 64),
+            raise_error(lit(s"SQ8 code width ${codeWidth.getInt(0)} != 1 B/dim")))
+            .when(lit(marginal > 96.0), raise_error(
+              lit(f"marginal SQ8 file bytes/vector $marginal%.1f > 96")))
             .otherwise(col("sim")).as("sim")),
         bruteTopK(q, e, 5), minRecall = 0.80)
     },
@@ -3807,24 +3988,45 @@ object Similarity {
       cacheKey: Option[String] = None): String = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nl = deriveNlist(corpusCount(corpus, cacheKey))
+    val n = corpusCount(corpus, cacheKey)
+    val nl = deriveNlist(n)
     val cents = kmeansCentroids(corpus, nl, iters = 1)
     cents.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$targetDir/centroids")
-    val (sv, pqCents) = pqTrain(unitVectors(corpus), mSub, kCent)
+    val unit = unitVectors(corpus)
+    // replayable train-on-sample (the PqTrainSampleTarget discipline,
+    // but on a rule SQL can replay at ANY corpus size: the train set is
+    // the hash60-FIRST `PqTrainSampleTarget` vectors — the same
+    // deterministic order the seed rule already ranks by, so the oracle
+    // restricts its Lloyd means to `seeds.cid < target` and stays
+    // faithful above the cap too; at or below the cap the filter is a
+    // no-op and training sees everything)
+    val train =
+      if (n <= PqTrainSampleTarget) unit
+      else unit
+        .select(col("vec_id"), col("embedding"),
+          Dedup.hash60(col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h"), col("vec_id")).limit(PqTrainSampleTarget.toInt)
+        .select(col("vec_id"), col("embedding"))
+    val pqCents = pqTrainRounded(train, mSub, kCent)
     pqCents.toDF("ss", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$targetDir/pqcodebook")
     val cells = cellAssignRounded(corpus, cents, 1)
       .select(col("vec_id"), col("cid").as("cell"))
     // codes: one signed byte per subspace, subspace order (the
     // ivfPqIndexBuild wire format — unsigned cids stored wrapped; the
-    // explicit ±128 wrap keeps the cast ANSI-safe for cids ≥ 128)
-    pqArgmin(pqDists(sv, pqCents))
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("ss"), col("cid")))),
-        e => (pmod(e.getField("cid") + lit(128L), lit(256L)) - lit(128L))
-          .cast("byte")).as("code"))
+    // explicit ±128 wrap keeps the cast ANSI-safe for cids ≥ 128).
+    // Encode is ONE closure-routed projection over the corpus
+    // ([[pqCodesRounded]] — no mSub·kCent-row broadcast-join explosion;
+    // the first cut rode pqDists/pqArgmin and paid corpus·16·256
+    // shuffled rows twice per build).
+    pqCodesRounded(unit, pqCents)
+      .select(col("vec_id"),
+        // wrap below happens in a fresh projection; cids is a plain
+        // column read here, not a per-element UDF re-evaluation
+        transform(col("cids"),
+          c => (pmod(c + lit(128L), lit(256L)) - lit(128L)).cast("byte"))
+          .as("code"))
       .join(cells, Seq("vec_id"))
       .select(col("vec_id").as("vid"), col("code"), col("cell"))
       .repartition(col("cell"))
@@ -3834,6 +4036,124 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$targetDir/vectors")
     targetDir
+  }
+
+  /** Per-subspace rounded-argmin codes as ONE closure-routed projection —
+    * [[cellAssignRounded]]'s O(1)-plan trick applied per PQ subspace.
+    * Arithmetic is bit-identical to [[pqDists]] + [[pqArgmin]] (index-
+    * order double dots, ‖v‖² − 2·v·c + ‖c‖², HALF_UP 6-dp BigDecimal
+    * rounding, ties to the smaller cid) but with no corpus·mSub·kCent
+    * row explosion: the codebook ships once per executor in the task
+    * closure and each row emits just its mSub cids.
+    */
+  private def pqCodesRounded(unit: DataFrame,
+      cents: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    val mSub = (cents.map(_._1).max + 1).toInt
+    val byCid: Array[Array[Array[Double]]] = Array.tabulate(mSub) { ss =>
+      cents.filter(_._1 == ss).sortBy(_._2).map(_._3.toArray).toArray
+    }
+    val norms: Array[Array[Double]] = byCid.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    val sub = byCid(0)(0).length
+    val codeUdf = udf { (emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val e = emb.toArray
+        val du = new Array[Double](byCid(0).length max byCid.map(_.length).max)
+        Array.tabulate(mSub) { ss =>
+          val off = ss * sub
+          var x2 = 0.0
+          var j = 0
+          while (j < sub) { val x = e(off + j).toDouble; x2 += x * x; j += 1 }
+          val cands = byCid(ss)
+          // pass 1: unrounded distances + their minimum (pure doubles)
+          var m = Double.PositiveInfinity
+          var cid = 0
+          while (cid < cands.length) {
+            val cc = cands(cid)
+            var dot = 0.0
+            var i = 0
+            while (i < sub) { dot += e(off + i).toDouble * cc(i); i += 1 }
+            val d = x2 - 2.0 * dot + norms(ss)(cid)
+            du(cid) = d
+            if (d < m) m = d
+            cid += 1
+          }
+          // pass 2: HALF_UP-round only the near-minimum candidates. A
+          // candidate with unrounded d > m + 2.5e-6 cannot win: its
+          // rounded value is ≥ d − 5e-7 > m + 2e-6, while some
+          // candidate rounds to ≤ m + 5e-7. Equivalent to rounding all
+          // kCent distances (what pqDists+pqArgmin and the oracle do),
+          // at ~1–3 BigDecimal ops per subspace instead of kCent.
+          var best = 0L
+          var bestD = Double.PositiveInfinity
+          cid = 0
+          while (cid < cands.length) {
+            if (du(cid) <= m + 2.5e-6) {
+              val d = BigDecimal(du(cid))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (d < bestD) { bestD = d; best = cid.toLong } // tie: smaller cid
+            }
+            cid += 1
+          }
+          best
+        }
+      }
+    }
+    unit.select(col("vec_id"), col("embedding"),
+      codeUdf(col("embedding")).as("cids"))
+  }
+
+  /** [[pqTrain]]'s exact semantics (hash-first seeds, one Lloyd round of
+    * rounded-distance assignment + DECIMAL(25,12) means, emptied cells
+    * keep their seed) with the assignment pass on [[pqCodesRounded]]'s
+    * one-projection form instead of the pqDists broadcast-join pipeline
+    * — same centroids bit for bit, a fraction of the build cost.
+    * `train` is the (possibly sample-capped) training frame.
+    */
+  private def pqTrainRounded(train: DataFrame, mSub: Int,
+      kCent: Int): Seq[(Long, Long, Seq[Double])] = {
+    val seedRows = train
+      .select(col("vec_id"), col("embedding"),
+        Dedup.hash60(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(kCent)
+      .collect()
+      .sortBy(r => (r.getLong(2), r.getLong(0)))
+    require(seedRows.nonEmpty, "PQ training: empty corpus")
+    val dim = seedRows(0).getSeq[Float](1).length
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val sub = dim / mSub
+    val seeds: Seq[(Long, Long, Seq[Double])] = seedRows.toSeq.zipWithIndex.flatMap {
+      case (r, cid) =>
+        val full = r.getSeq[Float](1).map(_.toDouble)
+        (0 until mSub).map(m => (m.toLong, cid.toLong, full.slice(m * sub, m * sub + sub)))
+    }
+    // one Lloyd round: assignments via the one-pass coder (persisted so
+    // the UDF is not re-evaluated per exploded element — the Generate
+    // recompute pitfall), decimal-exact per-position means
+    val coded0 = pqCodesRounded(train, seeds).persist()
+    val comps = coded0
+      .select(col("cids"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(floor(col("pos") / lit(sub)).cast("long").as("ss"),
+        element_at(col("cids"),
+          (floor(col("pos") / lit(sub)) + 1).cast("int")).as("cid"),
+        pmod(col("pos"), lit(sub)).as("j"),
+        col("x").cast("double").as("x"))
+      .groupBy(col("ss"), col("cid"), col("j"))
+      .agg((sum(col("x").cast("decimal(25,12)")).cast("double") /
+        count(lit(1))).as("c"))
+      .collect()
+    coded0.unpersist()
+    val updated = comps.groupBy(r => (r.getLong(0), r.getLong(1))).map {
+      case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+    }
+    seeds.map { case (ss, cid, prev) =>
+      (ss, cid, updated.getOrElse((ss, cid), prev))
+    }
   }
 
   /** Serve a [[ivfPqIndexBuildReplayable]] root: [[pqServeCore]]'s ADC +
@@ -3848,6 +4168,87 @@ object Similarity {
       spark.read.parquet(s"$indexRoot/codes"),
       spark.read.parquet(s"$indexRoot/vectors"),
       queries, k, nprobe, rerankFactor, roundedRouting = true)
+
+  /** Build a persisted IVF-SQ8 index (s26, r13): FAISS's
+    * `IndexIVFScalarQuantizer` posture — the middle ground between
+    * s16's full-float cells (256 B/vector, exact serving) and s23's
+    * PQ codes (16 B/vector, needs a second full-precision store to
+    * re-rank). Each vector is stored as s6's per-vector affine int8:
+    * 64 one-byte codes plus (mn, scale) — ~80 B/vector, 4× smaller
+    * than floats — and because the per-dimension reconstruction error
+    * is bounded by scale/2, serving ranks on the RECONSTRUCTED cosine
+    * directly: one store, one scan, no re-rank pass. Every arithmetic
+    * step is the replayable machinery (kmeansCentroids coarse,
+    * cellAssignRounded routing, s6's floor-half-up quantizer), so the
+    * registry entry carries a full DuckDB oracle from day one.
+    * Layout: `centroids/` + `sq8/cell=<k>/` (vid, mn, scale, code).
+    */
+  def ivfSq8IndexBuild(corpus: DataFrame, targetDir: String,
+      cacheKey: Option[String] = None): String = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nl = deriveNlist(corpusCount(corpus, cacheKey))
+    val cents = kmeansCentroids(corpus, nl, iters = 1)
+    cents.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$targetDir/centroids")
+    val cells = cellAssignRounded(corpus, cents, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("xd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("mn", array_min(col("xd")))
+      .withColumn("scale",
+        (array_max(col("xd")) - col("mn")) / lit(255.0))
+      // s6's floor-half-up code per dimension, wrapped to a signed byte
+      // (the s23 wire convention: unsigned cid, ANSI-safe ±128 wrap)
+      .withColumn("code", transform(col("xd"), x =>
+        (pmod(when(col("scale") === 0, lit(0L))
+          .otherwise(floor((x - col("mn")) / col("scale") + lit(0.5)))
+          + lit(128L), lit(256L)) - lit(128L)).cast("byte")))
+      .join(cells, Seq("vec_id"))
+      .select(col("vec_id").as("vid"), col("mn"), col("scale"),
+        col("code"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$targetDir/sq8")
+    targetDir
+  }
+
+  /** Serve top-k from an [[ivfSq8IndexBuild]] root: queries route
+    * through the read-back centroids on the rounded rule, the SQ8 scan
+    * prunes to the probed cell directories, each candidate is
+    * reconstructed scan-side (xr_i = mn + code_i·scale — 64 B in, no
+    * second store), and the rank is the 6-dp ROUNDED reconstructed
+    * cosine with a vid tiebreak (the s12 rounded-rank convention, so
+    * the oracle replays the exact order).
+    */
+  def ivfSq8IndexQuery(spark: SparkSession, indexRoot: String,
+      queries: DataFrame, k: Int, nprobe: Option[Int] = None): DataFrame = {
+    import graft.functions.VectorExpressions.arrayDot
+    val cents: Seq[(Int, Seq[Double])] =
+      spark.read.parquet(s"$indexRoot/centroids")
+        .orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val np = nprobe.getOrElse(deriveNprobe(cents.length))
+    val qProbes = cellAssignRounded(queries, cents, np)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val probedCells = qProbes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+    val sq = spark.read.parquet(s"$indexRoot/sq8")
+      .filter(col("cell").isin(probedCells: _*))
+    val qe = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    sq.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vid") =!= col("qid"))
+      .join(broadcast(qe), Seq("qid"))
+      .withColumn("xr", transform(col("code"), c =>
+        col("mn") + (pmod(c.cast("long") + lit(256L), lit(256L))) * col("scale")))
+      .select(col("qid"), col("vid"),
+        round(arrayDot(col("xr"), col("qe")) /
+          (sqrt(arrayDot(col("qe"), col("qe"))) *
+            sqrt(arrayDot(col("xr"), col("xr")))), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 
   /** The ADC + exact-re-rank serving loop shared by the standalone s23
     * index ([[ivfPqIndexQuery]] — `codes/` + `vectors/` stores) and the
