@@ -75,8 +75,8 @@ object Multimodal {
     * The m1/m2 leg runs on ACTUAL PNG bytes through `javax.imageio` —
     * encode and decode both inside the mapPartitions seam, so the
     * schema/batch/partition plumbing is exercised by a real
-    * binary-media codec, not only the deterministic fakes (which remain
-    * for the audio/video legs, documented stubs). The full DuckDB
+    * binary-media codec (the audio leg gets the same treatment through
+    * `javax.sound.sampled`, r12). The full DuckDB
     * oracle survives because the fixture's DECODED PIXELS are a closed
     * integer form of doc_id — the oracle recomputes the pixel math
     * while Spark must recover the identical values through a real
@@ -458,7 +458,7 @@ object Multimodal {
     ((id * 31 + f * 53 + x * 7 + y * 13) % 256).toInt
 
   /** Real scene-cut detection over decoded frames (r11 — m6 moves off
-    * the byte-window stub for IMAGES; audio stays stubbed): each frame
+    * the byte-window stub; audio followed in r12): each frame
     * PNG-encoded inside the partition, decoded back, per-frame energy =
     * exact pixel sum, and a cut between adjacent frames iff
     * 4·|Δenergy| > 255·n_pixels (mean absolute frame difference above a
@@ -713,9 +713,7 @@ object Multimodal {
     // mod 1000) plus mean brightness — all exact integer math on the
     // DECODED raster, so the oracle's closed-form recomputation must
     // match bit for bit. A strip a small image never touches coalesces
-    // to 0 on both engines. (The text-payload stub decoder still backs
-    // the m3/m5/m6 legs — the documented seam for codecs this
-    // container lacks.)
+    // to 0 on both engines.
     sql("m2_media_features",
       """WITH d AS (
         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents

@@ -645,6 +645,61 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sameElements(got2), "replayable IVF-PQ build/serve must be deterministic")
   }
 
+  test("IVF-SQ8 (s26): one-store layout, byte-per-dim codes, pruning, recall, determinism") {
+    import spark.implicits._
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val q = e.filter(col("vec_id") < 4)
+    val root = java.nio.file.Files.createTempDirectory("sq8").toString + "/idx"
+    Similarity.ivfSq8IndexBuild(e, root)
+    // one cell-partitioned store; codes are exactly one byte per dim
+    val cellDirs = new java.io.File(s"$root/sq8").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length > 1, s"expected multiple cell partitions, got ${cellDirs.toSeq}")
+    val sq = spark.read.parquet(s"$root/sq8")
+    assert(sq.select(size(col("code"))).distinct().as[Int].collect().toSeq === Seq(64))
+    // reconstruction error bound: |x - (mn + q*scale)| <= scale/2 + ulp,
+    // checked element-wise against the raw fixture vectors
+    val errs = sq.join(e.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
+      .select(max(expr("""aggregate(
+        zip_with(code, embedding, (c, x) ->
+          abs(CAST(x AS DOUBLE) - (mn + ((CAST(c AS INT) + 256) % 256) * scale))
+            / CASE WHEN scale = 0 THEN 1.0 ELSE scale END),
+        0D, (acc, v) -> greatest(acc, v))""")))
+      .head().getDouble(0)
+    assert(errs <= 0.5 + 1e-9, s"worst normalized reconstruction error $errs > 0.5")
+    // the serve prunes the single store to the probed cell directories
+    val served1 = Similarity.ivfSq8IndexQuery(spark, root, q, 3, nprobe = Some(1))
+    served1.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan,
+        dir: String): Seq[Long] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan, dir)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan, dir)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(p2 => scans(p2, dir))
+    })
+    val fullFiles = sq.inputFiles.length
+    val pruned = scans(served1.queryExecution.executedPlan, "sq8")
+    assert(pruned.nonEmpty && pruned.head < fullFiles,
+      s"nprobe=1 SQ8 scan must prune cell dirs ($pruned vs $fullFiles)")
+    // recall vs brute force on the fixture + build/serve determinism
+    val got = Similarity.ivfSq8IndexQuery(spark, root, q, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect().sorted
+    val root2 = java.nio.file.Files.createTempDirectory("sq8b").toString + "/idx"
+    Similarity.ivfSq8IndexBuild(e, root2)
+    val got2 = Similarity.ivfSq8IndexQuery(spark, root2, q, 3)
+      .select("qid", "vid", "sim").as[(Long, Long, Double)].collect().sorted
+    assert(got.sameElements(got2), "SQ8 build/serve must be deterministic")
+    val exact = Similarity.bruteTopK(q, e, 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = got.map(r => (r._1, r._2)).count(exact).toDouble / exact.size
+    info(s"ivfSq8 spec recall = $recall")
+    assert(recall >= 0.8)
+  }
+
   test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
     // base clusters at -0.75 (bucket 0), delta at +0.75 (bucket 3):
     // maximal drift; means and PSI re-derived by hand below
