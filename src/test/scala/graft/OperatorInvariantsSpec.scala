@@ -211,18 +211,31 @@ class OperatorInvariantsSpec extends SparkSpec {
       assert(out.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty)
       assert(out.filter(col("doc_id_a") >= col("doc_id_b")).isEmpty)
       // recompute signatures straight from the text bytes (independent of
-      // the operator's mapPartitions) and check each reported hamming
+      // the operator's mapPartitions seam): tile the bytes into the
+      // 16×16 content-image pixels and take the 8×8 box-mean aHash —
+      // the r13 real-decoder closed form (the retired byte-slot
+      // algorithm lived here until m4 moved onto the decoded raster)
       val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
         .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
       def sig(s: String): (Long, Long) = {
         val p = s.getBytes("UTF-8")
-        val slots = new Array[Long](64)
+        val side = graft.llm.Multimodal.AHashSide
+        def px(x: Int, y: Int): Long =
+          if (p.length == 0) 0L else (p((y * side + x) % p.length) & 0xff).toLong
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
         var tot = 0L
-        p.indices.foreach { j =>
-          val v = (p(j) & 0xff).toLong; slots(j % 64) += v; tot += v
+        for (j <- 0 until 8; i <- 0 until 8) {
+          val k = j * 8 + i
+          for (y <- j * side / 8 until (j + 1) * side / 8;
+               x <- i * side / 8 until (i + 1) * side / 8) {
+            sums(k) += px(x, y); cnts(k) += 1
+          }
+          tot += sums(k)
         }
-        def half(off: Int) = (0 until 32).foldLeft(0L) { (acc, i) =>
-          if (slots(off + i) * 64 > tot) acc | (1L << i) else acc
+        val npx = cnts.sum
+        def half(off: Int) = (0 until 32).foldLeft(0L) { (acc, k) =>
+          if (sums(off + k) * npx > tot * cnts(off + k)) acc | (1L << k) else acc
         }
         (half(0), half(32))
       }
