@@ -1797,11 +1797,13 @@ object Similarity {
        |), approx AS (
        |  SELECT qid, vid, sim FROM (
        |    SELECT c2.qid, c2.vid,
-       |      round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
-       |        / (nq.nrm * nx.nrm), 6) AS sim,
+       |      CASE WHEN nq.nrm * nx.nrm = 0 THEN 0.0
+       |      ELSE round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
+       |        / (nq.nrm * nx.nrm), 6) END AS sim,
        |      ROW_NUMBER() OVER (PARTITION BY c2.qid ORDER BY
-       |        round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
-       |          / (nq.nrm * nx.nrm), 6) DESC, c2.vid) AS rn
+       |        CASE WHEN nq.nrm * nx.nrm = 0 THEN 0.0
+       |        ELSE round(list_sum([x.xr[i+1] * fq.emb[i+1] FOR i IN range(64)])
+       |          / (nq.nrm * nx.nrm), 6) END DESC, c2.vid) AS rn
        |    FROM cand c2
        |    JOIN fe fq ON fq.vec_id = c2.qid
        |    JOIN xr x ON x.vec_id = c2.vid
@@ -4242,9 +4244,13 @@ object Similarity {
       .withColumn("xr", transform(col("code"), c =>
         col("mn") + (pmod(c.cast("long") + lit(256L), lit(256L))) * col("scale")))
       .select(col("qid"), col("vid"),
-        round(arrayDot(col("xr"), col("qe")) /
-          (sqrt(arrayDot(col("qe"), col("qe"))) *
-            sqrt(arrayDot(col("xr"), col("xr")))), 6).as("sim"))
+        // zero-norm guard (the m7 convention): a constant-zero vector
+        // reconstructs to all zeros — score 0, never NaN
+        when(arrayDot(col("qe"), col("qe"))
+          * arrayDot(col("xr"), col("xr")) === 0, lit(0.0))
+          .otherwise(round(arrayDot(col("xr"), col("qe")) /
+            (sqrt(arrayDot(col("qe"), col("qe"))) *
+              sqrt(arrayDot(col("xr"), col("xr")))), 6)).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

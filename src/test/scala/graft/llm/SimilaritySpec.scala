@@ -698,6 +698,16 @@ class SimilaritySpec extends SparkSpec {
     val recall = got.map(r => (r._1, r._2)).count(exact).toDouble / exact.size
     info(s"ivfSq8 spec recall = $recall")
     assert(recall >= 0.8)
+    // zero-vector hardening: a constant-zero embedding reconstructs to
+    // all zeros and must score 0.0, never NaN (the m7 guard convention)
+    val withZero = e.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((99999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val zRoot = java.nio.file.Files.createTempDirectory("sq8z").toString + "/idx"
+    Similarity.ivfSq8IndexBuild(withZero, zRoot)
+    val zq = withZero.filter(col("vec_id") < 2)
+    val zSims = Similarity.ivfSq8IndexQuery(spark, zRoot, zq, 2000)
+      .select("sim").as[Double].collect()
+    assert(zSims.forall(s => !s.isNaN), "zero vector must never yield NaN")
   }
 
   test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
