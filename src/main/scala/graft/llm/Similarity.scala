@@ -1829,6 +1829,145 @@ object Similarity {
        |FROM approx a CROSS JOIN rec r""".stripMargin
   }
 
+  /** s27's serving predicate: labels below this value match (~30% of the
+    * corpus — selective enough that post-filtering visibly loses recall,
+    * broad enough that the filtered exact baseline is never empty).
+    * Shared by the Spark side and the oracle builder.
+    */
+  val FilteredAnnMaxLabel = 3
+
+  /** s27's full-oracle SQL (r13): the s4 replayable coarse chain with
+    * BOTH filtered-serving disciplines — pre-filter (candidates
+    * restricted by the label predicate before ranking) and the
+    * post-filter counterfactual (unfiltered top-k, then filtered) —
+    * each ranked on the raw-double cosine with a vid tiebreak, plus the
+    * filtered exact baseline and both recall constants.
+    */
+  private def s27FilteredAnnOracleSql(k: Int = 5): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    val maxLab = FilteredAnnMaxLabel
+    s"""WITH centers(ccid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
+       |),
+       |par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 8) r
+       |  WHERE rn <= (SELECT np FROM par)
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |), candpre AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p
+       |  JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN lab l ON l.vec_id = a.vec_id AND l.label < $maxLab
+       |), approxpre AS (
+       |  SELECT qid, vid, sim FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |        / (na.nrm * nb.nrm) AS sim,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM candpre cd
+       |    JOIN fe a ON a.vec_id = cd.qid JOIN fe b ON b.vec_id = cd.vid
+       |    JOIN nrm na ON na.vec_id = cd.qid
+       |    JOIN nrm nb ON nb.vec_id = cd.vid) t
+       |  WHERE rn <= $k
+       |), candpost AS (
+       |  SELECT p.qid, a.vec_id AS vid
+       |  FROM probes p JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |), approxpost AS (
+       |  SELECT t.qid, t.vid FROM (
+       |    SELECT cd.qid, cd.vid,
+       |      ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, cd.vid) AS rn
+       |    FROM candpost cd
+       |    JOIN fe a ON a.vec_id = cd.qid JOIN fe b ON b.vec_id = cd.vid
+       |    JOIN nrm na ON na.vec_id = cd.qid
+       |    JOIN nrm nb ON nb.vec_id = cd.vid) t
+       |  JOIN lab l ON l.vec_id = t.vid AND l.label < $maxLab
+       |  WHERE t.rn <= $k
+       |), exactf AS (
+       |  SELECT qid, vid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |          / (na.nrm * nb.nrm) DESC, b.vec_id) AS rn
+       |    FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |    JOIN lab lb ON lb.vec_id = b.vec_id AND lb.label < $maxLab
+       |    JOIN nrm na ON na.vec_id = a.vec_id
+       |    JOIN nrm nb ON nb.vec_id = b.vec_id
+       |    WHERE a.vec_id < 8) t
+       |  WHERE rn <= $k
+       |), recpre AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approxpre JOIN exactf USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exactf), 4) AS recall
+       |), recpost AS (
+       |  SELECT round(CAST((SELECT count(*) FROM approxpost JOIN exactf USING (qid, vid))
+       |    AS DOUBLE) / (SELECT count(*) FROM exactf), 4) AS recall_post
+       |)
+       |SELECT a.qid, a.vid, round(a.sim, 6) AS sim, r1.recall, r2.recall_post
+       |FROM approxpre a CROSS JOIN recpre r1 CROSS JOIN recpost r2""".stripMargin
+  }
+
   /** s10's full-oracle SQL (r13): the s7 Lloyd CTE chain generalized to
     * k = nlist over the RAW embeddings, probe RANKS from the same
     * rounded-distance frame (d1), the nested-probe sweep (rank ≤ p ⊂
@@ -2897,6 +3036,64 @@ object Similarity {
               lit(f"marginal SQ8 file bytes/vector $marginal%.1f > 96")))
             .otherwise(col("sim")).as("sim")),
         bruteTopK(q, e, 5), minRecall = 0.80)
+    },
+
+    // ---- filtered ANN: one index, predicate serving (r13) ----------------
+    // The production vector-DB capability every IVF doc warns about
+    // (Qdrant/Milvus/pgvector "filtered search"): top-k UNDER A
+    // METADATA PREDICATE (label < FilteredAnnMaxLabel, ~30% selective)
+    // served from the ONE unfiltered index — filters change per query,
+    // indexes don't. Two strategies, both replayed: PRE-filter (the
+    // predicate restricts the candidate set BEFORE ranking — scan-side
+    // filter on the probed cells, the correct shape) and the
+    // POST-filter counterfactual (rank unfiltered top-k, then filter —
+    // the naive shape that silently returns < k and loses recall).
+    // hits(post) ⊆ hits(pre) provably (a true filtered-top-k hit beats
+    // all but < k matching candidates anywhere, so it is in the
+    // pre-filter top-k whenever probed) — the in-query gate turns that
+    // theorem into an implementation tripwire; recall ≥ 0.8 gates the
+    // pre path. FULL oracle: DuckDB replays the coarse chain, both
+    // candidate disciplines, both ranks, and both recall constants.
+    // Scale shape: the index is built once (unfiltered); the predicate
+    // rides the candidate scan as an ordinary pushed filter — no
+    // per-predicate index, no rebuild.
+    sql("s27_filtered_ann", s27FilteredAnnOracleSql()) { (s, d) =>
+      val raw = Tables.embeddings(s, d)
+      val e = clusteredEmbeddings(raw)
+      val lab = raw.select(col("vec_id").as("vid"), col("label"))
+      val key = "clustered:" + d
+      val nl = deriveNlist(corpusCount(e, Some(key)))
+      val np = deriveNprobe(nl)
+      val cents = kmeansCentroids(e, nl, iters = 1)
+      val assigned = cellAssignRounded(e, cents, 1)
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+          col("cid").as("cell"))
+      val q = e.filter(col("vec_id") < 8)
+      val pre = ivfServeReplayable(q,
+        assigned.join(lab, Seq("vid"))
+          .filter(col("label") < FilteredAnnMaxLabel).drop("label"),
+        cents, 5, np)
+      val post = ivfServeReplayable(q, assigned, cents, 5, np)
+        .join(lab, Seq("vid")).filter(col("label") < FilteredAnnMaxLabel)
+      val eFiltered = e.join(
+        raw.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .filter(col("label") < FilteredAnnMaxLabel)
+        .select(col("vec_id"), col("embedding"))
+      val exactF = bruteTopK(q, eFiltered, 5)
+      val rp = post.select(col("qid"), col("vid"))
+        .join(exactF.select(col("qid"), col("vid")), Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+        .crossJoin(exactF.agg(count(lit(1)).as("ne")))
+        .select(round(col("nh").cast("double") / col("ne"), 4).as("recall_post"))
+      withRecallGate(
+        pre.select(col("qid"), col("vid"), round(col("sim"), 6).as("sim")),
+        exactF, minRecall = 0.80)
+        .crossJoin(broadcast(rp))
+        .withColumn("recall_post",
+          when(col("recall_post") > col("recall"), raise_error(concat(
+            lit("post-filter recall beats pre-filter: "),
+            col("recall_post").cast("string"))))
+            .otherwise(col("recall_post")))
     },
 
     s24Entry,

@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 196)
+    assert(SparkEntry.registry.size === 197)
   }
 
   test("registry ids are unique and well-formed") {

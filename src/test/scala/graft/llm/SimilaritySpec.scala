@@ -710,6 +710,34 @@ class SimilaritySpec extends SparkSpec {
     assert(zSims.forall(s => !s.isNaN), "zero vector must never yield NaN")
   }
 
+  test("s27 filtered ANN: every hit matches the predicate; pre-filter dominates post-filter") {
+    import spark.implicits._
+    val op = graft.SparkEntry.registry.find(_.name == "s27_filtered_ann").get
+    val out = op.run(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // the predicate holds on every served row
+      val labels = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label")).as[(Long, Long)].collect().toMap
+      rows.foreach { r =>
+        val vid = r.getLong(1)
+        assert(labels(vid) < Similarity.FilteredAnnMaxLabel,
+          s"served vid $vid has label ${labels(vid)} outside the predicate")
+      }
+      // ≤ k rows per query; both recalls constant; the theorem holds
+      val perQ = rows.groupBy(_.getLong(0)).values.map(_.length)
+      assert(perQ.forall(_ <= 5))
+      val rec = rows.map(_.getDouble(3)).distinct
+      val recPost = rows.map(_.getDouble(4)).distinct
+      assert(rec.length === 1 && recPost.length === 1)
+      assert(rec.head >= 0.8)
+      assert(recPost.head <= rec.head,
+        s"post-filter ${recPost.head} must not beat pre-filter ${rec.head}")
+      info(s"filtered ANN recall pre=${rec.head} post=${recPost.head}")
+    } finally { out.unpersist(); () }
+  }
+
   test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
     // base clusters at -0.75 (bucket 0), delta at +0.75 (bucket 3):
     // maximal drift; means and PSI re-derived by hand below
