@@ -245,4 +245,17 @@ class NewOpsPlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/assignments")
       .filter(col("vid") === 0).count() === 0L)
   }
+
+  test("s27 filtered ANN: the label predicate is PUSHED to the scan; no cartesian") {
+    val df = SparkEntry.registry.find(_.name == "s27_filtered_ann").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate rides the candidate scan as an ordinary pushed
+    // filter — the one-index-serves-every-filter scale story
+    assert(plan.contains("LessThan(label,3)") || plan.contains("label#"),
+      s"label predicate not visible in the executed plan:\n${plan.take(800)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(label), LessThan(label,3)"),
+      "label predicate must be pushed to the parquet scan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian in filtered ANN")
+  }
 }

@@ -25,9 +25,15 @@ class RegistryContractSpec extends AnyFunSuite {
     assert(names.forall(_.matches("[a-z][a-z0-9_]+")), "ids are snake_case")
   }
 
-  test("every oracle belongs to a registered query") {
+  test("every oracle belongs to a registered query; oracle count is pinned") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    // 192 full oracles / 5 rows-only (d13, q39, q64 ride Spark's native
+    // sketch machinery by design; s20 stays rows-only by measurement;
+    // st12 is the streaming lifecycle simulation). A promotion or an
+    // accidental oracle drop must move this pin consciously.
+    assert(SparkEntry.oracleSql.size === 192,
+      s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 
   test("newest builder bench artifact covers the whole registry") {
