@@ -1968,6 +1968,136 @@ object Similarity {
        |FROM approxpre a CROSS JOIN recpre r1 CROSS JOIN recpost r2""".stripMargin
   }
 
+  /** s28's full-oracle SQL (r13): the s27 coarse chain swept over the
+    * predicate bound L = 1..10 — candidate cosines computed once, each
+    * (candidate, L) pair kept for L > label, rank per (query, L); the
+    * exact baseline is the all-pairs rank under the same widening; the
+    * curve rows (n_match, candidate volume, recall per L) are integer
+    * counts plus one rounded division, replayed end to end.
+    */
+  private def s28FilteredCurveOracleSql(k: Int = 5): String = {
+    val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+    val centerVals = clusteredFixtureCenters().zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
+    val c = ClusteredFixtureC
+    val noise = ClusteredFixtureNoise
+    s"""WITH centers(ccid, c) AS (VALUES
+       |    $centerVals),
+       |fe AS (
+       |  SELECT e.vec_id,
+       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+       |      AS DOUBLE) FOR i IN range(64)] AS emb
+       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ls AS (SELECT unnest(range(1, 11)) AS maxl),
+       |el AS (
+       |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
+       |),
+       |par AS (
+       |  SELECT nl, least(nl, greatest($MinProbeCells,
+       |    CAST(ceil(ln(CAST(greatest(nl, 2) AS DOUBLE)) / ln(2.0)) AS BIGINT))) AS np
+       |  FROM (SELECT greatest(8, least(65536,
+       |          CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS nl
+       |        FROM embeddings) t
+       |),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h60, vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id, $parse15 AS h60
+       |        FROM (SELECT vec_id, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS hx
+       |              FROM embeddings) t) h
+       |), c0 AS (
+       |  SELECT s.cid, e.i, e.x AS c
+       |  FROM seeds s JOIN el e ON e.vec_id = s.vec_id
+       |  WHERE s.cid < (SELECT nl FROM par)
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d0) r WHERE rn = 1
+       |), c1m AS (
+       |  SELECT a.cid, e.i,
+       |    CAST(sum(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / count(*) AS c
+       |  FROM el e JOIN a0 a ON a.vec_id = e.vec_id GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT c0.cid, c0.i, coalesce(c1m.c, c0.c) AS c
+       |  FROM c0 LEFT JOIN c1m ON c1m.cid = c0.cid AND c1m.i = c0.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    round(sum(e.x * e.x) - 2 * sum(e.x * c.c) + sum(c.c * c.c), 6) AS dist
+       |  FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2
+       |), acell AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1) r WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d1 WHERE vec_id < 8) r
+       |  WHERE rn <= (SELECT np FROM par)
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(list_sum([emb[i+1] * emb[i+1] FOR i IN range(64)])) AS nrm
+       |  FROM fe
+       |), candsim AS (
+       |  SELECT p.qid, a.vec_id AS vid, l2.label,
+       |    list_sum([fa.emb[i+1] * fb.emb[i+1] FOR i IN range(64)])
+       |      / (na.nrm * nb.nrm) AS sim
+       |  FROM probes p
+       |  JOIN acell a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN lab l2 ON l2.vec_id = a.vec_id
+       |  JOIN fe fa ON fa.vec_id = p.qid JOIN fe fb ON fb.vec_id = a.vec_id
+       |  JOIN nrm na ON na.vec_id = p.qid
+       |  JOIN nrm nb ON nb.vec_id = a.vec_id
+       |), candl AS (
+       |  SELECT cs.qid, cs.vid, cs.sim, ls.maxl
+       |  FROM candsim cs JOIN ls ON cs.label < ls.maxl
+       |), approx AS (
+       |  SELECT qid, vid, maxl FROM (
+       |    SELECT qid, vid, maxl,
+       |      ROW_NUMBER() OVER (PARTITION BY qid, maxl ORDER BY sim DESC, vid) AS rn
+       |    FROM candl) t WHERE rn <= $k
+       |), allsim AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS vid, lb.label,
+       |    list_sum([a.emb[i+1] * b.emb[i+1] FOR i IN range(64)])
+       |      / (na.nrm * nb.nrm) AS sim
+       |  FROM fe a JOIN fe b ON b.vec_id <> a.vec_id
+       |  JOIN lab lb ON lb.vec_id = b.vec_id
+       |  JOIN nrm na ON na.vec_id = a.vec_id
+       |  JOIN nrm nb ON nb.vec_id = b.vec_id
+       |  WHERE a.vec_id < 8
+       |), exact AS (
+       |  SELECT qid, vid, maxl FROM (
+       |    SELECT s2.qid, s2.vid, ls.maxl,
+       |      ROW_NUMBER() OVER (PARTITION BY s2.qid, ls.maxl
+       |        ORDER BY s2.sim DESC, s2.vid) AS rn
+       |    FROM allsim s2 JOIN ls ON s2.label < ls.maxl) t WHERE rn <= $k
+       |), hits AS (
+       |  SELECT maxl, count(*) AS nh
+       |  FROM approx JOIN exact USING (qid, vid, maxl) GROUP BY maxl
+       |), nex AS (
+       |  SELECT maxl, count(*) AS ne FROM exact GROUP BY maxl
+       |), nmatch AS (
+       |  SELECT ls.maxl, count(*) AS n_match
+       |  FROM lab JOIN ls ON lab.label < ls.maxl GROUP BY ls.maxl
+       |), ncand AS (
+       |  SELECT maxl, count(*) AS n_cand_pairs FROM candl GROUP BY maxl
+       |)
+       |SELECT CAST(m.maxl AS BIGINT) AS max_label,
+       |  CAST(m.n_match AS BIGINT) AS n_match,
+       |  CAST(coalesce(nc.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+       |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / x.ne, 4) AS recall
+       |FROM nmatch m
+       |LEFT JOIN ncand nc ON nc.maxl = m.maxl
+       |JOIN nex x ON x.maxl = m.maxl
+       |LEFT JOIN hits h ON h.maxl = m.maxl""".stripMargin
+  }
+
   /** s10's full-oracle SQL (r13): the s7 Lloyd CTE chain generalized to
     * k = nlist over the RAW embeddings, probe RANKS from the same
     * rounded-distance frame (d1), the nested-probe sweep (rank ≤ p ⊂
@@ -3094,6 +3224,84 @@ object Similarity {
             lit("post-filter recall beats pre-filter: "),
             col("recall_post").cast("string"))))
             .otherwise(col("recall_post")))
+    },
+
+    // ---- filtered-ANN selectivity curve (r13): s10-for-s27 ---------------
+    // The tuning question s27 raises: BELOW what predicate selectivity
+    // does pre-filtered IVF serving stop working? Fixed probes, the
+    // predicate swept label < L for L = 1..10 (10% → 100% selective);
+    // per L the curve reports the matching-corpus size, the candidate
+    // volume, and the filtered recall. At low L the matching vectors in
+    // the probed cells thin out and recall decays — the measured
+    // threshold where a vector store should switch to brute force over
+    // the match set (the production fallback rule every filtered-search
+    // engine encodes). One pass: candidate cosines computed once, each
+    // (candidate, L) pair materialized only for L > label (the s10
+    // nested-widening trick), rank per (query, L). Gates in-query:
+    // n_match(10) must equal the corpus size (sweep completeness) and
+    // recall at L = 10 must clear s4's unfiltered 0.8 floor.
+    sql("s28_filtered_ann_curve", s28FilteredCurveOracleSql()) { (s, d) =>
+      import s.implicits._
+      val raw = Tables.embeddings(s, d)
+      val e = clusteredEmbeddings(raw)
+      val lab = raw.select(col("vec_id").as("vid"), col("label"))
+      val key = "clustered:" + d
+      val n = corpusCount(e, Some(key))
+      val nl = deriveNlist(n)
+      val np = deriveNprobe(nl)
+      val cents = kmeansCentroids(e, nl, iters = 1)
+      val assigned = cellAssignRounded(e, cents, 1)
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+          col("cid").as("cell"))
+      val q = e.filter(col("vec_id") < 8)
+      val probes = cellAssignRounded(q, cents, np)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val qe = q.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val ls = (1L to 10L).toDF("max_label")
+      // candidate cosines once, then the nested-L widening
+      val candSim = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vid") =!= col("qid"))
+        .join(broadcast(qe), Seq("qid"))
+        .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+        .join(lab, Seq("vid"))
+      val candL = candSim.crossJoin(broadcast(ls))
+        .filter(col("label") < col("max_label"))
+      val wA = Window.partitionBy(col("qid"), col("max_label"))
+        .orderBy(col("sim").desc, col("vid"))
+      val approx = candL.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 5).select(col("qid"), col("vid"), col("max_label"))
+      // exact side: all-pairs cosines once, same widening, same rank rule
+      val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val allSim = c.crossJoin(broadcast(qe))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"), cosine(col("qe"), col("ve")).as("sim"))
+        .join(lab, Seq("vid"))
+      val exact = allSim.crossJoin(broadcast(ls))
+        .filter(col("label") < col("max_label"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= 5).select(col("qid"), col("vid"), col("max_label"))
+      val hits = approx.join(exact, Seq("qid", "vid", "max_label"), "left_semi")
+        .groupBy(col("max_label")).agg(count(lit(1)).as("nh"))
+      val nEx = exact.groupBy(col("max_label")).agg(count(lit(1)).as("ne"))
+      val nMatch = lab.crossJoin(broadcast(ls))
+        .filter(col("label") < col("max_label"))
+        .groupBy(col("max_label")).agg(count(lit(1)).as("n_match"))
+      val nCand = candL.groupBy(col("max_label"))
+        .agg(count(lit(1)).as("n_cand_pairs"))
+      nMatch.join(nCand, Seq("max_label"), "left")
+        .withColumn("n_cand_pairs", coalesce(col("n_cand_pairs"), lit(0L)))
+        .join(nEx, Seq("max_label")).join(hits, Seq("max_label"), "left")
+        .select(col("max_label"), col("n_match"), col("n_cand_pairs"),
+          (coalesce(col("nh"), lit(0L)).cast("double") / col("ne")).as("__r"),
+          col("ne"))
+        .select(col("max_label"), col("n_match"), col("n_cand_pairs"),
+          when(col("max_label") === 10 && col("n_match") =!= n,
+            raise_error(concat(lit("curve sweep incomplete: n_match(10) = "),
+              col("n_match").cast("string"), lit(s" of $n"))))
+            .when(col("max_label") === 10 && col("__r") < 0.8,
+              raise_error(concat(lit("unfiltered (L=10) recall below 0.8: "),
+                col("__r").cast("string"))))
+            .otherwise(round(col("__r"), 4)).as("recall"))
     },
 
     s24Entry,

@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 197)
+    assert(SparkEntry.registry.size === 198)
   }
 
   test("registry ids are unique and well-formed") {
@@ -28,11 +28,11 @@ class RegistryContractSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query; oracle count is pinned") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    // 192 full oracles / 5 rows-only (d13, q39, q64 ride Spark's native
+    // 193 full oracles / 5 rows-only (d13, q39, q64 ride Spark's native
     // sketch machinery by design; s20 stays rows-only by measurement;
     // st12 is the streaming lifecycle simulation). A promotion or an
     // accidental oracle drop must move this pin consciously.
-    assert(SparkEntry.oracleSql.size === 192,
+    assert(SparkEntry.oracleSql.size === 193,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 

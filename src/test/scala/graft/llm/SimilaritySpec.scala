@@ -738,6 +738,25 @@ class SimilaritySpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("s28 selectivity curve: 10 rows, monotone match/candidate volumes, sane recalls") {
+    val op = graft.SparkEntry.registry.find(_.name == "s28_filtered_ann_curve").get
+    val rows = op.run(spark, sf).orderBy(col("max_label")).collect()
+    assert(rows.length === 10)
+    val nMatch = rows.map(_.getLong(1))
+    val nCand = rows.map(_.getLong(2))
+    val recall = rows.map(_.getDouble(3))
+    // both volumes are provably nondecreasing in the predicate bound
+    assert(nMatch.zip(nMatch.tail).forall { case (a, b) => a <= b },
+      s"n_match not monotone: ${nMatch.toSeq}")
+    assert(nCand.zip(nCand.tail).forall { case (a, b) => a <= b },
+      s"n_cand_pairs not monotone: ${nCand.toSeq}")
+    assert(nMatch.last === Tables.embeddings(spark, sf).count(),
+      "L=10 must match the whole corpus")
+    assert(recall.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recall.last >= 0.8, s"unfiltered recall ${recall.last} below floor")
+    info(s"selectivity curve recalls: ${recall.toSeq}")
+  }
+
   test("embedding drift: plain-Scala PSI/mean re-derivation on a known shift") {
     // base clusters at -0.75 (bucket 0), delta at +0.75 (bucket 3):
     // maximal drift; means and PSI re-derived by hand below
