@@ -35,14 +35,18 @@ object Dedup {
       greatest(length(text), lit(1))
 
   /** Exact-dup loser ids from a (doc_id, h) frame: every doc after the
-    * first (lowest doc_id) per content hash — the first-wins window
-    * shared by d1/t10/t15.
+    * first (lowest doc_id) per content hash — the first-wins rule
+    * shared by d1/t10/t15. Shape (r13): min-per-hash agg + keyed join
+    * instead of a `Window.partitionBy(__h)` — a degenerate corpus
+    * (one text repeated N times) would land the whole corpus on one
+    * window task, while the hash-agg min combines map-side and AQE
+    * splits any skewed join partition (the skew-safe cap rule applied
+    * to the exact-dedup rank).
     */
   def exactDupLosers(hashed: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
-    hashed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+    val firsts = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__first"))
+    hashed.join(firsts, Seq("__h"))
+      .filter(col("doc_id") =!= col("__first"))
       .select(col("doc_id"), lit(true).as("__exact"))
   }
 
@@ -1551,10 +1555,15 @@ object Dedup {
     val qual = docs.select(col("doc_id"), col("n_chars"),
       size(filter(split(trim(col("text")), "\\s+"), t => array_contains(sw, t)))
         .cast("long").as("n_stopwords"))
-    val w = Window.partitionBy(col("comp_id"))
-      .orderBy(col("n_stopwords").desc, col("n_chars").desc, col("doc_id"))
-    comp.join(qual, Seq("doc_id"))
-      .withColumn("kept", row_number().over(w) === 1)
+    // per-component rank on the bounded two-pass form (r13): comp_id is
+    // corpus-derived and a crawl's boilerplate mega-cluster would land
+    // its entire membership on ONE Window task; the range-partitioned
+    // rank spreads a dominant component across partitions instead
+    val ranked = graft.operators.Relational.groupedRowNumber(
+      comp.join(qual, Seq("doc_id")), Seq("comp_id"),
+      Seq(col("n_stopwords").desc, col("n_chars").desc, col("doc_id")), "__rn")
+    ranked
+      .withColumn("kept", col("__rn") === 1)
       .select(col("doc_id"), col("comp_id"), col("cluster_size"),
         col("n_stopwords"), col("kept"))
   }
