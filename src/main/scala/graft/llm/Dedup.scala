@@ -1701,11 +1701,16 @@ object Dedup {
         |  SELECT doc_id, sha256(text) AS content_hash,
         |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      // First-wins ≡ min(doc_id) per hash, so the survivor set IS the
+      // hash-agg result — no rank at all (r14): the r13 window grouped on
+      // content_hash, i.e. on duplicate sets, and a crawl's boilerplate
+      // mega-group would land its whole membership on ONE window task.
+      // The hash-agg min combines map-side, so the hot hash costs one
+      // partial per input partition (the exactDupLosers rule, commit
+      // 5ce2a76, applied to the registry query that actually runs).
       Tables.documents(s, d)
         .select(col("doc_id"), contentHash(col("text")).as("content_hash"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("content_hash"))
     },
 
@@ -1738,11 +1743,12 @@ object Dedup {
         |  FROM documents) t WHERE rn = 1""".stripMargin) { (s, d) =>
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[.,;:!?\"]", ""), "\\s+", " "))
-      val w = Window.partitionBy(col("norm_hash")).orderBy(col("doc_id"))
+      // same skew-safe shape as d1: min-per-hash agg, no duplicate-group
+      // window (normalization makes the mega-group MORE likely — it
+      // exists to collapse near-identical boilerplate)
       Tables.documents(s, d)
         .select(col("doc_id"), sha2(norm, 256).as("norm_hash"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("norm_hash")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), col("norm_hash"))
     },
 
@@ -3007,10 +3013,14 @@ object Dedup {
       array_join(slice(split(trim(col("text")), "\\s+"), 1, nPrefix), " ").as("pfx"))
     val g = p.groupBy(col("pfx")).agg(count(lit(1)).as("grp_size"))
       .filter(col("grp_size") >= 2)
-    val w = Window.partitionBy(col("pfx"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    p.join(g, Seq("pfx"))
-      .withColumn("kept", row_number().over(w) === 1)
+    // keep-longest rank on the bounded two-pass form (r14): boilerplate
+    // prefixes are the NORM in crawl data — the biggest pfx group is the
+    // hot one, and a pfx window would put it on one task. Same migration
+    // clusterKeepBest made in r13.
+    graft.operators.Relational.groupedRowNumber(
+        p.join(g, Seq("pfx")), Seq("pfx"),
+        Seq(col("n_chars").desc, col("doc_id")), "__rn")
+      .withColumn("kept", col("__rn") === 1)
       .select(col("doc_id"), col("pfx"), col("grp_size"), col("kept"))
   }
 }

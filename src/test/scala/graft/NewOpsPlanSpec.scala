@@ -80,6 +80,22 @@ class NewOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("d1/d6/d21: no duplicate-group WindowExec on the dedup rank paths") {
+    // r14: the registry queries themselves now carry the 5ce2a76 shape —
+    // d1/d6 first-wins = min-per-hash agg (first-wins ≡ min doc_id, no
+    // rank at all), d21 keep-longest on the bounded two-pass
+    // groupedRowNumber. A Window keyed on a duplicate-group hash puts a
+    // boilerplate mega-group's whole membership on ONE task; exact dedup
+    // is the first operator a 100 TB corpus run executes.
+    for (name <- Seq("d1_exact_dedup", "d6_normalized_dedup", "d21_prefix_dedup")) {
+      val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still ranks on a duplicate-group window:\n${plan.take(1200)}")
+    }
+  }
+
   test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {
     val df = SparkEntry.registry.find(_.name == "q72_rolling_dau").get.run(spark, sf)
     df.collect()
