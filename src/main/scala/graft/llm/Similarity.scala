@@ -932,8 +932,11 @@ object Similarity {
   /** Append new vectors to a [[ivfIndexBuildReplayable]] root: route
     * through the READ-BACK centroids (rounded routing) into the
     * existing cell dirs as new files — the FAISS `add` posture on the
-    * replayable chain (s18's full-oracle leg). Same non-replayability
-    * caveat as [[ivfIndexAppend]]: one-shot bulk loads only.
+    * replayable chain (s18's full-oracle leg). NOT crash-replayable
+    * (append-mode write, no per-batch identity): one-shot bulk loads
+    * only — the oracle-replay chain is single-run by construction. The
+    * production batch API ([[ivfIndexAppend]]) carries the idempotent
+    * per-batch overwrite discipline instead (r14).
     */
   def ivfIndexAppendReplayable(spark: SparkSession, indexRoot: String,
       newVecs: DataFrame): Unit = {
@@ -2886,17 +2889,18 @@ object Similarity {
       // lifecycle path: build on base, append in-distribution, then meet
       // the drifted batch through the monitor
       val idx0 = ivfIndexBuild(base)
-      val (idx1, retrain1) = ivfAppendOrRetrain(s, idx0, undrifted)
-      val (idx2, retrain2) = ivfAppendOrRetrain(s, idx1, drifted)
+      val (idx1, retrain1) = ivfAppendOrRetrain(s, idx0, undrifted, batchId = 1L)
+      val (idx2, retrain2) = ivfAppendOrRetrain(s, idx1, drifted, batchId = 2L)
       // counterfactual path: same codebook (deterministic retrain-free
       // rebuild of base), appends forced blind — what s18 alone would do
       val idxForced = ivfIndexBuild(base)
-      ivfIndexAppend(s, idxForced, undrifted)
-      ivfIndexAppend(s, idxForced, drifted)
+      ivfIndexAppend(s, idxForced, undrifted, batchId = 1L)
+      ivfIndexAppend(s, idxForced, drifted, batchId = 2L)
       // both indexes' occupancy stats in ONE fused action (r13: the
       // 1-row aggregate crossJoin costs one job where two .head() calls
-      // cost one each)
-      def cellStats(root: String) = s.read.parquet(s"$root/assignments")
+      // cost one each). Read base ∪ deltas — batch appends live in the
+      // delta tree (r14).
+      def cellStats(root: String) = ivfIndexAssignments(s, root)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
           count(lit(1)).as("nc"))
@@ -3734,51 +3738,45 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
 
   /** Append new vectors to a persisted IVF index WITHOUT rebuilding: the
-    * index's own centroids route the assignments, which land as new
-    * files inside the existing cell partition directories — the
-    * standard IVF lifecycle (FAISS `add`), since a codebook trained on
-    * a representative sample routes later arrivals fine until drift
-    * says retrain. Distributed, append-only, no existing file is
-    * touched; serving ([[ivfIndexQuery]]) is oblivious to which build
-    * or append wrote a row. The `s18` registry entry gates completeness
-    * (every vector assigned exactly once) and post-append serving
-    * recall in-query; IvfIndexSpec pins per-vector cell correctness
-    * against the centroids.
+    * index's own centroids route the assignments, which land as the
+    * batch's own cell-partitioned delta tree — the standard IVF
+    * lifecycle (FAISS `add`), since a codebook trained on a
+    * representative sample routes later arrivals fine until drift says
+    * retrain. Distributed; no base file is touched; serving
+    * ([[ivfIndexQuery]] via [[ivfIndexAssignments]]) is oblivious to
+    * which build or append wrote a row. The `s18` registry entry gates
+    * completeness (every vector assigned exactly once) and post-append
+    * serving recall in-query; IvfIndexSpec pins per-vector cell
+    * correctness against the centroids.
     *
-    * NOT CRASH-REPLAYABLE (r12 ADVICE, documented like the purge's
-    * writer contract): on a PQ-shaped index this performs TWO separate
-    * append-mode writes (vectors, then codes). A crash between them
-    * leaves the appended vectors in the re-rank store but ADC-invisible
-    * (present yet unservable until the batch is re-run), and RE-RUNNING
-    * a batch whose first write landed duplicates rows in both stores —
-    * append-mode parquet has no per-batch identity to dedup on. Callers
-    * that need replay safety must use the streaming path
-    * ([[ivfIndexAppendDelta]] / [[ivfPqEncodeDelta]]): its per-batch
-    * OVERWRITE into `batch=<id>` dirs with a trailing `_SUCCESS` marker
-    * makes a replayed tick idempotent and a torn tick invisible to
-    * readers. This batch API is for one-shot bulk loads under the same
-    * single-writer, no-retry-without-inspection discipline the FAISS
-    * `add` analogy implies.
+    * CRASH-REPLAYABLE (r14 — closes the r13 verdict's #2 with code, not
+    * docs): the batch rides the SAME idempotent per-batch overwrite
+    * discipline the streaming deltas use. Vectors land whole in
+    * `deltas/batch=<id>` ([[ivfIndexAppendDelta]]), codes — on a
+    * PQ-shaped index — whole in `codes_deltas/batch=<id>`
+    * ([[ivfPqEncodeDelta]]), and the two COMMIT JOINTLY: readers (and
+    * the purge) see the batch only when BOTH dirs carry `_SUCCESS`
+    * ([[servableDeltaDirs]]). So a crash between the writes leaves the
+    * index servable exactly as it was (never vectors-present-but-ADC-
+    * invisible), and RE-RUNNING the batch under the same `batchId`
+    * overwrites both dirs with identical content — a row-level no-op.
+    * `batchId` is the batch's identity and is REQUIRED for that
+    * idempotence: two DIFFERENT loads must use different ids (a reused
+    * id overwrites, which is the replay semantics doing its job).
+    * Vectors first, codes second — the order no longer matters for
+    * visibility, the joint gate holds either way.
     */
   def ivfIndexAppend(spark: SparkSession, indexRoot: String,
-      newVecs: DataFrame, cacheKey: Option[String] = None): Unit = {
-    val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
-    newVecs.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
-      .repartition(col("cell")) // one appended file set per cell (see build)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+      newVecs: DataFrame, batchId: Long,
+      cacheKey: Option[String] = None): Unit = {
+    ivfIndexAppendDelta(spark, indexRoot, newVecs, batchId)
     // a PQ-shaped index (r12) must append CODES symmetrically, encoded
     // through the frozen codebook, or the appended vectors would sit in
     // the re-rank store but never surface as ADC candidates — present
-    // yet unservable. Same FAISS `add` posture as the vector append;
-    // the delta/streaming variant stays the idempotent per-batch
-    // overwrite ([[ivfPqEncodeDelta]]).
+    // yet unservable. The joint `_SUCCESS` gate makes the window between
+    // these two writes invisible rather than half-served.
     if (hasPqShape(spark, indexRoot))
-      pqEncodeRouted(newVecs, readPqCodebook(spark, indexRoot), centers)
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/codes")
+      ivfPqEncodeDelta(spark, indexRoot, newVecs, batchId)
     // the corpus under this snapshot key just GREW: the memoized count
     // would mis-size every later derived parameter (nlist, and through
     // it nprobe) — drop it. The codebook deliberately survives: routing
@@ -3834,6 +3832,33 @@ object Similarity {
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
 
+  /** Delta-batch dirs of `store` (`deltas` or `codes_deltas`) VISIBLE to
+    * readers. On a PQ-shaped index a batch commits JOINTLY: it is
+    * visible only when BOTH stores' writers finished (`_SUCCESS` in
+    * `deltas/batch=<id>` AND `codes_deltas/batch=<id>`) — vectors and
+    * codes commit together or not at all (r13 verdict #2). A crash
+    * between the two writes leaves the batch invisible to serving AND
+    * to the purge (it belongs to its replay, which overwrites both dirs
+    * whole — the idempotent per-batch discipline), instead of the old
+    * append-mode failure where the vectors sat in the re-rank store but
+    * never surfaced as ADC candidates. On a non-PQ index the own-store
+    * `_SUCCESS` is the whole commit, as before. Cost: one extra
+    * listStatus, only when a codebook exists.
+    */
+  private def servableDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, store: String): Seq[String] = {
+    val own = committedDeltaDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$indexRoot/$store"))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/pqcodebook"))) own
+    else {
+      val other = if (store == "deltas") "codes_deltas" else "deltas"
+      val otherNames = committedDeltaDirs(fs,
+          new org.apache.hadoop.fs.Path(s"$indexRoot/$other"))
+        .map(d => new org.apache.hadoop.fs.Path(d).getName).toSet
+      own.filter(d => otherNames(new org.apache.hadoop.fs.Path(d).getName))
+    }
+  }
+
   /** Heal any interrupted per-cell [[graft.core.DirSwap]] swaps left by a
     * crashed [[ivfIndexPurge]]: a crash between its two renames leaves
     * `cell=k__old` with `cell=k` missing — unhealed, that cell's vectors
@@ -3876,8 +3901,7 @@ object Similarity {
     if (fs.exists(purgeMarker(indexRoot))) return // live purge owns the swaps
     val aPath = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments")
     graft.core.DirSwap.recoverChildren(fs, aPath)
-    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
-    committedDeltaDirs(fs, dPath).foreach { d =>
+    servableDeltaDirs(fs, indexRoot, "deltas").foreach { d =>
       graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
     }
   }
@@ -3897,8 +3921,9 @@ object Similarity {
         else spark.read.option("basePath", aPath.toString).parquet(dirs: _*)
       }
     // basePath keeps the batch/cell partition columns when loading the
-    // committed dirs explicitly.
-    val committed = committedDeltaDirs(fs, dPath)
+    // committed dirs explicitly. Joint gate: on a PQ index a batch is
+    // servable only once its codes committed too (servableDeltaDirs).
+    val committed = servableDeltaDirs(fs, indexRoot, "deltas")
     val deltaDirs =
       if (!purging) committed
       else committed.flatMap(b =>
@@ -3973,15 +3998,16 @@ object Similarity {
     // the RTBF cascade must also reach streaming DELTA batches
     // ([[ivfIndexAppendDelta]]): same pruned-rewrite discipline per
     // (batch, cell) partition pair — bounded by #batches · nlist. Only
-    // COMMITTED batches (the same _SUCCESS listing serving uses): a torn
-    // batch dir left by a crashed tick belongs to its replay, not to the
-    // purge — reading it here would fail on the half-written files (or
-    // worse, process uncommitted data the replay then rewrites). The
-    // batch partition value is read as LONG (streaming batch ids are
-    // longs; partition inference narrows small values to int, so the
-    // cast is explicit).
+    // SERVABLE batches (the same joint listing serving uses): a torn or
+    // half-committed batch belongs to its replay, not to the purge —
+    // reading it here would fail on the half-written files (or worse,
+    // purge one store of a batch whose replay then rewrites BOTH with
+    // pre-purge content, resurrecting the tombstones). The batch
+    // partition value is read as LONG (streaming batch ids are longs;
+    // partition inference narrows small values to int, so the cast is
+    // explicit).
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
-    val committed = committedDeltaDirs(fs, dPath)
+    val committed = servableDeltaDirs(fs, indexRoot, "deltas")
     if (committed.nonEmpty) {
       val deltas = spark.read.option("basePath", dPath.toString)
         .parquet(committed: _*)
@@ -4045,7 +4071,7 @@ object Similarity {
         ()
       }
       val cdPath = new org.apache.hadoop.fs.Path(s"$indexRoot/codes_deltas")
-      val cdCommitted = committedDeltaDirs(fs, cdPath)
+      val cdCommitted = servableDeltaDirs(fs, indexRoot, "codes_deltas")
       cdCommitted.foreach { cd =>
         graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(cd))
       }
@@ -4149,15 +4175,19 @@ object Similarity {
     * rows of state; the decision itself collects one scalar.
     */
   def ivfAppendOrRetrain(spark: SparkSession, indexRoot: String,
-      newVecs: DataFrame, psiThreshold: Double = RetrainPsiThreshold,
+      newVecs: DataFrame, batchId: Long,
+      psiThreshold: Double = RetrainPsiThreshold,
       seed: Long = 42L): (String, Boolean) = {
-    val oldCorpus = spark.read.parquet(s"$indexRoot/assignments")
+    // base ∪ committed deltas (r14): earlier batch appends live in the
+    // delta tree now — a base-only read would drift-compare against a
+    // stale corpus snapshot
+    val oldCorpus = ivfIndexAssignments(spark, indexRoot)
       .select(col("vid").as("vec_id"), col("ve").as("embedding"))
     val newBatch = newVecs.select(col("vec_id"), col("embedding"))
     if (correctedMaxPsi(oldCorpus, newBatch) >= psiThreshold) {
       (ivfIndexBuild(oldCorpus.unionByName(newBatch), seed = seed), true)
     } else {
-      ivfIndexAppend(spark, indexRoot, newBatch)
+      ivfIndexAppend(spark, indexRoot, newBatch, batchId)
       (indexRoot, false)
     }
   }
@@ -4938,8 +4968,10 @@ object Similarity {
     // heal crashed purge swaps in BOTH code stores before reading (the
     // recoverIndexSwaps discipline, applied to the serving-resident
     // set) — suppressed while a purge is LIVE (the marker), in which
-    // case only the intact cell dirs are served (see recoverIndexSwaps)
-    val committedPre = committedDeltaDirs(fs, dPath)
+    // case only the intact cell dirs are served (see recoverIndexSwaps).
+    // Joint gate: a code batch serves only once its VECTORS committed
+    // too (servableDeltaDirs) — the two stores agree batch-for-batch.
+    val committedPre = servableDeltaDirs(fs, indexRoot, "codes_deltas")
     if (!purging) {
       graft.core.DirSwap.recoverChildren(fs, cPath)
       committedPre.foreach { d =>

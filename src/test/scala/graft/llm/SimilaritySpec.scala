@@ -150,12 +150,13 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
     val idx = Similarity.ivfIndexBuild(base)
-    val (idx1, r1) = Similarity.ivfAppendOrRetrain(spark, idx, undrifted)
+    val (idx1, r1) = Similarity.ivfAppendOrRetrain(spark, idx, undrifted, batchId = 1L)
     assert(!r1, "in-distribution append must not trigger a retrain")
     assert(idx1 === idx, "append keeps the index root")
-    val nAfterAppend = spark.read.parquet(s"$idx1/assignments").count()
+    // batch appends live in the delta tree (r14) — read base ∪ deltas
+    val nAfterAppend = Similarity.ivfIndexAssignments(spark, idx1).count()
     assert(nAfterAppend === base.count() + undrifted.count())
-    val (idx2, r2) = Similarity.ivfAppendOrRetrain(spark, idx1, drifted)
+    val (idx2, r2) = Similarity.ivfAppendOrRetrain(spark, idx1, drifted, batchId = 2L)
     assert(r2, "drifted append must trigger a retrain")
     assert(idx2 !== idx1, "retrain cuts over to a NEW index root")
     // the rebuilt index covers old ∪ new exactly once
@@ -164,7 +165,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.select("vid").distinct().count() === e.count())
     // and the abandoned pre-retrain root is untouched (serving cutover,
     // not in-place mutation)
-    assert(spark.read.parquet(s"$idx1/assignments").count() === nAfterAppend)
+    assert(Similarity.ivfIndexAssignments(spark, idx1).count() === nAfterAppend)
   }
 
   test("PQ-ADC: well-formed ranks, monotone distances, honest recall floor") {
@@ -792,8 +793,10 @@ class SimilaritySpec extends SparkSpec {
     val delta = e.filter(pmod(col("vec_id"), lit(2)) =!= 0)
     val idx = Similarity.ivfIndexBuild(base)
     val filesBefore = spark.read.parquet(s"$idx/assignments").inputFiles.toSet
-    Similarity.ivfIndexAppend(spark, idx, delta)
-    val after = spark.read.parquet(s"$idx/assignments")
+    Similarity.ivfIndexAppend(spark, idx, delta, batchId = 1L)
+    // batch appends land in their own delta tree (r14) — serving reads
+    // base ∪ committed deltas
+    val after = Similarity.ivfIndexAssignments(spark, idx)
     assert(filesBefore.subsetOf(after.inputFiles.toSet),
       "append must only add files, never rewrite the base index")
     assert(after.count() === e.count(), "append must cover the full corpus")
@@ -967,7 +970,7 @@ class SimilaritySpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("pqappend").toString + "/idx"
     Similarity.ivfIndexBuild(base, targetDir = Some(root))
     Similarity.pqAugmentIndex(spark, root, base)
-    Similarity.ivfIndexAppend(spark, root, delta)
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 1L)
     val codes = Similarity.ivfPqCodes(spark, root)
     assert(codes.select("vid").distinct().count() === e.count(),
       "appended vectors must be encoded into the code store")
@@ -980,6 +983,65 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.ivfPqGenQuery(spark, root, probe, 3,
       nprobe = Some(2))
     assert(got.count() > 0, "ADC serving must see appended vectors' cells")
+  }
+
+  test("batch append replay: same batchId is a row-level no-op on vectors AND codes") {
+    // r13 verdict #2: the batch API rides the idempotent per-batch
+    // overwrite — re-running a bulk load must not duplicate a single
+    // row in either store.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("appendreplay").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    Similarity.pqAugmentIndex(spark, root, base)
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 7L)
+    def snapshot(): (Set[(Long, Int)], Set[(Long, Seq[Byte])]) = (
+      Similarity.ivfIndexAssignments(spark, root)
+        .select("vid", "cell").as[(Long, Int)].collect().toSet,
+      Similarity.ivfPqCodes(spark, root)
+        .select(col("vid"), col("code")).as[(Long, Seq[Byte])].collect().toSet)
+    val (vecs1, codes1) = snapshot()
+    assert(vecs1.size === e.count(), "first append must cover the corpus")
+    assert(codes1.size === e.count())
+    // the replay: same batch, same id — crashed-and-retried bulk load
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 7L)
+    val (vecs2, codes2) = snapshot()
+    assert(vecs2 === vecs1, "replayed append must be a row-level no-op on vectors")
+    assert(codes2 === codes1, "replayed append must be a row-level no-op on codes")
+  }
+
+  test("torn batch append: crash between vector and code writes leaves the index servable") {
+    // simulate ivfIndexAppend dying after the vector delta committed
+    // but before the code delta: the joint `_SUCCESS` gate must keep the
+    // half-landed batch invisible to BOTH stores (never present in the
+    // re-rank set but absent from ADC), and serving must still answer
+    // from the base index.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("tornappend").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    Similarity.pqAugmentIndex(spark, root, base)
+    val nBase = base.count()
+    // the crash: vectors landed and committed, codes never written
+    Similarity.ivfIndexAppendDelta(spark, root, delta, batchId = 3L)
+    assert(Similarity.ivfIndexAssignments(spark, root).count() === nBase,
+      "half-committed batch must be invisible to the re-rank store")
+    assert(Similarity.ivfPqCodes(spark, root).count() === nBase,
+      "half-committed batch must be invisible to the code store")
+    val probe = base.orderBy(col("vec_id")).limit(1)
+    assert(Similarity.ivfPqGenQuery(spark, root, probe, 3, nprobe = Some(2)).count() > 0,
+      "serving must still answer over the base index")
+    // the recovery: the batch's replay overwrites both dirs whole and
+    // the joint gate opens — every vector exactly once, codes beside it
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 3L)
+    val after = Similarity.ivfIndexAssignments(spark, root)
+    assert(after.count() === e.count(), "replay must complete the batch")
+    assert(after.select("vid").distinct().count() === e.count(),
+      "replay must not duplicate any vector")
+    assert(Similarity.ivfPqCodes(spark, root).count() === e.count(),
+      "replay must land codes for every vector exactly once")
   }
 
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
