@@ -744,6 +744,88 @@ object Dedup {
           .otherwise(round(fprRaw, 6)).as("fpr"))
   }
 
+  /** Probes per key in [[bloomPrefilterReplayable]] — 7 is the optimal
+    * k for 9.6 bits/item (m/n·ln2 ≈ 6.65), giving theoretical
+    * fpp ≈ 0.0099.
+    */
+  val BloomReplayK = 7
+
+  /** Replayable variant of [[bloomPrefilter]] (the d13 registry entry —
+    * FULL oracle since r14): same bloom semantics and output shape, but
+    * the bit math is sha256-chunk-derived so DuckDB replays the exact
+    * membership bits instead of trusting a rows-only gate.
+    *
+    *  - sizing: m = max(ceil(9.6·n), 64) bits, computed as the exact
+    *    integer `(48·n + 4) div 5` — both engines evaluate it
+    *    identically, no float rounding at the boundary;
+    *  - probes: k = [[BloomReplayK]] positions via Kirsch–Mitzenmacher
+    *    double hashing, pos_i = (h1 + i·h2) mod m, where h1/h2 are the
+    *    two 60-bit [[graft.functions.Sha256Chunks]] of the text
+    *    (i ≤ 6 and h2 < 2^60, so h1 + i·h2 < 7·2^60 < 2^63 — no
+    *    signed-64 overflow on either engine, and both operands are
+    *    nonnegative so `%` agrees).
+    *
+    * Scale shape preserved from the native path: the snapshot's
+    * positions fold MAP-SIDE into ≤ m/64 bit-or'd words (bit_or is
+    * duplicate-insensitive, so no distinct shuffle — one keyed
+    * aggregation whose state is the bitmap itself), the words collect
+    * to a driver literal of the same sketch-bytes class the native
+    * path's `BloomFilterAggregate` ships, and the new side probes
+    * SCAN-SIDE against that literal — it never shuffles. The in-query
+    * raise_error gates (no false negatives; FPR ≤ 5×fpp) stay: the
+    * oracle proves bit equality, the gates document the bloom contract
+    * at the query site. [[bloomPrefilter]] (Spark's native codegen'd
+    * sketch) remains the production API; this variant buys cross-engine
+    * bit equality at ~2× the hash cost (two sha256 chunks vs one
+    * xxhash64).
+    */
+  def bloomPrefilterReplayable(newDocs: DataFrame, snapshot: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val n = snapshot.count()
+    val m = math.max((48L * n + 4L) / 5L, 64L)
+    val nWords = ((m + 63L) / 64L).toInt
+    val ch = graft.functions.Sha256Chunks.sha256Chunks(col("text"), 2)
+    val posSql = s"transform(sequence(0, ${BloomReplayK - 1}), " +
+      s"i -> (__h1 + i * __h2) % CAST($m AS BIGINT))"
+    val words: Map[Int, Long] = snapshot
+      .select(get(ch, lit(0)).as("__h1"), get(ch, lit(1)).as("__h2"))
+      .select(explode(expr(posSql)).as("pos"))
+      .select(expr("CAST(pos DIV 64 AS INT) AS w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS msk"))
+      .groupBy(col("w")).agg(expr("bit_or(msk) AS bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wordsArr: Seq[Long] = (0 until nWords).map(i => words.getOrElse(i, 0L))
+    val scored = newDocs
+      .select(col("doc_id"), contentHash(col("text")).as("__h"),
+        get(ch, lit(0)).as("__h1"), get(ch, lit(1)).as("__h2"))
+      .withColumn("__ws", typedLit(wordsArr))
+      .withColumn("bloom_hit", expr(
+        s"forall($posSql, p -> (element_at(__ws, CAST(p DIV 64 AS INT) + 1) " +
+          "& shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"))
+      .select(col("doc_id"), col("__h"), col("bloom_hit"))
+    val snapH = snapshot.select(contentHash(col("text")).as("__h")).distinct()
+    val exact = scored
+      .join(snapH, Seq("__h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__exact"))
+    val flagged = scored.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        col("__exact").isNotNull.as("is_dup"))
+    val stats = flagged.agg(
+      sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("is_dup") && col("bloom_hit"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("is_dup"), 1L).otherwise(0L)).as("nneg"))
+    val fprRaw = col("fp") * lit(1.0) / greatest(col("nneg"), lit(1L))
+    flagged.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("bloom_hit"), col("is_dup"),
+        when(col("fn") > 0,
+          raise_error(concat(lit("bloom sketch false negative(s): "),
+            col("fn").cast("string"))))
+          .when(fprRaw > lit(5 * fpp),
+            raise_error(concat(lit(s"bloom FPR above ${5 * fpp}: "),
+              fprRaw.cast("string"))))
+          .otherwise(round(fprRaw, 6)).as("fpr"))
+  }
+
   /** Span-level duplicate coverage — the substring-dedup posture of
     * suffix-array dedup (Lee et al. 2021, "Deduplicating Training Data
     * Makes Language Models Better"), re-expressed Spark-first: a token
@@ -2483,13 +2565,52 @@ object Dedup {
     },
 
     // ---- bloom membership prefilter (sketch front of d12's exact stage) --
-    // Rows-only: the sketch bits are Spark's sketch library, not DuckDB-
-    // replayable — but both bloom guarantees ride IN the query: a false
-    // negative (impossible by construction; the gate would catch a broken
-    // sketch) and an FPR above 5×fpp both raise_error.
-    rowsOnly("d13_bloom_prefilter") { (s, d) =>
+    // FULL oracle (r14 — rows-only through r13): the registry runs the
+    // sha256-chunk-derived [[bloomPrefilterReplayable]], whose sizing
+    // (exact integer m), double-hashed probe positions, and membership
+    // bits DuckDB recomputes verbatim — a wrong bit anywhere mismatches
+    // the hash, not just the in-query FN/FPR gates (which stay).
+    // [[bloomPrefilter]] (Spark's native sketch) remains the production
+    // API, spec-covered in DedupSpec.
+    sql("d13_bloom_prefilter", {
+      def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH snap AS (
+         |  SELECT text FROM documents WHERE doc_id % 4 <> 3
+         |), newdocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+         |), params AS (
+         |  SELECT greatest((48 * count(*) + 4) // 5, 64) AS m FROM snap
+         |), snapk AS (
+         |  SELECT ${parse15("substr(sha256(text),1,15)")} AS h1,
+         |         ${parse15("substr(sha256(text),16,15)")} AS h2 FROM snap
+         |), snapbits AS (
+         |  SELECT DISTINCT (h1 + i * h2) % m AS pos
+         |  FROM snapk, params, range($BloomReplayK) t(i)
+         |), newk AS (
+         |  SELECT doc_id, sha256(text) AS hx,
+         |         ${parse15("substr(sha256(text),1,15)")} AS h1,
+         |         ${parse15("substr(sha256(text),16,15)")} AS h2 FROM newdocs
+         |), newpos AS (
+         |  SELECT doc_id, (h1 + i * h2) % m AS pos
+         |  FROM newk, params, range($BloomReplayK) t(i)
+         |), hits AS (
+         |  SELECT doc_id, bool_and(pos IN (SELECT pos FROM snapbits)) AS bloom_hit
+         |  FROM newpos GROUP BY doc_id
+         |), flagged AS (
+         |  SELECT k.doc_id, h.bloom_hit,
+         |    k.hx IN (SELECT sha256(text) FROM snap) AS is_dup
+         |  FROM newk k JOIN hits h USING (doc_id)
+         |), stats AS (
+         |  SELECT sum(CASE WHEN NOT is_dup AND bloom_hit THEN 1 ELSE 0 END) AS fp,
+         |         sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS nneg
+         |  FROM flagged
+         |)
+         |SELECT f.doc_id, f.bloom_hit, f.is_dup,
+         |  round(CAST(s.fp AS DOUBLE) / greatest(s.nneg, 1), 6) AS fpr
+         |FROM flagged f CROSS JOIN stats s""".stripMargin
+    }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      bloomPrefilter(
+      bloomPrefilterReplayable(
         docs.filter(col("doc_id") % 4 === 3),
         docs.filter(col("doc_id") % 4 =!= 3))
     },

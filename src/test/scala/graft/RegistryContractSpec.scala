@@ -28,11 +28,13 @@ class RegistryContractSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query; oracle count is pinned") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    // 193 full oracles / 5 rows-only (d13, q39, q64 ride Spark's native
-    // sketch machinery by design; s20 stays rows-only by measurement;
-    // st12 is the streaming lifecycle simulation). A promotion or an
-    // accidental oracle drop must move this pin consciously.
-    assert(SparkEntry.oracleSql.size === 193,
+    // 194 full oracles / 4 rows-only (q39/q64 ride Spark's native
+    // merge-order-sensitive sketch machinery by design; s20 stays
+    // rows-only by measurement; st12 is the streaming lifecycle
+    // simulation; d13 promoted in r14 via the sha256-chunk bloom). A
+    // promotion or an accidental oracle drop must move this pin
+    // consciously.
+    assert(SparkEntry.oracleSql.size === 194,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 

@@ -503,6 +503,25 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 200)
   }
 
+  test("replayable bloom prefilter: same contract as the native sketch on the same fixture") {
+    // the d13 registry variant (sha256-chunk bit math, DuckDB-replayed):
+    // identical guarantees — every true dup hits, measured FPR within
+    // the 5×fpp gate — on the native test's exact fixture.
+    val snapshot = (1L to 200L)
+      .map(i => (i, s"snapshot document number $i with some shared prose"))
+      .toDF("doc_id", "text")
+    val newBatch = ((1L to 50L)
+      .map(i => (1000L + i, s"snapshot document number $i with some shared prose")) ++
+      (1L to 150L)
+        .map(i => (2000L + i, s"genuinely new crawl document $i about other matters")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomPrefilterReplayable(newBatch, snapshot).collect()
+    val hits = out.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (1001L to 1050L).foreach(id => assert(hits(id), s"false negative for doc $id"))
+    assert(out.head.getDouble(3) <= 0.05)
+    assert(out.length === 200)
+  }
+
   test("snapshot dedup is asymmetric: new docs judged, snapshot consulted only") {
     val snapshot = Seq(
       (1L, base),
