@@ -33,6 +33,60 @@ object TextStats {
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as")
 
+  /** Fixture subword vocab for the t35/t36 greedy tokenizer — a LITERAL
+    * merge/vocab table (the oracle-replayable alternative to a learned,
+    * model-specific BPE table): full common words plus sub-pieces chosen
+    * so multi-piece splits, longest-match-over-shorter-prefix decisions
+    * ("ord" beats "or"), and the single-char fallback all occur on the
+    * synthetic corpus. Shared VERBATIM between the Spark expression and
+    * the DuckDB VALUES list, so the two engines can never disagree on
+    * the table. Parameter-bounded (a broadcast dim, not a model) — at
+    * 100 TB a production vocab is ~50k entries, still plan-shippable.
+    */
+  val SubwordVocab: Seq[String] = Seq(
+    "join", "hash", "row", "batch", "scan", "cust", "omer", "col", "umn",
+    "filt", "er", "small", "slow", "merge", "ord", "vect", "or", "line",
+    "data", "tab", "le", "agg", "val", "ue", "key", "stream", "win", "dow",
+    "spark", "group", "part", "big", "sort", "quer", "fast", "the", "a",
+    "ing", "tion", "ent", "ter")
+
+  /** Greedy-longest-match subword count under [[SubwordVocab]] — the
+    * subword metering column (codegen'd scan-side expression).
+    */
+  def subwordCount(text: Column): Column =
+    graft.functions.Subword.count(text, SubwordVocab)
+
+  /** DuckDB CTE prefix replaying the greedy tokenizer: `vocab` as a
+    * VALUES literal, the per-DISTINCT-word greedy walk as a recursive
+    * CTE (each step consumes the longest vocab prefix of the remaining
+    * suffix, else one char), ending in `wtok(w, n_sub)` plus
+    * `words(doc_id, source, w)` word rows. Must be opened with
+    * `WITH RECURSIVE`.
+    */
+  private def subwordOracleCtes: String = {
+    val values = SubwordVocab.map(v => s"('$v')").mkString(",")
+    s"""vocab(v) AS (VALUES $values
+       |), words AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents
+       |), dw AS (
+       |  SELECT DISTINCT w FROM words
+       |), steps AS (
+       |  SELECT w, 1 AS pos, 0 AS ntok FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + CAST(length(tok) AS INT) AS pos, ntok + 1 AS ntok FROM (
+       |    SELECT s.w AS w, s.pos AS pos, s.ntok AS ntok,
+       |      coalesce((SELECT v FROM vocab
+       |                WHERE substr(s.w, s.pos, length(v)) = v
+       |                ORDER BY length(v) DESC LIMIT 1),
+       |               substr(s.w, s.pos, 1)) AS tok
+       |    FROM steps s WHERE s.pos <= length(s.w))
+       |), wtok AS (
+       |  SELECT w, max(ntok) AS n_sub FROM steps GROUP BY w
+       |)""".stripMargin
+  }
+
   /** Shared bigram-LM CTE prefix (t17/t20's oracle front): ends with
     * `sc(doc_id, lp)`, one row per bigram occurrence with its smoothed
     * log-probability.
@@ -1355,6 +1409,61 @@ object TextStats {
         |  round(sqrt(CAST(n_tok AS DOUBLE)) / t.wsum * t.tot / n_tok, 6) AS epochs
         |FROM s, t""".stripMargin) { (s, d) =>
       mixtureWeights(Tables.documents(s, d))
+    },
+
+    // ---- deterministic subword tokenization (r14 — the r13 verdict's
+    // #4): greedy longest-match over the literal [[SubwordVocab]],
+    // single-char fallback. FULL oracle: DuckDB replays the identical
+    // greedy walk as a recursive CTE over the distinct words, so a
+    // wrong split ANYWHERE (a missed longer match, an off-by-one
+    // fallback) mismatches the hash. n_ws rides beside n_bpe because
+    // the RATIO is the point — whitespace metering mispriced every
+    // downstream budget by exactly this factor.
+    sql("t35_subword_tokens",
+      s"""WITH RECURSIVE $subwordOracleCtes
+         |SELECT w.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(t.n_sub) AS BIGINT) AS n_bpe,
+         |  round(CAST(sum(t.n_sub) AS DOUBLE) / greatest(count(*), 1), 6)
+         |    AS bpe_ratio
+         |FROM words w JOIN wtok t USING (w)
+         |GROUP BY w.doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+          subwordCount(col("text")).as("n_bpe"))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1L)), 6)
+            .as("bpe_ratio"))
+    },
+
+    // ---- t9's sequence packing re-metered in SUBWORD tokens (the
+    // budget/packing family's bpe variant the r13 verdict asked for):
+    // same two-pass distributed cumsum, same 2048-token bins — but the
+    // bin arithmetic now counts what a trainer actually consumes. The
+    // oracle replays tokenizer AND packing, so a metering drift would
+    // shift a pack_id and mismatch.
+    sql("t36_subword_packing",
+      s"""WITH RECURSIVE $subwordOracleCtes, doctok AS (
+         |  SELECT w.doc_id, w.source, CAST(sum(t.n_sub) AS BIGINT) AS n_tok
+         |  FROM words w JOIN wtok t USING (w)
+         |  GROUP BY w.doc_id, w.source
+         |), r AS (
+         |  SELECT doc_id, source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM doctok
+         |)
+         |SELECT doc_id, source, n_tok,
+         |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id
+         |FROM r""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        subwordCount(col("text")).as("n_tok"))
+      graft.operators.Relational
+        .groupedRunningSum(t, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum")
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
     }
   )
 
