@@ -75,6 +75,77 @@ class PartitioningSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bucketed q03: fact×fact join AND per-order aggregate ride write-time buckets") {
+    // r13 verdict Next #6 — prove, don't state, the engine's answer to
+    // the suite's only fact×fact shuffle. Both facts are written
+    // bucketBy(8, orderkey); the q03 variant aggregates lineitem per
+    // order FIRST (bucket-local — the agg's required distribution is
+    // satisfied by the bucketed scan), joins orders bucket-for-bucket,
+    // and only then semi-joins the segment-filtered customer on custkey.
+    // So the ONLY exchange in the plan is the dimension-key join of the
+    // already-REDUCED per-order frame: neither fact ever shuffles on
+    // orderkey, and the heaviest table (lineitem) never shuffles at all.
+    // At 100 TB that re-order is THE difference: the registry q03 plan
+    // shuffles raw lineitem once on orderkey; here the orderkey exchange
+    // count is zero end-to-end.
+    spark.sql("DROP TABLE IF EXISTS b2_orders")
+    spark.sql("DROP TABLE IF EXISTS b2_lineitem")
+    Seq("b2_orders", "b2_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get("/tmp/graft-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b2_orders")
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b2_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (plan, got) =
+      try {
+        // q03's exact money math (sum of DECIMAL(18,4)-cast discounted
+        // price, emitted as double) so the values compare exactly
+        val perOrder = spark.table("b2_lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("revenue"),
+            sum(col("l_quantity")).as("__qty"))
+        // the segment filter rides an INNER join on the unique c_custkey
+        // (row-identical to a semi join here): a left_semi would be
+        // pushed below the orderkey join by PushDownLeftSemiAntiJoin,
+        // which re-shuffles orders on custkey first and marks its
+        // bucketed scan "disabled by query planner" — observed, and
+        // exactly the plan this test exists to forbid
+        val cust = Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        val q = spark.table("b2_orders")
+          .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, Seq("o_custkey"))
+          .filter(col("__qty") > 150)
+          .select(col("o_orderkey"), col("revenue"))
+        val rows = q.collect().map(_.toSeq).toSet
+        (q.queryExecution.executedPlan.toString, rows)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"orderkey still shuffles somewhere in the bucketed q03 plan:\n${plan.take(1200)}")
+    // and the result IS q03: same rows as the registry entry at this SF
+    val expected = SparkEntry.registry.find(_.name == "q03_revenue_by_order").get
+      .run(spark, sf).collect().map(_.toSeq).toSet
+    assert(got === expected)
+  }
+
   test("spread fans a narrow scan out to session parallelism, no-ops otherwise") {
     import spark.implicits._
     val narrow = (1 to 100).toDF("x").coalesce(1)
