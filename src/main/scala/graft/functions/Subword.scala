@@ -155,3 +155,131 @@ object Subword {
   def tokens(c: Column, vocab: Seq[String]): Column =
     Shim.column(SubwordTokens(Shim.expression(c), new SubwordTable(vocab.toArray)))
 }
+
+/** LEARNED-merge BPE application — the true-BPE counterpart of
+  * [[SubwordTable]]'s longest-match fixture: each word is seeded as its
+  * character sequence and the merge table is applied IN RANK ORDER, one
+  * single left-to-right greedy pass per merge (merge rank k rewrites
+  * every non-overlapping (a, b) adjacency leftmost-first — the textbook
+  * BPE apply; a priority-queue per-word apply would be faster but this
+  * rank-ordered pass set is the form DuckDB replays verbatim via
+  * chained `list_reduce` rounds, which is what buys the t38 FULL
+  * oracle). Cost is O(K · len) per word; the merge table is a
+  * parameter-bounded model artifact (K merges), shipped with the plan
+  * via addReferenceObj like the fixture vocab.
+  */
+class BpeTable(val merges: Array[(String, String)]) extends Serializable {
+
+  def count(s: UTF8String): Long = walkText(s.toString, null)
+
+  def tokens(s: UTF8String): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    walkText(s.toString, out)
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  private def walkText(str: String, out: java.util.ArrayList[UTF8String]): Long = {
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (Character.isWhitespace(str.charAt(i))) { i += 1 }
+      else {
+        var we = i
+        while (we < len && !Character.isWhitespace(str.charAt(we))) we += 1
+        n += word(str.substring(i, we), out)
+        i = we
+      }
+    }
+    n
+  }
+
+  /** Apply every merge in rank order to one word; returns its token
+    * count (and appends tokens when `out` is non-null).
+    */
+  def word(w: String, out: java.util.ArrayList[UTF8String]): Long = {
+    var syms = new java.util.ArrayList[String](w.length)
+    var c = 0
+    while (c < w.length) { syms.add(String.valueOf(w.charAt(c))); c += 1 }
+    var k = 0
+    while (k < merges.length) {
+      val (a, b) = merges(k)
+      // one greedy left-to-right pass: a merged token never re-matches
+      // as the LEFT side within the same rank (textbook BPE semantics,
+      // and exactly what the oracle's list_reduce computes)
+      val next = new java.util.ArrayList[String](syms.size())
+      var j = 0
+      while (j < syms.size()) {
+        val x = syms.get(j)
+        if (next.size() > 0 && next.get(next.size() - 1) == a && x == b)
+          next.set(next.size() - 1, a + b)
+        else next.add(x)
+        j += 1
+      }
+      syms = next
+      k += 1
+    }
+    if (out != null) {
+      var j = 0
+      while (j < syms.size()) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
+    }
+    syms.size().toLong
+  }
+}
+
+/** `bpe_count(text)` — token count under the learned merge table. */
+case class BpeCount(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def nullSafeEval(s: Any): Any = table.count(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.count($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `bpe_tokens(text)` — the merged token strings (spec/debug surface). */
+case class BpeTokens(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(s: Any): Any = table.tokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.tokens($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Bpe {
+
+  /** Column API: token count of `c` under the learned `merges`. */
+  def count(c: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(BpeCount(Shim.expression(c), new BpeTable(merges.toArray)))
+
+  /** Column API: merged tokens of `c` under the learned `merges`. */
+  def tokens(c: Column, merges: Seq[(String, String)]): Column =
+    Shim.column(BpeTokens(Shim.expression(c), new BpeTable(merges.toArray)))
+}

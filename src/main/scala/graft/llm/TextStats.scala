@@ -56,6 +56,137 @@ object TextStats {
   def subwordCount(text: Column): Column =
     graft.functions.Subword.count(text, SubwordVocab)
 
+  /** Words in the deterministic BPE trainer's sample (top-V by
+    * (freq DESC, word ASC) — the tie-broken cut both engines compute
+    * identically) and merge rounds learned. 32 rounds leaves ~3×
+    * headroom before the pair space of the synthetic corpus exhausts
+    * (89 learnable at every SF — measured; [[bpeLearnMerges]] `require`s
+    * non-exhaustion so a corpus change fails loudly, not silently
+    * short). Both are codebook-class parameters: the train sample is
+    * V rows collected to the driver (the FAISS train-on-sample posture
+    * the k-means codebooks already use), the model is K merge pairs.
+    */
+  val BpeTrainTopV = 64
+  val BpeTrainRounds = 32
+
+  /** Deterministic BPE merge LEARNING (t37) — the real-tokenizer answer
+    * to "whitespace metering mispriced the budget": seed every sampled
+    * word as its character sequence, then `rounds` times (1) count
+    * adjacent symbol pairs weighted by word frequency, (2) merge the
+    * most frequent pair everywhere (tie-break: count DESC, then (a, b)
+    * lexicographic — total, so the learned table is a pure function of
+    * the corpus), exactly the textbook BPE trainer. Distributed part:
+    * ONE word-count aggregation + a bounded TakeOrdered for the top-V
+    * sample; the merge loop itself runs driver-side over ≤ V short
+    * strings (the sanctioned codebook-training class — at 100 TB the
+    * word-frequency agg is the only corpus-sized work). Returns
+    * (rank, left, right, merged, weighted count).
+    */
+  def bpeLearnMerges(docs: DataFrame, topV: Int = BpeTrainTopV,
+      rounds: Int = BpeTrainRounds): Seq[(Int, String, String, String, Long)] = {
+    val wf: Seq[(String, Long)] = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var state: Vector[(Vector[String], Long)] = wf.iterator
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (w.iterator.map(String.valueOf(_)).toVector, c) }
+      .toVector
+    val out = Vector.newBuilder[(Int, String, String, String, Long)]
+    var k = 0
+    while (k < rounds) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          cnt.update(key, cnt.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      require(cnt.nonEmpty,
+        s"BPE pair space exhausted at rank $k — lower BpeTrainRounds for this corpus")
+      val ((a, b), n) = cnt.minBy { case ((x, y), m) => (-m, x, y) }
+      out += ((k, a, b, a + b, n))
+      state = state.map { case (syms, c) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (buf.nonEmpty && buf.last == a && x == b) buf(buf.length - 1) = a + b
+          else buf += x
+        }
+        (buf.toVector, c)
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** DuckDB CTE chain replaying [[bpeLearnMerges]]: `wf`/`state_0` seed
+    * the top-V character sequences, then per round k `pairs_k` (adjacent
+    * pair counts), `best_k` (the tie-broken argmax) and `state_k` (the
+    * merge applied via a single greedy-left `list_reduce` pass — proven
+    * equivalent to the Scala pass in SubwordSpec and by the t37/t38
+    * hashes). Every CTE is MATERIALIZED: the chain is
+    * sequential-dependent and inlining would re-expand the whole prefix
+    * per consumer (observed as an exponential blowup in the prototype).
+    */
+  private def bpeTrainCtes(topV: Int, rounds: Int): String = {
+    val seed =
+      s"""wf AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) t
+         |  GROUP BY w ORDER BY freq DESC, w LIMIT $topV
+         |), state_0 AS MATERIALIZED (
+         |  SELECT w, freq, str_split(w, '') AS syms FROM wf WHERE length(w) > 0
+         |)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""pairs_$k AS MATERIALIZED (
+         |  SELECT p.a AS a, p.b AS b, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest([struct_pack(a := syms[i], b := syms[i+1])
+         |      FOR i IN range(1, len(syms))]) AS p
+         |    FROM state_${k - 1}) t
+         |  GROUP BY p.a, p.b
+         |), best_$k AS MATERIALIZED (
+         |  SELECT a, b, a || b AS m, cnt FROM pairs_$k ORDER BY cnt DESC, a, b LIMIT 1
+         |), state_$k AS MATERIALIZED (
+         |  SELECT w, freq, str_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN (acc = bb.a OR acc LIKE '%|' || bb.a) AND x = bb.b
+         |         THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.m
+         |         ELSE acc || '|' || x END), '|') AS syms
+         |  FROM state_${k - 1}, best_$k bb
+         |)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** The apply half of the t38 oracle: the learned `best_k` merges
+    * replayed over EVERY distinct corpus word (`aw_k` chain), ending in
+    * `wn(w, n_sub)` + `words(doc_id, w)` rows.
+    */
+  private def bpeApplyCtes(rounds: Int): String = {
+    val seed =
+      s"""words AS MATERIALIZED (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents
+         |), aw_0 AS MATERIALIZED (
+         |  SELECT w, str_split(w, '') AS syms
+         |  FROM (SELECT DISTINCT w FROM words) t WHERE length(w) > 0
+         |)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      s"""aw_$k AS MATERIALIZED (
+         |  SELECT w, str_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN (acc = bb.a OR acc LIKE '%|' || bb.a) AND x = bb.b
+         |         THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.m
+         |         ELSE acc || '|' || x END), '|') AS syms
+         |  FROM aw_${k - 1}, best_$k bb
+         |)""".stripMargin
+    }
+    val fin = s"wn AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM aw_$rounds)"
+    (seed +: steps :+ fin).mkString(",\n")
+  }
+
   /** DuckDB CTE prefix replaying the greedy tokenizer: `vocab` as a
     * VALUES literal, the per-DISTINCT-word greedy walk as a recursive
     * CTE (each step consumes the longest vocab prefix of the remaining
@@ -1464,6 +1595,55 @@ object TextStats {
         .groupedRunningSum(t, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum")
         .select(col("doc_id"), col("source"), col("n_tok"),
           floor((col("cum") - col("n_tok")) / lit(2048)).cast("long").as("pack_id"))
+    },
+
+    // ---- LEARNED BPE: merge-table training (r14) --------------------------
+    // t35's fixture vocab answers "meter in subwords"; this answers
+    // "learn the subwords from the corpus" — the textbook BPE trainer
+    // with total tie-breaks, so the merge table is a deterministic
+    // function of the data and BOTH engines derive it independently
+    // (the Lloyd-chain precedent applied to tokenizer training). The
+    // oracle re-learns all 32 merges from scratch in SQL; a single
+    // wrong count, tie-break, or merge application anywhere in the
+    // chain shifts a row and mismatches the hash.
+    sql("t37_bpe_train",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)}
+         |SELECT * FROM (
+         |${(1 to BpeTrainRounds).map(k =>
+             s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, a AS left_sym, " +
+               s"b AS right_sym, m AS merged, CAST(cnt AS BIGINT) AS cnt FROM best_$k")
+             .mkString("\nUNION ALL\n")}
+         |) ORDER BY merge_rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      bpeLearnMerges(Tables.documents(s, d))
+        .toDF("merge_rank", "left_sym", "right_sym", "merged", "cnt")
+        .select(col("merge_rank").cast("long"), col("left_sym"),
+          col("right_sym"), col("merged"), col("cnt"))
+    },
+
+    // ---- LEARNED BPE: corpus metering through the trained table ----------
+    // The t35 shape re-metered with the LEARNED merges: per doc,
+    // whitespace count vs trained-BPE count. Train → apply → meter,
+    // replayed end to end: the oracle re-learns the table AND re-applies
+    // every merge to every distinct word, so the hash covers the whole
+    // tokenizer lifecycle, not just one side of it.
+    sql("t38_bpe_token_counts",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)}
+         |SELECT w0.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(coalesce(t.n_sub, 0)) AS BIGINT) AS n_bpe,
+         |  round(CAST(sum(coalesce(t.n_sub, 0)) AS DOUBLE) / greatest(count(*), 1), 6)
+         |    AS bpe_ratio
+         |FROM words w0 LEFT JOIN wn t USING (w)
+         |GROUP BY w0.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      docs.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+          graft.functions.Bpe.count(col("text"), merges).as("n_bpe"))
+        .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1L)), 6)
+            .as("bpe_ratio"))
     }
   )
 

@@ -56,4 +56,50 @@ class SubwordSpec extends SparkSpec {
       "ünïcödé words fall back per char",
       "")
   }
+
+  test("BPE trainer: hand-checked merges on a tiny corpus with a tie") {
+    // corpus: "ab ab b a" repeated — pair counts: (a,b)=2 per doc from
+    // the two 'ab' words; singles contribute no pairs. With freq
+    // weighting over distinct words {ab:2, a:1, b:1}: only pair (a,b),
+    // count 2. After merge 1 'ab' is a single symbol — pair space is
+    // exhausted, so rounds=1 is the max; rank/merge/count all pinned.
+    val docs = Seq((0L, "ab ab b a"), (1L, "ab b")).toDF("doc_id", "text")
+    val m = graft.llm.TextStats.bpeLearnMerges(docs, topV = 64, rounds = 1)
+    assert(m === Seq((0, "a", "b", "ab", 3L))) // 'ab' freq 3 across docs
+    // exhaustion must fail loudly, not return a short table
+    intercept[IllegalArgumentException] {
+      graft.llm.TextStats.bpeLearnMerges(docs, topV = 64, rounds = 2)
+    }
+  }
+
+  test("BPE apply: greedy-left single pass per rank, rank order respected") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val got = Seq("abc", "ababc", "bbb", "cab", "")
+      .toDF("text")
+      .select(col("text"), Bpe.tokens(col("text"), merges).as("ts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got("abc") === Seq("abc"))          // a+b then ab+c
+    assert(got("ababc") === Seq("ab", "abc"))  // both (a,b) merge in ONE pass
+    assert(got("bbb") === Seq("b", "b", "b"))  // no (a,b) adjacency
+    assert(got("cab") === Seq("c", "ab"))      // rank 2 needs LEFT 'ab'
+    assert(got("") === Seq.empty)
+    // count agrees with tokens
+    val cnt = Seq("ababc cab").toDF("text")
+      .select(Bpe.count(col("text"), merges)).head().getLong(0)
+    assert(cnt === 4L) // [ab, abc] + [c, ab]
+  }
+
+  test("BPE trainer on the real corpus: merges applied by the expression shrink counts") {
+    val docs = graft.Tables.documents(spark, sf)
+    val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
+    assert(merges.size === graft.llm.TextStats.BpeTrainRounds)
+    val r = docs.select(
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("ws"),
+        sum(length(regexp_replace(col("text"), "\\s+", "")).cast("long")).as("chars"),
+        sum(graft.functions.Bpe.count(col("text"), merges)).as("bpe")).head()
+    val (ws, chars, bpe) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // learned merges must land strictly between char-level and word-level
+    assert(bpe < chars, s"bpe $bpe should compress below char count $chars")
+    assert(bpe > ws, s"bpe $bpe must exceed whitespace count $ws")
+  }
 }
