@@ -1644,6 +1644,69 @@ object TextStats {
         .select(col("doc_id"), col("n_ws"), col("n_bpe"),
           round(col("n_bpe").cast("double") / greatest(col("n_ws"), lit(1L)), 6)
             .as("bpe_ratio"))
+    },
+
+    // ---- t21's token-budget resampling metered in SUBWORD tokens ---------
+    // The budget leg of the r13 verdict's #4 (t36 covered packing, this
+    // covers budgets): identical recipe to t21 — 3×-boosted sources,
+    // half-the-corpus budget, deterministic hash60 acceptance — but the
+    // budget, thresholds, and kept-token ledger all count SUBWORD
+    // tokens. Because subword counts run ~1.3× whitespace counts, every
+    // threshold shifts: this entry is the measured difference between
+    // budgeting what you think you have and what the trainer consumes.
+    sql("t39_subword_budget", {
+      val h = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
+      s"""WITH RECURSIVE $subwordOracleCtes, docs AS (
+         |  SELECT w.doc_id AS doc_id, w.source AS source,
+         |    CAST(sum(t.n_sub) AS BIGINT) AS n_tok, $h AS hh
+         |  FROM words w JOIN wtok t USING (w)
+         |  GROUP BY w.doc_id, w.source
+         |), totals AS (
+         |  SELECT source, sum(n_tok) AS src_tok,
+         |    CAST(CASE WHEN source IN ('src0','src1','src2','src3')
+         |         THEN 3 ELSE 1 END AS BIGINT) AS w
+         |  FROM docs GROUP BY source
+         |), grand AS (
+         |  SELECT sum(src_tok) AS tot_tok, sum(w) AS sum_w FROM totals
+         |), rates AS (
+         |  SELECT t.source, t.src_tok, t.w,
+         |    least(CAST(1000000 AS BIGINT),
+         |      CAST(floor((500000.0 * g.tot_tok * t.w) / g.sum_w / t.src_tok)
+         |        AS BIGINT)) AS thr
+         |  FROM totals t CROSS JOIN grand g
+         |), kept AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+         |    CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+         |  FROM docs d JOIN rates r ON r.source = d.source
+         |  WHERE d.hh % 1000000 < r.thr GROUP BY d.source
+         |)
+         |SELECT r.source, CAST(r.src_tok AS BIGINT) AS tokens_before, r.w,
+         |  r.thr, coalesce(k.kept_docs, 0) AS kept_docs,
+         |  coalesce(k.kept_tokens, 0) AS kept_tokens
+         |FROM rates r LEFT JOIN kept k ON k.source = r.source""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          subwordCount(col("text")).as("n_tok"),
+          Dedup.hash60(col("doc_id").cast("string")).as("hh"))
+      val totals = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("w",
+          when(col("source").isin("src0", "src1", "src2", "src3"), lit(3L))
+            .otherwise(lit(1L)))
+      val grand = totals.agg(sum(col("src_tok")).as("tot_tok"),
+        sum(col("w")).as("sum_w"))
+      val rates = totals.crossJoin(broadcast(grand))
+        .withColumn("thr", least(lit(1000000L),
+          floor(lit(500000.0) * col("tot_tok") * col("w")
+            / col("sum_w") / col("src_tok")).cast("long")))
+      val kept = docs.join(rates.select(col("source"), col("thr")), Seq("source"))
+        .filter(col("hh") % 1000000L < col("thr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("src_tok").as("tokens_before"), col("w"),
+          col("thr"), coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     }
   )
 
