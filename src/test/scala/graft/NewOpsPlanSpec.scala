@@ -96,6 +96,27 @@ class NewOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("t35/t38 metering stays inside WholeStageCodegen (scan-side, no shuffle)") {
+    // the r14 subword/BPE meters are custom UnaryExpressions with
+    // doGenCode — the point of that (vs a Scala UDF) is that the whole
+    // per-doc meter fuses into the scan's codegen stage. Assert the
+    // Project carrying the metering expression sits inside a codegen'd
+    // span (the `*(n)` marker) and the plan has no exchange at all.
+    for ((name, marker) <- Seq(
+        ("t35_subword_tokens", "subword_count"),
+        ("t38_bpe_token_counts", "bpe_count"))) {
+      val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains(marker))
+      assert(line.isDefined, s"$name plan carries no $marker expression:\n${plan.take(900)}")
+      assert(line.get.contains("*("),
+        s"$name's $marker fell out of WholeStageCodegen:\n${line.get.take(300)}")
+      assert(!plan.contains("Exchange"),
+        s"$name metering must be scan-side only:\n${plan.take(900)}")
+    }
+  }
+
   test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {
     val df = SparkEntry.registry.find(_.name == "q72_rolling_dau").get.run(spark, sf)
     df.collect()
