@@ -696,11 +696,12 @@ object Dedup {
 
   /** Bloom-filter membership prefilter — the 100 TB "seen before?" front
     * of [[dedupAgainstSnapshot]]'s exact stage: ONE mergeable bloom
-    * sketch over the snapshot's content keys (a model artifact of a few
-    * MB per billion items at 1% fpp, independent of corpus size;
-    * OR-merged partial aggregates make the bits partition-order
-    * invariant), probed scan-side by every new doc — the new side never
-    * shuffles at all. `might_contain` has NO false negatives, so a miss
+    * sketch over the snapshot's content keys (~9.6 bits/item at 1% fpp
+    * — ≈1.2 GB per BILLION snapshot items, so the artifact is
+    * broadcast-tier at dedup-snapshot sizes and the fpp is the knob
+    * when it isn't; OR-merged partial aggregates make the bits
+    * partition-order invariant), probed scan-side by every new doc —
+    * the new side never shuffles at all. `might_contain` has NO false negatives, so a miss
     * is certainly-new and skips the exact join; only hits (true dups +
     * ~fpp of the rest) proceed. Registered rows-only (the sketch bits
     * are Spark-specific), with both guarantees gated IN-QUERY: any false
