@@ -4898,6 +4898,20 @@ object Similarity {
     * corpus-sized codes⋈assignments join bought nothing: a
     * deterministic function of (embedding, centroids) cannot disagree
     * with its own prior output).
+    *
+    * CONTRACT: `corpus` is the BASE-resident vector set (what lives in
+    * `assignments/`) — NOT base ∪ deltas, or the delta vectors' codes
+    * would land twice (codes base AND the retrofit twin below).
+    * RETROFIT (r14): an index that already carries committed vector
+    * delta batches gains the PQ shape consistently with the joint
+    * two-store gate — each committed `deltas/batch=<id>` is encoded
+    * through the NEW codebook into its `codes_deltas/batch=<id>` twin.
+    * Without this, the moment `pqcodebook/` appears the joint gate
+    * would hide every pre-augment batch (vectors-without-codes is
+    * exactly the state the gate exists to make invisible). In the
+    * window between the codebook write and a batch's twin landing,
+    * readers conservatively serve without that batch — same contract
+    * as a torn append.
     */
   def pqAugmentIndex(spark: SparkSession, indexRoot: String,
       corpus: DataFrame, mSub: Int = PqRegistryM,
@@ -4913,6 +4927,19 @@ object Similarity {
     pqEncodeRouted(corpus, pqCents, centers)
       .repartition(col("cell")) // one file set per cell (the build rule)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexRoot/codes")
+    // retrofit committed vector delta batches with their code twins
+    val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
+    val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())
+    committedDeltaDirs(fs, dPath).foreach { d =>
+      val batchId = new org.apache.hadoop.fs.Path(d).getName
+        .stripPrefix("batch=").toLong
+      val vecs = spark.read.parquet(d)
+        .select(col("vid").as("vec_id"), col("ve").as("embedding"))
+      pqEncodeRouted(vecs, pqCents, centers)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexRoot/codes_deltas/batch=$batchId")
+    }
   }
 
   /** True iff `indexRoot` carries the PQ serving shape (a pre-r12

@@ -1044,6 +1044,37 @@ class SimilaritySpec extends SparkSpec {
       "replay must land codes for every vector exactly once")
   }
 
+  test("PQ retrofit: augmenting an index with existing delta batches keeps them servable") {
+    // r14: gaining pqcodebook/ activates the joint two-store gate, so
+    // pqAugmentIndex must encode every committed vector batch into its
+    // codes_deltas twin — otherwise the pre-augment appends silently
+    // vanish from serving the moment the codebook lands.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("pqretrofit").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    // batch append BEFORE the index has a PQ shape (vectors only)
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 5L)
+    assert(Similarity.ivfIndexAssignments(spark, root).count() === e.count())
+    // the retrofit: codebook trained on the BASE-resident corpus
+    Similarity.pqAugmentIndex(spark, root, base)
+    // the joint gate must still see the pre-augment batch in BOTH stores
+    val assigned = Similarity.ivfIndexAssignments(spark, root)
+    assert(assigned.count() === e.count(),
+      "retrofit must not hide pre-augment vector batches")
+    val codes = Similarity.ivfPqCodes(spark, root)
+    assert(codes.count() === e.count(), "every vector gets exactly one code")
+    assert(codes.select("vid").distinct().count() === e.count())
+    // an appended vector is ADC-servable through the retrofit codes
+    val probe = delta.orderBy(col("vec_id")).limit(1)
+    assert(Similarity.ivfPqGenQuery(spark, root, probe, 3, nprobe = Some(2)).count() > 0)
+    // and the batch's replay remains a row-level no-op on both stores
+    Similarity.ivfIndexAppend(spark, root, delta, batchId = 5L)
+    assert(Similarity.ivfIndexAssignments(spark, root).count() === e.count())
+    assert(Similarity.ivfPqCodes(spark, root).count() === e.count())
+  }
+
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
     import graft.streaming.IndexLifecycle
     // an st12-shaped generation: init (base codes) + one delta tick
