@@ -89,6 +89,29 @@ class SubwordSpec extends SparkSpec {
     assert(cnt === 4L) // [ab, abc] + [c, ab]
   }
 
+  test("property: both tokenizers preserve content — concat(tokens) == stripped text") {
+    // neither greedy longest-match nor BPE merging may drop, invent, or
+    // reorder a character: joining the tokens must reproduce the text
+    // with whitespace removed. Seeded generator, no scalatestplus.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ Seq('ü', '0', '|'))).map(_.mkString))
+    val text = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = (0 until 40).map(i => text.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    val merges = Seq(("a", "b"), ("ab", "c"), ("b", "b"))
+    val rows = texts.toDF("text")
+      .select(col("text"),
+        concat_ws("", Subword.tokens(col("text"), vocab)).as("sw"),
+        concat_ws("", Bpe.tokens(col("text"), merges)).as("bp"))
+      .collect()
+    rows.foreach { r =>
+      val stripped = r.getString(0).replaceAll("\\s+", "")
+      assert(r.getString(1) === stripped, s"subword dropped content on '${r.getString(0)}'")
+      assert(r.getString(2) === stripped, s"bpe dropped content on '${r.getString(0)}'")
+    }
+  }
+
   test("BPE trainer on the real corpus: merges applied by the expression shrink counts") {
     val docs = graft.Tables.documents(spark, sf)
     val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
