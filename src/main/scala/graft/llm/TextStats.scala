@@ -130,6 +130,12 @@ object TextStats {
     * hashes). Every CTE is MATERIALIZED: the chain is
     * sequential-dependent and inlining would re-expand the whole prefix
     * per consumer (observed as an exponential blowup in the prototype).
+    * ORACLE-side caveat (not a Spark-side one — the expression handles
+    * any text, property-tested): the list_reduce accumulator packs
+    * symbols with '|' and probes the tail with LIKE, so the replay
+    * assumes corpus symbols contain no '|' and no LIKE wildcards
+    * ('%'/'_') — true of the word-salad corpus; a corpus where it
+    * isn't would need a different packing delimiter in the SQL only.
     */
   private def bpeTrainCtes(topV: Int, rounds: Int): String = {
     val seed =
