@@ -51,4 +51,21 @@ object GraftConfig {
   def closureUnionFindMax(spark: SparkSession): Option[Int] =
     spark.conf.getOption(ClosureUnionFindMaxKey)
       .map(_.trim.toInt).filter(_ >= 0)
+
+  val BpeTrainTopVKey = "spark.graft.bpe.trainTopV"
+  val BpeTrainRoundsKey = "spark.graft.bpe.trainRounds"
+
+  /** BPE trainer sample size / merge rounds for
+    * [[graft.llm.TextStats.bpeLearnMergesConf]] (r15). None = the
+    * [[graft.llm.TextStats.BpeTrainTopV]]/[[graft.llm.TextStats.BpeTrainRounds]]
+    * defaults. The sample is DRIVER-collected (the codebook-training
+    * posture), so topV is clamped by
+    * [[graft.llm.TextStats.BpeTrainMaxTopV]] at the call site — a
+    * mis-set knob fails loudly there, never silently OOMs the driver.
+    */
+  def bpeTrainTopV(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BpeTrainTopVKey).map(_.trim.toInt).filter(_ >= 1)
+
+  def bpeTrainRounds(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BpeTrainRoundsKey).map(_.trim.toInt).filter(_ >= 1)
 }

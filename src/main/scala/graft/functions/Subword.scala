@@ -28,23 +28,53 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocab ships with the plan via `ctx.addReferenceObj` (NOT a
   * static registry keyed at driver time — generated code is compiled
   * per executor, so instance state must ride the serialized plan; the
-  * [[VectorExpressions]] PQ table precedent). Matching cost per word is
-  * O(len · |bucket|) with entries bucketed by first char and tried
-  * longest-first.
+  * [[VectorExpressions]] PQ table precedent). Matching rides a TRIE
+  * (r15 — replaced the first-char bucket scan, whose per-position cost
+  * was O(len·|bucket|) and degraded linearly with vocab size on any
+  * shared first char): one walk from each position, bounded by
+  * min(word end, longest vocab entry) — production-vocab-sized tables
+  * (~50k entries) pay the same per-position cost as the 41-entry
+  * fixture. SubwordScaleSpec measures a 4096-entry vocab incl. a
+  * no-whitespace (CJK-shaped) fixture.
+  *
+  * Positions advance by CODEPOINT (r14 ADVICE): a non-BMP character
+  * (emoji, astral CJK) falls back as ONE token, never a lone-surrogate
+  * pair — matching DuckDB, whose substr/length/str_split count
+  * codepoints, so the t35/t37/t38 oracles agree beyond the BMP too.
+  * Vocab entries must be well-formed Unicode strings (no lone
+  * surrogates) so every match ends on a codepoint boundary.
   */
 class SubwordTable(val vocab: Array[String]) extends Serializable {
 
   require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab entries must be non-empty")
 
-  /** Entries bucketed by first char, longest first — rebuilt lazily on
-    * each executor after deserialization.
+  /** Trie node over UTF-16 code units (a match is whole codepoints
+    * because entries are well-formed; walking chars just avoids
+    * surrogate re-assembly on the hot path).
     */
-  @transient private lazy val byFirst: java.util.HashMap[Character, Array[String]] = {
-    val m = new java.util.HashMap[Character, Array[String]]()
-    vocab.distinct.groupBy(_.charAt(0)).foreach { case (c, vs) =>
-      m.put(c, vs.sortBy(v => (-v.length, v)))
+  private final class Node {
+    var term = false
+    var kids: java.util.HashMap[Character, Node] = _
+  }
+
+  /** Prefix trie over the vocab — rebuilt lazily on each executor after
+    * deserialization.
+    */
+  @transient private lazy val root: Node = {
+    val r = new Node
+    vocab.foreach { v =>
+      var n = r
+      var i = 0
+      while (i < v.length) {
+        if (n.kids == null) n.kids = new java.util.HashMap[Character, Node]()
+        var c = n.kids.get(v.charAt(i))
+        if (c == null) { c = new Node; n.kids.put(v.charAt(i), c) }
+        n = c
+        i += 1
+      }
+      n.term = true
     }
-    m
+    r
   }
 
   /** Greedy longest-match token count of one whitespace-split text. */
@@ -64,31 +94,43 @@ class SubwordTable(val vocab: Array[String]) extends Serializable {
     var i = 0
     val len = str.length
     while (i < len) {
-      if (Character.isWhitespace(str.charAt(i))) { i += 1 }
+      val cp = str.codePointAt(i)
+      if (Character.isWhitespace(cp)) { i += Character.charCount(cp) }
       else {
-        // word extent [i, we)
+        // word extent [i, we), scanned by codepoint
         var we = i
-        while (we < len && !Character.isWhitespace(str.charAt(we))) we += 1
+        var scanning = true
+        while (scanning && we < len) {
+          val c = str.codePointAt(we)
+          if (Character.isWhitespace(c)) scanning = false
+          else we += Character.charCount(c)
+        }
         var p = i
         while (p < we) {
-          var tokLen = 1
-          val cands = byFirst.get(str.charAt(p))
-          if (cands != null) {
-            var k = 0
-            var found = false
-            while (!found && k < cands.length) {
-              val v = cands(k)
-              // candidates are longest-first: first prefix hit IS the
-              // greedy longest match (and must not cross the word end)
-              if (v.length <= we - p && str.startsWith(v, p)) {
-                tokLen = v.length; found = true
+          // one trie descent from p: the deepest terminal hit before the
+          // word end IS the greedy longest match
+          var best = -1
+          var node = root
+          var q = p
+          var live = true
+          while (live && q < we) {
+            if (node.kids == null) live = false
+            else {
+              val nx = node.kids.get(str.charAt(q))
+              if (nx == null) live = false
+              else {
+                node = nx
+                q += 1
+                if (node.term) best = q
               }
-              k += 1
             }
           }
-          if (out != null) out.add(UTF8String.fromString(str.substring(p, p + tokLen)))
+          // fallback: one CODEPOINT (never a lone surrogate half)
+          val tokEnd =
+            if (best > p) best else p + Character.charCount(str.codePointAt(p))
+          if (out != null) out.add(UTF8String.fromString(str.substring(p, tokEnd)))
           n += 1L
-          p += tokLen
+          p = tokEnd
         }
         i = we
       }
@@ -167,6 +209,22 @@ object Subword {
   * oracle). Cost is O(K · len) per word; the merge table is a
   * parameter-bounded model artifact (K merges), shipped with the plan
   * via addReferenceObj like the fixture vocab.
+  *
+  * Words seed by CODEPOINT (r14 ADVICE): a non-BMP character is one
+  * base symbol, never two surrogate halves — matching DuckDB's
+  * codepoint-based str_split, so the t37/t38 oracles agree beyond the
+  * BMP and emitted tokens are always valid Unicode.
+  *
+  * MERGE-TABLE ORDER CONTRACT (r14 ADVICE): merges must be in LEARNED
+  * CREATION order — rank k's pair may only reference symbols that exist
+  * after ranks 0..k−1 applied, which is exactly what
+  * [[graft.llm.TextStats.bpeLearnMerges]] produces. A table violating
+  * that (e.g. rank("ab","c") listed BEFORE rank("a","b")) silently
+  * under-merges here ("abc" → [ab, c], not [abc]), where a
+  * re-scan-to-fixpoint BPE apply would still reach [abc]; the
+  * rank-ordered single pass is the form the SQL oracle replays, so the
+  * order contract is a precondition of the public Bpe.count/tokens API,
+  * not a defect of the learned chain.
   */
 class BpeTable(val merges: Array[(String, String)]) extends Serializable {
 
@@ -183,10 +241,16 @@ class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     var i = 0
     val len = str.length
     while (i < len) {
-      if (Character.isWhitespace(str.charAt(i))) { i += 1 }
+      val cp = str.codePointAt(i)
+      if (Character.isWhitespace(cp)) { i += Character.charCount(cp) }
       else {
         var we = i
-        while (we < len && !Character.isWhitespace(str.charAt(we))) we += 1
+        var scanning = true
+        while (scanning && we < len) {
+          val c = str.codePointAt(we)
+          if (Character.isWhitespace(c)) scanning = false
+          else we += Character.charCount(c)
+        }
         n += word(str.substring(i, we), out)
         i = we
       }
@@ -200,7 +264,11 @@ class BpeTable(val merges: Array[(String, String)]) extends Serializable {
   def word(w: String, out: java.util.ArrayList[UTF8String]): Long = {
     var syms = new java.util.ArrayList[String](w.length)
     var c = 0
-    while (c < w.length) { syms.add(String.valueOf(w.charAt(c))); c += 1 }
+    while (c < w.length) {
+      val n = Character.charCount(w.codePointAt(c))
+      syms.add(w.substring(c, c + n))
+      c += n
+    }
     var k = 0
     while (k < merges.length) {
       val (a, b) = merges(k)

@@ -69,54 +69,121 @@ object TextStats {
   val BpeTrainTopV = 64
   val BpeTrainRounds = 32
 
+  /** Driver-cost ceiling for the train sample — the 8192-row codebook
+    * precedent made a knob: the sample is topV short strings collected
+    * to the driver, and the per-round work is bounded by the sample's
+    * total symbol count, so 65536 words caps the driver's memory and
+    * the merge loop's cost at the same parameter-bounded class the
+    * k-means codebooks already occupy. A corpus needing a bigger vocab
+    * raises the ceiling consciously, not by accident.
+    */
+  val BpeTrainMaxTopV = 65536
+
+  /** [[bpeLearnMerges]] under the `spark.graft.bpe.*` session knobs
+    * (r15 — the production-facing API; registry entries pass the
+    * pinned [[BpeTrainTopV]]/[[BpeTrainRounds]] constants explicitly so
+    * a deployment knob can never silently drift the oracles).
+    */
+  def bpeLearnMergesConf(docs: DataFrame): Seq[(Int, String, String, String, Long)] = {
+    val s = docs.sparkSession
+    bpeLearnMerges(docs,
+      graft.GraftConfig.bpeTrainTopV(s).getOrElse(BpeTrainTopV),
+      graft.GraftConfig.bpeTrainRounds(s).getOrElse(BpeTrainRounds))
+  }
+
   /** Deterministic BPE merge LEARNING (t37) — the real-tokenizer answer
     * to "whitespace metering mispriced the budget": seed every sampled
-    * word as its character sequence, then `rounds` times (1) count
-    * adjacent symbol pairs weighted by word frequency, (2) merge the
-    * most frequent pair everywhere (tie-break: count DESC, then (a, b)
-    * lexicographic — total, so the learned table is a pure function of
-    * the corpus), exactly the textbook BPE trainer. Distributed part:
-    * ONE word-count aggregation + a bounded TakeOrdered for the top-V
-    * sample; the merge loop itself runs driver-side over ≤ V short
-    * strings (the sanctioned codebook-training class — at 100 TB the
-    * word-frequency agg is the only corpus-sized work). Returns
-    * (rank, left, right, merged, weighted count).
+    * word as its CODEPOINT sequence (r15 — aligned with the oracle's
+    * codepoint-based str_split beyond the BMP), then `rounds` times
+    * (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) merge the most frequent pair everywhere (tie-break: count
+    * DESC, then (a, b) lexicographic — total, so the learned table is a
+    * pure function of the corpus), exactly the textbook BPE trainer.
+    * Distributed part: ONE word-count aggregation + a bounded
+    * TakeOrdered for the top-V sample; the merge loop itself runs
+    * driver-side over ≤ V short strings (the sanctioned
+    * codebook-training class — at 100 TB the word-frequency agg is the
+    * only corpus-sized work). Returns (rank, left, right, merged,
+    * weighted count).
+    *
+    * The merge loop maintains pair counts INCREMENTALLY (r15 — the r14
+    * verdict's #2): each round rewrites only the words that contain the
+    * chosen pair (tracked by an occurrence index) and diff-updates the
+    * count table from those words' before/after adjacency multisets, so
+    * the per-round cost is O(affected words · word length + |pairs|)
+    * instead of a full re-scan of every sampled word — at V = 4096
+    * that's the difference between touching ~1% and 100% of the sample
+    * per round (SubwordScaleSpec measures it and pins equality with the
+    * full-re-scan reference on random corpora).
     */
   def bpeLearnMerges(docs: DataFrame, topV: Int = BpeTrainTopV,
       rounds: Int = BpeTrainRounds): Seq[(Int, String, String, String, Long)] = {
+    require(topV >= 1 && topV <= BpeTrainMaxTopV,
+      s"topV=$topV outside [1, $BpeTrainMaxTopV] — the train sample is " +
+        "driver-collected; raise BpeTrainMaxTopV consciously for a bigger vocab")
     val wf: Seq[(String, Long)] = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    var state: Vector[(Vector[String], Long)] = wf.iterator
-      .filter(_._1.nonEmpty)
-      .map { case (w, c) => (w.iterator.map(String.valueOf(_)).toVector, c) }
-      .toVector
+    def codepointSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        buf += w.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
+    val words: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
+      wf.iterator.filter(_._1.nonEmpty)
+        .map { case (w, c) => (codepointSyms(w), c) }.toArray
+    // exact pair counts + an occurrence index (pair → word ids). The
+    // index is a SUPERSET invariant: every word currently containing a
+    // pair is indexed under it; stale entries (the pair merged away) are
+    // harmless — their rewrite pass is a no-op diff.
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPairs(wi: Int, syms: scala.collection.mutable.ArrayBuffer[String],
+        c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        cnt.update(key, cnt.getOrElse(key, 0L) + c)
+        occ.getOrElseUpdate(key, scala.collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    def dropPairs(syms: scala.collection.mutable.ArrayBuffer[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val key = (syms(i), syms(i + 1))
+        val left = cnt(key) - c
+        if (left == 0L) cnt.remove(key) else cnt.update(key, left)
+        i += 1
+      }
+    }
+    words.iterator.zipWithIndex.foreach { case ((syms, c), wi) => addPairs(wi, syms, c) }
     val out = Vector.newBuilder[(Int, String, String, String, Long)]
     var k = 0
     while (k < rounds) {
-      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      state.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val key = (syms(i), syms(i + 1))
-          cnt.update(key, cnt.getOrElse(key, 0L) + c)
-          i += 1
-        }
-      }
       require(cnt.nonEmpty,
         s"BPE pair space exhausted at rank $k — lower BpeTrainRounds for this corpus")
       val ((a, b), n) = cnt.minBy { case ((x, y), m) => (-m, x, y) }
       out += ((k, a, b, a + b, n))
-      state = state.map { case (syms, c) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      occ.remove((a, b)).foreach(_.foreach { wi =>
+        val (syms, c) = words(wi)
+        dropPairs(syms, c)
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
         syms.foreach { x =>
-          if (buf.nonEmpty && buf.last == a && x == b) buf(buf.length - 1) = a + b
-          else buf += x
+          if (next.nonEmpty && next.last == a && x == b) next(next.length - 1) = a + b
+          else next += x
         }
-        (buf.toVector, c)
-      }
+        words(wi) = (next, c)
+        addPairs(wi, next, c)
+      })
       k += 1
     }
     out.result()
