@@ -751,6 +751,18 @@ object Dedup {
     */
   val BloomReplayK = 7
 
+  /** Ceiling on the replayable bloom's bit array (r15 — the r14
+    * verdict's #5): 2^31 bits = 256 MiB of words, ~223M snapshot items
+    * at the 9.6-bits/item sizing — the upper edge of what a torrent
+    * broadcast ships comfortably. A bigger snapshot fails LOUDLY here
+    * (the t37 exhaustion precedent) instead of stalling executors on a
+    * multi-GB broadcast; the escape hatches at the failure site: the
+    * production [[bloomPrefilter]] (Spark's native sketch aggregate,
+    * executor-side state, no driver bitmap), or sharding the snapshot
+    * into ≤ ceiling prefilters.
+    */
+  val BloomReplayMaxBits: Long = 1L << 31
+
   /** Replayable variant of [[bloomPrefilter]] (the d13 registry entry —
     * FULL oracle since r14): same bloom semantics and output shape, but
     * the bit math is sha256-chunk-derived so DuckDB replays the exact
@@ -770,9 +782,13 @@ object Dedup {
     * positions fold MAP-SIDE into ≤ m/64 bit-or'd words (bit_or is
     * duplicate-insensitive, so no distinct shuffle — one keyed
     * aggregation whose state is the bitmap itself), the words collect
-    * to a driver literal of the same sketch-bytes class the native
-    * path's `BloomFilterAggregate` ships, and the new side probes
-    * SCAN-SIDE against that literal — it never shuffles. The in-query
+    * to the driver and ship back as a TORRENT BROADCAST (r15 — r14
+    * shipped them as a typedLit plan literal, which serializes PER TASK;
+    * the [[graft.functions.BloomProbe]] expression carries only the
+    * broadcast handle), and the new side probes SCAN-SIDE inside
+    * whole-stage codegen — it never shuffles. `maxBits` guards the
+    * driver/broadcast footprint ([[BloomReplayMaxBits]]); a too-big
+    * snapshot fails loudly with the escape hatches named. The in-query
     * raise_error gates (no false negatives; FPR ≤ 5×fpp) stay: the
     * oracle proves bit equality, the gates document the bloom contract
     * at the query site. [[bloomPrefilter]] (Spark's native codegen'd
@@ -781,9 +797,13 @@ object Dedup {
     * xxhash64).
     */
   def bloomPrefilterReplayable(newDocs: DataFrame, snapshot: DataFrame,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, maxBits: Long = BloomReplayMaxBits): DataFrame = {
     val n = snapshot.count()
     val m = math.max((48L * n + 4L) / 5L, 64L)
+    require(m <= maxBits,
+      s"replayable bloom bitmap would be $m bits for $n snapshot rows " +
+        s"(ceiling $maxBits): use bloomPrefilter (the native sketch — no " +
+        "driver bitmap) or shard the snapshot into bounded prefilters")
     val nWords = ((m + 63L) / 64L).toInt
     val ch = graft.functions.Sha256Chunks.sha256Chunks(col("text"), 2)
     val posSql = s"transform(sequence(0, ${BloomReplayK - 1}), " +
@@ -795,14 +815,13 @@ object Dedup {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS msk"))
       .groupBy(col("w")).agg(expr("bit_or(msk) AS bits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val wordsArr: Seq[Long] = (0 until nWords).map(i => words.getOrElse(i, 0L))
+    val wordsArr = Array.tabulate(nWords)(i => words.getOrElse(i, 0L))
+    val bcWords = newDocs.sparkSession.sparkContext.broadcast(wordsArr)
     val scored = newDocs
       .select(col("doc_id"), contentHash(col("text")).as("__h"),
         get(ch, lit(0)).as("__h1"), get(ch, lit(1)).as("__h2"))
-      .withColumn("__ws", typedLit(wordsArr))
-      .withColumn("bloom_hit", expr(
-        s"forall($posSql, p -> (element_at(__ws, CAST(p DIV 64 AS INT) + 1) " +
-          "& shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)"))
+      .withColumn("bloom_hit", graft.functions.BloomProbe.probe(
+        col("__h1"), col("__h2"), bcWords, BloomReplayK, m))
       .select(col("doc_id"), col("__h"), col("bloom_hit"))
     val snapH = snapshot.select(contentHash(col("text")).as("__h")).distinct()
     val exact = scored
@@ -1590,16 +1609,20 @@ object Dedup {
     * oracle hash cannot drift on division rounding), then t32's
     * √-tempered mixture math on the corrected counts. The Σ√n
     * denominator folds driver-side in lexicographic source order over
-    * the |sources|-row frame (the t21/t32 bounded-fold rule).
+    * the |sources|-row frame (the t21/t32 bounded-fold rule). `meter`
+    * is the per-doc token meter (default: whitespace; t43 passes the
+    * LEARNED BpeCount so the dedup-corrected mixture prices what a
+    * trainer consumes).
     */
-  def dedupCorrectedMixture(docs: DataFrame): DataFrame = {
+  def dedupCorrectedMixture(docs: DataFrame,
+      meter: Column = size(graft.llm.TextStats.tokens(col("text"))).cast("long"))
+      : DataFrame = {
     val keep = dedupClusters(minhashPairs(docs))
       .select(col("doc_id"), col("is_keeper").as("__k"))
     val spark = docs.sparkSession
     import spark.implicits._
     val s = docs
-      .select(col("doc_id"), col("source"),
-        size(graft.llm.TextStats.tokens(col("text"))).cast("long").as("nt"))
+      .select(col("doc_id"), col("source"), meter.as("nt"))
       .join(keep, Seq("doc_id"), "left")
       .select(col("source"), col("nt"), coalesce(col("__k"), lit(true)).as("k"))
       .groupBy(col("source"))
@@ -2535,6 +2558,58 @@ object Dedup {
          |    ELSE 0 END, 6) AS epochs
          |FROM s, t""".stripMargin) { (s, d) =>
       dedupCorrectedMixture(Tables.documents(s, d))
+    },
+
+    // ---- t34 re-metered in LEARNED-BPE tokens (r15 — closes the r14
+    // verdict's #1 for the dedup-corrected recipe): the d8 keeper logic
+    // is unchanged; every token mass — raw, deduped, the Σ√n
+    // denominator, and through them weight/epochs — is re-priced by the
+    // t37-trained table. The oracle replays LSH → closure AND
+    // train → apply in one chain, so a drift in EITHER pipeline
+    // mismatches the hash.
+    sql("t43_dedup_mixture_bpe",
+      s"""WITH RECURSIVE $minhashOracleCtes,
+         |edges AS (
+         |  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+         |  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS node, r.r FROM edges e JOIN reach r ON r.node = e.b
+         |), comp AS (
+         |  SELECT node AS doc_id, min(r) AS comp_id FROM reach GROUP BY node
+         |),
+         |${graft.llm.TextStats.bpeTrainCtes(
+            graft.llm.TextStats.BpeTrainTopV, graft.llm.TextStats.BpeTrainRounds)},
+         |${graft.llm.TextStats.bpeApplyCtes(graft.llm.TextStats.BpeTrainRounds)},
+         |${graft.llm.TextStats.bpeDocTokCte},
+         |keep AS (
+         |  SELECT b.source, b.n_tok AS nt,
+         |    (c.doc_id IS NULL OR c.comp_id = b.doc_id) AS kept
+         |  FROM bdoc b LEFT JOIN comp c ON c.doc_id = b.doc_id
+         |), s AS (
+         |  SELECT source, CAST(sum(nt) AS BIGINT) AS n_tok_raw,
+         |    CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS n_tok_dedup
+         |  FROM keep GROUP BY source
+         |), t AS (
+         |  SELECT CAST(sum(n_tok_dedup) AS BIGINT) AS tot,
+         |    list_sum(list(sqrt(CAST(n_tok_dedup AS DOUBLE)) ORDER BY source))
+         |      AS wsum
+         |  FROM s
+         |)
+         |SELECT source, n_tok_raw, n_tok_dedup,
+         |  round(CAST(n_tok_dedup AS DOUBLE) / n_tok_raw, 6) AS dedup_frac,
+         |  round(CAST(n_tok_dedup AS DOUBLE) / t.tot, 6) AS nat_frac,
+         |  round(CASE WHEN n_tok_dedup > 0
+         |    THEN sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum ELSE 0 END, 6)
+         |    AS weight,
+         |  round(CASE WHEN n_tok_dedup > 0
+         |    THEN sqrt(CAST(n_tok_dedup AS DOUBLE)) / t.wsum * t.tot / n_tok_dedup
+         |    ELSE 0 END, 6) AS epochs
+         |FROM s, t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
+      dedupCorrectedMixture(docs, graft.functions.Bpe.count(col("text"), merges))
     },
 
     sql("d26_lsh_diagnostics", {

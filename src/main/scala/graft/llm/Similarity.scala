@@ -930,16 +930,23 @@ object Similarity {
   }
 
   /** Append new vectors to a [[ivfIndexBuildReplayable]] root: route
-    * through the READ-BACK centroids (rounded routing) into the
-    * existing cell dirs as new files — the FAISS `add` posture on the
-    * replayable chain (s18's full-oracle leg). NOT crash-replayable
-    * (append-mode write, no per-batch identity): one-shot bulk loads
-    * only — the oracle-replay chain is single-run by construction. The
-    * production batch API ([[ivfIndexAppend]]) carries the idempotent
-    * per-batch overwrite discipline instead (r14).
+    * through the READ-BACK centroids (rounded routing) — the FAISS
+    * `add` posture on the replayable chain (s18's full-oracle leg).
+    * CRASH-REPLAYABLE (r15 — closes the r14 verdict's #4: the one-shot
+    * append-mode caveat this scaladoc used to carry): the batch rides
+    * the SAME idempotent per-batch overwrite discipline as the
+    * production [[ivfIndexAppend]] — it lands whole in
+    * `deltas/batch=<id>` and re-running under the same `batchId`
+    * overwrites identical content, a row-level no-op
+    * (SimilaritySpec's replay test covers this leg too). Readers
+    * ([[ivfIndexQueryReplayable]], the s18 audit) go through
+    * [[ivfIndexAssignments]]' base ∪ committed-deltas listing, so a
+    * torn batch is invisible until its replay commits it. Replayable
+    * indexes are never PQ-shaped, so the own-store `_SUCCESS` is the
+    * whole commit.
     */
   def ivfIndexAppendReplayable(spark: SparkSession, indexRoot: String,
-      newVecs: DataFrame): Unit = {
+      newVecs: DataFrame, batchId: Long = 0L): Unit = {
     val cents: Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$indexRoot/centroids")
         .orderBy(col("cell")).collect()
@@ -948,7 +955,8 @@ object Similarity {
       .select(col("vec_id").as("vid"), col("embedding").as("ve"),
         col("cid").as("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexRoot/assignments")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexRoot/deltas/batch=$batchId")
     ()
   }
 
@@ -967,7 +975,10 @@ object Similarity {
     val probes = cellAssignRounded(queries, cents, np)
     val probedCells = probes.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
-    val assigned = spark.read.parquet(s"$indexRoot/assignments")
+    // base ∪ committed delta batches (r15 — the replayable append now
+    // lands in the delta tree); the cell filter still prunes at the
+    // directory level on both sides, since cell partitions every store
+    val assigned = ivfIndexAssignments(spark, indexRoot)
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vid"), col("ve"), col("cell"))
     ivfServeReplayable(queries, assigned, cents, k, np)
@@ -2776,7 +2787,10 @@ object Similarity {
       val served = ivfIndexQueryReplayable(s, idx, q, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
       val nCorpus = e.count()
-      val perVid = s.read.parquet(s"$idx/assignments").groupBy(col("vid"))
+      // base ∪ committed deltas (r15): the replayable append lands in
+      // the delta tree, so the completeness audit reads the same joint
+      // listing serving does
+      val perVid = ivfIndexAssignments(s, idx).groupBy(col("vid"))
         .agg(count(lit(1)).as("c"))
       val audit = perVid.agg(
         sum(when(col("c") =!= 1, 1L).otherwise(0L)).as("n_dup"),
@@ -3950,9 +3964,49 @@ object Similarity {
     * not shift the routing geometry (drift, if the corpus shrinks
     * unevenly, is [[embeddingDrift]]'s job to flag).
     */
+  /** Committed-but-UNSERVABLE delta batches of a PQ-shaped index: one
+    * store's writer finished but the twin's never did — the torn window
+    * a crash between [[ivfIndexAppendDelta]] and [[ivfPqEncodeDelta]]
+    * leaves. Serving and the purge both (correctly) skip them — the
+    * batch belongs to its replay — but their rows, including any
+    * tombstoned vectors, PERSIST ON DISK until that replay or a manual
+    * cleanup happens. Returns the batch dir names so the purge can warn
+    * (r14 ADVICE: an RTBF campaign must not silently leave forgotten
+    * data pending) and operators/specs can probe. Empty on a non-PQ
+    * index (the own-store `_SUCCESS` is the whole commit there).
+    */
+  private[llm] def tornDeltaBatches(spark: SparkSession,
+      indexRoot: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexRoot/pqcodebook"))) Seq.empty
+    else {
+      def names(store: String): Set[String] = committedDeltaDirs(fs,
+          new org.apache.hadoop.fs.Path(s"$indexRoot/$store"))
+        .map(d => new org.apache.hadoop.fs.Path(d).getName).toSet
+      val v = names("deltas")
+      val c = names("codes_deltas")
+      ((v diff c) ++ (c diff v)).toSeq.sorted
+    }
+  }
+
+  private lazy val opsLog = org.slf4j.LoggerFactory.getLogger("graft.llm.Similarity")
+
   def ivfIndexPurge(spark: SparkSession, indexRoot: String,
       tombVecIds: DataFrame): Unit = {
     val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()
+    // RTBF honesty (r14 ADVICE): a half-committed batch is skipped BY
+    // DESIGN (reading it would fail on torn files, and purging one
+    // store of a batch whose replay rewrites both would resurrect the
+    // tombstones) — but its rows remain on disk pending that replay, so
+    // say so out loud instead of finishing silently "complete".
+    val torn = tornDeltaBatches(spark, indexRoot)
+    if (torn.nonEmpty) opsLog.warn(
+      s"ivfIndexPurge($indexRoot): ${torn.size} half-committed delta " +
+        s"batch(es) [${torn.mkString(", ")}] are pending replay and were " +
+        "NOT purged — tombstoned vectors may persist there until the " +
+        "batch replays (which purges nothing by itself: re-run the purge " +
+        "after the replay commits) or the torn dirs are removed")
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // a stale marker means the PRIOR purge crashed mid-tick; this purge

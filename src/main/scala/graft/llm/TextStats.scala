@@ -204,7 +204,7 @@ object TextStats {
     * ('%'/'_') — true of the word-salad corpus; a corpus where it
     * isn't would need a different packing delimiter in the SQL only.
     */
-  private def bpeTrainCtes(topV: Int, rounds: Int): String = {
+  private[graft] def bpeTrainCtes(topV: Int, rounds: Int): String = {
     val seed =
       s"""wf AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -234,14 +234,15 @@ object TextStats {
     (seed +: steps).mkString(",\n")
   }
 
-  /** The apply half of the t38 oracle: the learned `best_k` merges
-    * replayed over EVERY distinct corpus word (`aw_k` chain), ending in
-    * `wn(w, n_sub)` + `words(doc_id, w)` rows.
+  /** The apply half of the t38/t40–t43 oracles: the learned `best_k`
+    * merges replayed over EVERY distinct corpus word (`aw_k` chain),
+    * ending in `wn(w, n_sub)` + `words(doc_id, source, w)` rows.
     */
-  private def bpeApplyCtes(rounds: Int): String = {
+  private[graft] def bpeApplyCtes(rounds: Int): String = {
     val seed =
       s"""words AS MATERIALIZED (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  SELECT doc_id, source,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
          |  FROM documents
          |), aw_0 AS MATERIALIZED (
          |  SELECT w, str_split(w, '') AS syms
@@ -259,6 +260,21 @@ object TextStats {
     val fin = s"wn AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM aw_$rounds)"
     (seed +: steps :+ fin).mkString(",\n")
   }
+
+  /** Per-doc learned-BPE token totals off the apply chain — the shared
+    * tail of every re-metered oracle (t40–t43, st13): one row per doc
+    * with its whitespace count and its trained-table token count. A doc
+    * of only whitespace still appears (regexp_split_to_array yields
+    * [''], which the apply chain prices at 0), mirroring the Spark
+    * expression's walk over the raw text.
+    */
+  private[graft] def bpeDocTokCte: String =
+    """bdoc AS MATERIALIZED (
+      |  SELECT w.doc_id, w.source, CAST(count(*) AS BIGINT) AS n_ws,
+      |    CAST(sum(coalesce(t.n_sub, 0)) AS BIGINT) AS n_tok
+      |  FROM words w LEFT JOIN wn t USING (w)
+      |  GROUP BY w.doc_id, w.source
+      |)""".stripMargin
 
   /** DuckDB CTE prefix replaying the greedy tokenizer: `vocab` as a
     * VALUES literal, the per-DISTINCT-word greedy walk as a recursive
@@ -1780,6 +1796,107 @@ object TextStats {
         .select(col("source"), col("src_tok").as("tokens_before"), col("w"),
           col("thr"), coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+    },
+
+    // ---- t31's truncation-loss re-metered in LEARNED-BPE tokens (r15 —
+    // the r14 verdict's #1): same 64-token context, same per-source
+    // report, but n counts what the trainer consumes. Because learned
+    // counts run ~1.3× whitespace counts, MORE docs cross the context
+    // bound and the lost fraction rises — this entry is that measured
+    // correction. Oracle replays train → apply → truncate end to end.
+    sql("t40_truncation_loss_bpe",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_truncated,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+         |  CAST(sum(greatest(n_tok - 64, 0)) AS BIGINT) AS n_tok_lost,
+         |  CASE WHEN sum(n_tok) = 0 THEN 0.0
+         |       ELSE round(sum(greatest(n_tok - 64, 0)) * 1.0 / sum(n_tok), 6)
+         |  END AS lost_frac
+         |FROM bdoc GROUP BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      docs
+        .select(col("source"), graft.functions.Bpe.count(col("text"), merges).as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n") > 64, 1).otherwise(0)).as("n_truncated"),
+          sum(col("n")).as("n_tok_total"),
+          sum(greatest(col("n") - 64, lit(0L))).as("n_tok_lost"),
+          when(sum(col("n")) === 0, lit(0.0))
+            .otherwise(round(sum(greatest(col("n") - 64, lit(0L))) * lit(1.0) /
+              sum(col("n")), 6)).as("lost_frac"))
+    },
+
+    // ---- t33's shard manifests re-metered in LEARNED-BPE tokens (r15):
+    // the reproducibility record a trainer reads now counts the tokens
+    // it will actually consume — pack boundaries, fill fractions, and
+    // checksums all shift, and the oracle replays tokenizer AND packing
+    // so a metering drift anywhere moves a pack_id and mismatches. Same
+    // plan as t33: the two-pass distributed cumsum with only the
+    // scan-side meter column changed.
+    sql("t41_packed_shards_bpe",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte,
+         |t AS (
+         |  SELECT d.doc_id, b.source, sha256(d.text) AS h, b.n_tok
+         |  FROM documents d JOIN bdoc b USING (doc_id)
+         |), r AS (
+         |  SELECT doc_id, source, h, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t
+         |), p AS (
+         |  SELECT source, doc_id, h, n_tok,
+         |    (cum - n_tok) // 2048 AS pack_id,
+         |    ((cum - n_tok) // 2048) % 4 AS shard
+         |  FROM r
+         |)
+         |SELECT source, CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / (count(DISTINCT pack_id) * 2048), 6)
+         |    AS fill_frac,
+         |  CAST(sum(CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT) AS BIGINT))
+         |    % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum
+         |FROM p GROUP BY source, shard""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      packedShards(docs, graft.functions.Bpe.count(col("text"), merges))
+    },
+
+    // ---- t32's mixture weights re-metered in LEARNED-BPE tokens (r15 —
+    // THE numbers a data recipe reads, finally priced in what a trainer
+    // consumes; t35 measured the whitespace mispricing at ~1.3× mean,
+    // and because the ratio varies BY SOURCE the √-tempered weights and
+    // epoch counts genuinely move, not just rescale). Same
+    // |sources|-row bounded driver fold; the oracle re-learns the merge
+    // table and re-prices every source before the tempering math.
+    sql("t42_mixture_weights_bpe",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte,
+         |s AS (
+         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok
+         |  FROM bdoc GROUP BY source
+         |), t AS (
+         |  SELECT CAST(sum(n_tok) AS BIGINT) AS tot,
+         |    list_sum(list(sqrt(CAST(n_tok AS DOUBLE)) ORDER BY source)) AS wsum
+         |  FROM s
+         |)
+         |SELECT source, n_tok,
+         |  round(CAST(n_tok AS DOUBLE) / t.tot, 6) AS nat_frac,
+         |  round(sqrt(CAST(n_tok AS DOUBLE)) / t.wsum, 6) AS weight,
+         |  round(sqrt(CAST(n_tok AS DOUBLE)) / t.wsum * t.tot / n_tok, 6) AS epochs
+         |FROM s, t""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      mixtureWeights(docs, graft.functions.Bpe.count(col("text"), merges))
     }
   )
 
@@ -1787,13 +1904,17 @@ object TextStats {
     * t9's two-pass distributed cumsum (never a per-source single-task
     * window) feeds one aggregation keyed (source, shard); the checksum
     * is q78's commutative mod-2^63 sum, so shard manifests merge
-    * algebraically like dataset manifests do.
+    * algebraically like dataset manifests do. `meter` is the token
+    * meter (default: the t33 bpe-ish pre-split; t41 passes the LEARNED
+    * BpeCount — the plan shape is identical, only the scan-side meter
+    * column changes).
     */
-  def packedShards(docs: DataFrame): DataFrame = {
+  def packedShards(docs: DataFrame,
+      meter: Column = bpeishCount(col("text"))): DataFrame = {
     val h32 = conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
     val mod63 = lit(new java.math.BigDecimal("9223372036854775808"))
     val t = docs.select(col("doc_id"), col("source"), h32.as("h32"),
-      bpeishCount(col("text")).as("n_tok"))
+      meter.as("n_tok"))
     val packed = graft.operators.Relational
       .groupedRunningSum(t, Seq("source"), Seq(col("doc_id")), col("n_tok"), "cum")
       .select(col("source"), col("h32"), col("n_tok"),
@@ -1815,11 +1936,14 @@ object TextStats {
     * driver fold of the √n denominator and the broadcast of the 2-value
     * totals are both parameter-bounded. α is fixed at 0.5 (√ tempering)
     * so the tempered mass is a libm-free primitive both engines compute
-    * bit-identically.
+    * bit-identically. `meter` is the per-doc token meter (default:
+    * whitespace; t42 passes the LEARNED BpeCount so the mixture prices
+    * what a trainer consumes).
     */
-  def mixtureWeights(docs: DataFrame): DataFrame = {
+  def mixtureWeights(docs: DataFrame,
+      meter: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
     val s = docs
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .select(col("source"), meter.as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
     // |sources| rows: fold Σ√n in lexicographic source order so the
     // double accumulation can't depend on partitioning (the oracle's

@@ -392,6 +392,35 @@ object Streams {
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
   }
 
+  /** Ingestion-time TOKEN-BUDGET gate metered through a LEARNED BPE
+    * table (r15 — the r14 verdict's #7: st8 routes on quality, this
+    * routes on what the doc will COST the trainer). Stateless
+    * projection like [[qualityRoute]] — the trained merge table is
+    * plan-shippable state (a codegen'd [[graft.functions.BpeCount]]
+    * with the table riding addReferenceObj), so the same projection
+    * runs unchanged in a streaming plan: train once batch-side
+    * ([[graft.llm.TextStats.bpeLearnMerges]]), ship the K-pair model
+    * with the query, meter every arriving doc scan-side. Rules in
+    * fixed order (first failure labels the row): `short` (< minTok —
+    * not worth a training slot), `long` (> maxTok — would dominate a
+    * pack), `blowup` (n_bpe > 3·n_ws — the table barely covers the
+    * doc, i.e. off-distribution script/garbage that would explode the
+    * char-fallback budget). All-integer comparisons, so the verdict is
+    * engine-exact and the st13 oracle replays it in full.
+    */
+  def bpeBudgetRoute(docs: DataFrame, merges: Seq[(String, String)],
+      minTok: Long = 64L, maxTok: Long = 4096L): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        graft.functions.Bpe.count(col("text"), merges).as("n_bpe"))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+        when(col("n_bpe") < minTok, "short")
+          .when(col("n_bpe") > maxTok, "long")
+          .when(col("n_bpe") > lit(3L) * col("n_ws"), "blowup")
+          .as("reason"))
+      .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
+
   /** Seed the st9 artifact ledger from the cleaned snapshot: per-doc
     * index artifacts plus `__seed = true`. The flag is PERSISTED because
     * the incremental kernel's bucket cap ranks members in arrival order
@@ -739,6 +768,34 @@ object Streams {
          |FROM f""".stripMargin
     }) { (s, d) =>
       qualityRoute(Tables.documents(s, d))
+    },
+
+    // ---- streaming token-budget gate through the LEARNED table (r15) ------
+    // st8's router answers "is this doc language"; this answers "what
+    // will it cost the trainer" — the ingestion-time budget gate a
+    // continuous crawl needs, metered by the t37-trained BPE table
+    // instead of whitespace (whose ~1.3× mispricing t35 measured).
+    // Registered batch-equivalent (the st1/st6 convention); StreamsSpec
+    // drives the identical projection through readStream + foreachBatch
+    // with the PRE-TRAINED table shipped into the streaming plan and
+    // asserts stream ≡ batch. FULL oracle: DuckDB re-learns the table
+    // and re-prices every doc before replaying the routing rules.
+    sql("st13_bpe_budget_gate", {
+      import graft.llm.TextStats._
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte
+         |SELECT doc_id, n_ws, n_tok AS n_bpe,
+         |  CASE WHEN n_tok < 64 THEN 'short'
+         |       WHEN n_tok > 4096 THEN 'long'
+         |       WHEN n_tok > 3 * n_ws THEN 'blowup' END AS reason,
+         |  CASE WHEN n_tok >= 64 AND n_tok <= 4096 AND n_tok <= 3 * n_ws
+         |       THEN 'pass' ELSE 'fail' END AS route
+         |FROM bdoc""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
+      bpeBudgetRoute(docs, merges)
     },
 
     // ---- incremental near-dup gate with a GROWING index (§2.9 + dedup) ---

@@ -117,6 +117,27 @@ class NewOpsPlanSpec extends SparkSpec {
     }
   }
 
+  test("st13/d13 scan-side verdicts stay inside WholeStageCodegen") {
+    // r15: the BPE budget gate is ONE stateless projection (no exchange
+    // at all — it must run in a streaming plan), and d13's broadcast
+    // bloom probe is a codegen'd expression (the typedLit literal it
+    // replaced would have shipped the bitmap per task).
+    val st = SparkEntry.registry.find(_.name == "st13_bpe_budget_gate").get.run(spark, sf)
+    st.collect()
+    val stPlan = st.queryExecution.executedPlan.toString
+    val bpeLine = stPlan.linesIterator.find(_.contains("bpe_count"))
+    assert(bpeLine.isDefined && bpeLine.get.contains("*("),
+      s"st13's bpe_count fell out of WholeStageCodegen:\n${stPlan.take(900)}")
+    assert(!stPlan.contains("Exchange"),
+      s"st13 must be a stateless scan-side projection:\n${stPlan.take(900)}")
+    val d13 = SparkEntry.registry.find(_.name == "d13_bloom_prefilter").get.run(spark, sf)
+    d13.collect()
+    val dPlan = d13.queryExecution.executedPlan.toString
+    val probeLine = dPlan.linesIterator.find(_.contains("bloom_probe"))
+    assert(probeLine.isDefined && probeLine.get.contains("*("),
+      s"d13's bloom_probe fell out of WholeStageCodegen:\n${dPlan.take(900)}")
+  }
+
   test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {
     val df = SparkEntry.registry.find(_.name == "q72_rolling_dau").get.run(spark, sf)
     df.collect()

@@ -1011,6 +1011,33 @@ class SimilaritySpec extends SparkSpec {
     assert(codes2 === codes1, "replayed append must be a row-level no-op on codes")
   }
 
+  test("replayable append replay: same batchId is a no-op, distinct batches coexist") {
+    // r14 verdict #4: the replayable leg now rides the same per-batch
+    // overwrite discipline as the production API — a crashed-and-retried
+    // bulk load onto the ORACLE chain must not change a served row.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val d1 = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+    val d2 = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+    val idx = Similarity.ivfIndexBuildReplayable(base,
+      Similarity.deriveNlist(base.count()))
+    Similarity.ivfIndexAppendReplayable(spark, idx, d1, batchId = 1L)
+    Similarity.ivfIndexAppendReplayable(spark, idx, d2, batchId = 2L)
+    def rows(): Set[(Long, Int)] = Similarity.ivfIndexAssignments(spark, idx)
+      .select("vid", "cell").as[(Long, Int)].collect().toSet
+    val q = e.filter(col("vec_id") < 8)
+    def served(): Set[(Long, Long, Double)] =
+      Similarity.ivfIndexQueryReplayable(spark, idx, q, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6))
+        .as[(Long, Long, Double)].collect().toSet
+    val (r1, s1) = (rows(), served())
+    assert(r1.size === e.count(), "both batches must be servable")
+    // the replay: batch 2 re-runs under its own id after a "crash"
+    Similarity.ivfIndexAppendReplayable(spark, idx, d2, batchId = 2L)
+    assert(rows() === r1, "replayed batch must be a row-level no-op")
+    assert(served() === s1, "replayed batch must not change a served row")
+  }
+
   test("torn batch append: crash between vector and code writes leaves the index servable") {
     // simulate ivfIndexAppend dying after the vector delta committed
     // but before the code delta: the joint `_SUCCESS` gate must keep the
@@ -1030,6 +1057,16 @@ class SimilaritySpec extends SparkSpec {
       "half-committed batch must be invisible to the re-rank store")
     assert(Similarity.ivfPqCodes(spark, root).count() === nBase,
       "half-committed batch must be invisible to the code store")
+    // r14 ADVICE: the torn batch is DETECTED (the purge warns off this
+    // listing — RTBF campaigns must not silently leave data pending)
+    assert(Similarity.tornDeltaBatches(spark, root) === Seq("batch=3"),
+      "half-committed batch must surface in the torn listing")
+    // a purge over the torn index is safe: it skips (and warns about)
+    // the torn batch, whose on-disk rows survive for their replay
+    Similarity.ivfIndexPurge(spark, root,
+      Seq(-999L).toDF("vec_id"))
+    assert(Similarity.tornDeltaBatches(spark, root) === Seq("batch=3"),
+      "purge must leave the torn batch to its replay")
     val probe = base.orderBy(col("vec_id")).limit(1)
     assert(Similarity.ivfPqGenQuery(spark, root, probe, 3, nprobe = Some(2)).count() > 0,
       "serving must still answer over the base index")

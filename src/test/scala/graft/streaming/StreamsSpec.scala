@@ -105,6 +105,50 @@ class StreamsSpec extends SparkSpec {
     assert(routed === keep, "scan-side verdict diverged from t23")
   }
 
+  test("streaming BPE budget gate: pre-trained table ships into the plan, stream == batch") {
+    val src = tmpDir("bgate-src")
+    val docs = Tables.documents(spark, sf)
+    // two file sets → at least the OPPORTUNITY for multiple micro-batches;
+    // the verdict is stateless so boundaries must be unobservable
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    // train ONCE, batch-side — the learned table is the model artifact a
+    // crawl deploys; the streaming query only meters through it
+    val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
+    val outDir = tmpDir("bgate-out")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    // append mode, no watermark: if the gate ever grows state this
+    // start() throws AnalysisException and the spec fails loudly
+    val q = Streams.bpeBudgetRoute(stream, merges)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_ws", "n_bpe", "reason", "route")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.bpeBudgetRoute(docs, merges)
+      .select("doc_id", "n_ws", "n_bpe", "reason", "route")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "stream != batch")
+    // the gate must agree with the registry entry row-for-row
+    val reg = graft.SparkEntry.registry.find(_.name == "st13_bpe_budget_gate").get
+      .run(spark, sf).collect().map(_.toSeq).toSet
+    assert(streamed === reg, "stream != registry entry")
+    // both routes occur at the fixture (the bounds are not vacuous)
+    val routes = streamed.map(_(4))
+    assert(routes.contains("pass") && routes.contains("fail"))
+  }
+
   test("watermark drops events later than 30 minutes behind max event time") {
     val src = tmpDir("late-src")
     val schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
