@@ -225,6 +225,20 @@ object Subword {
   * rank-ordered single pass is the form the SQL oracle replays, so the
   * order contract is a precondition of the public Bpe.count/tokens API,
   * not a defect of the learned chain.
+  *
+  * APPLY-COST TRAJECTORY (r15): O(K·len) per word — measured 1.4 s to
+  * meter a 28k-word corpus through a K=1024 table (SubwordScaleSpec),
+  * linear in K beyond that. A production K≈50k vocab takes the
+  * priority-queue apply (always merge the lowest-rank adjacent pair;
+  * O(len·log len) per word, K-independent) — NOT implemented here
+  * because it is equivalent to the rank-ordered pass only when no
+  * later merge re-creates a string an earlier rank consumes (two
+  * different splits can produce the same merged string, and the PQ
+  * form would then fire the earlier rank on rank-k output where the
+  * pass form, and the SQL oracle, do not). The divergence is
+  * table-shape-dependent, so a fast path must ship with an equality
+  * gate against this reference — deferred until a K where the cost
+  * matters.
   */
 class BpeTable(val merges: Array[(String, String)]) extends Serializable {
 

@@ -1897,6 +1897,61 @@ object TextStats {
       val docs = Tables.documents(s, d)
       val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
       mixtureWeights(docs, graft.functions.Bpe.count(col("text"), merges))
+    },
+
+    // ---- vocab-size ROI: the BPE compression curve (r15) ------------------
+    // The number a tokenizer designer reads before fixing vocab size:
+    // how much compression (chars per token, tokens per word) each
+    // block of merge ranks buys. Because a LEARNED table's rank-k
+    // prefix is itself a valid learned table (merges apply in creation
+    // order), the curve meters the SAME corpus through prefixes
+    // K ∈ {8, 16, 24, 32} of one t37 training run — one scan with four
+    // codegen'd BpeCount columns (K ≤ 32, scan-side), one global agg,
+    // four output rows. The ORACLE is nearly free: the apply chain
+    // already materializes every intermediate round, so aw_8/aw_16/
+    // aw_24/aw_32 are read directly — no extra training or apply work.
+    // On the fixture the curve is still near-LINEAR at K = 32
+    // (chars_per_tok 1.21 → 1.59, marginal gain per 8 ranks ≈ +0.12
+    // throughout — the corpus has 89 learnable ranks, so 32 is well
+    // before the knee): the curve's verdict here is "keep training",
+    // which is exactly the decision the entry exists to inform.
+    sql("t44_bpe_compression_curve", {
+      val ks = Seq(8, 16, 24, 32)
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |occ AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words
+         |  WHERE length(w) > 0 GROUP BY w
+         |)
+         |SELECT * FROM (
+         |${ks.map(k =>
+             s"""SELECT CAST($k AS BIGINT) AS k_merges,
+                |  CAST(sum(o.c * len(a.syms)) AS BIGINT) AS n_tok,
+                |  CAST(sum(o.c * length(a.w)) AS BIGINT) AS n_chars,
+                |  round(sum(o.c * length(a.w)) * 1.0 / sum(o.c * len(a.syms)), 6)
+                |    AS chars_per_tok,
+                |  round(sum(o.c * len(a.syms)) * 1.0 / sum(o.c), 6) AS tok_per_word
+                |FROM aw_$k a JOIN occ o USING (w)""".stripMargin)
+             .mkString("\nUNION ALL\n")}
+         |) ORDER BY k_merges""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      val ks = Seq(8, 16, 24, 32)
+      val meterCols = ks.map(k =>
+        sum(graft.functions.Bpe.count(col("text"), merges.take(k))).as(s"n_$k"))
+      val a = docs.agg(
+        sum(length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long"))
+          .as("chars"),
+        (sum(size(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).cast("long")).as("words") +: meterCols): _*)
+      a.select(expr(s"stack(${ks.size}, " +
+          ks.map(k => s"CAST($k AS BIGINT), n_$k").mkString(", ") +
+          ") AS (k_merges, n_tok)"),
+          col("chars"), col("words"))
+        .select(col("k_merges"), col("n_tok"), col("chars").as("n_chars"),
+          round(col("chars") * lit(1.0) / col("n_tok"), 6).as("chars_per_tok"),
+          round(col("n_tok") * lit(1.0) / col("words"), 6).as("tok_per_word"))
     }
   )
 

@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 208)
+    assert(SparkEntry.registry.size === 209)
   }
 
   test("registry ids are unique and well-formed") {
@@ -28,13 +28,13 @@ class RegistryContractSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query; oracle count is pinned") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    // 204 full oracles / 4 rows-only (q39/q64 ride Spark's native
+    // 205 full oracles / 4 rows-only (q39/q64 ride Spark's native
     // merge-order-sensitive sketch machinery by design; s20 stays
     // rows-only by measurement — re-measured r15, S20Probe; st12 is
     // the streaming lifecycle simulation; d13 promoted in r14 via the
     // sha256-chunk bloom). A promotion or an accidental oracle drop
     // must move this pin consciously.
-    assert(SparkEntry.oracleSql.size === 204,
+    assert(SparkEntry.oracleSql.size === 205,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 
