@@ -226,23 +226,84 @@ object Subword {
   * order contract is a precondition of the public Bpe.count/tokens API,
   * not a defect of the learned chain.
   *
-  * APPLY-COST TRAJECTORY (r15): O(K·len) per word — measured 1.4 s to
-  * meter a 28k-word corpus through a K=1024 table (SubwordScaleSpec),
-  * linear in K beyond that. A production K≈50k vocab takes the
-  * priority-queue apply (always merge the lowest-rank adjacent pair;
-  * O(len·log len) per word, K-independent) — NOT implemented here
-  * because it is equivalent to the rank-ordered pass only when no
-  * later merge re-creates a string an earlier rank consumes (two
-  * different splits can produce the same merged string, and the PQ
-  * form would then fire the earlier rank on rank-k output where the
-  * pass form, and the SQL oracle, do not). The divergence is
-  * table-shape-dependent, so a fast path must ship with an equality
-  * gate against this reference — deferred until a K where the cost
-  * matters.
+  * APPLY-COST TRAJECTORY (r15): the rank-ordered pass is O(K·len) per
+  * word. For production-sized tables the apply dispatches to the
+  * PRIORITY-QUEUE form (always merge the lowest-rank adjacent pair,
+  * leftmost first among equals — the tiktoken/HF inference algorithm;
+  * O(len·log len) per word, K-INDEPENDENT), but only when that is
+  * provably the same function: the PQ form diverges from sequential
+  * rank passes exactly when applying a later rank can create an
+  * adjacency an earlier rank matches, i.e. when some rank's merged
+  * string equals a side of an EARLIER rank's pair (two different
+  * splits can produce the same string), or when a pair appears at two
+  * ranks. [[pqSafe]] checks the negation of both once at construction
+  * — if every pair is unique and no merged(k) is a side of any rank
+  * j < k, every pair created mid-walk has a rank above the one being
+  * applied, so the global lowest-rank-first order replays the pass
+  * order exactly (SubwordScaleSpec property-tests the equality on
+  * learned tables and exhibits the divergence on an adversarial one).
+  * Unsafe or small (K < [[BpeTable.PqMinMerges]] — below it the
+  * cache-friendly passes win, and every oracle-pinned registry table
+  * is K = 32) tables keep the rank-ordered pass, which remains the
+  * reference semantics and the form the SQL oracle replays.
   */
+object BpeTable {
+
+  /** Dispatch threshold for the PQ apply: below it the rank-ordered
+    * passes are cheap and cache-friendly (and every oracle-pinned
+    * registry table is K = 32, so registry plans keep the exact
+    * reference code path); at or above it the K-independent walk wins
+    * (SubwordScaleSpec measures the crossover at K = 1024).
+    */
+  val PqMinMerges = 64
+}
+
 class BpeTable(val merges: Array[(String, String)]) extends Serializable {
 
   def count(s: UTF8String): Long = walkText(s.toString, null)
+
+  /** rank of each (left, right) pair — two-level map so symbols
+    * containing any delimiter char can never collide keys.
+    */
+  @transient private lazy val rankOf
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    var k = 0
+    while (k < merges.length) {
+      val (a, b) = merges(k)
+      var inner = m.get(a)
+      if (inner == null) { inner = new java.util.HashMap[String, Integer](); m.put(a, inner) }
+      if (!inner.containsKey(b)) inner.put(b, Integer.valueOf(k))
+      k += 1
+    }
+    m
+  }
+
+  /** True iff the PQ (lowest-rank-first) apply provably equals the
+    * sequential rank passes on EVERY input: every pair unique, every
+    * side non-empty, and no rank's merged string equals a side of any
+    * earlier-or-same rank (so a pair created mid-walk always carries a
+    * rank ABOVE the one being applied — the heap order then replays
+    * the pass order exactly). Checked once; see the class scaladoc.
+    */
+  @transient lazy val pqSafe: Boolean = {
+    val sides = new java.util.HashSet[String]()
+    val seen = new java.util.HashSet[String]()
+    var ok = true
+    var k = 0
+    while (ok && k < merges.length) {
+      val (a, b) = merges(k)
+      // length-prefixed key is injective: the prefix pins the split
+      ok = a.nonEmpty && b.nonEmpty && seen.add(s"${a.length}:$a$b")
+      if (ok) {
+        sides.add(a)
+        sides.add(b)
+        ok = !sides.contains(a + b)
+      }
+      k += 1
+    }
+    ok
+  }
 
   def tokens(s: UTF8String): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
@@ -272,17 +333,33 @@ class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     n
   }
 
-  /** Apply every merge in rank order to one word; returns its token
-    * count (and appends tokens when `out` is non-null).
+  /** Tokenize one word; returns its token count (and appends tokens
+    * when `out` is non-null). Dispatches to the K-independent PQ walk
+    * for big tables where that is provably the same function (see the
+    * class scaladoc); the rank-ordered pass below remains the
+    * reference semantics.
     */
-  def word(w: String, out: java.util.ArrayList[UTF8String]): Long = {
-    var syms = new java.util.ArrayList[String](w.length)
+  def word(w: String, out: java.util.ArrayList[UTF8String]): Long =
+    if (merges.length >= BpeTable.PqMinMerges && pqSafe) wordPq(w, out)
+    else wordPass(w, out)
+
+  private def seedSyms(w: String): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](w.length)
     var c = 0
     while (c < w.length) {
       val n = Character.charCount(w.codePointAt(c))
       syms.add(w.substring(c, c + n))
       c += n
     }
+    syms
+  }
+
+  /** Reference apply: every merge in rank order, one greedy-left pass
+    * per rank — the form the SQL oracles replay.
+    */
+  private[functions] def wordPass(w: String,
+      out: java.util.ArrayList[UTF8String]): Long = {
+    var syms = seedSyms(w)
     var k = 0
     while (k < merges.length) {
       val (a, b) = merges(k)
@@ -306,6 +383,82 @@ class BpeTable(val merges: Array[(String, String)]) extends Serializable {
       while (j < syms.size()) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
     }
     syms.size().toLong
+  }
+
+  /** K-independent apply: always merge the lowest-rank adjacent pair,
+    * leftmost first among equal ranks (heap keyed rank<<32|pos over a
+    * doubly-linked symbol list, entries re-validated on pop — the
+    * standard BPE inference walk). Equal to [[wordPass]] whenever
+    * [[pqSafe]] holds: every pair created by a merge then carries a
+    * rank strictly above the one just applied, so the heap pops ranks
+    * in exactly the pass order, and within a rank the pos key replays
+    * the greedy-left sweep (a consumed occurrence re-validates false).
+    */
+  private[functions] def wordPq(w: String,
+      out: java.util.ArrayList[UTF8String]): Long = {
+    val syms = seedSyms(w)
+    val n = syms.size()
+    if (n <= 1) {
+      if (out != null && n == 1) out.add(UTF8String.fromString(syms.get(0)))
+      return n.toLong
+    }
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      nxt(i) = if (i == n - 1) -1 else i + 1
+      prv(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    def rankAt(p: Int): Int = {
+      val q = nxt(p)
+      if (q < 0) -1
+      else {
+        val inner = rankOf.get(syms.get(p))
+        if (inner == null) -1
+        else {
+          val r = inner.get(syms.get(q))
+          if (r == null) -1 else r.intValue()
+        }
+      }
+    }
+    val pq = new java.util.PriorityQueue[java.lang.Long]()
+    def push(p: Int): Unit = {
+      val r = rankAt(p)
+      if (r >= 0) { pq.add(java.lang.Long.valueOf((r.toLong << 32) | p.toLong)); () }
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var count = n.toLong
+    while (!pq.isEmpty) {
+      val e = pq.poll().longValue()
+      val r = (e >>> 32).toInt
+      val p = (e & 0xffffffffL).toInt
+      // re-validate: the pair at p must still be THIS rank's pair
+      // (pairs are unique under pqSafe, so rank equality pins the pair)
+      if (alive(p) && rankAt(p) == r) {
+        val q = nxt(p)
+        syms.set(p, syms.get(p) + syms.get(q))
+        alive(q) = false
+        nxt(p) = nxt(q)
+        if (nxt(q) >= 0) prv(nxt(q)) = p
+        count -= 1
+        if (prv(p) >= 0) push(prv(p))
+        push(p)
+      }
+    }
+    if (out != null) {
+      // index 0 is never consumed (merges absorb the RIGHT symbol), so
+      // the walk from 0 visits every survivor in order
+      var p = 0
+      while (p >= 0) {
+        out.add(UTF8String.fromString(syms.get(p)))
+        p = nxt(p)
+      }
+    }
+    count
   }
 }
 

@@ -151,6 +151,74 @@ class SubwordScaleSpec extends SparkSpec {
     assert(bpe >= ws, s"token count can never undershoot word count ($bpe vs $ws)")
   }
 
+  test("PQ apply == rank-pass apply on learned tables; adversarial table falls back") {
+    // r15: BpeTable dispatches to the K-independent priority-queue walk
+    // when pqSafe (no merged string equals an earlier rank's side, all
+    // pairs unique). Equality must hold STRING-FOR-STRING on learned
+    // tables of every size, and the adversarial shape that breaks the
+    // PQ-vs-pass equivalence must be detected and kept on the pass.
+    val rnd = new scala.util.Random(99L)
+    val alphabet = ('a' to 'f').map(String.valueOf(_))
+    val words = (0 until 300).map { _ =>
+      (0 until (3 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(6))).mkString
+    }
+    val docs = words.grouped(15).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val learned = graft.llm.TextStats.bpeLearnMerges(docs, topV = 128, rounds = 80)
+      .map(m => (m._2, m._3))
+    val table = new BpeTable(learned.toArray)
+    assert(table.pqSafe, "learned tables are expected pqSafe on this corpus")
+    val probes = words.take(120) ++ Seq("", "a", "abcdef" * 20)
+    probes.foreach { w =>
+      val a = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+      val b = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+      val na = table.wordPass(w, a)
+      val nb = table.wordPq(w, b)
+      assert(na === nb, s"count diverged on '$w'")
+      assert(a.toString === b.toString, s"tokens diverged on '$w'")
+    }
+    // the divergence shape: rank 2 re-creates "ab", which rank 0 consumes
+    // as a LEFT side — the PQ form would re-fire rank 0 on rank-2 output
+    // where the pass form does not. pqSafe must catch it.
+    val adversarial = new BpeTable(Array(("ab", "c"), ("x", "y"), ("a", "b")))
+    assert(!adversarial.pqSafe, "re-created earlier side must be unsafe")
+    // duplicate pairs are unsafe too (rank lookup would be ambiguous)
+    assert(!new BpeTable(Array(("a", "b"), ("c", "d"), ("a", "b"))).pqSafe)
+    // and the adversarial table still tokenizes (on the reference pass):
+    // "abc": rank-pass order applies ("ab","c") FIRST on seeded chars —
+    // no "ab" symbol exists yet — then ("a","b") -> [ab, c]
+    val got = Seq("abc").toDF("text")
+      .select(Bpe.tokens(col("text"), Seq(("ab", "c"), ("x", "y"), ("a", "b"))))
+      .head().getSeq[String](0)
+    assert(got === Seq("ab", "c"))
+  }
+
+  test("PQ apply crossover: K=1024 metering is measured against the rank-pass form") {
+    // the scale claim behind the dispatch: at model-sized K the PQ walk
+    // is K-independent where the pass form pays O(K) passes per word.
+    // Timings are informational (shared-host flake), equality is the gate.
+    val rnd = new scala.util.Random(21L)
+    val alphabet = ('a' to 'p').map(String.valueOf(_))
+    val words = (0 until 4096)
+      .map(_ => (0 until 32).map(_ => alphabet(rnd.nextInt(16))).mkString).distinct
+    val docs = words.grouped(64).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val merges = graft.llm.TextStats.bpeLearnMerges(docs, topV = 4096, rounds = 1024)
+      .map(m => (m._2, m._3))
+    val table = new BpeTable(merges.toArray)
+    assert(table.pqSafe && merges.size >= BpeTable.PqMinMerges)
+    val sample = words.take(400)
+    def time(f: String => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val tot = sample.map(f).sum
+      (tot, (System.nanoTime() - t0) / 1e9)
+    }
+    val (nPass, tPass) = time(w => table.wordPass(w, null))
+    val (nPq, tPq) = time(w => table.wordPq(w, null))
+    assert(nPass === nPq, "PQ and pass token totals must agree at K=1024")
+    info(f"K=1024 apply over 400 words: rank-pass $tPass%.3f s vs PQ $tPq%.3f s")
+  }
+
   test("non-BMP codepoints: one fallback token per astral char, never lone surrogates") {
     // r14 ADVICE: UTF-16 code-unit iteration split astral chars into two
     // surrogate fallback tokens (invalid UTF-8) and mismatched DuckDB's
