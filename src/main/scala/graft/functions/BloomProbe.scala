@@ -48,7 +48,11 @@ case class BloomProbe(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bc = ctx.addReferenceObj("bloomBits", words,
       "org.apache.spark.broadcast.Broadcast<long[]>")
-    val cached = ctx.addImmutableStateIfNotExists("long[]", "bloomWords",
+    // addMutableState (NOT addImmutableStateIfNotExists, which returns Unit
+    // in Spark 4.1.2 and whose fixed name would collide if two probes share
+    // a codegen context) returns the fresh per-instance member name; the
+    // init runs once per codegen object, so per-row work stays k array reads.
+    val cached = ctx.addMutableState("long[]", "bloomWords",
       v => s"$v = (long[]) $bc.value();")
     nullSafeCodeGen(ctx, ev, (h1, h2) =>
       s"${ev.value} = graft.functions.BloomProbe.test($cached, $h1, $h2, $k, ${m}L);")

@@ -48,6 +48,14 @@ class SubwordTable(val vocab: Array[String]) extends Serializable {
 
   require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab entries must be non-empty")
 
+  // enforce the codepoint-boundary precondition instead of documenting it
+  // (r15 ADVICE): a lone surrogate in an entry would let the trie match end
+  // mid-surrogate-pair and emit invalid UTF-8 tokens silently. One-time
+  // O(total vocab chars) scan at construction.
+  require(vocab.forall(SubwordTable.wellFormedUtf16),
+    "vocab entries must be well-formed Unicode (no unpaired surrogate " +
+      "code units) — a lone surrogate would break codepoint-boundary matching")
+
   /** Trie node over UTF-16 code units (a match is whole codepoints
     * because entries are well-formed; walking chars just avoids
     * surrogate re-assembly on the hot path).
@@ -136,6 +144,26 @@ class SubwordTable(val vocab: Array[String]) extends Serializable {
       }
     }
     n
+  }
+}
+
+object SubwordTable {
+
+  /** True iff the string has no unpaired surrogate code units — every
+    * high surrogate is followed by a low one and no low surrogate
+    * stands alone.
+    */
+  def wellFormedUtf16(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
   }
 }
 

@@ -946,7 +946,7 @@ object Similarity {
     * whole commit.
     */
   def ivfIndexAppendReplayable(spark: SparkSession, indexRoot: String,
-      newVecs: DataFrame, batchId: Long = 0L): Unit = {
+      newVecs: DataFrame, batchId: Long): Unit = {
     val cents: Seq[(Int, Seq[Double])] =
       spark.read.parquet(s"$indexRoot/centroids")
         .orderBy(col("cell")).collect()
@@ -2782,7 +2782,7 @@ object Similarity {
       val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
       val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
       val idx = ivfIndexBuildReplayable(base, deriveNlist(base.count()))
-      ivfIndexAppendReplayable(s, idx, delta)
+      ivfIndexAppendReplayable(s, idx, delta, batchId = 1L)
       val q = e.filter(col("vec_id") < 8)
       val served = ivfIndexQueryReplayable(s, idx, q, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))

@@ -130,12 +130,21 @@ class NewOpsPlanSpec extends SparkSpec {
       s"st13's bpe_count fell out of WholeStageCodegen:\n${stPlan.take(900)}")
     assert(!stPlan.contains("Exchange"),
       s"st13 must be a stateless scan-side projection:\n${stPlan.take(900)}")
-    val d13 = SparkEntry.registry.find(_.name == "d13_bloom_prefilter").get.run(spark, sf)
-    d13.collect()
-    val dPlan = d13.queryExecution.executedPlan.toString
-    val probeLine = dPlan.linesIterator.find(_.contains("bloom_probe"))
-    assert(probeLine.isDefined && probeLine.get.contains("*("),
-      s"d13's bloom_probe fell out of WholeStageCodegen:\n${dPlan.take(900)}")
+    // run d13 with codegen fallback DISABLED: the `*(` plan marker prints
+    // before Janino compiles, so a doGenCode emitting invalid Java (the r15
+    // addImmutableStateIfNotExists-returns-Unit bug) passes the plan-string
+    // assertion while silently interpreting every run. fallback=false turns
+    // that into a hard failure here.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d13 = SparkEntry.registry.find(_.name == "d13_bloom_prefilter").get.run(spark, sf)
+      d13.collect()
+      val dPlan = d13.queryExecution.executedPlan.toString
+      val probeLine = dPlan.linesIterator.find(_.contains("bloom_probe"))
+      assert(probeLine.isDefined && probeLine.get.contains("*("),
+        s"d13's bloom_probe fell out of WholeStageCodegen:\n${dPlan.take(900)}")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
   test("q72 rolling DAU: keyed shuffles only, no nested-loop range join") {

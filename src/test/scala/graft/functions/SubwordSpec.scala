@@ -36,6 +36,20 @@ class SubwordSpec extends SparkSpec {
     }
   }
 
+  test("SubwordTable rejects vocab entries with unpaired surrogates loudly") {
+    // well-formed astral entries (surrogate PAIRS) are fine
+    val emoji = new String(Character.toChars(0x1F600))
+    new SubwordTable(Array("ab", emoji, s"x${emoji}y"))
+    // a lone high or low surrogate half must fail at CONSTRUCTION, not
+    // as silent invalid-UTF-8 tokens at match time
+    for (bad <- Seq("\uD83D", "\uDE00", "a\uD83Db", "\uD83D\uD83D")) {
+      val e = intercept[IllegalArgumentException] {
+        new SubwordTable(Array("ok", bad))
+      }
+      assert(e.getMessage.contains("surrogate"), s"entry ${bad.length}")
+    }
+  }
+
   test("count agrees with tokens everywhere; codegen path matches interpreted") {
     val texts = Tables.documentsTexts
     val df = texts.toDF("text")
