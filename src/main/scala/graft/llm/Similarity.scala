@@ -957,7 +957,9 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexRoot/deltas/batch=$batchId")
-    ()
+    // replayable indexes are never PQ-shaped, so the own-store write IS
+    // the whole commit — record it (r16 manifest)
+    recordDeltaBatch(spark, indexRoot, batchId)
   }
 
   /** Serve top-k from a [[ivfIndexBuildReplayable]] root: centroids and
@@ -3791,6 +3793,9 @@ object Similarity {
     // these two writes invisible rather than half-served.
     if (hasPqShape(spark, indexRoot))
       ivfPqEncodeDelta(spark, indexRoot, newVecs, batchId)
+    // JOINT commit point: both stores (or the only store) have landed —
+    // record the batch in the one-read manifest (r16)
+    recordDeltaBatch(spark, indexRoot, batchId)
     // the corpus under this snapshot key just GREW: the memoized count
     // would mis-size every later derived parameter (nlist, and through
     // it nprobe) — drop it. The codebook deliberately survives: routing
@@ -3846,6 +3851,91 @@ object Similarity {
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
 
+  // ---- committed-batch MANIFEST (r16 — the r15 verdict's #2) -------------
+  // Every index read used to re-list the delta dirs and probe `_SUCCESS`
+  // twins — O(#batches) FS round trips per serve, the measured
+  // s16/s18/s22/s25/st12 adder of r15 and a real object-store cost at
+  // 100 TB. The committed-batch SET is now maintained in ONE manifest file
+  // at the index root, appended under the writer's commit (marker-guarded,
+  // the st9 ledger discipline): a batch name enters the manifest only
+  // AFTER every store it needs has finished writing (vectors, and on a
+  // PQ-shaped index its codes twin too — the joint gate is enforced at
+  // RECORD time instead of probe time). Readers pay one small-file read;
+  // the full listing survives as the RECOVERY path (manifest absent:
+  // legacy roots, or an operator deleted it to force a rebuild) and is
+  // re-consulted by the next record, which converges the manifest back to
+  // the listing's truth. A crash after a batch's `_SUCCESS` but before its
+  // record leaves the batch invisible — exactly the torn-batch semantics:
+  // it belongs to its replay, which rewrites the dirs and then records.
+
+  private def deltaManifestPath(indexRoot: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$indexRoot/__delta_manifest")
+
+  /** Some(committed batch names) when the manifest exists (possibly
+    * empty); None → no manifest, callers use the listing recovery path.
+    * An unreadable manifest (torn rename is impossible — tmp + rename —
+    * but an operator truncation isn't) degrades to None, never to a
+    * wrong answer.
+    */
+  private[graft] def readDeltaManifest(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String): Option[Seq[String]] = {
+    val p = deltaManifestPath(indexRoot)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(text.linesIterator.map(_.trim)
+          .filter(n => n.startsWith("batch=")).toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeDeltaManifest(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, names: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexRoot/__delta_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(names.distinct.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = deltaManifestPath(indexRoot)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  /** Record `batchId` as committed — called at the writer's JOINT commit
+    * point, after every store the batch needs has landed. Single-writer
+    * like every other index mutation (the append/tick/purge posture).
+    * When the manifest is absent this rebuilds it from the joint listing
+    * first (the recovery path converging), so a legacy root upgrades on
+    * its first recorded append.
+    */
+  private[graft] def recordDeltaBatch(spark: SparkSession, indexRoot: String,
+      batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = readDeltaManifest(fs, indexRoot).getOrElse(
+      servableDeltaDirsListing(fs, indexRoot, "deltas")
+        .map(d => new org.apache.hadoop.fs.Path(d).getName))
+    writeDeltaManifest(fs, indexRoot, existing :+ s"batch=$batchId")
+  }
+
+  /** Rebuild the manifest from the joint listing — used by
+    * [[pqAugmentIndex]] after retrofitting code twins (the joint-commit
+    * membership of every pre-existing batch just changed) and available
+    * to operators as the recovery tool.
+    */
+  private[graft] def rebuildDeltaManifest(spark: SparkSession,
+      indexRoot: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    writeDeltaManifest(fs, indexRoot,
+      servableDeltaDirsListing(fs, indexRoot, "deltas")
+        .map(d => new org.apache.hadoop.fs.Path(d).getName))
+  }
+
   /** Delta-batch dirs of `store` (`deltas` or `codes_deltas`) VISIBLE to
     * readers. On a PQ-shaped index a batch commits JOINTLY: it is
     * visible only when BOTH stores' writers finished (`_SUCCESS` in
@@ -3856,10 +3946,27 @@ object Similarity {
     * whole — the idempotent per-batch discipline), instead of the old
     * append-mode failure where the vectors sat in the re-rank store but
     * never surfaced as ADC candidates. On a non-PQ index the own-store
-    * `_SUCCESS` is the whole commit, as before. Cost: one extra
-    * listStatus, only when a codebook exists.
+    * `_SUCCESS` is the whole commit, as before.
+    *
+    * r16: the primary path is ONE manifest read ([[readDeltaManifest]] —
+    * names are recorded only at the joint commit point, so the manifest
+    * already encodes the twin gate); the listing below survives as the
+    * recovery path. SimilaritySpec pins manifest ≡ listing including the
+    * torn-batch exclusion.
     */
   private def servableDeltaDirs(fs: org.apache.hadoop.fs.FileSystem,
+      indexRoot: String, store: String): Seq[String] =
+    readDeltaManifest(fs, indexRoot) match {
+      case Some(names) => names.map(n => s"$indexRoot/$store/$n")
+      case None => servableDeltaDirsListing(fs, indexRoot, store)
+    }
+
+  /** The listing form of [[servableDeltaDirs]]: one listStatus per store
+    * + a `_SUCCESS` twin probe per batch — O(#batches) FS round trips,
+    * which is why reads prefer the manifest. Recovery path + the source
+    * of truth the manifest is rebuilt from.
+    */
+  private[graft] def servableDeltaDirsListing(fs: org.apache.hadoop.fs.FileSystem,
       indexRoot: String, store: String): Seq[String] = {
     val own = committedDeltaDirs(fs,
       new org.apache.hadoop.fs.Path(s"$indexRoot/$store"))
@@ -3910,14 +4017,25 @@ object Similarity {
       .filter(st => st.isDirectory && st.getPath.getName.matches(s"$prefix=\\d+"))
       .map(_.getPath.toString)
 
+  /** `full = true` (purge start, after it reclaims a stale marker) heals
+    * every servable delta dir. READER-side calls (`full = false`) skip
+    * the per-batch delta healing when a manifest is present: a crashed
+    * purge swap can only exist under a LIVE-or-stale purge marker (the
+    * purge heals first, then holds the marker through its swaps), and
+    * this method returns early whenever the marker exists — so on a
+    * manifest-bearing root the per-batch heal is O(#batches) listStatus
+    * calls that provably find nothing. Legacy roots (no manifest) keep
+    * the defensive full heal.
+    */
   private def recoverIndexSwaps(fs: org.apache.hadoop.fs.FileSystem,
-      indexRoot: String): Unit = {
+      indexRoot: String, full: Boolean = false): Unit = {
     if (fs.exists(purgeMarker(indexRoot))) return // live purge owns the swaps
     val aPath = new org.apache.hadoop.fs.Path(s"$indexRoot/assignments")
     graft.core.DirSwap.recoverChildren(fs, aPath)
-    servableDeltaDirs(fs, indexRoot, "deltas").foreach { d =>
-      graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
-    }
+    if (full || readDeltaManifest(fs, indexRoot).isEmpty)
+      servableDeltaDirsListing(fs, indexRoot, "deltas").foreach { d =>
+        graft.core.DirSwap.recoverChildren(fs, new org.apache.hadoop.fs.Path(d))
+      }
   }
 
   def ivfIndexAssignments(spark: SparkSession, indexRoot: String): DataFrame = {
@@ -4015,7 +4133,9 @@ object Similarity {
     // recoverIndexSwaps scaladoc)
     val marker = purgeMarker(indexRoot)
     fs.delete(marker, false)
-    recoverIndexSwaps(fs, indexRoot) // heal a crashed prior purge first
+    // heal a crashed prior purge first — FULL heal: the purge is the one
+    // site where crashed delta-dir swaps can actually exist
+    recoverIndexSwaps(fs, indexRoot, full = true)
     fs.create(marker).close() // suppress reader-side healing during swaps
     try purgeStores(spark, indexRoot, tomb, fs)
     finally { fs.delete(marker, false); () }
@@ -4973,6 +5093,14 @@ object Similarity {
     import spark.implicits._
     val n = nRows.getOrElse(corpus.count())
     val pqCents = pqTrainForIndex(corpus, mSub, kCent, n)
+    // the augment changes every pre-existing batch's JOINT-commit
+    // membership (vectors-without-codes becomes invisible the moment the
+    // codebook lands): drop the manifest so readers fall back to the
+    // listing — the exact pre-r16 semantics — for the augment window, and
+    // rebuild it from the joint listing once the retrofit completes
+    val mfs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    mfs.delete(deltaManifestPath(indexRoot), false)
     pqCents.toDF("ss", "cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
@@ -4994,6 +5122,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexRoot/codes_deltas/batch=$batchId")
     }
+    rebuildDeltaManifest(spark, indexRoot)
   }
 
   /** True iff `indexRoot` carries the PQ serving shape (a pre-r12

@@ -285,6 +285,9 @@ object IndexLifecycle {
         // full-precision serving and skips the encode)
         if (Similarity.hasPqShape(spark, g))
           Similarity.ivfPqEncodeDelta(spark, g, batch, batchId)
+        // joint commit point (r16): both stores landed — record the batch
+        // in the one-read manifest every later serve/purge consults
+        Similarity.recordDeltaBatch(spark, g, batchId)
         // informational (the delta overwrite is the idempotence); also
         // lets a replay skip the drift scan entirely
         Streams.writeAppliedBatches(fs, new Path(g), applied + batchId)

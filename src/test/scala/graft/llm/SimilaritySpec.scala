@@ -1112,6 +1112,58 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfPqCodes(spark, root).count() === e.count())
   }
 
+  test("committed-batch manifest: one read == joint listing, torn excluded, recovery converges") {
+    // r16 (the r15 verdict's #2): serving/purge reads used to pay
+    // O(#batches) listStatus + _SUCCESS twin probes per read; the
+    // committed set now lives in ONE manifest file recorded at the joint
+    // commit point. This pins manifest ≡ listing through the lifecycle.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val d1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val d2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val d3 = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val root = java.nio.file.Files.createTempDirectory("dmanifest").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    Similarity.ivfIndexAppend(spark, root, d1, batchId = 1L)
+    Similarity.ivfIndexAppend(spark, root, d2, batchId = 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def manifest(): Seq[String] =
+      Similarity.readDeltaManifest(fs, root).get.sorted
+    def listing(): Seq[String] =
+      Similarity.servableDeltaDirsListing(fs, root, "deltas")
+        .map(d => new org.apache.hadoop.fs.Path(d).getName).sorted
+    assert(manifest() === Seq("batch=1", "batch=2"))
+    assert(manifest() === listing(), "manifest must equal the joint listing")
+    // PQ augment rebuilds the manifest under the twin rule — still equal
+    Similarity.pqAugmentIndex(spark, root, base)
+    assert(manifest() === listing(), "retrofit must converge the manifest")
+    val nVisible = Similarity.ivfIndexAssignments(spark, root).count()
+    assert(nVisible === base.count() + d1.count() + d2.count())
+    // torn batch (vectors committed, codes twin never written): the
+    // LISTING excludes it via the twin probe; the MANIFEST excludes it
+    // because the joint commit point was never reached — same verdict
+    Similarity.ivfIndexAppendDelta(spark, root, d3, batchId = 9L)
+    assert(!listing().contains("batch=9"), "twin gate must exclude the torn batch")
+    assert(!manifest().contains("batch=9"), "unrecorded batch must stay invisible")
+    assert(Similarity.ivfIndexAssignments(spark, root).count() === nVisible)
+    assert(Similarity.tornDeltaBatches(spark, root) === Seq("batch=9"))
+    // recovery path: with the manifest deleted, readers serve IDENTICAL
+    // rows off the listing
+    val withManifest = Similarity.ivfIndexAssignments(spark, root)
+      .select("vid").collect().map(_.getLong(0)).sorted.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/__delta_manifest"), false)
+    val offListing = Similarity.ivfIndexAssignments(spark, root)
+      .select("vid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(withManifest === offListing, "recovery listing must serve the same rows")
+    // the next commit converges the manifest back to the listing's truth
+    // (and completes batch 9's replay through the joint path)
+    Similarity.ivfIndexAppend(spark, root, d3, batchId = 9L)
+    assert(manifest() === Seq("batch=1", "batch=2", "batch=9"))
+    assert(manifest() === listing())
+    assert(Similarity.ivfIndexAssignments(spark, root).count() === e.count())
+  }
+
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
     import graft.streaming.IndexLifecycle
     // an st12-shaped generation: init (base codes) + one delta tick
