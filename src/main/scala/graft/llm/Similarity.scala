@@ -1429,11 +1429,12 @@ object Similarity {
     * (raw-double rank with vid tiebreak, 6-dp sims, 4-dp recall) plus
     * s7's Lloyd CTEs generalized to a data-derived k.
     */
-  private def ivfReplayOracleSql(withScanFrac: Boolean,
+  private[graft] def ivfReplayOracleSql(withScanFrac: Boolean,
       queryPred: String = "vec_id < 8",
       exactPred: String = "a.vec_id < 8",
       trainPred: String = "TRUE",
-      corpusPred: String = "TRUE"): String = {
+      corpusPred: String = "TRUE",
+      driftShiftPred: String = "FALSE"): String = {
     val parse15 = "CAST(list_sum([CAST(strpos('0123456789abcdef', substr(hx, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val centerVals = clusteredFixtureCenters().zipWithIndex
       .map { case (c, i) => s"($i, ${sqlDoubleList(c)})" }.mkString(",\n    ")
@@ -1443,14 +1444,36 @@ object Similarity {
       if (withScanFrac)
         ",\n  round(CAST((SELECT np FROM par) AS DOUBLE) / (SELECT nl FROM par), 4) AS scan_frac"
       else ""
+    // st14 (r16): vectors matching driftShiftPred carry the lifecycle
+    // fixture's +0.75f per-dim shift. Replayed EXACTLY as Spark's float
+    // add: the fixture float widened to DOUBLE, +0.75 in double (exact —
+    // a float sum fits a double, no double rounding), re-narrowed to
+    // FLOAT (the correctly-rounded float addition), then widened back
+    // for the math. The pass-through case keeps the original single-CTE
+    // text so every existing oracle is byte-identical.
+    val feCte =
+      if (driftShiftPred == "FALSE")
+        s"""fe AS (
+           |  SELECT e.vec_id,
+           |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+           |      AS DOUBLE) FOR i IN range(64)] AS emb
+           |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+           |)""".stripMargin
+      else
+        s"""fe0 AS (
+           |  SELECT e.vec_id,
+           |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
+           |      AS DOUBLE) FOR i IN range(64)] AS emb
+           |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
+           |), fe AS (
+           |  SELECT vec_id, CASE WHEN $driftShiftPred
+           |    THEN [CAST(CAST(x + 0.75 AS FLOAT) AS DOUBLE) FOR x IN emb]
+           |    ELSE emb END AS emb
+           |  FROM fe0
+           |)""".stripMargin
     s"""WITH centers(ccid, c) AS (VALUES
        |    $centerVals),
-       |fe AS (
-       |  SELECT e.vec_id,
-       |    [CAST(CAST(ct.c[i+1] + $noise * CAST(e.embedding[i+1] AS DOUBLE) AS FLOAT)
-       |      AS DOUBLE) FOR i IN range(64)] AS emb
-       |  FROM embeddings e JOIN centers ct ON ct.ccid = e.vec_id % $c
-       |),
+       |$feCte,
        |el AS (
        |  SELECT vec_id, unnest(range(64)) AS i, unnest(emb) AS x FROM fe
        |),
@@ -2896,7 +2919,13 @@ object Similarity {
     // balance and serves the drifted queries at the s4 recall floor.
     // All four criteria raise_error in-query (the s2/s4 posture).
     rowsOnly("s20_drift_retrain") { (s, d) =>
+      // r16 fixture cap (the r15 verdict's #6): the monitor's gates are
+      // N-independent (PSI threshold, cutover booleans, occupancy-share
+      // comparison, recall floor) and already hold at the smaller SFs'
+      // 500-vector fixture; capping sf0.1's 2000 keeps the simulation's
+      // two-build + counterfactual cost off the bench's slow tail.
       val e = clusteredEmbeddings(Tables.embeddings(s, d))
+        .filter(col("vec_id") < 800)
       val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
       val undrifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
       val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)

@@ -437,6 +437,57 @@ object TextStats {
         size(col("ctoks")).cast("long").as("n_tokens"),
         array_join(col("ctoks"), " ").as("chunk_text"))
 
+  /** [[chunk]] re-metered in LEARNED-BPE tokens (r16, t45 — the r15
+    * verdict's #3: t40 measured the 64-token context admitting ~1.3×
+    * fewer learned tokens than whitespace says, and chunk boundaries
+    * ARE the max_seq_len decision). Same window/stride law over the
+    * doc's BPE token SEQUENCE instead of its whitespace words: the
+    * token array is materialized ONCE per doc in its own projection
+    * (the Generate-recompute rule — the expensive tokenize never sits
+    * beside the explode), then sliced per window. `chunk_text` is the
+    * window's tokens concatenated — token streams have no whitespace to
+    * restore; content is preserved (concat(tokens) == stripped text,
+    * property-tested), word boundaries are the tokenizer's business.
+    * Scale shape identical to t11: pure scan-side row amplification,
+    * no shuffle.
+    */
+  def chunkBpe(docs: DataFrame, merges: Seq[(String, String)],
+      window: Int = 32, stride: Int = 24): DataFrame =
+    Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.Bpe.tokens(col("text"), merges).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          greatest(floor((size(col("ts")) - (window - stride) - 1) / stride.toDouble),
+            lit(0L)))).as("k"))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        slice(col("ts"), (col("k") * stride + 1).cast("int"), lit(window)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        array_join(col("ctoks"), "").as("chunk_text"))
+
+  /** t12's temperature-scaled source mixture, parameterized by the
+    * meter (r16 — the t42 pattern applied to the τ-tempered family):
+    * per-source token share p_i re-weighted as p_i^τ / Σ p_j^τ. The
+    * float work happens on |sources| rows; 6-dp rounding sits far from
+    * any boundary at that cardinality (15 rounds of t12 hashes agree).
+    */
+  def sourceMixture(docs: DataFrame,
+      meter: Column = size(split(trim(col("text")), "\\s+")).cast("long"),
+      tau: Double = 0.7): DataFrame = {
+    val c = Tables.spread(docs)
+      .select(col("source"), meter.as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
+    val tot = c.agg(sum(col("n_tok")).as("tot"))
+    val p = c.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tok") / col("tot"))
+    val z = p.agg(sum(pow(col("p"), tau)).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tok"),
+        round(col("p"), 6).as("token_share"),
+        round(pow(col("p"), tau) / col("z"), 6).as("mixture_weight"))
+  }
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- corpus stats per language (metadata aggregation) ----------------
@@ -721,18 +772,7 @@ object TextStats {
         |SELECT source, n_tok, round(p, 6) AS token_share,
         |  round(pow(p, 0.7) / z, 6) AS mixture_weight
         |FROM p, z""".stripMargin) { (s, d) =>
-      val c = Tables.spread(Tables.documents(s, d))
-        .select(col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
-        .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
-      val tot = c.agg(sum(col("n_tok")).as("tot"))
-      val p = c.crossJoin(broadcast(tot))
-        .withColumn("p", col("n_tok") / col("tot"))
-      val z = p.agg(sum(pow(col("p"), 0.7)).as("z"))
-      p.crossJoin(broadcast(z))
-        .select(col("source"), col("n_tok"),
-          round(col("p"), 6).as("token_share"),
-          round(pow(col("p"), 0.7) / col("z"), 6).as("mixture_weight"))
+      sourceMixture(Tables.documents(s, d))
     },
 
     // ---- unigram log-prob quality score (perplexity proxy) ---------------
@@ -1981,6 +2021,70 @@ object TextStats {
         .select(col("k_merges"), col("n_tok"), col("chars").as("n_chars"),
           round(col("chars") * lit(1.0) / col("n_tok"), 6).as("chars_per_tok"),
           round(col("n_tok") * lit(1.0) / col("words"), 6).as("tok_per_word"))
+    },
+
+    // ---- t11's context chunking re-metered in LEARNED-BPE tokens (r16 —
+    // the metering tail's last big consumer: chunk boundaries ARE the
+    // max_seq_len decision, and t40 measured the whitespace meter
+    // over-admitting ~1.3× per 64-token context). Windows of 32 LEARNED
+    // tokens, stride 24, over the doc's flat BPE token sequence; the
+    // oracle rebuilds each doc's sequence by replaying train → apply →
+    // per-word token lists flattened in word order, then slices with the
+    // identical k-law — a drift in training, application, word order, or
+    // the window arithmetic shifts a chunk row and mismatches the hash.
+    sql("t45_chunking_bpe",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |wpos AS (
+         |  SELECT doc_id, unnest([struct_pack(i := i, w := ws[i])
+         |    FOR i IN range(1, len(ws) + 1)]) AS p
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |        FROM documents) t
+         |), dtok AS (
+         |  SELECT doc_id, flatten(list(a.syms ORDER BY (p).i)) AS ts
+         |  FROM wpos JOIN aw_$BpeTrainRounds a ON a.w = (p).w
+         |  GROUP BY doc_id
+         |), dts AS (
+         |  SELECT d.doc_id, coalesce(t.ts, []) AS ts
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN dtok t USING (doc_id)
+         |), ch AS (
+         |  SELECT doc_id, ts,
+         |    unnest(range(0, greatest((len(ts) - 9) // 24, 0) + 1)) AS k
+         |  FROM dts
+         |)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(len(ts[k*24+1:k*24+32]) AS BIGINT) AS n_tokens,
+         |  array_to_string(ts[k*24+1:k*24+32], '') AS chunk_text
+         |FROM ch""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      chunkBpe(docs, merges)
+    },
+
+    // ---- t12's temperature-scaled mixture re-metered in LEARNED-BPE
+    // tokens (r16 — the t42 pattern applied to the τ = 0.7 tempering;
+    // t42 covers the √-tempered family, this the GPT-3/LLaMA recipe's
+    // exponent, and because the BPE/ws ratio varies BY SOURCE the
+    // tempered weights genuinely move, not rescale). Same bounded
+    // |sources|-row float work; the oracle re-learns the table and
+    // re-prices every source before the tempering math.
+    sql("t46_source_mixture_bpe",
+      s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte,
+         |c AS (
+         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok
+         |  FROM bdoc GROUP BY source
+         |), t AS (SELECT sum(n_tok) AS tot FROM c),
+         |p AS (SELECT source, n_tok, n_tok * 1.0 / tot AS p FROM c, t),
+         |z AS (SELECT sum(pow(p, 0.7)) AS z FROM p)
+         |SELECT source, n_tok, round(p, 6) AS token_share,
+         |  round(pow(p, 0.7) / z, 6) AS mixture_weight
+         |FROM p, z""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      sourceMixture(docs, graft.functions.Bpe.count(col("text"), merges))
     }
   )
 

@@ -877,7 +877,15 @@ object Streams {
     // s4 floor.
     OpQuery.rowsOnly("st12_drift_aware_index") { (s, d) =>
       import graft.llm.Similarity
+      // r16 (the r15 verdict's #6): the lifecycle SIMULATION's fixture is
+      // capped at 800 vectors — the gates (no-cutover / replay-no-op /
+      // cutover / exactly-once / recall ≥ 0.8) are N-independent laws that
+      // already hold at the smaller SFs' 500-vector fixture, and the
+      // entry's cost is stage count × per-job data, so the cap cuts the
+      // bench's single largest entry without weakening any gate. The
+      // hash-matched END-STATE statement lives in st14 on the FULL fixture.
       val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        .filter(col("vec_id") < 800)
       val lcRoot = graft.llm.Dedup.trackSpill(
         s"${graft.llm.Dedup.spillBase(s, None, "st12")}/${graft.llm.Dedup.runDirName("ivflc")}")
       val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
@@ -944,6 +952,67 @@ object Streams {
               lit(s"generation PQ code width $codeWidth > 20 B/vector")))
             .otherwise(col("sim")).as("sim")),
         Similarity.bruteTopK(q, full, 5), minRecall = 0.80)
+    },
+
+    // ---- st12's FINAL STATE promoted to a hash-matched oracle (r16 —
+    // the r15 verdict's #5). The tick ORDERING stays st12's simulation
+    // (its 4 in-query lifecycle gates are untouched); what promotes is
+    // the END STATE after the LITERAL batch schedule with PINNED drift
+    // verdicts — init(base) → batch 1 append (in-distribution) →
+    // batch 2 retrain (the +0.75f-shifted batch) — executed on the
+    // REPLAYABLE chain (hash60 seeds, decimal-exact Lloyd, rounded
+    // routing, persisted round trips). The retrain's input is read OFF
+    // THE OLD INDEX's committed listing (base ∪ delta batches — the
+    // lifecycle's actual retrain input, now through the r16 manifest),
+    // so a lost or duplicated append row re-trains a DIFFERENT index
+    // and mismatches the hash, not just an audit. DuckDB independently
+    // re-derives: fixture → float-exact drift shift → full-corpus Lloyd
+    // retrain → rounded routing → probe → rank → recall.
+    sql("st14_lifecycle_final_state", {
+      graft.llm.Similarity.ivfReplayOracleSql(withScanFrac = false,
+        queryPred = "vec_id % 3 = 2 AND vec_id < 32",
+        exactPred = "a.vec_id % 3 = 2 AND a.vec_id < 32",
+        driftShiftPred = "vec_id % 3 = 2")
+    }) { (s, d) =>
+      import graft.llm.Similarity
+      val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+      val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      val undrifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+      val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+      // the literal schedule, verdicts pinned: batch 1 appends
+      val idx0 = Similarity.ivfIndexBuildReplayable(base,
+        Similarity.deriveNlist(base.count()))
+      Similarity.ivfIndexAppendReplayable(s, idx0, undrifted, batchId = 1L)
+      // batch 2 retrains: input = the OLD index's joint committed listing
+      // ∪ the drifted batch (exactly IndexLifecycle.tick's retrain input)
+      val old = Similarity.ivfIndexAssignments(s, idx0)
+        .select(col("vid").as("vec_id"), col("ve").as("embedding"))
+      val full = old.unionByName(drifted)
+      val idx2 = Similarity.ivfIndexBuildReplayable(full,
+        Similarity.deriveNlist(e.count()))
+      val q = drifted.filter(col("vec_id") < 32)
+      val served = Similarity.ivfIndexQueryReplayable(s, idx2, q, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      // final-state audit (st12's end-state law, here hash-backed too):
+      // the retrained store holds every corpus vector exactly once
+      val audit = Similarity.ivfIndexAssignments(s, idx2)
+        .groupBy(col("vid")).agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") =!= 1, 1L).otherwise(0L)).as("n_dup"),
+          count(lit(1)).as("n_vec"))
+      val nCorpus = e.count()
+      Similarity.withRecallGate(
+        served.crossJoin(broadcast(audit))
+          .select(col("qid"), col("vid"),
+            when(col("n_dup") > 0 || col("n_vec") =!= nCorpus, raise_error(concat(
+              lit("retrained generation must hold every vector exactly once: dup="),
+              col("n_dup").cast("string"), lit(" n="),
+              col("n_vec").cast("string"), lit(s" vs $nCorpus"))))
+              .otherwise(col("sim")).as("sim")),
+        Similarity.bruteTopK(q,
+          base.unionByName(undrifted).unionByName(drifted), 5),
+        minRecall = 0.80)
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------

@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 209)
+    assert(SparkEntry.registry.size === 212)
   }
 
   test("registry ids are unique and well-formed") {
@@ -34,7 +34,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // the streaming lifecycle simulation; d13 promoted in r14 via the
     // sha256-chunk bloom). A promotion or an accidental oracle drop
     // must move this pin consciously.
-    assert(SparkEntry.oracleSql.size === 205,
+    assert(SparkEntry.oracleSql.size === 208,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 
