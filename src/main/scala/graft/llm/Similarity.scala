@@ -4139,6 +4139,97 @@ object Similarity {
 
   private lazy val opsLog = org.slf4j.LoggerFactory.getLogger("graft.llm.Similarity")
 
+  /** DELTA COMPACTION (r16): fold every servable delta batch into ONE
+    * merged batch — the read-amplification half of the lifecycle the
+    * manifest alone doesn't fix. The r16 manifest makes the committed-
+    * batch LISTING O(1), but serving still opens one parquet root per
+    * batch; a continuous crawl between retrains accumulates hundreds,
+    * and each is a separate footer/stripe read at 100 TB. Retrain
+    * already absorbs deltas (the st12 cutover); this is the cheaper
+    * mid-life operation FAISS-class systems run when drift does NOT say
+    * retrain: routing is untouched (cells were assigned by the frozen
+    * codebook and are preserved as stored), only the file layout folds.
+    *
+    * CRASH-SAFE by the manifest flip:
+    *  1. write the union of all servable batches whole into
+    *     `deltas/batch=<mergedBatchId>` (and, on a PQ-shaped index, the
+    *     codes union into its `codes_deltas` twin) — both dirs land
+    *     BEFORE any reader can see them;
+    *  2. FLIP the manifest (tmp + rename) to list only the merged batch
+    *     — the atomic cutover: a reader sees the old batch set or the
+    *     merged one, never both, so no row is ever served twice;
+    *  3. sweep: delete every OWN-STORE-committed batch dir the manifest
+    *     no longer lists. This reaches a torn batch's committed half
+    *     too — safe, because an unlisted batch belongs to its replay,
+    *     which rewrites BOTH dirs whole and records afterwards (and
+    *     removing pending tombstoned rows early is the RTBF-friendly
+    *     direction); a dir with no `_SUCCESS` is left alone
+    *     (indistinguishable from an in-flight writer).
+    * A crash before 2 leaves the merged dir unrecorded (invisible — the
+    * torn-batch semantics); re-running the compaction overwrites it and
+    * completes. A crash between 2 and 3 leaves committed-but-unlisted
+    * garbage dirs that the next compaction (or this one re-run) sweeps;
+    * readers on the manifest never open them.
+    *
+    * `mergedBatchId` is the merged batch's identity and must be FRESH —
+    * the same contract as [[ivfIndexAppend]]'s batchId (a reused id
+    * overwrites, which after a compaction would replace merged content);
+    * enforced loudly against the current committed set.
+    */
+  def ivfIndexCompact(spark: SparkSession, indexRoot: String,
+      mergedBatchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = servableDeltaDirs(fs, indexRoot, "deltas")
+    val names = committed.map(d => new org.apache.hadoop.fs.Path(d).getName)
+    require(!names.contains(s"batch=$mergedBatchId"),
+      s"mergedBatchId=$mergedBatchId collides with a committed batch — " +
+        "compaction needs a fresh id (the append idempotence contract)")
+    if (committed.size > 1) {
+      val dRoot = s"$indexRoot/deltas"
+      spark.read.option("basePath", dRoot).parquet(committed: _*)
+        .select(col("vid"), col("ve"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dRoot/batch=$mergedBatchId")
+      if (hasPqShape(spark, indexRoot)) {
+        val cRoot = s"$indexRoot/codes_deltas"
+        val codeDirs = names.map(n => s"$cRoot/$n")
+        spark.read.option("basePath", cRoot).parquet(codeDirs: _*)
+          .select(col("vid"), col("code"), col("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$cRoot/batch=$mergedBatchId")
+      }
+      // the atomic cutover — old set → merged, in one rename
+      writeDeltaManifest(fs, indexRoot, Seq(s"batch=$mergedBatchId"))
+    }
+    // sweep folded (and any prior-compaction) garbage: OWN-STORE
+    // committed dirs the manifest no longer lists — per store, so a
+    // crash mid-sweep can't orphan a codes twin whose vector dir is
+    // already gone. Deleting an unlisted dir is always recoverable: an
+    // unrecorded batch belongs to its replay, which rewrites BOTH dirs
+    // whole and records afterwards (the append idempotence contract) —
+    // and sweeping a torn batch's committed half removes pending
+    // tombstoned rows earlier than the replay would, which is the
+    // RTBF-friendly direction. A dir with no `_SUCCESS` at all is left
+    // alone (indistinguishable from an in-flight writer).
+    // GUARD: only sweep under an existing manifest — on a manifest-less
+    // legacy root "unlisted" would mean "everything" and the sweep would
+    // delete live data. (The merge path above always flips a manifest
+    // when it folds, so reaching here without one means a ≤ 1-batch
+    // no-op on a legacy root: nothing to sweep anyway.)
+    readDeltaManifest(fs, indexRoot).foreach { listedSeq =>
+      val listed = listedSeq.toSet
+      for (store <- Seq("deltas", "codes_deltas")) {
+        committedDeltaDirs(fs,
+            new org.apache.hadoop.fs.Path(s"$indexRoot/$store"))
+          .filterNot(d => listed(new org.apache.hadoop.fs.Path(d).getName))
+          .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
+    }
+  }
+
   def ivfIndexPurge(spark: SparkSession, indexRoot: String,
       tombVecIds: DataFrame): Unit = {
     val tomb = tombVecIds.select(tombVecIds.columns.head).toDF("vid").distinct()

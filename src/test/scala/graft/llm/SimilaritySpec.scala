@@ -1164,6 +1164,64 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfIndexAssignments(spark, root).count() === e.count())
   }
 
+  test("delta compaction: content identical, one batch left, torn replay survives, crash-safe") {
+    // r16: the manifest bounds the committed-batch LISTING; compaction
+    // bounds the READ — N batch parquet roots fold into one with an
+    // atomic manifest flip, no serving row added, lost, or duplicated.
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val d1 = e.filter(pmod(col("vec_id"), lit(4)) === 1)
+    val d2 = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val d3 = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val root = java.nio.file.Files.createTempDirectory("dcompact").toString + "/idx"
+    Similarity.ivfIndexBuild(base, targetDir = Some(root))
+    Similarity.pqAugmentIndex(spark, root, base)
+    Similarity.ivfIndexAppend(spark, root, d1, batchId = 1L)
+    Similarity.ivfIndexAppend(spark, root, d2, batchId = 2L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def rows() = Similarity.ivfIndexAssignments(spark, root)
+      .select(col("vid"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    def codeRows() = Similarity.ivfPqCodes(spark, root)
+      .select(col("vid")).collect().map(_.getLong(0)).sorted.toSeq
+    val before = rows(); val codesBefore = codeRows()
+    // fresh-id contract is loud
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexCompact(spark, root, mergedBatchId = 2L)
+    }
+    Similarity.ivfIndexCompact(spark, root, mergedBatchId = 100L)
+    assert(rows() === before, "compaction must not change served vectors")
+    assert(codeRows() === codesBefore, "compaction must not change served codes")
+    assert(Similarity.readDeltaManifest(fs, root).get === Seq("batch=100"))
+    for (store <- Seq("deltas", "codes_deltas"))
+      assert(Similarity.servableDeltaDirsListing(fs, root, store)
+        .map(d => new org.apache.hadoop.fs.Path(d).getName) === Seq("batch=100"),
+        s"$store must hold exactly the merged batch")
+    // a TORN batch (vectors committed, codes never written) rides through:
+    // invisible before AND after compaction, and its replay completes it
+    Similarity.ivfIndexAppendDelta(spark, root, d3, batchId = 3L)
+    val mid = rows()
+    assert(mid === before, "torn batch must stay invisible")
+    Similarity.ivfIndexCompact(spark, root, mergedBatchId = 101L)
+    assert(rows() === before, "compaction must not surface or lose the torn batch")
+    Similarity.ivfIndexAppend(spark, root, d3, batchId = 3L) // the replay
+    assert(rows().size === e.count(), "replay after compaction completes the batch")
+    // crash between merged-write and manifest flip: simulate by writing a
+    // merged dir WITHOUT flipping — readers must be unaffected, and the
+    // re-run converges (overwrites the stale merged dir, then flips)
+    val preCrash = rows()
+    val stale = Similarity.ivfIndexAssignments(spark, root)
+      .filter(col("cell") >= 0) // all rows — content irrelevant, must be overwritten
+    stale.select(col("vid"), col("ve"), col("cell")).limit(3)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/deltas/batch=102")
+    assert(rows() === preCrash, "unrecorded merged dir must be invisible")
+    Similarity.ivfIndexCompact(spark, root, mergedBatchId = 102L)
+    assert(rows() === preCrash, "re-run with the crashed id must converge")
+    assert(Similarity.readDeltaManifest(fs, root).get === Seq("batch=102"))
+  }
+
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
     import graft.streaming.IndexLifecycle
     // an st12-shaped generation: init (base codes) + one delta tick
