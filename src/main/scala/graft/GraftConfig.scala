@@ -68,4 +68,19 @@ object GraftConfig {
 
   def bpeTrainRounds(spark: SparkSession): Option[Int] =
     spark.conf.getOption(BpeTrainRoundsKey).map(_.trim.toInt).filter(_ >= 1)
+
+  val IndexCompactAfterBatchesKey = "spark.graft.index.compactAfterBatches"
+
+  /** None (default) = no automatic delta compaction in the streaming
+    * index lifecycle; Some(n ≥ 2) = [[graft.streaming.IndexLifecycle.tick]]
+    * folds the serving generation's delta batches through
+    * [[graft.llm.Similarity.ivfIndexCompact]] whenever the committed
+    * set reaches n (r16 — the `ledgerCompactEvery` discipline applied
+    * to the ANN index; n = 1 is rejected because compacting after every
+    * tick rewrites the whole delta mass per batch, the quadratic
+    * behavior the threshold exists to avoid).
+    */
+  def indexCompactAfterBatches(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(IndexCompactAfterBatchesKey)
+      .map(_.trim.toInt).filter(_ >= 2)
 }

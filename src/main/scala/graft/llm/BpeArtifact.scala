@@ -61,6 +61,29 @@ object BpeArtifact {
       * [[graft.functions.Bpe.count]]/`tokens` input shape.
       */
     def pairs: Seq[(String, String)] = merges.map(m => (m._2, m._3))
+
+    /** Fingerprint of the MERGE TABLE itself (vs [[corpusFingerprint]],
+      * which names the training data): the first 60 bits of sha256 over
+      * the length-prefixed canonical rendering of the rank-ordered
+      * table. This is the value a downstream metering output (shard
+      * manifest, mixture table, budget ledger) should carry to name the
+      * model that priced it — two models trained on different corpora
+      * or knobs that happen to learn the SAME table price identically,
+      * and this says so where the provenance fields cannot. Derived,
+      * not stored: recomputed from the table on every load, so it can
+      * never drift from the merges it describes.
+      */
+    def tableFingerprint: Long = {
+      val canon = merges.map { case (r, a, b, m, c) =>
+        s"$r:${a.length}:$a:${b.length}:$b:${m.length}:$m:$c"
+      }.mkString("|")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(canon.getBytes("UTF-8"))
+      // 60-bit non-negative prefix — the repo's hash60 convention
+      ((d(0) & 0x0fL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    }
   }
 
   private def fsOf(spark: SparkSession, p: String) =

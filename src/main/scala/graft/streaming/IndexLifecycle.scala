@@ -291,6 +291,21 @@ object IndexLifecycle {
         // informational (the delta overwrite is the idempotence); also
         // lets a replay skip the drift scan entirely
         Streams.writeAppliedBatches(fs, new Path(g), applied + batchId)
+        // optional auto-compaction (r16, spark.graft.index.compactAfterBatches):
+        // fold the committed delta set once it reaches the threshold. The
+        // merged batch id is −(batchId)−1 — stream batch ids are monotone
+        // non-negative, so a reserved NEGATIVE id can never collide with a
+        // future tick's id (a collision would let that tick's idempotent
+        // overwrite replace merged content), and successive compactions at
+        // later ticks get strictly different ids. Runs AFTER the applied-set
+        // write: a crash anywhere around it leaves a fully-served index —
+        // the next over-threshold tick simply compacts again.
+        graft.GraftConfig.indexCompactAfterBatches(spark).foreach { n =>
+          val committed = Similarity.readDeltaManifest(
+            fsOf(spark, g), g).map(_.size).getOrElse(0)
+          if (committed >= n)
+            Similarity.ivfIndexCompact(spark, g, mergedBatchId = -batchId - 1L)
+        }
         false
       }
     }

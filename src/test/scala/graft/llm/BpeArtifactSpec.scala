@@ -38,6 +38,27 @@ class BpeArtifactSpec extends SparkSpec {
     both.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("table fingerprint: load-stable, moves with the table, blind to provenance") {
+    val docs = Tables.documents(spark, sf)
+    val root = tmpDir("bpe-tfp")
+    val v1 = BpeArtifact.train(docs, root)
+    // derived, so a disk round trip cannot drift it
+    assert(BpeArtifact.load(spark, root).tableFingerprint === v1.tableFingerprint)
+    assert(v1.tableFingerprint >= 0L, "hash60 convention: non-negative")
+    // a different table (different rounds) → different fingerprint
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "8")
+    try {
+      val v2 = BpeArtifact.train(docs, root)
+      assert(v2.tableFingerprint !== v1.tableFingerprint)
+      // same table content ⇒ same fingerprint, regardless of provenance:
+      // the first 8 merges of the 32-round table ARE the 8-round table
+      // (merges apply in creation order), so the prefix-model equality
+      // is visible through the fingerprint alone
+      assert(v1.copy(merges = v1.merges.take(8)).tableFingerprint
+        === v2.tableFingerprint)
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
   test("provenance fingerprint moves with the corpus, not its partitioning") {
     val docs = Tables.documents(spark, sf)
     val root1 = tmpDir("bpe-fp1")

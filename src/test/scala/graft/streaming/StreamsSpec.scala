@@ -508,6 +508,62 @@ class StreamsSpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("lifecycle auto-compaction knob: batch count bounded, serving identical, replay no-op") {
+    import graft.llm.Similarity
+    // three in-distribution ticks on the clustered fixture (no drift →
+    // all appends). With spark.graft.index.compactAfterBatches=2 the
+    // committed delta set must stay bounded while serving content stays
+    // IDENTICAL to the knob-less lifecycle — compaction is unobservable.
+    // modulus 5 (coprime with the fixture's cluster count, the st12 %3
+    // rule) so every split is a uniform sample across clusters — a
+    // modulus sharing a factor with the cluster assignment would make
+    // each batch occupy DIFFERENT clusters and legitimately drift
+    val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
+    val base = e.filter(col("vec_id") % 5 === 0)
+    val batches = (1 to 3).map(i => e.filter(col("vec_id") % 5 === i))
+    def runLifecycle(tag: String): String = {
+      val lcRoot = tmpDir(s"lc-$tag") + "/lc"
+      IndexLifecycle.init(spark, lcRoot, base)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val retrained = IndexLifecycle.tick(spark, lcRoot, b, (i + 1).toLong)
+        assert(!retrained, s"in-distribution tick ${i + 1} must append")
+      }
+      lcRoot
+    }
+    val plain = runLifecycle("plain")
+    spark.conf.set(graft.GraftConfig.IndexCompactAfterBatchesKey, "2")
+    val compacted =
+      try runLifecycle("compact")
+      finally spark.conf.unset(graft.GraftConfig.IndexCompactAfterBatchesKey)
+    val gPlain = IndexLifecycle.currentRoot(spark, plain).get
+    val gComp = IndexLifecycle.currentRoot(spark, compacted).get
+    val fs = new org.apache.hadoop.fs.Path(gComp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // bounded: tick2 folded [1,2] → [-3]; tick3 appended → [-3, 3] → folded
+    // again (threshold met) → [-4]
+    val listed = Similarity.readDeltaManifest(fs, gComp).get
+    assert(listed.size < 3, s"compaction must bound the batch set, got $listed")
+    // unobservable: both lifecycles serve the same assignment content...
+    def rows(g: String) = Similarity.ivfIndexAssignments(spark, g)
+      .select(col("vid"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows(gComp) === rows(gPlain),
+      "compaction must not change the served vector set")
+    val nCovered = e.filter(col("vec_id") % 5 < 4).count()
+    assert(Similarity.ivfPqCodes(spark, gComp).select("vid").distinct().count()
+      === nCovered, "code store must cover every ingested vector through compactions")
+    // ...and the same top-k
+    val probes = e.filter(col("vec_id") < 16)
+    def topk(root: String) = IndexLifecycle.serve(spark, root, probes, 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    assert(topk(compacted) === topk(plain),
+      "serving through the compacted lifecycle must be identical")
+    // a replayed tick stays a no-op after its batch was folded away
+    assert(!IndexLifecycle.tick(spark, compacted, batches(0), 1L),
+      "replay of a compacted-away batch must be skipped by the applied set")
+    assert(rows(gComp).size === nCovered, "replay must not duplicate anything")
+  }
+
   test("st12 drift decision is batch-proportional: scans only the persisted reference sample") {
     import graft.llm.Similarity
     val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, sf))
