@@ -102,19 +102,44 @@ class NewOpsPlanSpec extends SparkSpec {
     // per-doc meter fuses into the scan's codegen stage. Assert the
     // Project carrying the metering expression sits inside a codegen'd
     // span (the `*(n)` marker) and the plan has no exchange at all.
-    for ((name, marker) <- Seq(
-        ("t35_subword_tokens", "subword_count"),
-        ("t38_bpe_token_counts", "bpe_count"))) {
-      val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      val line = plan.linesIterator.find(_.contains(marker))
-      assert(line.isDefined, s"$name plan carries no $marker expression:\n${plan.take(900)}")
-      assert(line.get.contains("*("),
-        s"$name's $marker fell out of WholeStageCodegen:\n${line.get.take(300)}")
-      assert(!plan.contains("Exchange"),
-        s"$name metering must be scan-side only:\n${plan.take(900)}")
-    }
+    // fallback=false (r16): the `*(` marker prints before Janino
+    // compiles, so without it a doGenCode emitting invalid Java passes
+    // this test while silently interpreting (the BloomProbe bug class).
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for ((name, marker) <- Seq(
+          ("t35_subword_tokens", "subword_count"),
+          ("t38_bpe_token_counts", "bpe_count"))) {
+        val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        val line = plan.linesIterator.find(_.contains(marker))
+        assert(line.isDefined, s"$name plan carries no $marker expression:\n${plan.take(900)}")
+        assert(line.get.contains("*("),
+          s"$name's $marker fell out of WholeStageCodegen:\n${line.get.take(300)}")
+        assert(!plan.contains("Exchange"),
+          s"$name metering must be scan-side only:\n${plan.take(900)}")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
+  test("every custom codegen expression COMPILES: family probes under fallback=false") {
+    // one entry per custom-Expression family (CosineSimF32/ArrayDot →
+    // s1; PqEncodeF32 + PqAdc table → s23; Sha256Chunks → d13 covers it
+    // via the probe test above; SubwordCount/Tokens → t35; BpeCount →
+    // t38; BloomProbe → d13): executing with codegen fallback DISABLED
+    // turns any invalid generated Java into a hard failure instead of a
+    // silent interpreted run. d13/st13/t35/t38 are covered by the two
+    // tests above; this closes the remaining families.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (name <- Seq("s1_knn_brute", "s23_ivf_pq_index", "t5_fingerprint")) {
+        val df = SparkEntry.registry.find(_.name == name).get.run(spark, sf)
+        assert(df.collect().nonEmpty, s"$name returned no rows under fallback=false")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
   test("st13/d13 scan-side verdicts stay inside WholeStageCodegen") {
