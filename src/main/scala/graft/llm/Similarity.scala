@@ -4180,6 +4180,15 @@ object Similarity {
       mergedBatchId: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // writer coordination: the purge rewrites cells INSIDE delta batch
+    // dirs under its marker; compacting those same dirs concurrently
+    // would interleave two writers on one tree. The index mutation
+    // contract is single-writer — enforce it loudly here because
+    // compaction is the one mutation an operator is likely to cron.
+    require(!fs.exists(purgeMarker(indexRoot)),
+      s"ivfIndexCompact($indexRoot): a purge is in progress (or crashed " +
+        "holding its marker) — re-run after it completes; a crashed purge " +
+        "is healed by the next purge")
     val committed = servableDeltaDirs(fs, indexRoot, "deltas")
     val names = committed.map(d => new org.apache.hadoop.fs.Path(d).getName)
     require(!names.contains(s"batch=$mergedBatchId"),

@@ -1220,6 +1220,29 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfIndexCompact(spark, root, mergedBatchId = 102L)
     assert(rows() === preCrash, "re-run with the crashed id must converge")
     assert(Similarity.readDeltaManifest(fs, root).get === Seq("batch=102"))
+    // crash between flip and sweep: a committed-but-unlisted garbage dir
+    // remains — readers never open it, and the next compaction's sweep
+    // (the ≤1-batch no-op path) removes it
+    val garbage = new org.apache.hadoop.fs.Path(s"$root/deltas/batch=55")
+    Similarity.ivfIndexAssignments(spark, root).limit(2)
+      .select(col("vid"), col("ve"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(garbage.toString)
+    assert(rows() === preCrash, "committed-but-unlisted garbage must be invisible")
+    Similarity.ivfIndexCompact(spark, root, mergedBatchId = 103L)
+    assert(!fs.exists(garbage), "the no-op sweep must remove unlisted garbage")
+    assert(rows() === preCrash)
+    // single-writer contract: compaction refuses under a purge marker
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/__purge_inprogress"), true).close()
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.ivfIndexCompact(spark, root, mergedBatchId = 104L)
+      }
+      assert(e2.getMessage.contains("purge"))
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/__purge_inprogress"), false)
+      ()
+    }
   }
 
   test("PQ generation purge: RTBF reaches base codes and code deltas, survivors intact") {
