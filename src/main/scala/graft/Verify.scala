@@ -7,13 +7,28 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Builder tooling (the driver never sets it): extra session confs as
+    // "key=value;key=value" — e.g. SPARK_GRAFT_CONF=
+    // "spark.sql.codegen.fallback=false" re-gates the WHOLE registry with
+    // interpreted fallback disabled, proving every custom codegen'd
+    // expression actually compiles (the BloomProbe bug class).
+    val extraConf: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_CONF")
+      .toSeq.flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extras applied LAST so a gate run can override a default
+    val spark = extraConf.foldLeft(base) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (builder tooling; the driver never sets it):
