@@ -36,6 +36,37 @@ class TextStatsSpec extends SparkSpec {
       (1 to 100).map(i => s"t$i"))
   }
 
+  test("BPE chunking: window law over the token sequence, incl. the empty-doc edge") {
+    // r16 (t45): same k-law as t11, but over LEARNED-BPE tokens. The
+    // hand-built table merges a+b→ab and ab+c→abc, so 'abc'→1 token,
+    // 'abd'→2 ('ab','d'), 'xy'→2 ('x','y') — chunk sizes are computed
+    // over TOKENS, not words. The empty/whitespace-only edge is NOT in
+    // any SF corpus (measured: 0 empty-trim docs at all three), so the
+    // oracle's coalesce(ts, []) leg lives here: one chunk_id=0 row with
+    // 0 tokens and empty chunk_text.
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc abd xy"),       // tokens: abc | ab d | x y → 5
+      (2L, ""),                 // no tokens → one empty chunk
+      (3L, "   \t  "),          // whitespace-only → one empty chunk
+      (4L, ("abd " * 50).trim)  // 100 tokens → 4 chunks (t11's k-law)
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunkBpe(docs, merges)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L) === Seq((1L, 0L, 5L, "abcabdxy")),
+      "token-metered chunk with tokens concatenated")
+    assert(out(2L) === Seq((2L, 0L, 0L, "")), "empty doc → one empty chunk")
+    assert(out(3L) === Seq((3L, 0L, 0L, "")), "whitespace-only → one empty chunk")
+    assert(out(4L).map(c => (c._2, c._3)) ===
+      Seq((0L, 32L), (1L, 32L), (2L, 32L), (3L, 28L)))
+    // stride law holds on the TOKEN stream: chunk k starts at token 24k
+    val toks = (1 to 50).flatMap(_ => Seq("ab", "d"))
+    assert(out(4L).head._4 === toks.take(32).mkString(""))
+    assert(out(4L)(1)._4 === toks.slice(24, 56).mkString(""))
+  }
+
   test("dsir: selection re-derives from JDK sha256 + plain Scala") {
     // independent of the engine's expression tree: hash with the JDK
     // digest, count with Scala maps, round with BigDecimal
