@@ -55,8 +55,9 @@ object GraftConfig {
   val BpeTrainTopVKey = "spark.graft.bpe.trainTopV"
   val BpeTrainRoundsKey = "spark.graft.bpe.trainRounds"
 
-  /** BPE trainer sample size / merge rounds for
-    * [[graft.llm.TextStats.bpeLearnMergesConf]] (r15). None = the
+  /** BPE trainer sample size / merge rounds, resolved through
+    * [[graft.llm.TextStats.bpeTrainParams]] by both production train
+    * entry points (r15; r16 histogram path). None = the
     * [[graft.llm.TextStats.BpeTrainTopV]]/[[graft.llm.TextStats.BpeTrainRounds]]
     * defaults. The sample is DRIVER-collected (the codebook-training
     * posture), so topV is clamped by
@@ -83,4 +84,17 @@ object GraftConfig {
   def indexCompactAfterBatches(spark: SparkSession): Option[Int] =
     spark.conf.getOption(IndexCompactAfterBatchesKey)
       .map(_.trim.toInt).filter(_ >= 2)
+
+  val BpeDriftPctKey = "spark.graft.bpe.lifecycleDriftPct"
+
+  /** None = [[graft.streaming.BpeLifecycle.DefaultDriftPct]] (10). The
+    * tokenizer lifecycle's retrain threshold (r16): retrain when a
+    * batch's codepoints-per-token under the serving table falls more
+    * than this percent below the table's train-time baseline. Bounded
+    * to [0, 100) — 0 retrains on ANY degradation, ≥ 100 would never
+    * fire (cpt is positive).
+    */
+  def bpeLifecycleDriftPct(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BpeDriftPctKey)
+      .map(_.trim.toInt).filter(p => p >= 0 && p < 100)
 }

@@ -50,11 +50,22 @@ object BpeArtifact {
 
   val CommitMarker = "_GRAFT_COMMITTED"
 
-  /** A loaded model version: train parameters + provenance + the merge
-    * table in rank order (exactly [[TextStats.bpeLearnMerges]]' shape).
+  /** A loaded model version: train parameters + provenance + the
+    * train-time compression BASELINE + the merge table in rank order
+    * (exactly [[TextStats.bpeLearnMerges]]' shape).
+    *
+    * `baselineNcp`/`baselineNtok` (r16, the lifecycle's drift anchor):
+    * the TRAIN corpus's total non-whitespace codepoints and its
+    * learned-token count under THIS table — exact integers, so a later
+    * batch's compression can be compared by integer cross-
+    * multiplication with no float rounding to disagree across engines.
+    * Their ratio (codepoints per token) is what the model "promised" at
+    * train time; a batch the table compresses materially worse is
+    * distribution drift ([[graft.streaming.BpeLifecycle.tick]]).
     */
   case class Model(version: Long, topV: Int, rounds: Int,
       corpusDocs: Long, corpusFingerprint: Long,
+      baselineNcp: Long, baselineNtok: Long,
       merges: Seq[(Int, String, String, String, Long)]) {
 
     /** (left, right) pairs in rank order — the
@@ -63,27 +74,19 @@ object BpeArtifact {
     def pairs: Seq[(String, String)] = merges.map(m => (m._2, m._3))
 
     /** Fingerprint of the MERGE TABLE itself (vs [[corpusFingerprint]],
-      * which names the training data): the first 60 bits of sha256 over
-      * the length-prefixed canonical rendering of the rank-ordered
-      * table. This is the value a downstream metering output (shard
-      * manifest, mixture table, budget ledger) should carry to name the
-      * model that priced it — two models trained on different corpora
-      * or knobs that happen to learn the SAME table price identically,
-      * and this says so where the provenance fields cannot. Derived,
-      * not stored: recomputed from the table on every load, so it can
-      * never drift from the merges it describes.
+      * which names the training data): [[TextStats.bpeTableFingerprint]]
+      * — the 60-bit sha256 prefix of the canonical rank-ordered
+      * rendering, DuckDB-replayable via [[TextStats.bpeTableFpCte]]
+      * (the t41 manifest column hash-proves the equivalence). This is
+      * the value a downstream metering output (shard manifest, mixture
+      * table, budget ledger) carries to name the model that priced it —
+      * two models trained on different corpora or knobs that happen to
+      * learn the SAME table price identically, and this says so where
+      * the provenance fields cannot. Derived, not stored: recomputed
+      * from the table on every load, so it can never drift from the
+      * merges it describes.
       */
-    def tableFingerprint: Long = {
-      val canon = merges.map { case (r, a, b, m, c) =>
-        s"$r:${a.length}:$a:${b.length}:$b:${m.length}:$m:$c"
-      }.mkString("|")
-      val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(canon.getBytes("UTF-8"))
-      // 60-bit non-negative prefix — the repo's hash60 convention
-      ((d(0) & 0x0fL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-    }
+    def tableFingerprint: Long = TextStats.bpeTableFingerprint(merges)
   }
 
   private def fsOf(spark: SparkSession, p: String) =
@@ -128,23 +131,73 @@ object BpeArtifact {
       allVersions(spark, root).filter(committed(spark, root, _)).sorted.lastOption)
   }
 
-  /** Train under the session's `spark.graft.bpe.*` knobs
-    * ([[TextStats.bpeLearnMergesConf]] — the production train entry
+  /** Train under the session's `spark.graft.bpe.*` knobs (resolved
+    * through [[TextStats.bpeTrainParams]] — the production train entry
     * point) and publish the result as the next version. Returns the
     * published [[Model]].
     */
   def train(docs: DataFrame, root: String): Model = {
     val spark = docs.sparkSession
     val (topV, rounds) = TextStats.bpeTrainParams(spark)
-    val merges = TextStats.bpeLearnMergesConf(docs)
-    // provenance scan: one pass over (doc_id, text); order- and
-    // partitioning-independent by construction (bit_xor is commutative)
-    val prov = docs.agg(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("fp")).head()
-    val fp = if (prov.isNullAt(1)) 0L else prov.getLong(1)
-    val v = write(spark, root, merges, topV, rounds, prov.getLong(0), fp)
-    Model(v, topV, rounds, prov.getLong(0), fp, merges)
+    // ONE corpus-sized aggregation: the word histogram. The top-V
+    // sample, the merge loop, and the train-time baseline are all
+    // functions of it; persist so the baseline pass below re-reads the
+    // (vocabulary-sized) histogram, not the corpus.
+    val hist = TextStats.bpeWordHistogram(docs).persist()
+    try {
+      val merges = TextStats.bpeLearnMergesFromHist(hist, topV, rounds)
+      val (ncp, ntok) = baselineOf(hist, merges)
+      // provenance scan: one pass over (doc_id, text); order- and
+      // partitioning-independent by construction (bit_xor is commutative)
+      val prov = docs.agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("fp")).head()
+      val fp = if (prov.isNullAt(1)) 0L else prov.getLong(1)
+      val v = write(spark, root, merges, topV, rounds, prov.getLong(0), fp,
+        ncp, ntok)
+      Model(v, topV, rounds, prov.getLong(0), fp, ncp, ntok, merges)
+    } finally { hist.unpersist(); () }
+  }
+
+  /** [[train]] from a pre-aggregated (w, freq) word histogram — the
+    * lifecycle's retrain entry point ([[graft.streaming.BpeLifecycle]]
+    * persists per-batch histograms, vocabulary-sized, instead of raw
+    * text; summed histograms retrain EXACTLY because the whole trainer
+    * is a function of the histogram). `corpusDocs` is caller-supplied
+    * (a histogram no longer knows its document count); the provenance
+    * fingerprint is over the histogram itself — bit_xor(xxhash64(w,
+    * freq)), order- and partitioning-independent — which names the
+    * training data just as well: two corpora with the same word
+    * histogram train the same model by construction.
+    */
+  def trainFromHist(spark: SparkSession, hist: DataFrame, root: String,
+      corpusDocs: Long): Model = {
+    val (topV, rounds) = TextStats.bpeTrainParams(spark)
+    val h = hist.persist()
+    try {
+      val merges = TextStats.bpeLearnMergesFromHist(h, topV, rounds)
+      val (ncp, ntok) = baselineOf(h, merges)
+      val prov = h.agg(expr("bit_xor(xxhash64(w, freq))").as("fp")).head()
+      val fp = if (prov.isNullAt(0)) 0L else prov.getLong(0)
+      val v = write(spark, root, merges, topV, rounds, corpusDocs, fp,
+        ncp, ntok)
+      Model(v, topV, rounds, corpusDocs, fp, ncp, ntok, merges)
+    } finally { h.unpersist(); () }
+  }
+
+  /** Exact train-corpus compression totals off the histogram: total
+    * non-whitespace CODEPOINTS and total LEARNED tokens under `merges`
+    * — per-distinct-word work weighted by freq (the oracle's `wn`-join
+    * shape), so the pass is vocabulary-sized, never corpus-sized.
+    */
+  private def baselineOf(hist: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): (Long, Long) = {
+    val pairs = merges.map(m => (m._2, m._3))
+    val r = hist.agg(
+      coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
+      coalesce(sum(col("freq") *
+        graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Publish a trained table as the next version: merges + meta parquet,
@@ -157,15 +210,18 @@ object BpeArtifact {
   def write(spark: SparkSession, root: String,
       merges: Seq[(Int, String, String, String, Long)],
       topV: Int, rounds: Int,
-      corpusDocs: Long, corpusFingerprint: Long): Long = {
+      corpusDocs: Long, corpusFingerprint: Long,
+      baselineNcp: Long = 0L, baselineNtok: Long = 0L): Long = {
     require(merges.nonEmpty, "refusing to publish an empty merge table")
     import spark.implicits._
     val v = allVersions(spark, root).sorted.lastOption.getOrElse(0L) + 1L
     val dir = s"$root/v=$v"
     merges.toDF("rank", "left", "right", "merged", "weight")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
-    Seq((v, topV, rounds, corpusDocs, corpusFingerprint))
-      .toDF("version", "top_v", "rounds", "corpus_docs", "corpus_fingerprint")
+    Seq((v, topV, rounds, corpusDocs, corpusFingerprint,
+        baselineNcp, baselineNtok))
+      .toDF("version", "top_v", "rounds", "corpus_docs", "corpus_fingerprint",
+        "baseline_ncp", "baseline_ntok")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val fs = fsOf(spark, root)
     fs.create(new Path(dir, CommitMarker), true).close()
@@ -195,8 +251,14 @@ object BpeArtifact {
       .orderBy(col("rank")).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
+    // schema-by-name reads so a pre-baseline meta row (none shipped, but
+    // the discipline is cheap) and any future column append stay readable
+    def lOf(f: String, default: Long): Long = {
+      val i = m.schema.fieldNames.indexOf(f)
+      if (i < 0) default else m.getLong(i)
+    }
     Model(m.getLong(0), m.getInt(1), m.getInt(2), m.getLong(3), m.getLong(4),
-      merges)
+      lOf("baseline_ncp", 0L), lOf("baseline_ntok", 0L), merges)
   }
 
   /** The serving table's (left, right) pairs — the one-call read path for

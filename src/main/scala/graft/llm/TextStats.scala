@@ -81,25 +81,19 @@ object TextStats {
 
   /** Resolved (topV, rounds) train parameters for a session: the
     * `spark.graft.bpe.trainTopV/trainRounds` knobs when set, else the
-    * pinned defaults. The ONE resolution point — [[bpeLearnMergesConf]]
-    * trains through it and [[BpeArtifact.train]] records the same
-    * values as the artifact's provenance, so the persisted model can
-    * never disagree with the parameters that trained it.
+    * pinned defaults. The ONE resolution point — both production train
+    * entry points ([[BpeArtifact.train]] and
+    * [[BpeArtifact.trainFromHist]], the lifecycle's retrain) resolve
+    * through it and record the same values as the artifact's
+    * provenance, so the persisted model can never disagree with the
+    * parameters that trained it. Registry entries pass the pinned
+    * [[BpeTrainTopV]]/[[BpeTrainRounds]] constants explicitly (st15
+    * additionally `require`s the knobs unset) so a deployment knob can
+    * never silently drift the oracles.
     */
   def bpeTrainParams(s: org.apache.spark.sql.SparkSession): (Int, Int) =
     (graft.GraftConfig.bpeTrainTopV(s).getOrElse(BpeTrainTopV),
       graft.GraftConfig.bpeTrainRounds(s).getOrElse(BpeTrainRounds))
-
-  /** [[bpeLearnMerges]] under the `spark.graft.bpe.*` session knobs
-    * (r15 — the production-facing API, called by [[BpeArtifact.train]];
-    * registry entries pass the pinned [[BpeTrainTopV]]/[[BpeTrainRounds]]
-    * constants explicitly so a deployment knob can never silently drift
-    * the oracles).
-    */
-  def bpeLearnMergesConf(docs: DataFrame): Seq[(Int, String, String, String, Long)] = {
-    val (topV, rounds) = bpeTrainParams(docs.sparkSession)
-    bpeLearnMerges(docs, topV, rounds)
-  }
 
   /** Deterministic BPE merge LEARNING (t37) — the real-tokenizer answer
     * to "whitespace metering mispriced the budget": seed every sampled
@@ -127,13 +121,34 @@ object TextStats {
     * full-re-scan reference on random corpora).
     */
   def bpeLearnMerges(docs: DataFrame, topV: Int = BpeTrainTopV,
+      rounds: Int = BpeTrainRounds): Seq[(Int, String, String, String, Long)] =
+    bpeLearnMergesFromHist(bpeWordHistogram(docs), topV, rounds)
+
+  /** Whitespace-word histogram of a corpus — (w, freq) with freq a
+    * BIGINT occurrence count. The ONE corpus-sized aggregation the
+    * trainer needs: everything downstream (the top-V sample, the merge
+    * loop, the drift metrics) is a pure function of this histogram, so
+    * a lifecycle can persist PER-BATCH histograms (vocabulary-sized,
+    * Zipf-bounded) instead of raw text and still retrain EXACTLY —
+    * summing histograms commutes with splitting the corpus
+    * ([[graft.streaming.BpeLifecycle]] is built on this).
+    */
+  def bpeWordHistogram(docs: DataFrame): DataFrame = docs
+    .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** [[bpeLearnMerges]] from a pre-aggregated (w, freq) histogram —
+    * the lifecycle's retrain entry point (histograms of committed
+    * batches merge by summed freq before the top-V cut, which is the
+    * same tie-broken cut the one-shot trainer computes on raw docs).
+    */
+  def bpeLearnMergesFromHist(hist: DataFrame, topV: Int = BpeTrainTopV,
       rounds: Int = BpeTrainRounds): Seq[(Int, String, String, String, Long)] = {
     require(topV >= 1 && topV <= BpeTrainMaxTopV,
       s"topV=$topV outside [1, $BpeTrainMaxTopV] — the train sample is " +
         "driver-collected; raise BpeTrainMaxTopV consciously for a bigger vocab")
-    val wf: Seq[(String, Long)] = docs
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val wf: Seq[(String, Long)] = hist
+      .select(col("w"), col("freq").cast("long").as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // Oracle-packing precondition enforced at TRAIN time (r16 — the
@@ -227,34 +242,89 @@ object TextStats {
     * ('%'/'_') — true of the word-salad corpus; a corpus where it
     * isn't would need a different packing delimiter in the SQL only.
     */
-  private[graft] def bpeTrainCtes(topV: Int, rounds: Int): String = {
+  private[graft] def bpeTrainCtes(topV: Int, rounds: Int,
+      sfx: String = "", src: String = "documents"): String = {
     val seed =
-      s"""wf AS MATERIALIZED (
+      s"""wf$sfx AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-         |    FROM documents) t
+         |    FROM $src) t
          |  GROUP BY w ORDER BY freq DESC, w LIMIT $topV
-         |), state_0 AS MATERIALIZED (
-         |  SELECT w, freq, str_split(w, '') AS syms FROM wf WHERE length(w) > 0
+         |), state${sfx}_0 AS MATERIALIZED (
+         |  SELECT w, freq, str_split(w, '') AS syms FROM wf$sfx WHERE length(w) > 0
          |)""".stripMargin
     val steps = (1 to rounds).map { k =>
-      s"""pairs_$k AS MATERIALIZED (
+      s"""pairs${sfx}_$k AS MATERIALIZED (
          |  SELECT p.a AS a, p.b AS b, sum(freq) AS cnt FROM (
          |    SELECT freq, unnest([struct_pack(a := syms[i], b := syms[i+1])
          |      FOR i IN range(1, len(syms))]) AS p
-         |    FROM state_${k - 1}) t
+         |    FROM state${sfx}_${k - 1}) t
          |  GROUP BY p.a, p.b
-         |), best_$k AS MATERIALIZED (
-         |  SELECT a, b, a || b AS m, cnt FROM pairs_$k ORDER BY cnt DESC, a, b LIMIT 1
-         |), state_$k AS MATERIALIZED (
+         |), best${sfx}_$k AS MATERIALIZED (
+         |  SELECT a, b, a || b AS m, cnt FROM pairs${sfx}_$k ORDER BY cnt DESC, a, b LIMIT 1
+         |), state${sfx}_$k AS MATERIALIZED (
          |  SELECT w, freq, str_split(list_reduce(syms, (acc, x) ->
          |    CASE WHEN (acc = bb.a OR acc LIKE '%|' || bb.a) AND x = bb.b
          |         THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.m
          |         ELSE acc || '|' || x END), '|') AS syms
-         |  FROM state_${k - 1}, best_$k bb
+         |  FROM state${sfx}_${k - 1}, best${sfx}_$k bb
          |)""".stripMargin
     }
     (seed +: steps).mkString(",\n")
+  }
+
+  /** The learned table's cross-engine FINGERPRINT replayed in SQL —
+    * `tfp$sfx(table_fp)`: sha256 over the length-prefixed canonical
+    * rendering of the rank-ordered merge table (rank:len:left:len:right:
+    * len:merged:count joined by '|'; lengths in CODEPOINTS — DuckDB's
+    * `length` — so both engines render identically beyond the BMP),
+    * truncated to the repo's 15-hex-char hash60 prefix. Must match
+    * [[bpeTableFingerprint]] bit for bit: a manifest column fed by one
+    * and hash-compared against the other proves the fingerprint names
+    * the MODEL engine-independently — which is what lets a downstream
+    * artifact (shard manifest, mixture table) carry "which table priced
+    * me" as plain data.
+    */
+  private[graft] def bpeTableFpCte(rounds: Int, sfx: String = ""): String = {
+    val rows = (1 to rounds).map { k =>
+      s"SELECT ${k - 1} AS rnk, a, b, m, CAST(cnt AS BIGINT) AS cnt FROM best${sfx}_$k"
+    }.mkString("\n  UNION ALL ")
+    // NOTE: no generated line may START with '|' — this fragment embeds
+    // into callers' s"""…""".stripMargin templates, which would strip
+    // the first pipe of a leading '||' (observed as a DuckDB binder
+    // error on '|'(VARCHAR, …)). concat() instead of the operator.
+    s"""mtab$sfx AS MATERIALIZED (
+       |  $rows
+       |), tfp$sfx AS MATERIALIZED (
+       |  SELECT CAST(CAST(concat('0x', substr(sha256(string_agg(
+       |      concat(CAST(rnk AS VARCHAR), ':', CAST(length(a) AS VARCHAR), ':', a,
+       |        ':', CAST(length(b) AS VARCHAR), ':', b,
+       |        ':', CAST(length(m) AS VARCHAR), ':', m,
+       |        ':', CAST(cnt AS VARCHAR)), '|' ORDER BY rnk)), 1, 15))
+       |    AS UBIGINT) AS BIGINT) AS table_fp
+       |  FROM mtab$sfx
+       |)""".stripMargin
+  }
+
+  /** Driver-side twin of [[bpeTableFpCte]]: the 60-bit model fingerprint
+    * of a learned merge table ([[bpeLearnMerges]]' output shape). Two
+    * models that learn the same table fingerprint identically regardless
+    * of corpus or engine; any drift in rank order, a merge pair, or a
+    * weight moves it. Codepoint lengths (`codePointCount`), NOT UTF-16
+    * `String.length`, so the rendering matches SQL `length` beyond the
+    * BMP; the first 15 hex chars of sha256 follow the same hash60
+    * convention every other oracle replays with `substr(sha256(x),1,15)`.
+    */
+  def bpeTableFingerprint(
+      merges: Seq[(Int, String, String, String, Long)]): Long = {
+    def cp(s: String) = s.codePointCount(0, s.length)
+    val canon = merges.map { case (r, a, b, m, c) =>
+      s"$r:${cp(a)}:$a:${cp(b)}:$b:${cp(m)}:$m:$c"
+    }.mkString("|")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8"))
+    val hex = d.take(8).map(x => f"$x%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
   }
 
   /** The apply half of the t38/t40–t43/st13 oracles: the learned
@@ -267,26 +337,28 @@ object TextStats {
     * [[bpeLearnMerges]]' sample scan, and property-tested Spark-side
     * (the expressions themselves handle any text).
     */
-  private[graft] def bpeApplyCtes(rounds: Int): String = {
+  private[graft] def bpeApplyCtes(rounds: Int, sfx: String = "",
+      trainSfx: String = "", src: String = "documents"): String = {
     val seed =
-      s"""words AS MATERIALIZED (
+      s"""words$sfx AS MATERIALIZED (
          |  SELECT doc_id, source,
          |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-         |  FROM documents
-         |), aw_0 AS MATERIALIZED (
+         |  FROM $src
+         |), aw${sfx}_0 AS MATERIALIZED (
          |  SELECT w, str_split(w, '') AS syms
-         |  FROM (SELECT DISTINCT w FROM words) t WHERE length(w) > 0
+         |  FROM (SELECT DISTINCT w FROM words$sfx) t WHERE length(w) > 0
          |)""".stripMargin
     val steps = (1 to rounds).map { k =>
-      s"""aw_$k AS MATERIALIZED (
+      s"""aw${sfx}_$k AS MATERIALIZED (
          |  SELECT w, str_split(list_reduce(syms, (acc, x) ->
          |    CASE WHEN (acc = bb.a OR acc LIKE '%|' || bb.a) AND x = bb.b
          |         THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.m
          |         ELSE acc || '|' || x END), '|') AS syms
-         |  FROM aw_${k - 1}, best_$k bb
+         |  FROM aw${sfx}_${k - 1}, best${trainSfx}_$k bb
          |)""".stripMargin
     }
-    val fin = s"wn AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM aw_$rounds)"
+    val fin = s"wn$sfx AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub" +
+      s" FROM aw${sfx}_$rounds)"
     (seed +: steps :+ fin).mkString(",\n")
   }
 
@@ -1910,6 +1982,7 @@ object TextStats {
     sql("t41_packed_shards_bpe",
       s"""WITH ${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds)},
          |${bpeApplyCtes(BpeTrainRounds)},
+         |${bpeTableFpCte(BpeTrainRounds)},
          |$bpeDocTokCte,
          |t AS (
          |  SELECT d.doc_id, b.source, sha256(d.text) AS h, b.n_tok
@@ -1932,11 +2005,18 @@ object TextStats {
          |  round(CAST(sum(n_tok) AS DOUBLE) / (count(DISTINCT pack_id) * 2048), 6)
          |    AS fill_frac,
          |  CAST(sum(CAST(CAST(concat('0x', substr(h, 1, 8)) AS UBIGINT) AS BIGINT))
-         |    % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum
-         |FROM p GROUP BY source, shard""".stripMargin) { (s, d) =>
+         |    % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS checksum,
+         |  f.table_fp
+         |FROM p, tfp f GROUP BY source, shard, f.table_fp""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = bpeLearnMerges(docs).map(m => (m._2, m._3))
+      val learned = bpeLearnMerges(docs)
+      val merges = learned.map(m => (m._2, m._3))
+      // r16: the manifest carries WHICH MODEL priced it — the 60-bit
+      // table fingerprint, hash-matched against DuckDB's independent
+      // re-derivation from its own re-learned table (so the provenance
+      // column is proven engine-independent, not just recorded)
       packedShards(docs, graft.functions.Bpe.count(col("text"), merges))
+        .withColumn("table_fp", lit(bpeTableFingerprint(learned)))
     },
 
     // ---- t32's mixture weights re-metered in LEARNED-BPE tokens (r15 —

@@ -1015,6 +1015,103 @@ object Streams {
         minRecall = 0.80)
     },
 
+    // ---- drift-aware TOKENIZER lifecycle (st15, r16) ----------------------
+    // IndexLifecycle's arc applied to the OTHER served model: the BPE
+    // table gets drift-triggered retrains with a versioned atomic flip
+    // ([[BpeLifecycle]]). The literal batch schedule on the REAL
+    // persisted store: init trains v1 on the base third; batch 0 (same
+    // distribution) is recorded but does NOT retrain; batch 1 (every
+    // vowel remapped — a charset/domain shift) degrades v1's
+    // codepoints-per-token ~35% vs the ≤2.7% same-distribution noise
+    // (measured at all 3 SFs; threshold 10% splits with ≥3× margin) and
+    // retrains into v2. FULL oracle: DuckDB independently re-learns BOTH
+    // tables (v1 on the base third, the final table on the full shifted
+    // corpus), re-prices both batches under v1, re-derives both drift
+    // verdicts by the same exact-integer cross-multiplication, and
+    // re-fingerprints the final table — so a drift anywhere (trainer,
+    // tokenizer walk, decision algebra, version bookkeeping, fingerprint
+    // canon) mismatches the hash. The `table_fp` column doubles as the
+    // provenance proof: the version that prices downstream manifests is
+    // named engine-independently (the t41 column, here on the lifecycle's
+    // own end state).
+    sql("st15_bpe_drift_lifecycle", {
+      import graft.llm.TextStats.{bpeTrainCtes, bpeApplyCtes, bpeTableFpCte,
+        BpeTrainTopV, BpeTrainRounds}
+      s"""WITH docsA AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 3 = 0
+         |),
+         |${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds, "", "docsA")},
+         |docsS AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 2 THEN translate(text, 'aeiou', '01234')
+         |         ELSE text END AS text
+         |  FROM documents
+         |),
+         |${bpeApplyCtes(BpeTrainRounds, "", "", "docsS")},
+         |cls AS MATERIALIZED (
+         |  SELECT CAST(w.doc_id % 3 AS BIGINT) AS cls,
+         |    CAST(sum(length(w.w)) AS BIGINT) AS ncp,
+         |    CAST(sum(coalesce(t.n_sub, 0)) AS BIGINT) AS ntok
+         |  FROM words w LEFT JOIN wn t USING (w) GROUP BY 1
+         |),
+         |${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds, "2", "docsS")},
+         |${bpeTableFpCte(BpeTrainRounds, "2")},
+         |b0 AS (SELECT ncp, ntok FROM cls WHERE cls = 0),
+         |dec AS (
+         |  SELECT c.cls - 1 AS batch_id, c.ncp, c.ntok,
+         |    (c.ntok > 0 AND b0.ntok > 0 AND
+         |     CAST(c.ncp AS HUGEINT) * b0.ntok * 100
+         |       < CAST(b0.ncp AS HUGEINT) * c.ntok * 90) AS retrained
+         |  FROM cls c, b0 WHERE c.cls IN (1, 2)
+         |),
+         |agg AS (
+         |  SELECT max(CASE WHEN batch_id = 0 THEN
+         |           CASE WHEN retrained THEN 1 ELSE 0 END END) AS r0,
+         |         max(CASE WHEN batch_id = 1 THEN
+         |           CASE WHEN retrained THEN 1 ELSE 0 END END) AS r1
+         |  FROM dec
+         |)
+         |SELECT d.batch_id,
+         |  CAST(CASE WHEN d.batch_id = 0 THEN 1 ELSE 1 + a.r0 END AS BIGINT)
+         |    AS served_version,
+         |  d.ncp AS n_cp, d.ntok AS n_tok, d.retrained,
+         |  CAST(1 + a.r0 + a.r1 AS BIGINT) AS cur_version,
+         |  CASE WHEN a.r0 = 0 AND a.r1 = 1 THEN f.table_fp
+         |       ELSE CAST(-1 AS BIGINT) END AS table_fp
+         |FROM dec d, agg a, tfp2 f""".stripMargin
+    }) { (s, d) =>
+      import graft.llm.TextStats
+      // the registry discipline: a session knob must never SILENTLY
+      // drift a pinned oracle — the lifecycle trains through the
+      // production bpeTrainParams resolution, so pin it loudly here
+      require(TextStats.bpeTrainParams(s) ==
+        ((TextStats.BpeTrainTopV, TextStats.BpeTrainRounds)) &&
+        graft.GraftConfig.bpeLifecycleDriftPct(s).isEmpty,
+        "st15 oracle is pinned to the default spark.graft.bpe.* knobs")
+      val docs = Tables.documents(s, d)
+      val shifted = docs.select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 2,
+          translate(col("text"), "aeiou", "01234"))
+          .otherwise(col("text")).as("text"))
+      val base = shifted.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val b1 = shifted.filter(pmod(col("doc_id"), lit(3)) === 1)
+      val b2 = shifted.filter(pmod(col("doc_id"), lit(3)) === 2)
+      val lcRoot = graft.llm.Dedup.trackSpill(
+        s"${graft.llm.Dedup.spillBase(s, None, "st15")}/${graft.llm.Dedup.runDirName("bpelc")}")
+      BpeLifecycle.init(s, lcRoot, base)
+      val r1 = BpeLifecycle.tick(s, lcRoot, b1, 0L).get
+      val r2 = BpeLifecycle.tick(s, lcRoot, b2, 1L).get
+      // end state read OFF THE STORE (not from the tick returns): the
+      // serving version and its fingerprint are whatever the atomic
+      // pointer flip actually committed
+      val m = BpeLifecycle.currentModel(s, lcRoot)
+      import s.implicits._
+      Seq(r1, r2).map(r => (r.batchId, r.servedVersion, r.nCp, r.nTok,
+          r.retrained, m.version, m.tableFingerprint))
+        .toDF("batch_id", "served_version", "n_cp", "n_tok", "retrained",
+          "cur_version", "table_fp")
+    },
+
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------
     sql("st1_tumbling_window",
       """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS win_start,

@@ -1,0 +1,243 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.llm.{BpeArtifact, TextStats}
+
+/** The drift-aware TOKENIZER lifecycle (st15, r16): record vs retrain
+  * decisions, histogram-exact retrains, replay idempotence, torn-batch
+  * invisibility, and the RTBF purge's exactness law — a purged
+  * lifecycle's model must equal a model trained FROM SCRATCH on the
+  * corpus that never contained the forgotten docs (histogram
+  * subtraction is exact, not approximate).
+  */
+class BpeLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** The st15 fixture: base third unchanged, middle third unchanged
+    * (same distribution), last third vowel-remapped (drifted).
+    */
+  private def fixture(): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sf)
+    val shifted = docs.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(3)) === 2,
+        translate(col("text"), "aeiou", "01234"))
+        .otherwise(col("text")).as("text"))
+    (shifted,
+      shifted.filter(pmod(col("doc_id"), lit(3)) === 0),
+      shifted.filter(pmod(col("doc_id"), lit(3)) === 1),
+      shifted.filter(pmod(col("doc_id"), lit(3)) === 2))
+  }
+
+  test("record vs retrain: same-dist batch records, drifted batch flips the version") {
+    val (all, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc") + "/lc"
+    val v1 = BpeLifecycle.init(spark, lcRoot, base)
+    assert(v1.version === 1L && v1.baselineNtok > 0L)
+    assert(v1.merges === TextStats.bpeLearnMerges(base),
+      "init must train exactly the one-shot table of the base corpus")
+
+    val r1 = BpeLifecycle.tick(spark, lcRoot, b1, 0L).get
+    assert(!r1.retrained && r1.servedVersion === 1L)
+    assert(BpeLifecycle.currentModel(spark, lcRoot).version === 1L,
+      "an in-distribution batch must not retrain")
+    // …but it IS recorded: the manifest now names it
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+      === Seq("base", "batch=0"))
+
+    val r2 = BpeLifecycle.tick(spark, lcRoot, b2, 1L).get
+    assert(r2.retrained && r2.servedVersion === 1L,
+      "the drifted batch is judged by the OLD version, then retrains")
+    val m2 = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m2.version === 2L)
+    // histogram-exact retrain: the lifecycle's summed batch histograms
+    // train the SAME table as a one-shot train over the union corpus
+    assert(m2.merges === TextStats.bpeLearnMerges(all),
+      "retrain from batch histograms must equal the one-shot train")
+    assert(m2.corpusDocs === all.count())
+    // the drift margins that make the 10% threshold safe (measured
+    // ≤2.7% same-dist vs ~35% shifted at every SF)
+    val cpt0 = v1.baselineNcp.toDouble / v1.baselineNtok
+    val cpt1 = r1.nCp.toDouble / r1.nTok
+    val cpt2 = r2.nCp.toDouble / r2.nTok
+    assert(cpt1 > cpt0 * 0.95, s"same-dist batch degraded too much: $cpt1 vs $cpt0")
+    assert(cpt2 < cpt0 * 0.80, s"shifted batch degraded too little: $cpt2 vs $cpt0")
+  }
+
+  test("replay: an applied batch id is a no-op on model, manifest, and store") {
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-rp") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    assert(BpeLifecycle.tick(spark, lcRoot, b1, 0L).nonEmpty)
+    assert(BpeLifecycle.tick(spark, lcRoot, b2, 1L).nonEmpty)
+    val manifest = BpeLifecycle.readManifest(spark, lcRoot)
+    val m = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(BpeLifecycle.tick(spark, lcRoot, b1, 0L).isEmpty)
+    assert(BpeLifecycle.tick(spark, lcRoot, b2, 1L).isEmpty)
+    assert(BpeLifecycle.readManifest(spark, lcRoot) === manifest)
+    val m2 = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m2.version === m.version && m2.merges === m.merges)
+  }
+
+  test("a histogram dir without its manifest line is invisible to retrains") {
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-torn") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    // a torn write: the dir landed (with _SUCCESS) but the writer
+    // crashed before its manifest flip — it must not leak into the
+    // corpus a later retrain trains on
+    TextStats.bpeWordHistogram(b1)
+      .coalesce(1).write.parquet(s"$lcRoot/hist/batch=99")
+    val r = BpeLifecycle.tick(spark, lcRoot, b2, 0L).get
+    assert(r.retrained)
+    val m = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m.merges === TextStats.bpeLearnMerges(base.unionByName(b2)),
+      "the torn batch's words must not appear in the retrain corpus")
+  }
+
+  test("RTBF purge: exact subtraction, atomic revision flip, tainted-version sweep") {
+    val (all, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-purge") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+    BpeLifecycle.tick(spark, lcRoot, b2, 1L)
+    assert(BpeLifecycle.currentModel(spark, lcRoot).version === 2L)
+    // forget: every 7th doc of the base (lifecycle name "base" → batch
+    // id −1) and every 5th doc of batch 0 — the tombstones carry the
+    // docs AS INGESTED
+    val tombs = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(lit(-1L).as("batch_id"), col("doc_id"), col("text"))
+      .unionByName(b1.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(lit(0L).as("batch_id"), col("doc_id"), col("text")))
+    assert(tombs.count() > 0, "fixture must produce tombstones")
+    val m3 = BpeLifecycle.purge(spark, lcRoot, tombs)
+    assert(m3.version === 3L)
+    // THE exactness law: the purged lifecycle's table equals a table
+    // trained from scratch on a corpus that never held the docs
+    val reduced = all.join(tombs.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    assert(m3.merges === TextStats.bpeLearnMerges(reduced),
+      "histogram subtraction must be exact — purge ≡ never-ingested")
+    assert(m3.corpusDocs === reduced.count())
+    // tainted versions are swept: only v=3 remains readable
+    intercept[IllegalArgumentException] {
+      BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot), Some(1L))
+    }
+    intercept[IllegalArgumentException] {
+      BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot), Some(2L))
+    }
+    assert(BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot)).version === 3L)
+    // the manifest flipped to revision dirs atomically and the
+    // superseded originals were swept (manifest-guarded)
+    val names = BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+    assert(names === Seq("baser1", "batch=0r1", "batch=1"))
+    assert(!Files.exists(Paths.get(s"$lcRoot/hist/base")),
+      "superseded base histogram must be swept")
+    assert(!Files.exists(Paths.get(s"$lcRoot/hist/batch=0")),
+      "superseded batch histogram must be swept")
+    assert(Files.exists(Paths.get(s"$lcRoot/hist/batch=1")),
+      "an unaffected batch keeps its original dir")
+    // a second purge on an already-revised batch bumps the revision
+    val tombs2 = b1.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .select(lit(0L).as("batch_id"), col("doc_id"), col("text"))
+    val m4 = BpeLifecycle.purge(spark, lcRoot, tombs2)
+    assert(m4.version === 4L)
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+      === Seq("baser1", "batch=0r2", "batch=1"))
+    val reduced2 = reduced.join(tombs2.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    assert(m4.merges === TextStats.bpeLearnMerges(reduced2))
+  }
+
+  test("purge with tombstones exceeding the stored histogram fails loudly") {
+    // synthetic corpus with controlled word counts: the guard must
+    // catch over-subtraction (duplicate request rows, wrong batch)
+    // instead of silently truncating at zero
+    val base = Seq((1L, "s", "alpha beta gamma delta"),
+      (2L, "s", "alpha beta epsilon zeta"))
+      .toDF("doc_id", "source", "text")
+    val b0 = Seq((3L, "s", "eta theta iota kappa"))
+      .toDF("doc_id", "source", "text")
+    val lcRoot = tmpDir("bpelc-neg") + "/lc"
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+      // the same doc submitted TWICE in one erasure request: its words'
+      // subtraction doubles and exceeds the stored count
+      val dup = Seq((0L, 3L, "eta theta iota kappa"),
+        (0L, 3L, "eta theta iota kappa"))
+        .toDF("batch_id", "doc_id", "text")
+      val ex = intercept[IllegalArgumentException] {
+        BpeLifecycle.purge(spark, lcRoot, dup)
+      }
+      assert(ex.getMessage.contains("over-subtracts"))
+      // the well-formed request still works afterwards (the failed
+      // purge flipped nothing: revision dirs land before the manifest)
+      val ok = Seq((0L, 3L, "eta theta iota kappa"))
+        .toDF("batch_id", "doc_id", "text")
+      val m = BpeLifecycle.purge(spark, lcRoot, ok)
+      assert(m.merges === TextStats.bpeLearnMerges(base,
+        TextStats.BpeTrainTopV, rounds = 2))
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
+  test("drift threshold knob: spark.graft.bpe.lifecycleDriftPct tightens the gate") {
+    val (_, base, b1, _) = fixture()
+    val lcRoot = tmpDir("bpelc-knob") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    // the same-dist batch degrades ~2.7% at sf0.001 — under the 10%
+    // default it records; under a 1% session knob it must retrain
+    spark.conf.set(graft.GraftConfig.BpeDriftPctKey, "1")
+    try {
+      val r = BpeLifecycle.tick(spark, lcRoot, b1, 0L).get
+      assert(r.retrained, "a 1% threshold must catch the 2.7% degradation")
+      assert(BpeLifecycle.currentModel(spark, lcRoot).version === 2L)
+    } finally spark.conf.unset(graft.GraftConfig.BpeDriftPctKey)
+    // an explicit caller argument beats the knob (resolution order)
+    val lcRoot2 = tmpDir("bpelc-knob2") + "/lc"
+    BpeLifecycle.init(spark, lcRoot2, base)
+    spark.conf.set(graft.GraftConfig.BpeDriftPctKey, "1")
+    try {
+      val r2 = BpeLifecycle.tick(spark, lcRoot2, b1, 0L,
+        driftPct = Some(BpeLifecycle.DefaultDriftPct)).get
+      assert(!r2.retrained, "explicit driftPct must override the session knob")
+    } finally spark.conf.unset(graft.GraftConfig.BpeDriftPctKey)
+  }
+
+  test("stream drive: foreachBatch ticks ≡ batch-form ticks; replay no-op") {
+    val (all, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-st") + "/lc"
+    val src = tmpDir("bpelc-src")
+    BpeLifecycle.init(spark, lcRoot, base)
+    // two arrival-ordered batch files: same-dist first, drifted second
+    val t0 = System.currentTimeMillis() - 3600000L
+    b1.coalesce(1).write.mode("append").parquet(src)
+    Files.list(Paths.get(src)).toArray.foreach { p0 =>
+      Files.setLastModifiedTime(p0.asInstanceOf[java.nio.file.Path],
+        java.nio.file.attribute.FileTime.fromMillis(t0))
+    }
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val q = BpeLifecycle.runStream(spark, src, lcRoot,
+      tmpDir("bpelc-ckpt") + "/c", maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val m = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m.version === 2L, "the drifted batch must have retrained")
+    assert(m.merges === TextStats.bpeLearnMerges(all),
+      "streamed ticks must train the same table as the batch form")
+    // full replay through a fresh checkpoint: applied-set no-ops
+    val q2 = BpeLifecycle.runStream(spark, src, lcRoot,
+      tmpDir("bpelc-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(120000)
+    val m2 = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m2.version === 2L && m2.merges === m.merges,
+      "replayed stream must not retrain again")
+  }
+}
