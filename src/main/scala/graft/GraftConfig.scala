@@ -97,4 +97,39 @@ object GraftConfig {
   def bpeLifecycleDriftPct(spark: SparkSession): Option[Int] =
     spark.conf.getOption(BpeDriftPctKey)
       .map(_.trim.toInt).filter(p => p >= 0 && p < 100)
+
+  val BpeKeepVersionsKey = "spark.graft.bpe.keepVersions"
+
+  /** None (default) = keep every committed model version (the
+    * provenance-maximal posture); Some(n ≥ 1) = after each
+    * drift-triggered retrain, [[graft.streaming.BpeLifecycle.tick]]
+    * reclaims versions older than the newest n via
+    * [[graft.llm.BpeArtifact.retainVersions]]. The table FINGERPRINT
+    * carried by downstream manifests stays verifiable either way.
+    */
+  def bpeKeepVersions(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BpeKeepVersionsKey)
+      .map(_.trim.toInt).filter(_ >= 1)
+
+  val BpeCompactAfterBatchesKey = "spark.graft.bpe.compactAfterBatches"
+
+  /** None (default) = the corpus histogram store keeps one dir per
+    * batch until an operator compacts; Some(n ≥ 2) = a tick folds the
+    * committed entry set into ONE summed histogram
+    * ([[graft.streaming.BpeLifecycle.compactHistograms]]) whenever it
+    * reaches n — the [[IndexCompactAfterBatchesKey]] discipline on the
+    * tokenizer's corpus store. n = 1 is rejected for the same reason:
+    * folding after every tick rewrites the whole corpus histogram per
+    * batch.
+    */
+  def bpeCompactAfterBatches(spark: SparkSession): Option[Int] =
+    spark.conf.getOption(BpeCompactAfterBatchesKey)
+      .map(_.trim.toInt).filter(_ >= 2)
+
+  /** [[graft.llm.BpeArtifact]] root the `graft_bpe_count`/
+    * `graft_bpe_tokens` SQL functions ([[GraftExtensions]]) serve from
+    * — typically `<BpeLifecycle root>/model`. Unset = the functions
+    * fail loudly at analysis time.
+    */
+  val BpeModelRootKey = "spark.graft.bpe.modelRoot"
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{ArrayDot, CosineSimF32}
+import graft.functions.{ArrayDot, BpeCount, BpeTable, BpeTokens, CosineSimF32}
 
 /** Engine integration via `SparkSessionExtensions` — enables
   * `--conf spark.sql.extensions=graft.GraftExtensions` (or
@@ -16,6 +16,14 @@ import graft.functions.{ArrayDot, CosineSimF32}
   * Injected:
   *  - SQL functions `cosine_f32`, `array_dot` (native codegen'd
   *    expressions, SURVEY.md §2.10);
+  *  - SQL functions `graft_bpe_count`, `graft_bpe_tokens` (r16): the
+  *    SERVED tokenizer for pure-SQL pipelines — the merge table loads
+  *    from the [[graft.llm.BpeArtifact]] root named by
+  *    `spark.graft.bpe.modelRoot` at ANALYSIS time, so every query
+  *    plans against the version the atomic pointer names right then
+  *    (always fresh across retrains/purges; no stale JVM cache), and
+  *    the table rides the plan as a reference object exactly like the
+  *    DataFrame API's codegen'd [[BpeCount]];
   *  - [[SelfSimilarityFold]], a constant-folding rule for degenerate
   *    similarity calls.
   */
@@ -30,8 +38,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      GraftExtensions.bpeCountBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      GraftExtensions.bpeTokensBuilder))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
   }
+}
+
+object GraftExtensions {
+
+  /** The serving merge table, loaded at analysis time from the active
+    * session's `spark.graft.bpe.modelRoot`. Fails loudly (not with a
+    * confusing resolution error) when the knob is unset.
+    */
+  private def servedBpeTable(): BpeTable = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = spark.conf.getOption(GraftConfig.BpeModelRootKey).getOrElse(
+      throw new IllegalStateException(
+        "graft_bpe_count/graft_bpe_tokens meter with the SERVED model: " +
+          s"set ${GraftConfig.BpeModelRootKey} to a BpeArtifact root " +
+          "(or use graft.functions.Bpe with an explicit table)"))
+    new BpeTable(graft.llm.BpeArtifact.loadPairs(spark, root).toArray)
+  }
+
+  private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression =
+    BpeCount(args.head, servedBpeTable())
+
+  private[graft] def bpeTokensBuilder(args: Seq[Expression]): Expression =
+    BpeTokens(args.head, servedBpeTable())
 }
 
 /** `cosine_f32(x, x)` normalizes to the mathematically exact 1.0 for any

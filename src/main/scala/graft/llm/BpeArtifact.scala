@@ -266,4 +266,36 @@ object BpeArtifact {
     */
   def loadPairs(spark: SparkSession, root: String): Seq[(String, String)] =
     load(spark, root).pairs
+
+  /** Version retention (r16 — [[graft.streaming.IndexLifecycle
+    * .reclaimDeadGenerations]]' keepN discipline on the model store):
+    * delete committed versions older than the newest `keepN`, never the
+    * serving one (the CURRENT target is always within the newest keepN
+    * by construction — versions are monotone and the pointer names the
+    * newest commit). Torn (marker-less) dirs older than the newest
+    * committed version are crashed publishes a later train superseded —
+    * reclaimed too. Keeping every version is the DEFAULT (provenance:
+    * an old manifest can always reload the table that priced it);
+    * retention is for deployments that retrain continuously, where
+    * "every version forever" is unbounded growth and the fingerprint
+    * (recomputable from any surviving copy, carried by downstream
+    * manifests) remains the durable provenance. Returns deleted
+    * version numbers.
+    */
+  def retainVersions(spark: SparkSession, root: String,
+      keepN: Int): Seq[Long] = {
+    require(keepN >= 1, s"keepN must be >= 1, got $keepN")
+    val fs = fsOf(spark, root)
+    val all = allVersions(spark, root).sorted
+    val live = all.filter(committed(spark, root, _))
+    if (live.isEmpty) Seq.empty
+    else {
+      val keep = live.takeRight(keepN).toSet
+      val newest = live.last
+      val dead = all.filter(v => !keep.contains(v) &&
+        (live.contains(v) || v < newest))
+      dead.foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+      dead
+    }
+  }
 }

@@ -93,8 +93,18 @@ object BpeLifecycle {
     * dir not named here is invisible to retrains (torn write, or a
     * purge-superseded revision pending sweep).
     */
+  /** One corpus-manifest entry: the histogram dir name, its document
+    * count, and the ORIGINAL batch ids whose words it holds
+    * (`absorbs`) — a plain batch entry absorbs exactly its own id; a
+    * compaction entry absorbs everything it folded. The absorbs set is
+    * what keeps RTBF addressable after compaction: an erasure request
+    * names the batch a doc ARRIVED in, and the manifest answers which
+    * dir its words live in now.
+    */
+  case class CorpusEntry(name: String, docs: Long, absorbs: Seq[Long])
+
   private[streaming] def readManifest(spark: SparkSession,
-      lcRoot: String): Seq[(String, Long)] = {
+      lcRoot: String): Seq[CorpusEntry] = {
     val fs = fsOf(spark, lcRoot)
     val p = new Path(histRoot(lcRoot), HistManifest)
     if (!fs.exists(p)) Seq.empty
@@ -103,7 +113,10 @@ object BpeLifecycle {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .flatMap { l =>
           l.trim.split("\\s+") match {
-            case Array(name, n) => scala.util.Try((name, n.toLong)).toOption
+            case Array(name, n, abs) => scala.util.Try(CorpusEntry(name,
+              n.toLong, abs.split(",").toSeq.map(_.toLong))).toOption
+            case Array(name, n) => scala.util.Try(CorpusEntry(name,
+              n.toLong, Seq(batchIdOf(name)))).toOption
             case _ => None
           }
         }.toSeq
@@ -112,13 +125,14 @@ object BpeLifecycle {
   }
 
   private def writeManifest(spark: SparkSession, lcRoot: String,
-      entries: Seq[(String, Long)]): Unit = {
+      entries: Seq[CorpusEntry]): Unit = {
     val fs = fsOf(spark, lcRoot)
     val dir = new Path(histRoot(lcRoot))
     if (!fs.exists(dir)) { fs.mkdirs(dir); () }
     val tmp = new Path(dir, s"$HistManifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(entries.map { case (n, c) => s"$n $c\n" }.mkString
+    try out.write(entries.map(e =>
+      s"${e.name} ${e.docs} ${e.absorbs.mkString(",")}\n").mkString
       .getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(dir, HistManifest)
@@ -132,6 +146,17 @@ object BpeLifecycle {
     if (name == "base" || name.startsWith("baser")) -1L
     else scala.util.Try(
       name.stripPrefix("batch=").takeWhile(_ != 'r').toLong).getOrElse(-2L)
+
+  private val EntryNameRe = "^(base|batch=\\d+|compact=\\d+)(?:r(\\d+))?$".r
+
+  /** Next purge-revision name for a histogram dir: `base` → `baser1`,
+    * `batch=0r2` → `batch=0r3`, `compact=1` → `compact=1r1`.
+    */
+  private def bumpRev(name: String): String = name match {
+    case EntryNameRe(stem, null) => s"${stem}r1"
+    case EntryNameRe(stem, rev) => s"${stem}r${rev.toLong + 1L}"
+    case _ => throw new IllegalStateException(s"unrecognized hist dir name $name")
+  }
 
   private def writeHist(spark: SparkSession, lcRoot: String, name: String,
       docs: DataFrame): Unit = {
@@ -158,9 +183,9 @@ object BpeLifecycle {
     * recursive glob) keeps torn or superseded dirs out by construction.
     */
   private def mergedHist(spark: SparkSession, lcRoot: String,
-      entries: Seq[(String, Long)]): DataFrame = {
+      entries: Seq[CorpusEntry]): DataFrame = {
     require(entries.nonEmpty, "BpeLifecycle: empty corpus manifest")
-    val dirs = entries.map(e => s"${histRoot(lcRoot)}/${e._1}")
+    val dirs = entries.map(e => s"${histRoot(lcRoot)}/${e.name}")
     spark.read.parquet(dirs: _*)
       .groupBy(col("w")).agg(sum(col("freq")).as("freq"))
   }
@@ -172,7 +197,7 @@ object BpeLifecycle {
     * so the serving version provably postdates the purge.
     */
   private def retrainIfChanged(spark: SparkSession, lcRoot: String,
-      entries: Seq[(String, Long)], force: Boolean): BpeArtifact.Model = {
+      entries: Seq[CorpusEntry], force: Boolean): BpeArtifact.Model = {
     val h = mergedHist(spark, lcRoot, entries)
     val cur = scala.util.Try(currentModel(spark, lcRoot)).toOption
     if (!force && cur.nonEmpty) {
@@ -181,7 +206,7 @@ object BpeLifecycle {
       if (fp == cur.get.corpusFingerprint) return cur.get
     }
     BpeArtifact.trainFromHist(spark, h, modelRoot(lcRoot),
-      entries.map(_._2).sum)
+      entries.map(_.docs).sum)
   }
 
   /** The serving table. */
@@ -196,8 +221,9 @@ object BpeLifecycle {
       baseDocs: DataFrame): BpeArtifact.Model = {
     val n = baseDocs.count()
     writeHist(spark, lcRoot, "base", baseDocs)
-    writeManifest(spark, lcRoot, Seq(("base", n)))
-    retrainIfChanged(spark, lcRoot, Seq(("base", n)), force = true)
+    val entries = Seq(CorpusEntry("base", n, Seq(-1L)))
+    writeManifest(spark, lcRoot, entries)
+    retrainIfChanged(spark, lcRoot, entries, force = true)
   }
 
   /** One lifecycle tick for a (doc_id, source, text) batch. Returns
@@ -240,13 +266,84 @@ object BpeLifecycle {
           BigInt(m.baselineNcp) * nTok * (100 - pct)
       val entries0 = readManifest(spark, lcRoot)
       val entries =
-        if (entries0.exists(_._1 == name)) entries0 // crashed earlier commit
-        else entries0 :+ ((name, nDocs))
+        if (entries0.exists(_.name == name)) entries0 // crashed earlier commit
+        else entries0 :+ CorpusEntry(name, nDocs, Seq(batchId))
       writeManifest(spark, lcRoot, entries)
-      if (drifted) { retrainIfChanged(spark, lcRoot, entries, force = false); () }
+      if (drifted) {
+        retrainIfChanged(spark, lcRoot, entries, force = false)
+        // version retention, the IndexLifecycle keepN discipline made a
+        // knob (default OFF — every version stays readable unless set)
+        graft.GraftConfig.bpeKeepVersions(spark).foreach(k =>
+          BpeArtifact.retainVersions(spark, modelRoot(lcRoot), k))
+        ()
+      }
       Streams.writeAppliedBatches(fs, new Path(lcRoot), applied + batchId)
+      // opt-in histogram compaction (the ivfIndexCompact discipline on
+      // the corpus store): fold the committed entry set into ONE dir
+      // once it reaches the threshold — runs after the applied-set
+      // write, so a crash anywhere around it leaves a fully-consistent
+      // corpus and the next over-threshold tick compacts again
+      graft.GraftConfig.bpeCompactAfterBatches(spark).foreach { k =>
+        if (readManifest(spark, lcRoot).size >= k) {
+          compactHistograms(spark, lcRoot); ()
+        }
+      }
       Some(TickResult(batchId, m.version, nCp, nTok, drifted))
     }
+  }
+
+  /** Fold every committed histogram dir into ONE (`compact=<n>`, the
+    * summed histogram) with a single atomic manifest flip — the corpus
+    * store's [[graft.llm.Similarity.ivfIndexCompact]]: between retrains
+    * a continuous crawl otherwise accumulates one dir per batch
+    * forever, and every retrain's merged read pays O(#batches) opens.
+    * Correct BY histogram additivity (the summed dir trains identically
+    * — spec'd), and RTBF-preserving: the new entry ABSORBS every folded
+    * batch id, so a later erasure request naming any original batch
+    * still finds the dir its words live in. The merged dir lands whole
+    * BEFORE the flip (a reader sees the old entry set or the new one);
+    * superseded dirs are swept only when the manifest no longer lists
+    * them (the manifest-guarded discipline); a crash before the flip is
+    * replayed by the next over-threshold tick (same ordinal, whole-dir
+    * overwrite), and a crash between flip and sweep strands the folded
+    * dirs as unreferenced garbage — never double-counted (reads go by
+    * manifest), reclaimed by the next compaction of a grown set or by
+    * an operator rm. Returns the new entry.
+    */
+  def compactHistograms(spark: SparkSession, lcRoot: String): CorpusEntry = {
+    val fs = fsOf(spark, lcRoot)
+    val entries = readManifest(spark, lcRoot)
+    require(entries.nonEmpty, s"BpeLifecycle at $lcRoot not initialized")
+    val ord = entries.map(_.name)
+      .collect { case EntryNameRe(stem, _) if stem.startsWith("compact=") =>
+        stem.stripPrefix("compact=").toLong }
+      .maxOption.getOrElse(0L) + 1L
+    val name = s"compact=$ord"
+    mergedHist(spark, lcRoot, entries)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${histRoot(lcRoot)}/$name")
+    val merged = CorpusEntry(name, entries.map(_.docs).sum,
+      entries.flatMap(_.absorbs).distinct.sorted)
+    writeManifest(spark, lcRoot, Seq(merged))
+    // sweep PROVABLY-dead dirs only: the folded entries by name, plus
+    // orphans a crashed earlier sweep stranded — a base/batch dir whose
+    // id the merged entry absorbs (its words live in the fold), or a
+    // compact dir with a LOWER ordinal (superseded by whatever replaced
+    // it, transitively folded here). A batch dir whose id is NOT
+    // absorbed is an in-flight tick's write — never touched.
+    val absorbed = merged.absorbs.toSet
+    fs.listStatus(new Path(histRoot(lcRoot))).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName != name)
+      .filter { p =>
+        p.getName match {
+          case EntryNameRe(stem, _) if stem.startsWith("compact=") =>
+            stem.stripPrefix("compact=").toLong < ord
+          case EntryNameRe(_, _) => absorbed.contains(batchIdOf(p.getName))
+          case _ => false
+        }
+      }.foreach(p => fs.delete(p, true))
+    merged
   }
 
   /** RIGHT-TO-BE-FORGOTTEN purge. `tombstones` is the forgotten docs
@@ -281,40 +378,46 @@ object BpeLifecycle {
       .groupBy(col("batch_id"))
       .agg(countDistinct(col("doc_id")).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val byId = entries.map(e => (batchIdOf(e._1), e)).toMap
-    val renamed = affected.map { case (b, nGone) =>
-      val (oldName, oldDocs) = byId.getOrElse(b, throw new IllegalArgumentException(
-        s"purge names batch $b, which the corpus manifest does not list"))
-      val rev = oldName.lastIndexOf('r') match {
-        case i if i > oldName.indexOf('=') && oldName.drop(i + 1).forall(_.isDigit)
-          => oldName.drop(i + 1).toLong + 1L
-        case _ => 1L
+    // which dir holds each named batch's words NOW: the absorbs map —
+    // valid across compactions and prior purge revisions
+    val owner: Map[Long, CorpusEntry] =
+      entries.flatMap(e => e.absorbs.map(_ -> e)).toMap
+    val byEntry: Map[String, (CorpusEntry, Seq[Long], Long)] = affected
+      .map { case (b, n) =>
+        val e = owner.getOrElse(b, throw new IllegalArgumentException(
+          s"purge names batch $b, which no corpus-manifest entry absorbs"))
+        (e, b, n)
       }
-      val newName = if (b < 0L) s"baser$rev" else s"batch=${b}r$rev"
-      val sub = TextStats.bpeWordHistogram(
-        tombstones.filter(col("batch_id") === b))
-        .withColumnRenamed("freq", "gone")
-      val stored = spark.read.parquet(s"${histRoot(lcRoot)}/$oldName")
-      val merged = stored.join(sub, Seq("w"), "left")
-        .select(col("w"),
-          (col("freq") - coalesce(col("gone"), lit(0L))).as("freq"))
-      // a tombstone that doesn't match the stored histogram (wrong
-      // batch, wrong text, duplicate request rows) would over-subtract;
-      // truncating at 0 would hide it — fail loudly with the words
-      val neg = merged.filter(col("freq") < 0L)
-        .select(col("w")).limit(5).collect()
-      require(neg.isEmpty,
-        s"purge over-subtracts batch $b — tombstones don't match the " +
-          s"stored histogram (first words: ${
-            neg.map(_.getString(0)).mkString(", ")})")
-      merged.filter(col("freq") > 0L)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${histRoot(lcRoot)}/$newName")
-      (oldName, (newName, math.max(0L, oldDocs - nGone)))
-    }.toMap
-    val flipped = entries.map { case (n, c) =>
-      renamed.get(n).getOrElse((n, c))
+      .groupBy(_._1.name)
+      .map { case (nm, rows) =>
+        nm -> ((rows.head._1, rows.map(_._2), rows.map(_._3).sum))
+      }
+    val renamed: Map[String, CorpusEntry] = byEntry.map {
+      case (oldName, (entry, ids, nGone)) =>
+        val newName = bumpRev(oldName)
+        val sub = TextStats.bpeWordHistogram(
+          tombstones.filter(col("batch_id").isin(ids.map(Long.box): _*)))
+          .withColumnRenamed("freq", "gone")
+        val stored = spark.read.parquet(s"${histRoot(lcRoot)}/$oldName")
+        val merged = stored.join(sub, Seq("w"), "left")
+          .select(col("w"),
+            (col("freq") - coalesce(col("gone"), lit(0L))).as("freq"))
+        // a tombstone that doesn't match the stored histogram (wrong
+        // batch, wrong text, duplicate request rows) would over-subtract;
+        // truncating at 0 would hide it — fail loudly with the words
+        val neg = merged.filter(col("freq") < 0L)
+          .select(col("w")).limit(5).collect()
+        require(neg.isEmpty,
+          s"purge over-subtracts $oldName — tombstones don't match the " +
+            s"stored histogram (first words: ${
+              neg.map(_.getString(0)).mkString(", ")})")
+        merged.filter(col("freq") > 0L)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${histRoot(lcRoot)}/$newName")
+        oldName -> CorpusEntry(newName, math.max(0L, entry.docs - nGone),
+          entry.absorbs)
     }
+    val flipped = entries.map(e => renamed.getOrElse(e.name, e))
     writeManifest(spark, lcRoot, flipped)
     val model = retrainIfChanged(spark, lcRoot, flipped, force = true)
     // sweep model versions that embody the forgotten data
@@ -328,13 +431,18 @@ object BpeLifecycle {
             .exists(_ < model.version)
       }.foreach(p => fs.delete(p, true))
     // sweep superseded histogram revisions: manifest-guarded — a dir is
-    // dead only if its batch id IS listed but under another name
-    val live = flipped.map(_._1).toSet
+    // dead only if its NAME STEM is listed but under another revision
+    // (an unlisted stem may be an in-flight write, never touched)
+    def stemOf(n: String): Option[String] = n match {
+      case EntryNameRe(stem, _) => Some(stem)
+      case _ => None
+    }
+    val live = flipped.map(_.name).toSet
+    val liveStems = flipped.flatMap(e => stemOf(e.name)).toSet
     val hr = new Path(histRoot(lcRoot))
-    val liveIds = flipped.map(e => batchIdOf(e._1)).toSet
     fs.listStatus(hr).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(p => !live.contains(p.getName) &&
-        liveIds.contains(batchIdOf(p.getName)))
+        stemOf(p.getName).exists(liveStems.contains))
       .foreach(p => fs.delete(p, true))
     model
   }

@@ -15,6 +15,70 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(e)   // must not throw; wiring is typed
   }
 
+  test("graft_bpe_count/tokens SQL functions serve the CURRENT artifact version") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // the shared test session predates extension loading, so register
+    // through the SAME builders the extension injects
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName,
+        "graft_bpe_count"),
+      GraftExtensions.bpeCountBuilder _)
+    reg.registerFunction(FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokens].getName,
+        "graft_bpe_tokens"),
+      GraftExtensions.bpeTokensBuilder _)
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("ext_docs")
+    try {
+      // unset knob → loud analysis-time failure naming the fix
+      val ex = intercept[Exception] {
+        spark.sql("SELECT graft_bpe_count(text) FROM ext_docs").collect()
+      }
+      assert(ex.getMessage.contains(GraftConfig.BpeModelRootKey) ||
+        Option(ex.getCause).exists(_.getMessage.contains(GraftConfig.BpeModelRootKey)))
+      // serve from a trained artifact: SQL == the DataFrame API
+      val root = java.nio.file.Files.createTempDirectory("ext-bpe").toString
+      val m1 = graft.llm.BpeArtifact.train(docs, root)
+      spark.conf.set(GraftConfig.BpeModelRootKey, root)
+      val sqlCounts = spark.sql(
+        "SELECT doc_id, graft_bpe_count(text) AS n FROM ext_docs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val apiCounts = docs.select(col("doc_id"),
+          graft.functions.Bpe.count(col("text"), m1.pairs).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(sqlCounts === apiCounts)
+      // tokens too: concat(tokens) content-preserving on one doc
+      val toks = spark.sql(
+        "SELECT graft_bpe_tokens(text) FROM ext_docs WHERE length(text) > 0 LIMIT 1")
+        .collect()(0).getSeq[String](0)
+      assert(toks.nonEmpty)
+      // a retrain flips the version; the NEXT query serves the new table
+      // (analysis-time load — no stale cache)
+      spark.conf.set(GraftConfig.BpeTrainRoundsKey, "4")
+      try graft.llm.BpeArtifact.train(docs, root)
+      finally spark.conf.unset(GraftConfig.BpeTrainRoundsKey)
+      val m2 = graft.llm.BpeArtifact.load(spark, root)
+      assert(m2.version === 2L && m2.merges.size === 4)
+      val sqlCounts2 = spark.sql(
+        "SELECT doc_id, graft_bpe_count(text) AS n FROM ext_docs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val apiCounts2 = docs.select(col("doc_id"),
+          graft.functions.Bpe.count(col("text"), m2.pairs).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(sqlCounts2 === apiCounts2)
+      assert(sqlCounts2 !== sqlCounts,
+        "a 4-merge table must count differently than the 32-merge one")
+    } finally {
+      spark.conf.unset(GraftConfig.BpeModelRootKey)
+      reg.dropFunction(FunctionIdentifier("graft_bpe_count"))
+      reg.dropFunction(FunctionIdentifier("graft_bpe_tokens"))
+      spark.catalog.dropTempView("ext_docs")
+      ()
+    }
+  }
+
   test("SelfSimilarityFold rewrites diagonal cosine to constants") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),

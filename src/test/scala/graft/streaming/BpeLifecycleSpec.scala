@@ -49,7 +49,7 @@ class BpeLifecycleSpec extends SparkSpec {
     assert(BpeLifecycle.currentModel(spark, lcRoot).version === 1L,
       "an in-distribution batch must not retrain")
     // …but it IS recorded: the manifest now names it
-    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
       === Seq("base", "batch=0"))
 
     val r2 = BpeLifecycle.tick(spark, lcRoot, b2, 1L).get
@@ -136,7 +136,7 @@ class BpeLifecycleSpec extends SparkSpec {
     assert(BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot)).version === 3L)
     // the manifest flipped to revision dirs atomically and the
     // superseded originals were swept (manifest-guarded)
-    val names = BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+    val names = BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
     assert(names === Seq("baser1", "batch=0r1", "batch=1"))
     assert(!Files.exists(Paths.get(s"$lcRoot/hist/base")),
       "superseded base histogram must be swept")
@@ -149,11 +149,67 @@ class BpeLifecycleSpec extends SparkSpec {
       .select(lit(0L).as("batch_id"), col("doc_id"), col("text"))
     val m4 = BpeLifecycle.purge(spark, lcRoot, tombs2)
     assert(m4.version === 4L)
-    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_._1)
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
       === Seq("baser1", "batch=0r2", "batch=1"))
     val reduced2 = reduced.join(tombs2.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     assert(m4.merges === TextStats.bpeLearnMerges(reduced2))
+  }
+
+  test("histogram compaction: one summed dir, same model, RTBF still addressable") {
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-cp") + "/lc"
+    val lcRef = tmpDir("bpelc-cpref") + "/lc"
+    // reference lifecycle, no compaction
+    BpeLifecycle.init(spark, lcRef, base)
+    BpeLifecycle.tick(spark, lcRef, b1, 0L)
+    BpeLifecycle.tick(spark, lcRef, b2, 1L)
+    // compacting lifecycle: fold whenever ≥ 2 entries are committed
+    spark.conf.set(graft.GraftConfig.BpeCompactAfterBatchesKey, "2")
+    try {
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+      BpeLifecycle.tick(spark, lcRoot, b2, 1L)
+    } finally spark.conf.unset(graft.GraftConfig.BpeCompactAfterBatchesKey)
+    // the store is bounded: ONE entry absorbing every batch
+    val entries = BpeLifecycle.readManifest(spark, lcRoot)
+    assert(entries.size === 1 && entries.head.name === "compact=2")
+    assert(entries.head.absorbs === Seq(-1L, 0L, 1L))
+    assert(!Files.exists(Paths.get(s"$lcRoot/hist/base")) &&
+      !Files.exists(Paths.get(s"$lcRoot/hist/batch=0")),
+      "folded dirs must be swept")
+    // compaction is unobservable to the model (histogram additivity)
+    val m = BpeLifecycle.currentModel(spark, lcRoot)
+    val ref = BpeLifecycle.currentModel(spark, lcRef)
+    assert(m.merges === ref.merges && m.corpusDocs === ref.corpusDocs)
+    // RTBF after compaction: a request naming an ABSORBED batch still
+    // lands — the purged model equals the reference lifecycle's purge
+    val tombs = b1.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(lit(0L).as("batch_id"), col("doc_id"), col("text"))
+    val mp = BpeLifecycle.purge(spark, lcRoot, tombs)
+    val refp = BpeLifecycle.purge(spark, lcRef, tombs)
+    assert(mp.merges === refp.merges && mp.corpusDocs === refp.corpusDocs)
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+      === Seq("compact=2r1"))
+  }
+
+  test("version retention knob: retrains reclaim old versions, serving survives") {
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-keep") + "/lc"
+    spark.conf.set(graft.GraftConfig.BpeKeepVersionsKey, "1")
+    try {
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b1, 0L) // records, no retrain
+      BpeLifecycle.tick(spark, lcRoot, b2, 1L) // retrains → v2, reclaims v1
+      val m = BpeLifecycle.currentModel(spark, lcRoot)
+      assert(m.version === 2L)
+      intercept[IllegalArgumentException] {
+        BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot), Some(1L))
+      }
+      // the fingerprint provenance survives retention by recomputation
+      assert(m.tableFingerprint ===
+        TextStats.bpeTableFingerprint(m.merges))
+    } finally spark.conf.unset(graft.GraftConfig.BpeKeepVersionsKey)
   }
 
   test("purge with tombstones exceeding the stored histogram fails loudly") {
