@@ -24,6 +24,20 @@ import org.apache.spark.sql.SparkSession
   *   a backlog) falls back to the distributed spill-looped closure.
   *   Lower it when driver memory is tight; StreamsSpec drives a stream
   *   tick across the bound to prove both paths yield identical labels |
+  * | `spark.graft.bpe.trainTopV` / `.trainRounds` | 64 / 32 | BPE trainer
+  *   sample size and merge rounds, resolved by [[graft.llm.TextStats
+  *   .bpeTrainParams]] for both production train entry points |
+  * | `spark.graft.index.compactAfterBatches` | off | streaming IVF index:
+  *   fold committed delta batches once the set reaches n |
+  * | `spark.graft.bpe.lifecycleDriftPct` | 10 | tokenizer lifecycle:
+  *   retrain when a batch compresses >n% worse than the serving model's
+  *   train-time baseline |
+  * | `spark.graft.bpe.keepVersions` | off | tokenizer lifecycle: reclaim
+  *   model versions older than the newest n after a retrain |
+  * | `spark.graft.bpe.compactAfterBatches` | off | tokenizer lifecycle:
+  *   fold committed corpus histograms once the set reaches n |
+  * | `spark.graft.bpe.modelRoot` | unset | artifact root the
+  *   `graft_bpe_count`/`graft_bpe_tokens` SQL functions serve from |
   *
   * The legacy `graft.spill.ttl.minutes` JVM sysprop is honored as a
   * fallback (it predates this surface); the SparkConf key wins.

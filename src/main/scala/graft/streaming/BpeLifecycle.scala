@@ -21,11 +21,16 @@ import graft.llm.{BpeArtifact, TextStats}
   *
   * Layout under `lcRoot`:
   * {{{
-  *   hist/base/, hist/batch=<id>[r<rev>]/   per-batch WORD HISTOGRAMS
-  *                                          (w, freq) parquet
+  *   hist/base/, hist/batch=<id>[r<rev>]/,  per-batch WORD HISTOGRAMS
+  *     hist/compact=<n>[r<rev>]/            (w, freq) parquet; compact
+  *                                          dirs are folded sums
+  *                                          ([[compactHistograms]]),
+  *                                          r<rev> dirs purge revisions
   *   hist/_GRAFT_BATCHES                    committed-batch manifest
-  *                                          ("<dirname> <docCount>" lines,
-  *                                          tmp-write + atomic rename)
+  *                                          ("<dirname> <docCount>
+  *                                          <absorbed-ids-csv>" lines,
+  *                                          tmp-write + atomic rename —
+  *                                          see [[CorpusEntry]])
   *   model/                                 [[BpeArtifact]] root
   *                                          (v=<n>/…, CURRENT)
   *   _GRAFT_APPLIED_BATCHES                 applied tick ids (skip-fast;

@@ -268,6 +268,38 @@ class BpeLifecycleSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConfig.BpeDriftPctKey)
   }
 
+  test("st13 budget gate composes with the lifecycle: metering follows the retrain") {
+    // the full production story: the LIFECYCLE trains and retrains the
+    // model; the st13 ingestion budget gate meters every arrival with
+    // whatever version the lifecycle currently serves — the gate's
+    // model root IS the lifecycle's model store
+    val (all, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-st13") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    val probe = b1.limit(50)
+    val before = Streams.bpeBudgetRouteFromArtifact(
+      probe, BpeLifecycle.modelRoot(lcRoot))
+      .select("doc_id", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val v1 = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(before === probe.select(col("doc_id"),
+      graft.functions.Bpe.count(col("text"), v1.pairs).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // a drift retrain flips the served version; the gate re-prices with
+    // the NEW table on its next planning — no re-wiring
+    BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+    BpeLifecycle.tick(spark, lcRoot, b2, 1L)
+    val v2 = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(v2.version === 2L)
+    val after = Streams.bpeBudgetRouteFromArtifact(
+      probe, BpeLifecycle.modelRoot(lcRoot))
+      .select("doc_id", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after === probe.select(col("doc_id"),
+      graft.functions.Bpe.count(col("text"), v2.pairs).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
   test("stream drive: foreachBatch ticks ≡ batch-form ticks; replay no-op") {
     val (all, base, b1, b2) = fixture()
     val lcRoot = tmpDir("bpelc-st") + "/lc"
