@@ -185,20 +185,14 @@ object BpeArtifact {
     } finally { h.unpersist(); () }
   }
 
-  /** Exact train-corpus compression totals off the histogram: total
-    * non-whitespace CODEPOINTS and total LEARNED tokens under `merges`
-    * — per-distinct-word work weighted by freq (the oracle's `wn`-join
-    * shape), so the pass is vocabulary-sized, never corpus-sized.
+  /** Exact train-corpus compression totals off the histogram —
+    * [[TextStats.bpeHistMeter]], the ONE pricing expression shared with
+    * the lifecycle's per-batch drift metering (the drift compare is
+    * only sound while both sides price identically).
     */
   private def baselineOf(hist: DataFrame,
-      merges: Seq[(Int, String, String, String, Long)]): (Long, Long) = {
-    val pairs = merges.map(m => (m._2, m._3))
-    val r = hist.agg(
-      coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
-      coalesce(sum(col("freq") *
-        graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+      merges: Seq[(Int, String, String, String, Long)]): (Long, Long) =
+    TextStats.bpeHistMeter(hist, merges.map(m => (m._2, m._3)))
 
   /** Publish a trained table as the next version: merges + meta parquet,
     * then the commit marker, then the atomic pointer flip. Returns the

@@ -137,6 +137,25 @@ object TextStats {
     .select(explode(split(trim(col("text")), "\\s+")).as("w"))
     .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** Exact freq-weighted pricing of a (w, freq) histogram under a
+    * learned table: (Σ freq·codepoints, Σ freq·learnedTokens) —
+    * per-DISTINCT-word work, vocabulary-sized. THE one pricing
+    * expression: [[BpeArtifact.train]]'s train-time baseline and
+    * [[graft.streaming.BpeLifecycle.tick]]'s per-batch drift metering
+    * both call it, so the two sides of the drift compare can never
+    * drift apart (two hand-copies of this agg would skew every verdict
+    * the moment one was edited).
+    */
+  def bpeHistMeter(hist: DataFrame,
+      pairs: Seq[(String, String)]): (Long, Long) = {
+    val r = hist.agg(
+      coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
+      coalesce(sum(col("freq") *
+        graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** [[bpeLearnMerges]] from a pre-aggregated (w, freq) histogram —
     * the lifecycle's retrain entry point (histograms of committed
     * batches merge by summed freq before the top-V cut, which is the

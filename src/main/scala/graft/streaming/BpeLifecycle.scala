@@ -33,9 +33,9 @@ import graft.llm.{BpeArtifact, TextStats}
   *                                          see [[CorpusEntry]])
   *   model/                                 [[BpeArtifact]] root
   *                                          (v=<n>/…, CURRENT)
-  *   _GRAFT_APPLIED_BATCHES                 applied tick ids (skip-fast;
+  *   _applied_batches                       applied tick ids (skip-fast;
   *                                          idempotence anchor is the
-  *                                          overwrite + manifest, not this)
+  *                                          absorbs manifest, not this)
   * }}}
   *
   * **The state is histograms, not text.** [[TextStats.bpeLearnMerges]]
@@ -112,20 +112,32 @@ object BpeLifecycle {
       lcRoot: String): Seq[CorpusEntry] = {
     val fs = fsOf(spark, lcRoot)
     val p = new Path(histRoot(lcRoot), HistManifest)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .flatMap { l =>
-          l.trim.split("\\s+") match {
-            case Array(name, n, abs) => scala.util.Try(CorpusEntry(name,
-              n.toLong, abs.split(",").toSeq.map(_.toLong))).toOption
-            case Array(name, n) => scala.util.Try(CorpusEntry(name,
-              n.toLong, Seq(batchIdOf(name)))).toOption
-            case _ => None
-          }
-        }.toSeq
-      finally in.close()
+    // crash recovery for the rewrite's delete→rename window: the tmp
+    // file is fully written and CLOSED before the destination is
+    // deleted, so "destination missing but tmp present" can only mean a
+    // crash between the delete and the rename — the tmp IS the intended
+    // manifest. (A crash mid-tmp-write leaves the old destination
+    // intact, which wins below.) Without this, a crash in the window
+    // would silently erase the whole committed corpus from retrains.
+    val src =
+      if (fs.exists(p)) Some(p)
+      else Some(new Path(histRoot(lcRoot), s"$HistManifest.tmp"))
+        .filter(fs.exists)
+    src match {
+      case None => Seq.empty
+      case Some(f) =>
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .flatMap { l =>
+            l.trim.split("\\s+") match {
+              case Array(name, n, abs) => scala.util.Try(CorpusEntry(name,
+                n.toLong, abs.split(",").toSeq.map(_.toLong))).toOption
+              case Array(name, n) => scala.util.Try(CorpusEntry(name,
+                n.toLong, Seq(batchIdOf(name)))).toOption
+              case _ => None
+            }
+          }.toSeq
+        finally in.close()
     }
   }
 
@@ -170,18 +182,17 @@ object BpeLifecycle {
       .parquet(s"${histRoot(lcRoot)}/$name")
   }
 
-  /** Price a histogram dir under a table: exact (Σ freq·codepoints,
-    * Σ freq·learnedTokens) — per-DISTINCT-word work, vocabulary-sized.
+  /** Price a histogram dir under a table — the written-artifact read
+    * path of [[TextStats.bpeHistMeter]] (the shared pricing expression;
+    * the baseline side uses the same helper).
     */
   private def meterHist(spark: SparkSession, dir: String,
-      pairs: Seq[(String, String)]): (Long, Long) = {
-    val r = spark.read.parquet(dir).agg(
-      coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
-      coalesce(sum(col("freq") *
-        graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+      pairs: Seq[(String, String)]): (Long, Long) =
+    meterHistFrame(spark.read.parquet(dir), pairs)
+
+  private def meterHistFrame(hist: DataFrame,
+      pairs: Seq[(String, String)]): (Long, Long) =
+    TextStats.bpeHistMeter(hist, pairs)
 
   /** The committed corpus as ONE histogram: manifest-listed batch
     * histograms summed by word. Reading by explicit dir list (never a
@@ -203,15 +214,21 @@ object BpeLifecycle {
     */
   private def retrainIfChanged(spark: SparkSession, lcRoot: String,
       entries: Seq[CorpusEntry], force: Boolean): BpeArtifact.Model = {
-    val h = mergedHist(spark, lcRoot, entries)
-    val cur = scala.util.Try(currentModel(spark, lcRoot)).toOption
-    if (!force && cur.nonEmpty) {
-      val fpRow = h.agg(expr("bit_xor(xxhash64(w, freq))").as("fp")).head()
-      val fp = if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)
-      if (fp == cur.get.corpusFingerprint) return cur.get
-    }
-    BpeArtifact.trainFromHist(spark, h, modelRoot(lcRoot),
-      entries.map(_.docs).sum)
+    // persist: the no-op fingerprint probe below and trainFromHist's
+    // own provenance/baseline/sample passes all read the same merged
+    // frame — one materialization instead of re-opening every
+    // histogram dir per aggregation
+    val h = mergedHist(spark, lcRoot, entries).persist()
+    try {
+      val cur = scala.util.Try(currentModel(spark, lcRoot)).toOption
+      if (!force && cur.nonEmpty) {
+        val fpRow = h.agg(expr("bit_xor(xxhash64(w, freq))").as("fp")).head()
+        val fp = if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0)
+        if (fp == cur.get.corpusFingerprint) return cur.get
+      }
+      BpeArtifact.trainFromHist(spark, h, modelRoot(lcRoot),
+        entries.map(_.docs).sum)
+    } finally { h.unpersist(); () }
   }
 
   /** The serving table. */
@@ -224,6 +241,14 @@ object BpeLifecycle {
     */
   def init(spark: SparkSession, lcRoot: String,
       baseDocs: DataFrame): BpeArtifact.Model = {
+    // a replayed crashed init (manifest still base-only, or absent) is
+    // fine; init on a LIVE lifecycle is not — overwriting the manifest
+    // would silently drop every recorded batch from future retrains
+    val existing = readManifest(spark, lcRoot)
+    require(existing.forall(_.absorbs == Seq(-1L)),
+      s"BpeLifecycle at $lcRoot already has recorded batches — " +
+        "init would drop them from the corpus; tick/purge instead, or " +
+        "remove the root to re-bootstrap")
     val n = baseDocs.count()
     writeHist(spark, lcRoot, "base", baseDocs)
     val entries = Seq(CorpusEntry("base", n, Seq(-1L)))
@@ -259,19 +284,40 @@ object BpeLifecycle {
     val applied = Streams.readAppliedBatches(fs, new Path(lcRoot))
     if (applied.contains(batchId)) None
     else {
-      val name = s"batch=$batchId"
-      val nDocs = batchDocs.count()
-      writeHist(spark, lcRoot, name, batchDocs)
+      val entries0 = readManifest(spark, lcRoot)
+      require(entries0.nonEmpty,
+        s"BpeLifecycle at $lcRoot has no corpus manifest — run init() first")
       val m = currentModel(spark, lcRoot)
+      // a model published through raw BpeArtifact.write (or a legacy
+      // meta row) carries no train-time baseline; without this check
+      // every drift verdict below would be silently false — the one
+      // thing the lifecycle exists to decide
+      require(m.baselineNtok > 0L,
+        s"serving model v=${m.version} carries no train-time baseline " +
+          "— publish via BpeArtifact.train/trainFromHist so the drift " +
+          "gate has its anchor")
+      val name = s"batch=$batchId"
+      // corpus-commit replay guard BY ABSORBED ID, not dir name: after a
+      // compaction or purge renamed/folded the entry, a replayed tick
+      // (lost applied-set line, fresh stream checkpoint) must neither
+      // re-list the batch (double-counting its words) nor re-materialize
+      // its histogram dir (which after an RTBF purge would resurrect
+      // forgotten words on disk)
+      val alreadyCommitted = entries0.exists(_.absorbs.contains(batchId))
+      val nDocs = batchDocs.count()
       val (nCp, nTok) =
-        meterHist(spark, s"${histRoot(lcRoot)}/$name", m.pairs)
+        if (alreadyCommitted)
+          meterHistFrame(TextStats.bpeWordHistogram(batchDocs), m.pairs)
+        else {
+          writeHist(spark, lcRoot, name, batchDocs)
+          meterHist(spark, s"${histRoot(lcRoot)}/$name", m.pairs)
+        }
       // drift ⟺ cpt_batch < cpt_baseline · (100 − driftPct)/100, exact:
-      val drifted = nTok > 0L && m.baselineNtok > 0L &&
+      val drifted = nTok > 0L &&
         BigInt(nCp) * m.baselineNtok * 100 <
           BigInt(m.baselineNcp) * nTok * (100 - pct)
-      val entries0 = readManifest(spark, lcRoot)
       val entries =
-        if (entries0.exists(_.name == name)) entries0 // crashed earlier commit
+        if (alreadyCommitted) entries0
         else entries0 :+ CorpusEntry(name, nDocs, Seq(batchId))
       writeManifest(spark, lcRoot, entries)
       if (drifted) {
@@ -377,9 +423,15 @@ object BpeLifecycle {
     val fs = fsOf(spark, lcRoot)
     val entries = readManifest(spark, lcRoot)
     require(entries.nonEmpty, s"BpeLifecycle at $lcRoot not initialized")
+    // one subtraction per DOC, matching the per-distinct doc-count
+    // decrement below — a doc listed twice in the request would
+    // otherwise subtract its words twice, and whenever another doc
+    // shares those words the result stays non-negative and the
+    // over-subtraction guard cannot see it
+    val ts = tombstones.dropDuplicates(Seq("batch_id", "doc_id"))
     // RTBF requests are request-sized: the affected-batch list is a
     // bounded collect (one row per batch named in the request)
-    val affected: Seq[(Long, Long)] = tombstones
+    val affected: Seq[(Long, Long)] = ts
       .groupBy(col("batch_id"))
       .agg(countDistinct(col("doc_id")).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -401,15 +453,27 @@ object BpeLifecycle {
       case (oldName, (entry, ids, nGone)) =>
         val newName = bumpRev(oldName)
         val sub = TextStats.bpeWordHistogram(
-          tombstones.filter(col("batch_id").isin(ids.map(Long.box): _*)))
+          ts.filter(col("batch_id").isin(ids.map(Long.box): _*)))
           .withColumnRenamed("freq", "gone")
         val stored = spark.read.parquet(s"${histRoot(lcRoot)}/$oldName")
+        // a tombstone that doesn't match the stored histogram (wrong
+        // batch, wrong text, an already-erased doc re-submitted) must
+        // fail LOUDLY in BOTH directions: counts exceeding the store
+        // (over-subtract — truncating at 0 would hide it) AND words the
+        // store never held (under-subtract — a left join would silently
+        // drop them and the purge would "succeed" without forgetting
+        // anything). Erasure replays therefore fail here by design:
+        // dedupe them upstream, an exact no-op retry is not provable
+        // from histograms alone.
+        val foreign = sub.join(stored, Seq("w"), "left_anti")
+          .select(col("w")).limit(5).collect()
+        require(foreign.isEmpty,
+          s"purge names words $oldName never held (first: ${
+            foreign.map(_.getString(0)).mkString(", ")}) — wrong batch, " +
+            "wrong text, or an already-erased doc re-submitted")
         val merged = stored.join(sub, Seq("w"), "left")
           .select(col("w"),
             (col("freq") - coalesce(col("gone"), lit(0L))).as("freq"))
-        // a tombstone that doesn't match the stored histogram (wrong
-        // batch, wrong text, duplicate request rows) would over-subtract;
-        // truncating at 0 would hide it — fail loudly with the words
         val neg = merged.filter(col("freq") < 0L)
           .select(col("w")).limit(5).collect()
         require(neg.isEmpty,

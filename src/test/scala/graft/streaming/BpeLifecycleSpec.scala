@@ -212,37 +212,116 @@ class BpeLifecycleSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConfig.BpeKeepVersionsKey)
   }
 
-  test("purge with tombstones exceeding the stored histogram fails loudly") {
-    // synthetic corpus with controlled word counts: the guard must
-    // catch over-subtraction (duplicate request rows, wrong batch)
-    // instead of silently truncating at zero
+  test("purge with tombstones that don't match the store fails loudly, both directions") {
+    // synthetic corpus with controlled word counts: the guards must
+    // catch BOTH mismatch directions instead of silently succeeding
     val base = Seq((1L, "s", "alpha beta gamma delta"),
       (2L, "s", "alpha beta epsilon zeta"))
       .toDF("doc_id", "source", "text")
-    val b0 = Seq((3L, "s", "eta theta iota kappa"))
+    val b0 = Seq((3L, "s", "eta theta iota kappa"),
+      (4L, "s", "eta theta mu nu"))
       .toDF("doc_id", "source", "text")
     val lcRoot = tmpDir("bpelc-neg") + "/lc"
     spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
     try {
       BpeLifecycle.init(spark, lcRoot, base)
       BpeLifecycle.tick(spark, lcRoot, b0, 0L)
-      // the same doc submitted TWICE in one erasure request: its words'
-      // subtraction doubles and exceeds the stored count
-      val dup = Seq((0L, 3L, "eta theta iota kappa"),
+      // duplicate request rows are deduped, NOT double-subtracted (doc 3
+      // listed twice would otherwise erase doc 4's eta/theta mass too)
+      // — covered below by the well-formed dup request succeeding.
+      // OVER-subtract: a tombstone whose text claims MORE occurrences
+      // than the doc contributed ("eta" twice) — shared words keep the
+      // result non-negative elsewhere, but iota goes negative
+      val over = Seq((0L, 3L, "eta eta theta iota iota kappa"))
+        .toDF("batch_id", "doc_id", "text")
+      val exOver = intercept[IllegalArgumentException] {
+        BpeLifecycle.purge(spark, lcRoot, over)
+      }
+      assert(exOver.getMessage.contains("over-subtracts"))
+      // UNDER-subtract: a tombstone naming words the batch never held —
+      // a left-join subtraction would silently "forget" nothing
+      val foreign = Seq((0L, 3L, "omega psi"))
+        .toDF("batch_id", "doc_id", "text")
+      val exForeign = intercept[IllegalArgumentException] {
+        BpeLifecycle.purge(spark, lcRoot, foreign)
+      }
+      assert(exForeign.getMessage.contains("never held"))
+      // the well-formed request still works afterwards (the failed
+      // purges flipped nothing: revision dirs land before the manifest),
+      // and a duplicated row is deduped to one subtraction
+      val ok = Seq((0L, 3L, "eta theta iota kappa"),
         (0L, 3L, "eta theta iota kappa"))
         .toDF("batch_id", "doc_id", "text")
-      val ex = intercept[IllegalArgumentException] {
-        BpeLifecycle.purge(spark, lcRoot, dup)
-      }
-      assert(ex.getMessage.contains("over-subtracts"))
-      // the well-formed request still works afterwards (the failed
-      // purge flipped nothing: revision dirs land before the manifest)
-      val ok = Seq((0L, 3L, "eta theta iota kappa"))
-        .toDF("batch_id", "doc_id", "text")
       val m = BpeLifecycle.purge(spark, lcRoot, ok)
-      assert(m.merges === TextStats.bpeLearnMerges(base,
-        TextStats.BpeTrainTopV, rounds = 2))
+      val remaining = base.unionByName(
+        Seq((4L, "s", "eta theta mu nu")).toDF("doc_id", "source", "text"))
+      assert(m.merges === TextStats.bpeLearnMerges(remaining,
+        TextStats.BpeTrainTopV, rounds = 2),
+        "deduped purge must equal a from-scratch train without doc 3 only")
     } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
+  test("replayed tick after compaction/purge renamed its entry is corpus-inert") {
+    // the corpus-commit replay guard goes by ABSORBED id, not dir name:
+    // a replayed batch id whose entry was folded or revised must
+    // neither re-list the batch (double-count) nor re-materialize its
+    // histogram dir (post-RTBF that would resurrect forgotten words)
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-rp2") + "/lc"
+    spark.conf.set(graft.GraftConfig.BpeCompactAfterBatchesKey, "2")
+    try {
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+      BpeLifecycle.tick(spark, lcRoot, b2, 1L)
+      assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+        === Seq("compact=2"))
+      val m = BpeLifecycle.currentModel(spark, lcRoot)
+      // simulate a lost applied-set line (tolerated by design there):
+      // wipe it so the replayed tick reaches the corpus-commit guard
+      val fs = new org.apache.hadoop.fs.Path(lcRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(lcRoot,
+        "_applied_batches"), false)
+      val r = BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+      assert(r.nonEmpty, "with the applied line lost, the tick re-runs")
+      assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+        === Seq("compact=2"),
+        "replay must not re-list an absorbed batch (double-count)")
+      assert(!Files.exists(Paths.get(s"$lcRoot/hist/batch=0")),
+        "replay must not re-materialize the folded batch dir")
+      val m2 = BpeLifecycle.currentModel(spark, lcRoot)
+      assert(m2.version === m.version && m2.merges === m.merges,
+        "replay of a committed batch must not move the model")
+    } finally spark.conf.unset(graft.GraftConfig.BpeCompactAfterBatchesKey)
+  }
+
+  test("manifest rewrite crash window: the completed tmp file recovers the corpus") {
+    // writeManifest is tmp-write → delete(dst) → rename; a crash between
+    // the delete and the rename leaves only the (complete, closed) tmp.
+    // Losing the manifest here must NOT silently shrink the corpus to
+    // the next tick's single batch — readManifest falls back to the tmp.
+    val (_, base, b1, b2) = fixture()
+    val lcRoot = tmpDir("bpelc-mf") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    BpeLifecycle.tick(spark, lcRoot, b1, 0L)
+    val before = BpeLifecycle.readManifest(spark, lcRoot)
+    val fs = new org.apache.hadoop.fs.Path(lcRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(s"$lcRoot/hist/_GRAFT_BATCHES")
+    val tmp = new org.apache.hadoop.fs.Path(s"$lcRoot/hist/_GRAFT_BATCHES.tmp")
+    // simulate the crash: dst's content survives only as the tmp
+    org.apache.hadoop.fs.FileUtil.copy(fs, dst, fs, tmp, false,
+      spark.sessionState.newHadoopConf())
+    fs.delete(dst, false)
+    assert(BpeLifecycle.readManifest(spark, lcRoot) === before,
+      "destination lost mid-rename: the tmp IS the manifest")
+    // the next tick heals the store (rewrites dst) and keeps the corpus
+    BpeLifecycle.tick(spark, lcRoot, b2, 1L)
+    assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+      === Seq("base", "batch=0", "batch=1"))
+    val m = BpeLifecycle.currentModel(spark, lcRoot)
+    assert(m.corpusDocs === base.count() + b1.count() + b2.count(),
+      "recovery must retrain on the FULL corpus, not the last batch")
   }
 
   test("drift threshold knob: spark.graft.bpe.lifecycleDriftPct tightens the gate") {
