@@ -109,8 +109,14 @@ object GraftConfig {
     * fire (cpt is positive).
     */
   def bpeLifecycleDriftPct(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(BpeDriftPctKey)
-      .map(_.trim.toInt).filter(p => p >= 0 && p < 100)
+    spark.conf.getOption(BpeDriftPctKey).map { v =>
+      // a SET knob is a stated intent — an out-of-range value falling
+      // back to the default silently would invert the fail-loud
+      // discipline tick applies to caller-passed values (r16 ADVICE)
+      val p = v.trim.toInt
+      require(p >= 0 && p < 100, s"$BpeDriftPctKey=$p outside [0, 100)")
+      p
+    }
 
   val BpeKeepVersionsKey = "spark.graft.bpe.keepVersions"
 
@@ -122,8 +128,11 @@ object GraftConfig {
     * carried by downstream manifests stays verifiable either way.
     */
   def bpeKeepVersions(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(BpeKeepVersionsKey)
-      .map(_.trim.toInt).filter(_ >= 1)
+    spark.conf.getOption(BpeKeepVersionsKey).map { v =>
+      val k = v.trim.toInt
+      require(k >= 1, s"$BpeKeepVersionsKey=$k must be >= 1")
+      k
+    }
 
   val BpeCompactAfterBatchesKey = "spark.graft.bpe.compactAfterBatches"
 
@@ -137,8 +146,13 @@ object GraftConfig {
     * batch.
     */
   def bpeCompactAfterBatches(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(BpeCompactAfterBatchesKey)
-      .map(_.trim.toInt).filter(_ >= 2)
+    spark.conf.getOption(BpeCompactAfterBatchesKey).map { v =>
+      val k = v.trim.toInt
+      require(k >= 2,
+        s"$BpeCompactAfterBatchesKey=$k must be >= 2 (1 would rewrite " +
+          "the whole corpus histogram every tick)")
+      k
+    }
 
   /** [[graft.llm.BpeArtifact]] root the `graft_bpe_count`/
     * `graft_bpe_tokens` SQL functions ([[GraftExtensions]]) serve from

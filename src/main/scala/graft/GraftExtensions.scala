@@ -33,11 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimF32].getName, "cosine_f32"),
-      (args: Seq[Expression]) => CosineSimF32(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        GraftExtensions.requireArity("cosine_f32(x, y)", 2, args)
+        CosineSimF32(args(0), args(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        GraftExtensions.requireArity("array_dot(x, y)", 2, args)
+        ArrayDot(args(0), args(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
@@ -51,6 +57,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Builders receive whatever argument list the query wrote — a bare
+    * `args.head`/`args(1)` would surface a wrong-arity call as a naked
+    * NoSuchElementException (and silently IGNORE extra arguments, the
+    * worse failure: `graft_bpe_count(text, 7)` metering as if the 7
+    * meant something). Fail analysis with the expected signature
+    * instead (r16 ADVICE).
+    */
+  private[graft] def requireArity(signature: String, n: Int,
+      args: Seq[Expression]): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$signature takes exactly $n argument${if (n == 1) "" else "s"}, " +
+        s"got ${args.length}")
 
   /** The serving merge table, loaded at analysis time from the active
     * session's `spark.graft.bpe.modelRoot`. Fails loudly (not with a
@@ -66,11 +85,15 @@ object GraftExtensions {
     new BpeTable(graft.llm.BpeArtifact.loadPairs(spark, root).toArray)
   }
 
-  private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression =
+  private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression = {
+    requireArity("graft_bpe_count(text)", 1, args)
     BpeCount(args.head, servedBpeTable())
+  }
 
-  private[graft] def bpeTokensBuilder(args: Seq[Expression]): Expression =
+  private[graft] def bpeTokensBuilder(args: Seq[Expression]): Expression = {
+    requireArity("graft_bpe_tokens(text)", 1, args)
     BpeTokens(args.head, servedBpeTable())
+  }
 }
 
 /** `cosine_f32(x, x)` normalizes to the mathematically exact 1.0 for any

@@ -79,6 +79,71 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("injected builders reject wrong arity with the expected signature") {
+    // zero args, and the silently-worse case: EXTRA args ignored
+    val ex0 = intercept[IllegalArgumentException] {
+      GraftExtensions.bpeCountBuilder(Seq.empty)
+    }
+    assert(ex0.getMessage.contains("graft_bpe_count(text)") &&
+      ex0.getMessage.contains("exactly 1"))
+    val lit7 = org.apache.spark.sql.catalyst.expressions.Literal(7)
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftExtensions.bpeTokensBuilder(Seq(lit7, lit7))
+    }
+    assert(ex2.getMessage.contains("graft_bpe_tokens(text)"))
+    // the binary functions guard both directions too
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("ext_arity_cos"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimF32].getName, "ext_arity_cos"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        GraftExtensions.requireArity("cosine_f32(x, y)", 2, args)
+        graft.functions.CosineSimF32(args(0), args(1))
+      })
+    try {
+      val ex1 = intercept[Exception] {
+        spark.sql("SELECT ext_arity_cos(array(1.0F))").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(ex1).exists(m => m != null && m.contains("cosine_f32(x, y)")),
+        s"analysis error must name the signature: ${ex1.getMessage}")
+    } finally { reg.dropFunction(FunctionIdentifier("ext_arity_cos")); () }
+  }
+
+  test("set-but-out-of-range spark.graft.bpe.* knobs fail loudly, never default") {
+    def withKnob[A](key: String, v: String)(f: => A): A = {
+      spark.conf.set(key, v)
+      try f finally spark.conf.unset(key)
+    }
+    val exPct = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.BpeDriftPctKey, "150") {
+        GraftConfig.bpeLifecycleDriftPct(spark)
+      }
+    }
+    assert(exPct.getMessage.contains(GraftConfig.BpeDriftPctKey))
+    val exKeep = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.BpeKeepVersionsKey, "0") {
+        GraftConfig.bpeKeepVersions(spark)
+      }
+    }
+    assert(exKeep.getMessage.contains(GraftConfig.BpeKeepVersionsKey))
+    val exCp = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.BpeCompactAfterBatchesKey, "1") {
+        GraftConfig.bpeCompactAfterBatches(spark)
+      }
+    }
+    assert(exCp.getMessage.contains(GraftConfig.BpeCompactAfterBatchesKey))
+    // in-range values still resolve; unset still defaults
+    assert(withKnob(GraftConfig.BpeDriftPctKey, "25") {
+      GraftConfig.bpeLifecycleDriftPct(spark)
+    } === Some(25))
+    assert(GraftConfig.bpeLifecycleDriftPct(spark).isEmpty)
+  }
+
   test("SelfSimilarityFold rewrites diagonal cosine to constants") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
