@@ -119,10 +119,14 @@ object BpeLifecycle {
     // manifest. (A crash mid-tmp-write leaves the old destination
     // intact, which wins below.) Without this, a crash in the window
     // would silently erase the whole committed corpus from retrains.
-    val src =
-      if (fs.exists(p)) Some(p)
-      else Some(new Path(histRoot(lcRoot), s"$HistManifest.tmp"))
-        .filter(fs.exists)
+    // FINISH the interrupted commit (rename tmp → dst) instead of
+    // reading the tmp in place (r16 ADVICE): while the tmp is the ONLY
+    // surviving copy, the next writeManifest's create(tmp, overwrite)
+    // would truncate it — a second crash mid-tmp-write in that state
+    // would lose the committed corpus after all.
+    val tmpP = new Path(histRoot(lcRoot), s"$HistManifest.tmp")
+    if (!fs.exists(p) && fs.exists(tmpP)) { fs.rename(tmpP, p); () }
+    val src = Some(p).filter(fs.exists)
     src match {
       case None => Seq.empty
       case Some(f) =>
@@ -304,14 +308,23 @@ object BpeLifecycle {
       // its histogram dir (which after an RTBF purge would resurrect
       // forgotten words on disk)
       val alreadyCommitted = entries0.exists(_.absorbs.contains(batchId))
-      val nDocs = batchDocs.count()
-      val (nCp, nTok) =
-        if (alreadyCommitted)
-          meterHistFrame(TextStats.bpeWordHistogram(batchDocs), m.pairs)
-        else {
-          writeHist(spark, lcRoot, name, batchDocs)
-          meterHist(spark, s"${histRoot(lcRoot)}/$name", m.pairs)
-        }
+      // ONE scan of the micro-batch per tick (r16 verdict #7): the doc
+      // count and the histogram write/meter both consume the batch, so
+      // persist it for the tick's duration — on the streaming hot path
+      // a second source scan per batch is pure waste
+      val pinned = batchDocs.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (nDocs, nCp, nTok) = try {
+        val n = pinned.count()
+        val (cp, tok) =
+          if (alreadyCommitted)
+            meterHistFrame(TextStats.bpeWordHistogram(pinned), m.pairs)
+          else {
+            writeHist(spark, lcRoot, name, pinned)
+            meterHist(spark, s"${histRoot(lcRoot)}/$name", m.pairs)
+          }
+        (n, cp, tok)
+      } finally { pinned.unpersist(); () }
       // drift ⟺ cpt_batch < cpt_baseline · (100 − driftPct)/100, exact:
       val drifted = nTok > 0L &&
         BigInt(nCp) * m.baselineNtok * 100 <
@@ -516,6 +529,75 @@ object BpeLifecycle {
     model
   }
 
+  private val StreamIdFile = "_applied_stream"
+
+  /** Bind the applied-batch skip set to the stream INCARNATION that
+    * wrote it (r16 ADVICE): foreachBatch ids restart at 0 under a
+    * fresh/relocated checkpoint, so an applied set surviving from an
+    * earlier incarnation would silently swallow genuinely NEW batches
+    * whose ids collide — and worse, the absorbs manifest would treat
+    * them as already committed, so no reset of the skip set alone can
+    * make colliding NEW data safe. The incarnation is the streaming
+    * query id from `checkpointDir/metadata` (stable across restarts of
+    * the SAME checkpoint, fresh for a new one); a mismatch FAILS
+    * LOUDLY: batch-id identity is only meaningful within one
+    * incarnation, and disk cannot distinguish "same ids, replayed
+    * source" (safe — every guard no-ops) from "same ids, new source"
+    * (corpus-corrupting). [[rebindStream]] is the operator's explicit
+    * declaration of the safe case.
+    */
+  private[streaming] def bindStreamIncarnation(spark: SparkSession,
+      lcRoot: String, checkpointDir: String): Unit = {
+    val ckFs = fsOf(spark, checkpointDir)
+    val metaP = new Path(checkpointDir, "metadata")
+    val sid: String =
+      if (ckFs.exists(metaP)) {
+        val in = ckFs.open(metaP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(checkpointDir)
+      } else checkpointDir
+    val fs = fsOf(spark, lcRoot)
+    val tokenP = new Path(lcRoot, StreamIdFile)
+    val stored: Option[String] =
+      if (!fs.exists(tokenP)) None
+      else {
+        val in = fs.open(tokenP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    stored match {
+      case Some(old) if old != sid =>
+        throw new IllegalStateException(
+          s"BpeLifecycle at $lcRoot is bound to stream incarnation $old " +
+            s"but this query is $sid — its batch ids restart at 0 and " +
+            "would collide with committed batches. If this stream " +
+            "REPLAYS the same source, call BpeLifecycle.rebindStream " +
+            "to adopt the new incarnation (replays then no-op through " +
+            "the applied/absorbs guards); if it ingests NEW data, use " +
+            "a fresh lcRoot or tick() directly with non-colliding ids.")
+      case Some(_) => ()
+      case None =>
+        val out = fs.create(tokenP, true)
+        try out.write(sid.getBytes("UTF-8")) finally out.close()
+        ()
+    }
+  }
+
+  /** Operator acknowledgment that the NEXT [[runStream]] incarnation
+    * against `lcRoot` replays the same source prefix (checkpoint lost
+    * or relocated): drops the incarnation binding so the next query
+    * adopts it. The applied-batch set is KEPT — under a true replay the
+    * ids name the same batches, so the skip set stays valid; a replayed
+    * id that does re-tick is still corpus-inert through the absorbs
+    * guard.
+    */
+  def rebindStream(spark: SparkSession, lcRoot: String): Unit = {
+    fsOf(spark, lcRoot).delete(new Path(lcRoot, StreamIdFile), false)
+    ()
+  }
+
   /** Drive the lifecycle from a parquet stream of (doc_id, source,
     * text) batches. [[init]] must have run against the base corpus
     * first — the st12 convention.
@@ -532,6 +614,7 @@ object BpeLifecycle {
     reader.load(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bindStreamIncarnation(spark, lcRoot, checkpointDir)
         tick(spark, lcRoot, batch, batchId, driftPct)
         ()
       }

@@ -329,6 +329,18 @@ object IndexLifecycle {
 
   /** Drive the lifecycle from a parquet stream of (vec_id, embedding)
     * batches. `init` must have run against the base corpus first.
+    *
+    * CONTRACT: `lcRoot` and `checkpointDir` live and die together. This
+    * lifecycle's exactly-once anchor IS the applied-batch set (a delta
+    * append has no content-addressed commit the way [[BpeLifecycle]]'s
+    * absorbs manifest is), so batch ids must never renumber except for
+    * pure replays of the same source: restarting against an existing
+    * lcRoot with a FRESH checkpoint over a DIFFERENT source would both
+    * drop colliding new batches (applied-set skip) and double-append
+    * absorbed ones if the set were reset — replay the same files, or
+    * start a new lcRoot. (BpeLifecycle.runStream can safely RESET on a
+    * new stream incarnation precisely because its manifest carries the
+    * commit; see bindStreamIncarnation there.)
     */
   def runStream(spark: SparkSession, srcDir: String, lcRoot: String,
       checkpointDir: String,

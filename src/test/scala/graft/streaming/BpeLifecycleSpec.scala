@@ -315,6 +315,12 @@ class BpeLifecycleSpec extends SparkSpec {
     fs.delete(dst, false)
     assert(BpeLifecycle.readManifest(spark, lcRoot) === before,
       "destination lost mid-rename: the tmp IS the manifest")
+    // …and the read FINISHED the interrupted commit (tmp promoted to
+    // dst) instead of leaving the tmp as the only copy — the next
+    // writeManifest's create(tmp, overwrite) would truncate it, so a
+    // second crash mid-tmp-write would lose the corpus (r16 ADVICE)
+    assert(fs.exists(dst) && !fs.exists(tmp),
+      "readManifest must promote the surviving tmp to the destination")
     // the next tick heals the store (rewrites dst) and keeps the corpus
     BpeLifecycle.tick(spark, lcRoot, b2, 1L)
     assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
@@ -392,19 +398,92 @@ class BpeLifecycleSpec extends SparkSpec {
         java.nio.file.attribute.FileTime.fromMillis(t0))
     }
     b2.coalesce(1).write.mode("append").parquet(src)
-    val q = BpeLifecycle.runStream(spark, src, lcRoot,
-      tmpDir("bpelc-ckpt") + "/c", maxFilesPerTrigger = Some(1))
+    val ckpt1 = tmpDir("bpelc-ckpt") + "/c"
+    val q = BpeLifecycle.runStream(spark, src, lcRoot, ckpt1,
+      maxFilesPerTrigger = Some(1))
     q.awaitTermination(120000)
     val m = BpeLifecycle.currentModel(spark, lcRoot)
     assert(m.version === 2L, "the drifted batch must have retrained")
     assert(m.merges === TextStats.bpeLearnMerges(all),
       "streamed ticks must train the same table as the batch form")
-    // full replay through a fresh checkpoint: applied-set no-ops
+    // restart against the SAME checkpoint: same incarnation, nothing
+    // new to process — a clean no-op
+    val qSame = BpeLifecycle.runStream(spark, src, lcRoot, ckpt1,
+      maxFilesPerTrigger = Some(1))
+    qSame.awaitTermination(120000)
+    assert(BpeLifecycle.currentModel(spark, lcRoot).version === 2L)
+    // a FRESH checkpoint is a new incarnation whose ids restart at 0 —
+    // the binding must fail loudly instead of letting the stale
+    // applied set decide which of its batches are "already done"
+    // (r16 ADVICE: colliding genuinely-new batches were silently
+    // dropped from the corpus and the drift gate)
+    val exBind = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qf = BpeLifecycle.runStream(spark, src, lcRoot,
+        tmpDir("bpelc-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
+      qf.awaitTermination(120000)
+      throw new IllegalStateException("fresh-checkpoint stream must not run")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(exBind).exists(_.contains("rebindStream")),
+      s"binding failure must name the recovery API: ${exBind.getMessage}")
+    assert(BpeLifecycle.currentModel(spark, lcRoot).version === 2L,
+      "a refused incarnation must not have moved the model")
+    // the operator DECLARES the replay: rebind, then the full replay
+    // through the fresh checkpoint no-ops through the guards
+    BpeLifecycle.rebindStream(spark, lcRoot)
     val q2 = BpeLifecycle.runStream(spark, src, lcRoot,
-      tmpDir("bpelc-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
+      tmpDir("bpelc-ckpt3") + "/c", maxFilesPerTrigger = Some(1))
     q2.awaitTermination(120000)
     val m2 = BpeLifecycle.currentModel(spark, lcRoot)
     assert(m2.version === 2L && m2.merges === m.merges,
       "replayed stream must not retrain again")
+    assert(BpeLifecycle.readManifest(spark, lcRoot).flatMap(_.absorbs)
+      .sorted === Seq(-1L, 0L, 1L),
+      "rebound replay must not re-list committed batches")
+  }
+
+  test("tick scans its micro-batch at most once (persist over the double scan)") {
+    val (_, base, b1, _) = fixture()
+    val lcRoot = tmpDir("bpelc-1scan") + "/lc"
+    BpeLifecycle.init(spark, lcRoot, base)
+    // the tick input gets its OWN parquet dir so its file scans are
+    // attributable in the executed plans
+    val src = tmpDir("bpelc-1scan-src")
+    b1.write.mode("overwrite").parquet(src)
+    val batch = spark.read.parquet(src)
+    val srcScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // count FileSourceScan leaves on the src path; an InMemoryTableScan
+    // leaf is NOT descended — a cached read is exactly not a file scan
+    def fileScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains(src))) 1 else 0
+      case other => other.children.map(fileScans).sum
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { srcScans.addAndGet(fileScans(qe.executedPlan)); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = BpeLifecycle.tick(spark, lcRoot, batch, 0L)
+      assert(r.nonEmpty)
+      org.apache.spark.GraftSparkInternals
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+      assert(srcScans.get() <= 1,
+        s"tick ran ${srcScans.get()} file scans of its micro-batch — " +
+          "the count and the histogram write must share one scan")
+      assert(batch.storageLevel ===
+        org.apache.spark.storage.StorageLevel.NONE,
+        "tick must unpersist the batch it pinned")
+    } finally { spark.listenerManager.unregister(listener); () }
   }
 }
