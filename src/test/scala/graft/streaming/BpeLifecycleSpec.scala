@@ -443,6 +443,102 @@ class BpeLifecycleSpec extends SparkSpec {
       "rebound replay must not re-list committed batches")
   }
 
+  /** The controlled-count corpus of the negative test: doc 3 shares
+    * eta/theta with doc 4 — exactly the shape where a double-applied
+    * subtraction stays non-negative and silent.
+    */
+  private def purgeFixture(): (DataFrame, DataFrame, DataFrame) = (
+    Seq((1L, "s", "alpha beta gamma delta"),
+      (2L, "s", "alpha beta epsilon zeta"))
+      .toDF("doc_id", "source", "text"),
+    Seq((3L, "s", "eta theta iota kappa"),
+      (4L, "s", "eta theta mu nu"))
+      .toDF("doc_id", "source", "text"),
+    Seq((0L, 3L, "eta theta iota kappa"))
+      .toDF("batch_id", "doc_id", "text"))
+
+  test("RTBF purge is crash-resumable at every step: replay reaches the uninterrupted end state") {
+    val (base, b0, tombs) = purgeFixture()
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      // reference: the uninterrupted purge
+      val lcRef = tmpDir("bpelc-cr-ref") + "/lc"
+      BpeLifecycle.init(spark, lcRef, base)
+      BpeLifecycle.tick(spark, lcRef, b0, 0L)
+      val ref = BpeLifecycle.purge(spark, lcRef, tombs)
+      val refNames = BpeLifecycle.readManifest(spark, lcRef).map(_.name)
+      for (label <- Seq("pre-marker", "pre-flip", "post-flip",
+        "post-retrain", "post-model-sweep", "post-hist-sweep")) {
+        val lcRoot = tmpDir(s"bpelc-cr-$label") + "/lc"
+        BpeLifecycle.init(spark, lcRoot, base)
+        BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+        val boom = intercept[RuntimeException] {
+          BpeLifecycle.purgeImpl(spark, lcRoot, tombs,
+            l => if (l == label) throw new RuntimeException(s"crash at $l"))
+        }
+        assert(boom.getMessage === s"crash at $label")
+        // the replayed purge completes — in the post-flip states this is
+        // exactly where the pre-marker code either tripped its own
+        // guards or silently double-subtracted (r16 ADVICE)
+        val m = BpeLifecycle.purge(spark, lcRoot, tombs)
+        assert(m.merges === ref.merges,
+          s"$label: replay must converge to the uninterrupted table")
+        assert(m.corpusDocs === ref.corpusDocs, label)
+        assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+          === refNames, label)
+        assert(BpeLifecycle.readPurgeMarker(spark, lcRoot).isEmpty,
+          s"$label: marker must clear after the completed replay")
+        for (v <- 1L until m.version)
+          intercept[IllegalArgumentException] {
+            BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot), Some(v))
+          }
+      }
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
+  test("a crashed purge is completed by the NEXT TICK when no replay arrives") {
+    val (base, b0, tombs) = purgeFixture()
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      val lcRef = tmpDir("bpelc-tf-ref") + "/lc"
+      BpeLifecycle.init(spark, lcRef, base)
+      BpeLifecycle.tick(spark, lcRef, b0, 0L)
+      val ref = BpeLifecycle.purge(spark, lcRef, tombs)
+
+      val lcRoot = tmpDir("bpelc-tf") + "/lc"
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+      intercept[RuntimeException] {
+        BpeLifecycle.purgeImpl(spark, lcRoot, tombs,
+          l => if (l == "post-flip") throw new RuntimeException("crash"))
+      }
+      // the model still serving is TAINTED (trained pre-purge) and the
+      // marker is pending
+      assert(BpeLifecycle.readPurgeMarker(spark, lcRoot).nonEmpty)
+      // an ordinary tick finalizes the purge before doing its own work
+      // (driftPct 99: the tick itself must not retrain, isolating the
+      // finalize's forced retrain)
+      val b1 = Seq((9L, "s", "alpha beta gamma delta"))
+        .toDF("doc_id", "source", "text")
+      val r = BpeLifecycle.tick(spark, lcRoot, b1, 1L, driftPct = Some(99))
+      assert(r.nonEmpty)
+      assert(BpeLifecycle.readPurgeMarker(spark, lcRoot).isEmpty,
+        "tick must clear the pending purge marker")
+      val m = BpeLifecycle.currentModel(spark, lcRoot)
+      assert(m.merges === ref.merges,
+        "tick-side finalize must retrain on the purged corpus")
+      assert(r.get.servedVersion === m.version,
+        "the tick's own metering must use the POST-purge model")
+      for (v <- 1L until m.version)
+        intercept[IllegalArgumentException] {
+          BpeArtifact.load(spark, BpeLifecycle.modelRoot(lcRoot), Some(v))
+        }
+      // the new batch itself was committed normally after the finalize
+      assert(BpeLifecycle.readManifest(spark, lcRoot)
+        .flatMap(_.absorbs).contains(1L))
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
   test("tick scans its micro-batch at most once (persist over the double scan)") {
     val (_, base, b1, _) = fixture()
     val lcRoot = tmpDir("bpelc-1scan") + "/lc"
