@@ -38,6 +38,8 @@ import org.apache.spark.sql.SparkSession
   *   fold committed corpus histograms once the set reaches n |
   * | `spark.graft.bpe.modelRoot` | unset | artifact root the
   *   `graft_bpe_count`/`graft_bpe_tokens` SQL functions serve from |
+  * | `spark.graft.index.root` | unset | IVF index (or IndexLifecycle)
+  *   root the `graft_ann_topk` SQL table function serves from |
   *
   * The legacy `graft.spill.ttl.minutes` JVM sysprop is honored as a
   * fallback (it predates this surface); the SparkConf key wins.
@@ -160,4 +162,13 @@ object GraftConfig {
     * fail loudly at analysis time.
     */
   val BpeModelRootKey = "spark.graft.bpe.modelRoot"
+
+  /** Index root the `graft_ann_topk` SQL table function
+    * ([[GraftExtensions]]) serves from (r17 — the `graft_bpe_count`
+    * parity move for the vector side): either a persisted IVF / IVF-PQ
+    * index root or an [[graft.streaming.IndexLifecycle]] root, whose
+    * CURRENT committed generation is resolved per query. Unset = the
+    * function fails loudly at analysis time.
+    */
+  val IndexRootKey = "spark.graft.index.root"
 }

@@ -24,6 +24,11 @@ import graft.functions.{ArrayDot, BpeCount, BpeTable, BpeTokens, CosineSimF32}
   *    (always fresh across retrains/purges; no stale JVM cache), and
   *    the table rides the plan as a reference object exactly like the
   *    DataFrame API's codegen'd [[BpeCount]];
+  *  - SQL TABLE function `graft_ann_topk(query_vec, k[, nprobe])`
+  *    (r17): the SERVED vector index for pure-SQL pipelines — resolves
+  *    `spark.graft.index.root` (plain IVF/IVF-PQ root, or an
+  *    [[graft.streaming.IndexLifecycle]] root's CURRENT generation) at
+  *    ANALYSIS time, same freshness contract as the BPE functions;
   *  - [[SelfSimilarityFold]], a constant-folding rule for degenerate
   *    similarity calls.
   */
@@ -44,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.requireArity("array_dot(x, y)", 2, args)
         ArrayDot(args(0), args(1))
       }))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ann_topk"),
+      new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
+        "graft_ann_topk"),
+      GraftExtensions.annTopKBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
@@ -83,6 +93,86 @@ object GraftExtensions {
           s"set ${GraftConfig.BpeModelRootKey} to a BpeArtifact root " +
           "(or use graft.functions.Bpe with an explicit table)"))
     new BpeTable(graft.llm.BpeArtifact.loadPairs(spark, root).toArray)
+  }
+
+  /** `graft_ann_topk(query_vec, k[, nprobe])` — the SERVED vector index
+    * for pure-SQL pipelines (r17, the `graft_bpe_count` parity move):
+    * a table function returning the top-k `(vid, sim)` neighbors of a
+    * literal query vector from the index root named by
+    * `spark.graft.index.root`. The root is resolved at ANALYSIS time —
+    * an [[graft.streaming.IndexLifecycle]] root serves its CURRENT
+    * committed generation, a plain index root serves itself, PQ-shaped
+    * stores take the ADC + exact-re-rank path — so every query plans
+    * against whatever the atomic pointer/manifest names right then:
+    * always fresh across appends, compactions, retrain cutovers, and
+    * purges, no stale JVM cache, exactly the freshness contract of the
+    * BPE SQL functions. Arguments must be foldable (a query vector is
+    * a constant of the query, not a column — for a column of queries
+    * use the DataFrame API's `ivfIndexQuery`).
+    */
+  private[graft] def annTopKBuilder(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    if (args.length < 2 || args.length > 3)
+      throw new IllegalArgumentException(
+        s"graft_ann_topk(query_vec, k[, nprobe]) takes 2 or 3 arguments, " +
+          s"got ${args.length}")
+    def fold(e: Expression, what: String): Any = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"graft_ann_topk: $what must be a foldable literal expression")
+      e.eval()
+    }
+    def foldInt(e: Expression, what: String): Int = fold(e, what) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_ann_topk: $what must be an integer literal, got $other")
+    }
+    val vec: Seq[Float] = (fold(args(0), "query_vec"), args(0).dataType) match {
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(et: NumericType, _)) =>
+        (0 until a.numElements()).map { i =>
+          et match {
+            case FloatType => a.getFloat(i)
+            case DoubleType => a.getDouble(i).toFloat
+            case IntegerType => a.getInt(i).toFloat
+            case LongType => a.getLong(i).toFloat
+            case ShortType => a.getShort(i).toFloat
+            case ByteType => a.getByte(i).toFloat
+            case dt: DecimalType =>
+              a.get(i, dt).asInstanceOf[org.apache.spark.sql.types.Decimal]
+                .toFloat
+          }
+        }
+      case (null, _) => throw new IllegalArgumentException(
+        "graft_ann_topk: query_vec must not be null")
+      case (_, dt) => throw new IllegalArgumentException(
+        s"graft_ann_topk: query_vec must be a numeric array literal, " +
+          s"got ${dt.simpleString}")
+    }
+    val k = foldInt(args(1), "k")
+    if (k < 1) throw new IllegalArgumentException(
+      s"graft_ann_topk: k must be >= 1, got $k")
+    val nprobe = if (args.length == 3) Some(foldInt(args(2), "nprobe")) else None
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = spark.conf.getOption(GraftConfig.IndexRootKey).getOrElse(
+      throw new IllegalStateException(
+        "graft_ann_topk serves the PERSISTED vector index: set " +
+          s"${GraftConfig.IndexRootKey} to an IVF index or IndexLifecycle " +
+          "root (or use graft.llm.Similarity.ivfIndexQuery directly)"))
+    import spark.implicits._
+    // qid −1: the serving paths exclude vid == qid (self-match), and a
+    // SQL literal query is not a corpus member — no corpus vid may be
+    // masked (stream batch ids are non-negative, so −1 cannot collide)
+    val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
+    val idx = graft.streaming.IndexLifecycle.currentRoot(spark, root)
+      .getOrElse(root)
+    val served =
+      if (graft.llm.Similarity.hasPqShape(spark, idx))
+        graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
+      else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
+    served.select(served("vid"), served("sim")).queryExecution.analyzed
   }
 
   private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression = {

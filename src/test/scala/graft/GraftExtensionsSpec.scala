@@ -79,6 +79,91 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_ann_topk serves the persisted index from SQL: API parity, manifest freshness, lifecycle CURRENT") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // register through the SAME builder the extension injects (shared
+    // test session predates extension loading — the graft_bpe pattern)
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_ann_topk"),
+      new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
+        "graft_ann_topk"),
+      GraftExtensions.annTopKBuilder _)
+    try {
+      val e = graft.llm.Similarity.clusteredEmbeddings(
+        Tables.embeddings(spark, sf))
+      val qRow = e.filter(col("vec_id") === 7L).head()
+      val qVec = qRow.getSeq[Float](1)
+      val vecSql = qVec.map(v => s"${v}F").mkString("array(", ", ", ")")
+      // unset knob → loud analysis-time failure naming the fix
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_ann_topk($vecSql, 5)").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(ex).exists(_.contains(GraftConfig.IndexRootKey)))
+      // wrong arity fails analysis naming the signature
+      val exA = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_ann_topk(array(1.0F))").collect()
+      }
+      assert(msgs(exA).exists(_.contains("graft_ann_topk(query_vec, k[, nprobe])")))
+
+      // PLAIN index root: SQL ≡ the DataFrame API on the same root
+      val idx = graft.llm.Similarity.ivfIndexBuild(e)
+      spark.conf.set(GraftConfig.IndexRootKey, idx)
+      val sqlRows = spark.sql(s"SELECT vid, sim FROM graft_ann_topk($vecSql, 5)")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      import spark.implicits._
+      val apiRows = graft.llm.Similarity.ivfIndexQuery(spark, idx,
+          Seq((-1L, qVec)).toDF("vec_id", "embedding"), 5)
+        .select(col("vid"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(sqlRows === apiRows && sqlRows.size === 5)
+      // the query vector IS corpus vector 7 — the literal query must
+      // still surface it (no self-exclusion leak from the qid plumbing)
+      assert(sqlRows.exists(_._1 === 7L),
+        "the identical corpus vector must rank in its own top-k")
+
+      // MANIFEST freshness: append vectors colinear with the query —
+      // the NEXT query (fresh analysis) must see them, no re-wiring
+      val boosted = e.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.llm.Similarity.ivfIndexAppend(spark, idx, boosted, batchId = 1L)
+      val sqlRows2 = spark.sql(s"SELECT vid, sim FROM graft_ann_topk($vecSql, 5)")
+        .collect().map(_.getLong(0)).toSet
+      assert(sqlRows2.contains(100007L),
+        "appended vector must be served by the next SQL query")
+
+      // LIFECYCLE root: CURRENT generation resolution (PQ serving path)
+      // + cutover freshness through the same knob
+      val lcRoot = java.nio.file.Files.createTempDirectory("ann-lc").toString
+      val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      graft.streaming.IndexLifecycle.init(spark, lcRoot, base)
+      spark.conf.set(GraftConfig.IndexRootKey, lcRoot)
+      val lcRows = spark.sql(s"SELECT vid, sim FROM graft_ann_topk($vecSql, 5)")
+        .collect().map(_.getLong(0)).toSet
+      assert(lcRows.size === 5 && lcRows.forall(_ % 3 === 0),
+        "lifecycle root must serve the CURRENT generation's corpus")
+      // a drift-triggered retrain flips CURRENT; the next SQL query
+      // serves the new generation (absorbing the drifted batch)
+      val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+      val cut = graft.streaming.IndexLifecycle.tick(spark, lcRoot, drifted, 1L)
+      assert(cut, "the shifted batch must cut over to a new generation")
+      val dq = drifted.filter(col("vec_id") === 1L).head().getSeq[Float](1)
+      val dqSql = dq.map(v => s"${v}F").mkString("array(", ", ", ")")
+      val lcRows2 = spark.sql(s"SELECT vid FROM graft_ann_topk($dqSql, 5)")
+        .collect().map(_.getLong(0)).toSet
+      assert(lcRows2.exists(_ % 3 === 1),
+        "post-cutover SQL must serve the retrained generation")
+    } finally {
+      spark.conf.unset(GraftConfig.IndexRootKey)
+      reg.dropFunction(FunctionIdentifier("graft_ann_topk"))
+      ()
+    }
+  }
+
   test("injected builders reject wrong arity with the expected signature") {
     // zero args, and the silently-worse case: EXTRA args ignored
     val ex0 = intercept[IllegalArgumentException] {
