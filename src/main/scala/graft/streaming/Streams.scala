@@ -659,6 +659,146 @@ object Streams {
       .start()
   }
 
+  /** The INGESTION FRONT DOOR as one composed stream (r16 verdict #5):
+    * every arriving (doc_id, source, text) micro-batch flows, under ONE
+    * foreachBatch and ONE checkpoint, through
+    *  1. the tokenizer LIFECYCLE tick ([[BpeLifecycle.tick]] — the
+    *     corpus histogram records the batch; drift retrains and
+    *     atomically flips the served table),
+    *  2. the st8 QUALITY gate ([[qualityRoute]]),
+    *  3. the st13 TOKEN-BUDGET gate metered through the
+    *     lifecycle-SERVED model ([[bpeBudgetRouteFromArtifact]] against
+    *     `<lcRoot>/model` — each batch prices under whatever version
+    *     the lifecycle's atomic pointer names when it arrives),
+    *  4. the st9 GROWING-INDEX near-dup gate (survivors judged against
+    *     the artifact ledger ∪ themselves, then appended to it).
+    * Rejects land in `deadDir` as (batch_id, doc_id, gate, reason);
+    * survivors' verdicts land in `verdictsDir` as
+    * (batch_id, doc_id, verdict). Seed `ledgerDir` with
+    * [[seedIncrementalLedger]] first (an empty snapshot is fine) and
+    * [[BpeLifecycle.init]] `lcRoot` — the st9/st15 conventions.
+    *
+    * Failure/replay model — the piece the composition proves: the
+    * stores keep their OWN idempotence anchors under the shared
+    * checkpoint. The lifecycle tick is guarded by its applied set +
+    * absorbs manifest and COMMITS FIRST, so a crashed batch's replay
+    * re-prices under the same served version its first attempt used
+    * (later batches cannot have run — stream order) and a pending
+    * purge/retrain state heals before any gate reads the model. The
+    * gate/sink writes are guarded by a per-batch marker written LAST:
+    * a replayed COMPLETED batch skips them whole, and a batch that
+    * crashed mid-write replays its appends byte-identically — readers
+    * dedupe on (batch_id, doc_id), the [[readIncrementalLedger]]
+    * convention ([[readComposedVerdicts]]/[[readComposedDead]]).
+    *
+    * 100 TB shape: every stage is per-batch work against bounded state
+    * — the lifecycle's vocabulary-sized histograms, the budget gate's
+    * plan-shipped merge table, the near-dup kernel's rank-capped
+    * buckets over the parquet ledger. Nothing rescans the corpus.
+    */
+  def runComposedGateStream(spark: SparkSession, srcDir: String,
+      lcRoot: String, ledgerDir: String, verdictsDir: String,
+      deadDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      minTok: Long = 64L, maxTok: Long = 4096L,
+      driftPct: Option[Int] = None): StreamingQuery =
+    runComposedGateStreamImpl(spark, srcDir, lcRoot, ledgerDir, verdictsDir,
+      deadDir, checkpointDir, maxFilesPerTrigger, minTok, maxTok, driftPct,
+      (_, _) => ())
+
+  private[streaming] def runComposedGateStreamImpl(spark: SparkSession,
+      srcDir: String, lcRoot: String, ledgerDir: String, verdictsDir: String,
+      deadDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Option[Int], minTok: Long, maxTok: Long,
+      driftPct: Option[Int],
+      failpoint: (Long, String) => Unit): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(schema).format("parquet")) {
+      (r, n) => r.option("maxFilesPerTrigger", n)
+    }
+    reader.load(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        composedGateTick(spark, batch, batchId, lcRoot, ledgerDir,
+          verdictsDir, deadDir, checkpointDir, minTok, maxTok, driftPct,
+          failpoint)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def composedGateTick(spark: SparkSession, batch: DataFrame,
+      batchId: Long, lcRoot: String, ledgerDir: String, verdictsDir: String,
+      deadDir: String, checkpointDir: String, minTok: Long, maxTok: Long,
+      driftPct: Option[Int],
+      failpoint: (Long, String) => Unit): Unit = {
+    // the lifecycle FIRST: its own guards make it idempotent, and its
+    // commit fixes the served version every later stage prices with
+    BpeLifecycle.bindStreamIncarnation(spark, lcRoot, checkpointDir)
+    BpeLifecycle.tick(spark, lcRoot, batch, batchId, driftPct)
+    failpoint(batchId, "post-lifecycle")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"${verdictsDir}_applied/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val pinned = batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val quality = qualityRoute(pinned).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val qualPass = pinned.join(
+          quality.filter(col("route") === "pass").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val budget = bpeBudgetRouteFromArtifact(qualPass,
+          BpeLifecycle.modelRoot(lcRoot), minTok, maxTok).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          quality.filter(col("route") === "fail")
+            .select(col("doc_id"), lit("quality").as("gate"), col("reason"))
+            .unionByName(budget.filter(col("route") === "fail")
+              .select(col("doc_id"), lit("budget").as("gate"), col("reason")))
+            .select(lit(batchId).as("batch_id"), col("doc_id"),
+              col("gate"), col("reason"))
+            .write.mode("append").parquet(deadDir)
+          failpoint(batchId, "post-dead")
+          val survivors = qualPass.join(
+            budget.filter(col("route") === "pass").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          val bArt = graft.llm.Dedup.dedupIndexArtifacts(survivors).persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val ledger = readIncrementalLedger(spark, ledgerDir)
+            val idx = ledger.withColumn("__ledger", col("__seed"))
+              .drop("__seed")
+              .unionByName(bArt.withColumn("__ledger", lit(false)))
+            graft.llm.Dedup.incrementalVerdictsFromArtifacts(bArt, idx)
+              .select(lit(batchId).as("batch_id"), col("doc_id"),
+                col("verdict"))
+              .write.mode("append").parquet(verdictsDir)
+            failpoint(batchId, "post-verdicts")
+            bArt.withColumn("__seed", lit(false))
+              .write.mode("append").parquet(ledgerDir)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          } finally { bArt.unpersist(); () }
+        } finally { budget.unpersist(); () }
+      } finally { quality.unpersist(); pinned.unpersist(); () }
+    }
+  }
+
+  /** Replay-safe readers for [[runComposedGateStream]]'s sinks: a batch
+    * that crashed between an append and its marker replays the append
+    * byte-identically, so any (batch_id, doc_id) survivor is correct —
+    * the [[readIncrementalLedger]] convention.
+    */
+  def readComposedVerdicts(spark: SparkSession, verdictsDir: String): DataFrame =
+    spark.read.parquet(verdictsDir).dropDuplicates(Seq("batch_id", "doc_id"))
+
+  def readComposedDead(spark: SparkSession, deadDir: String): DataFrame =
+    spark.read.parquet(deadDir).dropDuplicates(Seq("batch_id", "doc_id"))
+
   /** Name of the applied-batch ledger INSIDE the manifest directory.
     * Underscore-prefixed, so Spark's parquet reader treats it as hidden —
     * consumers keep reading the manifest dir directly.

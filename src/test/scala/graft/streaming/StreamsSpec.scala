@@ -861,4 +861,148 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(counters === ((2L, 3L)), "three micro-batches must each apply once")
   }
+
+  test("composed front door (st8+st13+st9 under one checkpoint): mid-stream kill + replay converges to the uninterrupted run") {
+    // the st15 fixture widened to FOUR slices: the base quarter trains
+    // the lifecycle; batch 0 streams in-distribution (priced under v1),
+    // batch 1 streams vowel-remapped (the lifecycle RETRAINS to v2;
+    // every remapped doc also dies at the quality gate's stopword rule
+    // — translate preserves ntok/wlen but zeroes stop_c), batch 2
+    // streams in-distribution again and must price under the flipped v2
+    val docs = Tables.documents(spark, sf)
+    val shifted = docs.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(4)) === 2,
+        translate(col("text"), "aeiou", "01234"))
+        .otherwise(col("text")).as("text"))
+    val base = shifted.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val b1 = shifted.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val b2 = shifted.filter(pmod(col("doc_id"), lit(4)) === 2)
+    val b3 = shifted.filter(pmod(col("doc_id"), lit(4)) === 3)
+    val src = tmpDir("fd-src")
+    val t0 = System.currentTimeMillis() - 3600000L
+    def writeBatch(df: DataFrame, mtime: Long): Unit = {
+      val pre = Files.list(Paths.get(src)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path]).toSet
+      df.coalesce(1).write.mode("append").parquet(src)
+      Files.list(Paths.get(src)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filterNot(pre.contains)
+        .foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtime)))
+    }
+    writeBatch(b1, t0)
+    writeBatch(b2, t0 + 600000L)
+    writeBatch(b3, t0 + 1200000L)
+
+    case class Run(lcRoot: String, ledger: String, verdicts: String,
+        dead: String, ckpt: String)
+    def mkRun(tag: String): Run = {
+      val r = Run(tmpDir(s"fd-$tag-lc") + "/lc", tmpDir(s"fd-$tag-ledger"),
+        tmpDir(s"fd-$tag-v") + "/v", tmpDir(s"fd-$tag-d") + "/d",
+        tmpDir(s"fd-$tag-ck") + "/c")
+      BpeLifecycle.init(spark, r.lcRoot, base)
+      Streams.seedIncrementalLedger(base, r.ledger)
+      r
+    }
+
+    // REFERENCE: uninterrupted run
+    val ref = mkRun("ref")
+    val qr = Streams.runComposedGateStream(spark, src, ref.lcRoot,
+      ref.ledger, ref.verdicts, ref.dead, ref.ckpt,
+      maxFilesPerTrigger = Some(1))
+    qr.awaitTermination(180000)
+
+    // KILLED run: crash batch 0 in the nastiest window — after the
+    // verdict append, before the ledger append and the marker
+    val kr = mkRun("kill")
+    val exQ = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qk = Streams.runComposedGateStreamImpl(spark, src, kr.lcRoot,
+        kr.ledger, kr.verdicts, kr.dead, kr.ckpt,
+        maxFilesPerTrigger = Some(1), minTok = 64L, maxTok = 4096L,
+        driftPct = None,
+        failpoint = (b, l) =>
+          if (b == 0L && l == "post-verdicts")
+            throw new RuntimeException("injected crash"))
+      qk.awaitTermination(180000)
+      throw new IllegalStateException("killed stream must not complete")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(exQ).exists(_.contains("injected crash")))
+    // the crash is real: batch 0's verdicts landed without their marker
+    assert(spark.read.parquet(kr.verdicts).count() > 0)
+    assert(!Files.exists(Paths.get(s"${kr.verdicts}_applied/batch-0")))
+    // RESTART on the SAME checkpoint — batch 1 replays to completion
+    val qk2 = Streams.runComposedGateStream(spark, src, kr.lcRoot,
+      kr.ledger, kr.verdicts, kr.dead, kr.ckpt,
+      maxFilesPerTrigger = Some(1))
+    qk2.awaitTermination(180000)
+
+    // CONVERGENCE: every store equals the uninterrupted run's
+    def verdictRows(r: Run) = Streams.readComposedVerdicts(spark, r.verdicts)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    def deadRows(r: Run) = Streams.readComposedDead(spark, r.dead)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getString(3))).toSet
+    assert(verdictRows(kr) === verdictRows(ref),
+      "killed+replayed verdicts must equal the uninterrupted run")
+    assert(deadRows(kr) === deadRows(ref))
+    // the replayed append really duplicated rows (at-least-once) and the
+    // reader's dedupe is what restores exactly-once semantics
+    assert(spark.read.parquet(kr.verdicts).count() >
+      Streams.readComposedVerdicts(spark, kr.verdicts).count(),
+      "the kill window must have produced a duplicate verdict append")
+    val mk = BpeLifecycle.currentModel(spark, kr.lcRoot)
+    val mr = BpeLifecycle.currentModel(spark, ref.lcRoot)
+    assert(mk.version === mr.version && mk.merges === mr.merges,
+      "lifecycle end state must match")
+    // composition semantics on the reference run:
+    // 1. the drifted batch retrained mid-stream (and only it)
+    assert(mr.version === 2L, "batch 1 must have flipped the served table")
+    // 2. per batch, dead ∪ verdicts partitions the batch exactly
+    val vd = Streams.readComposedVerdicts(spark, ref.verdicts)
+      .select(col("batch_id"), col("doc_id"))
+      .unionByName(Streams.readComposedDead(spark, ref.dead)
+        .select(col("batch_id"), col("doc_id")))
+    assert(vd.count() === vd.distinct().count())
+    assert(vd.filter(col("batch_id") === 0L).count() === b1.count())
+    assert(vd.filter(col("batch_id") === 1L).count() === b2.count())
+    assert(vd.filter(col("batch_id") === 2L).count() === b3.count())
+    // 3. the drifted batch died at the FIRST gate with the stopword
+    //    reason — the quality gate shields the index from the very text
+    //    that triggered the retrain
+    val deadRef = Streams.readComposedDead(spark, ref.dead)
+    assert(deadRef.filter(col("batch_id") === 1L).count() === b2.count())
+    assert(deadRef.filter(col("batch_id") === 1L &&
+      col("gate") =!= "quality").count() === 0L)
+    // 4. the budget gate priced each batch under the version SERVING at
+    //    its arrival: batch 0 under v1, batch 2 under the flipped v2 —
+    //    recompute both from the retained artifact versions and match
+    //    the dead-letter sets exactly
+    val v1 = graft.llm.BpeArtifact.load(spark,
+      BpeLifecycle.modelRoot(ref.lcRoot), Some(1L))
+    def budgetFailRef(b: DataFrame, pairs: Seq[(String, String)]): Set[Long] = {
+      val qp = b.join(Streams.qualityRoute(b)
+        .filter(col("route") === "pass").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Streams.bpeBudgetRoute(qp, pairs)
+        .filter(col("route") === "fail").select(col("doc_id"))
+        .as[Long].collect().toSet
+    }
+    def budgetFailGot(batchId: Long): Set[Long] = deadRef
+      .filter(col("batch_id") === batchId && col("gate") === "budget")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(budgetFailGot(0L) === budgetFailRef(b1, v1.pairs),
+      "batch 0 must meter under v1")
+    assert(budgetFailGot(2L) === budgetFailRef(b3, mr.pairs),
+      "batch 2 must meter under the v2 table the lifecycle flipped to")
+    // 5. near-dup gate ran against the GROWING ledger: the ledger holds
+    //    the seed plus every survivor
+    val survivors = verdictRows(ref).map(_._2)
+    val ledgerIds = spark.read.parquet(ref.ledger)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(ledgerIds === base.select(col("doc_id")).as[Long].collect().toSet
+      ++ survivors,
+      "ledger must equal seed ∪ survivors")
+  }
 }
