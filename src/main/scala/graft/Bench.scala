@@ -250,12 +250,20 @@ object Bench {
       // every round; min-of-two collapses them to the noise floor.
       // Contention-retried entries already hold two reps and are not
       // re-deepened — second reps before third, the r13 breadth rule.
+      // The depth pass carries its own, HIGHER escape hatch (3× budget
+      // vs the 2.5× hardCeiling): the slow tail is the scrutinized
+      // number set, and at 240 s budget the tail's second reps cost
+      // ~150 s of wall that the cold pass + immediate reps have
+      // usually already pushed near the 2.5× line — gating here on
+      // hardCeiling would silently void the guarantee on any real run
+      // (observed: 43/58 entries starved on the first r17 take). The
+      // pass is still bounded: at most ONE rep per >1 s entry.
       val slowTail1 = phase1
         .filter { case (_, c, t, _, _) =>
           c.isDefined && t.length == 1 && t.head > SlowDepthThresh }
         .sortBy { case (_, _, t, _, _) => -t.head }
         .map(_._1)
-      for (q <- slowTail1) if (elapsed < hardCeiling) addRep(q)
+      for (q <- slowTail1) if (elapsed < 3.0 * budgetSec) addRep(q)
       // pass 2: fast second reps, budget-gated
       if (passes >= 2) for (q <- fastQs) if (elapsed <= budgetSec) addRep(q)
       (fastQs ++ slowTail1)

@@ -310,7 +310,22 @@ object Dedup {
     */
   def incrementalOracleSql(streamMod: Int = 3,
       maxBucket: Int = DefaultMaxBucket): String =
-    s"""WITH $minhashSigCtes, cappedI AS (
+    s"""WITH ${incrementalOracleCtesFor("documents", streamMod, maxBucket)}
+       |SELECT doc_id, verdict FROM ndv""".stripMargin
+
+  /** The CTE chain of [[incrementalOracleSql]] generalized over the
+    * corpus relation (r17 — the st16 front-door cascade judges only the
+    * gate SURVIVORS against the seed, so its signature/band/rank CTEs
+    * must range over seed ∪ survivors, not all of `documents`; a dead
+    * doc occupying bucket-cap slots would shift ranks the engine never
+    * sees). `docsRel` must expose (doc_id, text); seed docs are
+    * `doc_id % streamMod = 0`, everything else is the stream in id
+    * order. Ends in `ndv(doc_id, verdict)` over the stream docs. The
+    * default-relation form above IS the st9/d-family oracle, unchanged.
+    */
+  private[graft] def incrementalOracleCtesFor(docsRel: String,
+      streamMod: Int, maxBucket: Int = DefaultMaxBucket): String =
+    s"""${minhashSigCtesFrom(docsRel)}, cappedI AS (
        |  SELECT doc_id, band, bk FROM (
        |    SELECT doc_id, band, bk,
        |      ROW_NUMBER() OVER (PARTITION BY band, bk
@@ -332,18 +347,19 @@ object Dedup {
        |  WHERE j >= 0.5
        |), exact AS (
        |  SELECT DISTINCT n.doc_id
-       |  FROM (SELECT doc_id, sha256(text) AS h FROM documents
+       |  FROM (SELECT doc_id, sha256(text) AS h FROM $docsRel
        |        WHERE doc_id % $streamMod <> 0) n
-       |  JOIN (SELECT doc_id, sha256(text) AS h FROM documents) p
+       |  JOIN (SELECT doc_id, sha256(text) AS h FROM $docsRel) p
        |    ON p.h = n.h AND (p.doc_id % $streamMod = 0 OR p.doc_id < n.doc_id)
-       |)
-       |SELECT n.doc_id,
-       |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
-       |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
-       |       ELSE 'kept' END AS verdict
-       |FROM (SELECT doc_id FROM documents WHERE doc_id % $streamMod <> 0) n
-       |LEFT JOIN exact e ON e.doc_id = n.doc_id
-       |LEFT JOIN near nr ON nr.doc_id = n.doc_id""".stripMargin
+       |), ndv AS (
+       |  SELECT n.doc_id,
+       |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |         WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE 'kept' END AS verdict
+       |  FROM (SELECT doc_id FROM $docsRel WHERE doc_id % $streamMod <> 0) n
+       |  LEFT JOIN exact e ON e.doc_id = n.doc_id
+       |  LEFT JOIN near nr ON nr.doc_id = n.doc_id
+       |)""".stripMargin
 
   /** The PAIR form of [[incrementalVerdictsFromArtifacts]] — same exact/
     * candidate/Jaccard semantics (same rank-stable arrival-order cap,
@@ -1746,7 +1762,9 @@ object Dedup {
     * — shared by the symmetric pair oracle ([[minhashOracleCtes]]) and
     * the asymmetric cross-snapshot oracle (d12).
     */
-  private def minhashSigCtes: String = {
+  private def minhashSigCtes: String = minhashSigCtesFrom("documents")
+
+  private def minhashSigCtesFrom(docsRel: String): String = {
     def parse15(src: String) = s"CAST(list_sum([CAST(strpos('0123456789abcdef', substr($src, j+1, 1)) - 1 AS BIGINT) << (4*(14-j)) FOR j IN range(15)]) AS BIGINT)"
     val hxs = (0 until MinhashK / 4).map(d => s"sha256('$d|' || g) AS hx$d").mkString(", ")
     val mins = (0 until MinhashK).map(k =>
@@ -1756,7 +1774,7 @@ object Dedup {
         .map(j => s"m${MinhashBandRows * b + j}").mkString(", ")}) AS bk FROM sig")
       .mkString("\n  UNION ALL ")
     s"""toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM $docsRel
        |), gsets AS (
        |  SELECT doc_id, list_distinct([array_to_string(ts[i:i+2], ' ')
        |    FOR i IN range(1, greatest(len(ts) - 2, 1) + 1)]) AS gs

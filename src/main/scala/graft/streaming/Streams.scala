@@ -896,6 +896,35 @@ object Streams {
       .start()
   }
 
+  /** DuckDB CTE chain of the st8 quality battery over `documents`
+    * restricted by `pred`, ending in
+    * `qroute(doc_id, n_tok, reason, route)`. Extracted r17 so the st16
+    * front-door oracle replays the IDENTICAL battery instead of a
+    * hand-copy that could drift from st8's.
+    */
+  private def qualityOracleCtes(pred: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents WHERE $pred
+       |), g AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+       |), f AS (
+       |  SELECT doc_id, sum(c) AS n, sum(c * len(t)) AS chars,
+       |    sum(CASE WHEN t IN ${graft.llm.TextStats.stopwordsInList} THEN c ELSE 0 END) AS stop_c,
+       |    max(c) AS mx
+       |  FROM g GROUP BY doc_id
+       |), qroute AS (
+       |  SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |    CASE WHEN NOT (n BETWEEN 50 AND 100000) THEN 'ntok'
+       |         WHEN chars < 3 * n OR chars > 10 * n THEN 'wlen'
+       |         WHEN stop_c * 100 < n THEN 'stop'
+       |         WHEN mx * 10 > n THEN 'dom' END AS reason,
+       |    CASE WHEN (n BETWEEN 50 AND 100000) AND chars >= 3 * n
+       |          AND chars <= 10 * n AND stop_c * 100 >= n AND mx * 10 <= n
+       |         THEN 'pass' ELSE 'fail' END AS route
+       |  FROM f
+       |)""".stripMargin
+
   def registry: Seq[OpQuery] = Seq(
 
     // ---- streaming corpus quality gate (batch-equivalent plan) -----------
@@ -906,26 +935,8 @@ object Streams {
     // the same projection through readStream + foreachBatch into
     // pass/fail sinks and asserts the union equals this output.
     sql("st8_quality_gate", {
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
-         |), f AS (
-         |  SELECT doc_id, sum(c) AS n, sum(c * len(t)) AS chars,
-         |    sum(CASE WHEN t IN ${graft.llm.TextStats.stopwordsInList} THEN c ELSE 0 END) AS stop_c,
-         |    max(c) AS mx
-         |  FROM g GROUP BY doc_id
-         |)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
-         |  CASE WHEN NOT (n BETWEEN 50 AND 100000) THEN 'ntok'
-         |       WHEN chars < 3 * n OR chars > 10 * n THEN 'wlen'
-         |       WHEN stop_c * 100 < n THEN 'stop'
-         |       WHEN mx * 10 > n THEN 'dom' END AS reason,
-         |  CASE WHEN (n BETWEEN 50 AND 100000) AND chars >= 3 * n
-         |        AND chars <= 10 * n AND stop_c * 100 >= n AND mx * 10 <= n
-         |       THEN 'pass' ELSE 'fail' END AS route
-         |FROM f""".stripMargin
+      s"""WITH ${qualityOracleCtes("TRUE")}
+         |SELECT doc_id, n_tok, reason, route FROM qroute""".stripMargin
     }) { (s, d) =>
       qualityRoute(Tables.documents(s, d))
     },
@@ -1250,6 +1261,105 @@ object Streams {
           r.retrained, m.version, m.tableFingerprint))
         .toDF("batch_id", "served_version", "n_cp", "n_tok", "retrained",
           "cur_version", "table_fp")
+    },
+
+    // ---- the composed FRONT-DOOR CASCADE, hash-matched (st16, r17) -------
+    // runComposedGateStream's gate pipeline in its id-ordered one-shot
+    // law: base third seeds the tokenizer AND the near-dup ledger; every
+    // stream doc runs quality (st8 battery) → token budget under the
+    // base-trained table (st13 rules) → incremental near-dup against
+    // seed ∪ earlier SURVIVORS (st9 kernel — crucially over survivors
+    // only: a gate-rejected doc must not occupy rank-capped bucket
+    // slots). One row per stream doc: the FIRST gate that rejected it
+    // (with its reason) or its near-dup verdict, plus the priced n_bpe
+    // where the doc reached pricing. The multi-batch streaming form
+    // with mid-stream retrain + kill/replay lives in StreamsSpec (the
+    // st9 rank law makes a one-shot oracle valid only for id-ordered
+    // arrivals — PLANS.md r17 has the argument); THIS entry pins the
+    // cascade's routing, pricing, and verdict algebra engine-
+    // independently. FULL oracle: DuckDB re-learns the table, re-runs
+    // the battery, re-prices, re-derives survivors, and replays the
+    // incremental kernel over exactly seed ∪ survivors.
+    sql("st16_front_door", {
+      import graft.llm.TextStats.{bpeTrainCtes, bpeApplyCtes, bpeDocTokCte,
+        BpeTrainTopV, BpeTrainRounds}
+      s"""WITH docsA AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 3 = 0
+         |),
+         |${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds, "", "docsA")},
+         |${bpeApplyCtes(BpeTrainRounds)},
+         |$bpeDocTokCte,
+         |${qualityOracleCtes("doc_id % 3 <> 0")},
+         |broute AS (
+         |  SELECT b.doc_id, b.n_ws, b.n_tok,
+         |    CASE WHEN b.n_tok < 64 THEN 'short'
+         |         WHEN b.n_tok > 4096 THEN 'long'
+         |         WHEN b.n_tok > 3 * b.n_ws THEN 'blowup' END AS reason,
+         |    CASE WHEN b.n_tok >= 64 AND b.n_tok <= 4096
+         |          AND b.n_tok <= 3 * b.n_ws
+         |         THEN 'pass' ELSE 'fail' END AS route
+         |  FROM bdoc b JOIN qroute q ON q.doc_id = b.doc_id AND q.route = 'pass'
+         |),
+         |fdocs AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN broute s ON s.doc_id = d.doc_id AND s.route = 'pass'
+         |),
+         |${graft.llm.Dedup.incrementalOracleCtesFor("fdocs", 3)}
+         |SELECT doc_id, 'quality' AS stage, reason AS outcome,
+         |  CAST(NULL AS BIGINT) AS n_bpe
+         |FROM qroute WHERE route = 'fail'
+         |UNION ALL
+         |SELECT doc_id, 'budget' AS stage, reason AS outcome,
+         |  n_tok AS n_bpe
+         |FROM broute WHERE route = 'fail'
+         |UNION ALL
+         |SELECT v.doc_id, 'neardup' AS stage, v.verdict AS outcome,
+         |  b.n_tok AS n_bpe
+         |FROM ndv v JOIN broute b ON b.doc_id = v.doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.llm.{Dedup, TextStats}
+      // the st15 discipline: a session knob must never silently drift a
+      // pinned oracle
+      require(TextStats.bpeTrainParams(s) ==
+        ((TextStats.BpeTrainTopV, TextStats.BpeTrainRounds)),
+        "st16 oracle is pinned to the default spark.graft.bpe.* knobs")
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val stream = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val pairs = TextStats.bpeLearnMerges(base).map(m => (m._2, m._3))
+      // spill each gate's verdict table ONCE (the t15/incrementalNearDup
+      // materialization pattern): the final three-way union references
+      // quality twice and the budget pricing three times, and without a
+      // boundary every reference re-tokenizes the corpus / re-walks the
+      // codegen'd BPE counter — measured ~2× the whole-entry cost
+      val spill = Dedup.trackSpill(
+        s"${Dedup.spillBase(s, None, "st16")}/${Dedup.runDirName("fdoor")}")
+      qualityRoute(stream)
+        .write.mode("overwrite").parquet(s"$spill/qual")
+      val qual = s.read.parquet(s"$spill/qual")
+      val qualPass = stream.join(
+        qual.filter(col("route") === "pass").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      bpeBudgetRoute(qualPass, pairs)
+        .write.mode("overwrite").parquet(s"$spill/budget")
+      val budget = s.read.parquet(s"$spill/budget")
+      val survivors = qualPass.join(
+        budget.filter(col("route") === "pass").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val verdicts = Dedup.incrementalNearDup(
+        base.unionByName(survivors), pmod(col("doc_id"), lit(3)) === 0)
+      qual.filter(col("route") === "fail")
+        .select(col("doc_id"), lit("quality").as("stage"),
+          col("reason").as("outcome"), lit(null).cast("long").as("n_bpe"))
+        .unionByName(budget.filter(col("route") === "fail")
+          .select(col("doc_id"), lit("budget").as("stage"),
+            col("reason").as("outcome"), col("n_bpe")))
+        .unionByName(verdicts
+          .join(budget.select(col("doc_id"), col("n_bpe")), Seq("doc_id"))
+          .select(col("doc_id"), lit("neardup").as("stage"),
+            col("verdict").as("outcome"), col("n_bpe")))
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------
