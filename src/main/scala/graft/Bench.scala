@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement protocol (adaptive_r17 = adaptive_r13 + pass 1.5
   * slow-tail DEPTH: every entry whose single timed rep exceeds 1 s
-  * gets a guaranteed second warm rep — hard-ceiling-gated, before any
-  * entry earns its third — and the default budget moves 210 → 240 s,
-  * the round-16 verdict's budget decision; estimators unchanged.
+  * gets a guaranteed second warm rep — on the pass's own bounded
+  * 210 s runway, before any entry earns its third — and the default
+  * budget moves 210 → 240 s, the round-16 verdict's budget decision;
+  * estimators unchanged.
   * adaptive_r13 = adaptive_r12 with phase 2
   * BREADTH-FIRST: every fast query earns one rep — gated only by the
   * hard ceiling — before any earns its second — gated by the budget —
@@ -250,20 +251,25 @@ object Bench {
       // every round; min-of-two collapses them to the noise floor.
       // Contention-retried entries already hold two reps and are not
       // re-deepened — second reps before third, the r13 breadth rule.
-      // The depth pass carries its own, HIGHER escape hatch (3× budget
-      // vs the 2.5× hardCeiling): the slow tail is the scrutinized
-      // number set, and at 240 s budget the tail's second reps cost
-      // ~150 s of wall that the cold pass + immediate reps have
-      // usually already pushed near the 2.5× line — gating here on
-      // hardCeiling would silently void the guarantee on any real run
-      // (observed: 43/58 entries starved on the first r17 take). The
-      // pass is still bounded: at most ONE rep per >1 s entry.
+      // The depth pass carries its OWN bounded runway instead of
+      // competing with phase 1 for the global ceiling: the slow tail is
+      // the scrutinized number set, its second reps cost ~150 s of
+      // quiet-host wall, and any shared cap silently voids the
+      // guarantee exactly when the host is degraded (measured r17:
+      // 5-10% CPU-steal windows stretched phase 1 ~24%, and a 3×-budget
+      // shared cap starved 18-44 tail entries across five takes). The
+      // runway is 210 s from the pass's own start — tail cost plus a
+      // steal margin — so total wall stays bounded by construction at
+      // ~hardCeiling + one fast rep + 210 + one tail rep, while the
+      // guarantee survives a slow phase 1. At most ONE rep per >1 s
+      // entry either way.
       val slowTail1 = phase1
         .filter { case (_, c, t, _, _) =>
           c.isDefined && t.length == 1 && t.head > SlowDepthThresh }
         .sortBy { case (_, _, t, _, _) => -t.head }
         .map(_._1)
-      for (q <- slowTail1) if (elapsed < 3.0 * budgetSec) addRep(q)
+      val depthDeadline = elapsed + 210.0
+      for (q <- slowTail1) if (elapsed < depthDeadline) addRep(q)
       // pass 2: fast second reps, budget-gated
       if (passes >= 2) for (q <- fastQs) if (elapsed <= budgetSec) addRep(q)
       (fastQs ++ slowTail1)

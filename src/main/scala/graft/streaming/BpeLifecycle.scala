@@ -253,6 +253,11 @@ object BpeLifecycle {
       s"BpeLifecycle at $lcRoot already has recorded batches — " +
         "init would drop them from the corpus; tick/purge instead, or " +
         "remove the root to re-bootstrap")
+    // a purge marker can only be stale here (init is legal only on a
+    // fresh or base-only root, whose corpus the re-bootstrap replaces
+    // wholesale) — clear it so it can't trigger a spurious forced
+    // retrain on the first tick
+    fsOf(spark, lcRoot).delete(purgeMarkerPath(lcRoot), false)
     val n = baseDocs.count()
     writeHist(spark, lcRoot, "base", baseDocs)
     val entries = Seq(CorpusEntry("base", n, Seq(-1L)))
