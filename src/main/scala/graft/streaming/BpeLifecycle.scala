@@ -688,61 +688,30 @@ object BpeLifecycle {
     finalizePurge(spark, lcRoot, startVersion, failpoint)
   }
 
-  private val StreamIdFile = "_applied_stream"
-
   /** Bind the applied-batch skip set to the stream INCARNATION that
     * wrote it (r16 ADVICE): foreachBatch ids restart at 0 under a
     * fresh/relocated checkpoint, so an applied set surviving from an
     * earlier incarnation would silently swallow genuinely NEW batches
     * whose ids collide — and worse, the absorbs manifest would treat
     * them as already committed, so no reset of the skip set alone can
-    * make colliding NEW data safe. The incarnation is the streaming
-    * query id from `checkpointDir/metadata` (stable across restarts of
-    * the SAME checkpoint, fresh for a new one); a mismatch FAILS
-    * LOUDLY: batch-id identity is only meaningful within one
-    * incarnation, and disk cannot distinguish "same ids, replayed
-    * source" (safe — every guard no-ops) from "same ids, new source"
-    * (corpus-corrupting). [[rebindStream]] is the operator's explicit
-    * declaration of the safe case.
+    * make colliding NEW data safe. A mismatch FAILS LOUDLY: batch-id
+    * identity is only meaningful within one incarnation, and disk
+    * cannot distinguish "same ids, replayed source" (safe — every
+    * guard no-ops) from "same ids, new source" (corpus-corrupting).
+    * [[rebindStream]] is the operator's explicit declaration of the
+    * safe case. Shared mechanism: [[Streams.bindStreamIncarnation]].
     */
   private[streaming] def bindStreamIncarnation(spark: SparkSession,
-      lcRoot: String, checkpointDir: String): Unit = {
-    val ckFs = fsOf(spark, checkpointDir)
-    val metaP = new Path(checkpointDir, "metadata")
-    val sid: String =
-      if (ckFs.exists(metaP)) {
-        val in = ckFs.open(metaP)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse(checkpointDir)
-      } else checkpointDir
-    val fs = fsOf(spark, lcRoot)
-    val tokenP = new Path(lcRoot, StreamIdFile)
-    val stored: Option[String] =
-      if (!fs.exists(tokenP)) None
-      else {
-        val in = fs.open(tokenP)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      }
-    stored match {
-      case Some(old) if old != sid =>
-        throw new IllegalStateException(
-          s"BpeLifecycle at $lcRoot is bound to stream incarnation $old " +
-            s"but this query is $sid — its batch ids restart at 0 and " +
-            "would collide with committed batches. If this stream " +
-            "REPLAYS the same source, call BpeLifecycle.rebindStream " +
-            "to adopt the new incarnation (replays then no-op through " +
-            "the applied/absorbs guards); if it ingests NEW data, use " +
-            "a fresh lcRoot or tick() directly with non-colliding ids.")
-      case Some(_) => ()
-      case None =>
-        val out = fs.create(tokenP, true)
-        try out.write(sid.getBytes("UTF-8")) finally out.close()
-        ()
-    }
-  }
+      lcRoot: String, checkpointDir: String): Unit =
+    Streams.bindStreamIncarnation(spark, lcRoot, checkpointDir,
+      (old, sid) =>
+        s"BpeLifecycle at $lcRoot is bound to stream incarnation $old " +
+          s"but this query is $sid — its batch ids restart at 0 and " +
+          "would collide with committed batches. If this stream " +
+          "REPLAYS the same source, call BpeLifecycle.rebindStream " +
+          "to adopt the new incarnation (replays then no-op through " +
+          "the applied/absorbs guards); if it ingests NEW data, use " +
+          "a fresh lcRoot or tick() directly with non-colliding ids.")
 
   /** Operator acknowledgment that the NEXT [[runStream]] incarnation
     * against `lcRoot` replays the same source prefix (checkpoint lost
@@ -752,10 +721,8 @@ object BpeLifecycle {
     * id that does re-tick is still corpus-inert through the absorbs
     * guard.
     */
-  def rebindStream(spark: SparkSession, lcRoot: String): Unit = {
-    fsOf(spark, lcRoot).delete(new Path(lcRoot, StreamIdFile), false)
-    ()
-  }
+  def rebindStream(spark: SparkSession, lcRoot: String): Unit =
+    Streams.dropStreamBinding(spark, lcRoot)
 
   /** Drive the lifecycle from a parquet stream of (doc_id, source,
     * text) batches. [[init]] must have run against the base corpus

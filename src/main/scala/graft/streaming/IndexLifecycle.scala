@@ -330,17 +330,21 @@ object IndexLifecycle {
   /** Drive the lifecycle from a parquet stream of (vec_id, embedding)
     * batches. `init` must have run against the base corpus first.
     *
-    * CONTRACT: `lcRoot` and `checkpointDir` live and die together. This
-    * lifecycle's exactly-once anchor IS the applied-batch set (a delta
-    * append has no content-addressed commit the way [[BpeLifecycle]]'s
-    * absorbs manifest is), so batch ids must never renumber except for
-    * pure replays of the same source: restarting against an existing
-    * lcRoot with a FRESH checkpoint over a DIFFERENT source would both
-    * drop colliding new batches (applied-set skip) and double-append
-    * absorbed ones if the set were reset — replay the same files, or
-    * start a new lcRoot. (BpeLifecycle.runStream can safely RESET on a
-    * new stream incarnation precisely because its manifest carries the
-    * commit; see bindStreamIncarnation there.)
+    * Batch-id identity is ENFORCED per stream incarnation (r17 — the
+    * BpeLifecycle guard, and the stricter of the two by necessity):
+    * this lifecycle's exactly-once anchor IS the applied-batch set (a
+    * delta append has no content-addressed commit the way
+    * BpeLifecycle's absorbs manifest is), so batch ids must never
+    * renumber except for pure replays of the same source. A
+    * fresh/relocated checkpoint restarts ids at 0: a colliding NEW
+    * batch would be silently dropped by the applied-set skip, and
+    * resetting the set instead would double-append batches a retrain
+    * already absorbed. runStream therefore refuses a changed query id
+    * against an existing binding; [[rebindStream]] is the operator's
+    * explicit same-source-replay declaration (the applied sets and
+    * idempotent delta overwrites then make the replay a no-op). For
+    * genuinely new data under restarted ids, use a fresh lcRoot or
+    * tick() directly with non-colliding ids.
     */
   def runStream(spark: SparkSession, srcDir: String, lcRoot: String,
       checkpointDir: String,
@@ -355,6 +359,15 @@ object IndexLifecycle {
     reader.load(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Streams.bindStreamIncarnation(spark, lcRoot, checkpointDir,
+          (old, sid) =>
+            s"IndexLifecycle at $lcRoot is bound to stream incarnation " +
+              s"$old but this query is $sid — its batch ids restart at 0 " +
+              "and would collide with applied batches. If this stream " +
+              "REPLAYS the same source, call IndexLifecycle.rebindStream " +
+              "(replays then no-op through the applied sets and " +
+              "idempotent delta overwrites); if it ingests NEW data, use " +
+              "a fresh lcRoot or tick() directly with non-colliding ids.")
         tick(spark, lcRoot, batch, batchId, psiThreshold, keepGenerations)
         ()
       }
@@ -362,4 +375,13 @@ object IndexLifecycle {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Operator acknowledgment that the NEXT [[runStream]] incarnation
+    * against `lcRoot` replays the same source (checkpoint lost or
+    * relocated): drops the incarnation binding so the next query
+    * adopts it. The per-generation applied sets are KEPT — under a
+    * true replay the ids name the same batches.
+    */
+  def rebindStream(spark: SparkSession, lcRoot: String): Unit =
+    Streams.dropStreamBinding(spark, lcRoot)
 }

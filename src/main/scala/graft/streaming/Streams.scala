@@ -799,6 +799,66 @@ object Streams {
   def readComposedDead(spark: SparkSession, deadDir: String): DataFrame =
     spark.read.parquet(deadDir).dropDuplicates(Seq("batch_id", "doc_id"))
 
+  /** Stream-INCARNATION binding shared by the lifecycle stream drivers
+    * (r17): foreachBatch batch ids are meaningful only within one
+    * streaming query lineage — a fresh/relocated checkpoint restarts
+    * them at 0 — so a durable state root records the query id of the
+    * stream feeding it and REFUSES a different one. Replaying the same
+    * source under a fresh checkpoint is an operator declaration, made
+    * through the owning lifecycle's `rebindStream`. The id comes from
+    * `checkpointDir/metadata` (written at query start, stable across
+    * restarts of the same checkpoint), falling back to the checkpoint
+    * path when unreadable.
+    */
+  private val StreamIdFile = "_applied_stream"
+
+  private[streaming] def streamIncarnationId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val ckFs = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val metaP = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    if (ckFs.exists(metaP)) {
+      val in = ckFs.open(metaP)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(checkpointDir)
+    } else checkpointDir
+  }
+
+  private[streaming] def bindStreamIncarnation(spark: SparkSession,
+      stateRoot: String, checkpointDir: String,
+      mismatch: (String, String) => String): Unit = {
+    val sid = streamIncarnationId(spark, checkpointDir)
+    val fs = new org.apache.hadoop.fs.Path(stateRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tokenP = new org.apache.hadoop.fs.Path(stateRoot, StreamIdFile)
+    val stored: Option[String] =
+      if (!fs.exists(tokenP)) None
+      else {
+        val in = fs.open(tokenP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    stored match {
+      case Some(old) if old != sid =>
+        throw new IllegalStateException(mismatch(old, sid))
+      case Some(_) => ()
+      case None =>
+        val out = fs.create(tokenP, true)
+        try out.write(sid.getBytes("UTF-8")) finally out.close()
+        ()
+    }
+  }
+
+  private[streaming] def dropStreamBinding(spark: SparkSession,
+      stateRoot: String): Unit = {
+    new org.apache.hadoop.fs.Path(stateRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(stateRoot, StreamIdFile), false)
+    ()
+  }
+
   /** Name of the applied-batch ledger INSIDE the manifest directory.
     * Underscore-prefixed, so Spark's parquet reader treats it as hidden —
     * consumers keep reading the manifest dir directly.

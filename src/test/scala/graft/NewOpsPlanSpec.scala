@@ -350,4 +350,20 @@ class NewOpsPlanSpec extends SparkSpec {
       "label predicate must be pushed to the parquet scan")
     assert(!plan.contains("CartesianProduct"), "no cartesian in filtered ANN")
   }
+
+  test("st16 front door: gates priced ONCE at the spill boundary; keyed joins only") {
+    val df = SparkEntry.registry.find(_.name == "st16_front_door").get.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the output plan consumes the SPILLED gate verdict tables — the
+    // codegen'd BPE walk ran exactly once (the budget spill write) and
+    // must not reappear under any of the three output branches; without
+    // the boundary each branch re-walked the corpus (measured ~2× the
+    // whole-entry cost)
+    assert(!plan.contains("bpe_count"),
+      s"st16's output plan re-prices the corpus:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"st16 cascade must stay on keyed joins:\n${plan.take(900)}")
+  }
 }

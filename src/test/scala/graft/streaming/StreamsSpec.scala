@@ -483,10 +483,27 @@ class StreamsSpec extends SparkSpec {
       "recovery after reclaim must find the serving generation")
     assert(IndexLifecycle.reclaimDeadGenerations(spark, lcRoot).isEmpty,
       "re-reclaim must be a no-op")
-    // replay the whole stream with a fresh checkpoint AFTER the reclaim:
-    // applied-set + idempotent deltas must leave the lifecycle unchanged
-    // (the applied set travels with the serving generation, so deleting
-    // dead generations cannot reopen a replay window)
+    // replay the whole stream with a fresh checkpoint AFTER the reclaim.
+    // A fresh checkpoint is a new incarnation whose ids restart at 0 —
+    // the r17 binding refuses it until the operator DECLARES the replay
+    // (colliding genuinely-new batches would otherwise be silently
+    // dropped by the applied-set skip)
+    val exBind = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qf = IndexLifecycle.runStream(spark, src, lcRoot,
+        tmpDir("st12-ckptf") + "/c", maxFilesPerTrigger = Some(1))
+      qf.awaitTermination(120000)
+      throw new IllegalStateException("unbound fresh-checkpoint stream must not run")
+    }
+    def bindMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ bindMsgs(x.getCause))
+    assert(bindMsgs(exBind).exists(_.contains("IndexLifecycle.rebindStream")))
+    assert(IndexLifecycle.currentRoot(spark, lcRoot).get === gen,
+      "a refused incarnation must not have moved the lifecycle")
+    // declared replay: applied-set + idempotent deltas must leave the
+    // lifecycle unchanged (the applied set travels with the serving
+    // generation, so deleting dead generations cannot reopen a replay
+    // window)
+    IndexLifecycle.rebindStream(spark, lcRoot)
     val q2 = IndexLifecycle.runStream(spark, src, lcRoot,
       tmpDir("st12-ckpt2") + "/c", maxFilesPerTrigger = Some(1))
     q2.awaitTermination(120000)
