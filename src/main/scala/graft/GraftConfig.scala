@@ -58,15 +58,25 @@ object GraftConfig {
     * caller compacts); Some(n ≥ 1) = compact every n-th tick.
     */
   def ledgerCompactEvery(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(LedgerCompactEveryKey)
-      .map(_.trim.toInt).filter(_ >= 1)
+    spark.conf.getOption(LedgerCompactEveryKey).map { v =>
+      // r17: every set-but-out-of-range spark.graft.* knob fails loudly
+      // (the r16 ADVICE discipline applied to the whole surface) — a
+      // stated intent silently falling back to a default is the worst
+      // of both worlds
+      val n = v.trim.toInt
+      require(n >= 1, s"$LedgerCompactEveryKey=$n must be >= 1")
+      n
+    }
 
   val ClosureUnionFindMaxKey = "spark.graft.closure.unionFindMax"
 
   /** None = the [[graft.llm.Dedup.MergeUnionFindMax]] default. */
   def closureUnionFindMax(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(ClosureUnionFindMaxKey)
-      .map(_.trim.toInt).filter(_ >= 0)
+    spark.conf.getOption(ClosureUnionFindMaxKey).map { v =>
+      val n = v.trim.toInt
+      require(n >= 0, s"$ClosureUnionFindMaxKey=$n must be >= 0")
+      n
+    }
 
   val BpeTrainTopVKey = "spark.graft.bpe.trainTopV"
   val BpeTrainRoundsKey = "spark.graft.bpe.trainRounds"
@@ -81,10 +91,18 @@ object GraftConfig {
     * mis-set knob fails loudly there, never silently OOMs the driver.
     */
   def bpeTrainTopV(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(BpeTrainTopVKey).map(_.trim.toInt).filter(_ >= 1)
+    spark.conf.getOption(BpeTrainTopVKey).map { v =>
+      val n = v.trim.toInt
+      require(n >= 1, s"$BpeTrainTopVKey=$n must be >= 1")
+      n
+    }
 
   def bpeTrainRounds(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(BpeTrainRoundsKey).map(_.trim.toInt).filter(_ >= 1)
+    spark.conf.getOption(BpeTrainRoundsKey).map { v =>
+      val n = v.trim.toInt
+      require(n >= 1, s"$BpeTrainRoundsKey=$n must be >= 1")
+      n
+    }
 
   val IndexCompactAfterBatchesKey = "spark.graft.index.compactAfterBatches"
 
@@ -98,8 +116,13 @@ object GraftConfig {
     * behavior the threshold exists to avoid).
     */
   def indexCompactAfterBatches(spark: SparkSession): Option[Int] =
-    spark.conf.getOption(IndexCompactAfterBatchesKey)
-      .map(_.trim.toInt).filter(_ >= 2)
+    spark.conf.getOption(IndexCompactAfterBatchesKey).map { v =>
+      val n = v.trim.toInt
+      require(n >= 2,
+        s"$IndexCompactAfterBatchesKey=$n must be >= 2 (1 would rewrite " +
+          "the whole delta mass every tick)")
+      n
+    }
 
   val BpeDriftPctKey = "spark.graft.bpe.lifecycleDriftPct"
 

@@ -222,10 +222,33 @@ class GraftExtensionsSpec extends SparkSpec {
       }
     }
     assert(exCp.getMessage.contains(GraftConfig.BpeCompactAfterBatchesKey))
+    // the discipline covers the WHOLE spark.graft.* surface (r17):
+    // trainer knobs, ledger/index compaction cadences, closure bound
+    val exTv = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.BpeTrainTopVKey, "0") {
+        GraftConfig.bpeTrainTopV(spark)
+      }
+    }
+    assert(exTv.getMessage.contains(GraftConfig.BpeTrainTopVKey))
+    val exIc = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.IndexCompactAfterBatchesKey, "1") {
+        GraftConfig.indexCompactAfterBatches(spark)
+      }
+    }
+    assert(exIc.getMessage.contains(GraftConfig.IndexCompactAfterBatchesKey))
+    val exLc = intercept[IllegalArgumentException] {
+      withKnob(GraftConfig.LedgerCompactEveryKey, "0") {
+        GraftConfig.ledgerCompactEvery(spark)
+      }
+    }
+    assert(exLc.getMessage.contains(GraftConfig.LedgerCompactEveryKey))
     // in-range values still resolve; unset still defaults
     assert(withKnob(GraftConfig.BpeDriftPctKey, "25") {
       GraftConfig.bpeLifecycleDriftPct(spark)
     } === Some(25))
+    assert(withKnob(GraftConfig.BpeTrainRoundsKey, "4") {
+      GraftConfig.bpeTrainRounds(spark)
+    } === Some(4))
     assert(GraftConfig.bpeLifecycleDriftPct(spark).isEmpty)
   }
 
