@@ -293,9 +293,24 @@ object BpeLifecycle {
     // a crashed purge must not leave tainted model versions serving —
     // complete any pending purge finalize BEFORE this tick meters with
     // or moves the corpus (r16 verdict #2: "a replayed purge or the
-    // next tick completes")
+    // next tick completes"). A PRE-FLIP crash (marker written, manifest
+    // never flipped) is the one window a tick must NOT absorb (r17
+    // ADVICE): the corpus is still unpurged, so finalizing here would
+    // force-retrain on the unerased words and clear the marker — the
+    // RTBF request silently discarded. Only purge() itself (re-run with
+    // the same tombstones) can complete that window; fail loudly until
+    // it does. An unparseable marker (no renames recorded) still
+    // finalizes conservatively — post-flip obligations are all that can
+    // be pending for it, and finalize is safe without marker content.
     readPurgeMarker(spark, lcRoot).foreach { m =>
-      finalizePurge(spark, lcRoot, m.startVersion); ()
+      val names = readManifest(spark, lcRoot).map(_.name).toSet
+      if (m.renames.nonEmpty && !m.renames.forall(r => names.contains(r._2)))
+        throw new IllegalStateException(
+          s"BpeLifecycle at $lcRoot has a purge that crashed BEFORE its " +
+            "manifest flip — the erasure is not applied and a tick cannot " +
+            "apply it (it has no tombstones). Re-run purge() with the " +
+            "same tombstones to complete the request.")
+      finalizePurge(spark, lcRoot, m.startVersion, m.fp); ()
     }
     val applied = Streams.readAppliedBatches(fs, new Path(lcRoot))
     if (applied.contains(batchId)) None
@@ -424,6 +439,47 @@ object BpeLifecycle {
 
   private val PurgeMarkerFile = "_GRAFT_PURGE"
 
+  /** Fingerprint of the LAST COMPLETED purge request (r18): written by
+    * [[finalizePurge]] just before it clears the marker, read by
+    * [[purgeImpl]] to recognize an exact replay of an already-completed
+    * request and no-op it. Histograms alone cannot prove a retry is a
+    * no-op (the request's words are gone, so the subtraction guards fire
+    * — the documented pre-r18 behavior); this one-line record CAN, and
+    * a composed multi-store forget ([[Streams.forgetDocs]]) needs it:
+    * a crash between "this store's purge completed" and "the composed
+    * marker recorded it" must make the resume's re-run safe. One slot
+    * (the last request) suffices — the composed marker discipline never
+    * leaves more than one request in flight per store.
+    */
+  private val PurgeDoneFile = "_GRAFT_PURGE_DONE"
+
+  private def purgeDonePath(lcRoot: String): Path =
+    new Path(lcRoot, PurgeDoneFile)
+
+  private def readPurgeDoneFp(spark: SparkSession, lcRoot: String): Option[Long] = {
+    val fs = fsOf(spark, lcRoot)
+    val p = purgeDonePath(lcRoot)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      scala.util.Try(txt.toLong).toOption
+    }
+  }
+
+  private def writePurgeDoneFp(spark: SparkSession, lcRoot: String,
+      fp: Long): Unit = {
+    val fs = fsOf(spark, lcRoot)
+    val tmp = new Path(lcRoot, s"$PurgeDoneFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$fp\n".getBytes("UTF-8")) finally out.close()
+    val dst = purgeDonePath(lcRoot)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
   /** Persisted intent of an in-flight [[purge]] (r16 verdict #2 — the
     * IVF purge's marker discipline re-derived for the histogram store):
     * the model version serving when the purge started (so a resumed
@@ -506,7 +562,7 @@ object BpeLifecycle {
     * [[tick]].
     */
   private[streaming] def finalizePurge(spark: SparkSession, lcRoot: String,
-      startVersion: Option[Long],
+      startVersion: Option[Long], fp: Option[Long] = None,
       failpoint: String => Unit = _ => ()): BpeArtifact.Model = {
     val fs = fsOf(spark, lcRoot)
     val entries = readManifest(spark, lcRoot)
@@ -543,6 +599,11 @@ object BpeLifecycle {
         stemOf(p.getName).exists(liveStems.contains))
       .foreach(p => fs.delete(p, true))
     failpoint("post-hist-sweep")
+    // record the completed request's fingerprint BEFORE clearing the
+    // marker: a crash between the two re-runs this (idempotent) pair on
+    // the next finalize, and once the marker is gone the done record is
+    // what lets an exact replay of the request prove itself a no-op
+    fp.foreach(writePurgeDoneFp(spark, lcRoot, _))
     fs.delete(purgeMarkerPath(lcRoot), false)
     model
   }
@@ -570,10 +631,14 @@ object BpeLifecycle {
     * before the manifest flip makes every post-flip step replayable —
     * a crashed purge is completed by re-running it with the same
     * tombstones (the marker fingerprint recognizes the replay; an
-    * already-applied subtraction is SKIPPED, never doubled) or by the
-    * next [[tick]], which finalizes any pending marker before touching
-    * the corpus. A guard failure before the marker leaves no marker —
-    * failed requests stay loud, not half-resumed.
+    * already-applied subtraction is SKIPPED, never doubled). The next
+    * [[tick]] finalizes a POST-flip marker before touching the corpus;
+    * a PRE-flip crash (marker written, manifest not flipped — the
+    * erasure not yet applied) makes tick fail loudly instead (r17
+    * ADVICE): only a purge re-run carries the tombstones needed to
+    * apply it, and silently retraining on the unerased corpus would
+    * discard the RTBF request. A guard failure before the marker
+    * leaves no marker — failed requests stay loud, not half-resumed.
     *
     * Returns the post-purge serving model.
     */
@@ -601,7 +666,7 @@ object BpeLifecycle {
         // finalize.
         val names = readManifest(spark, lcRoot).map(_.name).toSet
         if (m.renames.nonEmpty && m.renames.forall(r => names.contains(r._2)))
-          return finalizePurge(spark, lcRoot, m.startVersion, failpoint)
+          return finalizePurge(spark, lcRoot, m.startVersion, m.fp, failpoint)
         // not flipped: the corpus is still pre-purge — fall through and
         // re-run the whole purge (revision-dir writes are whole-dir
         // overwrites, the recomputed renames are deterministic, the
@@ -610,9 +675,19 @@ object BpeLifecycle {
         // a DIFFERENT purge crashed mid-flight: its single-file flip
         // decided its corpus state; complete its model-side obligations
         // before starting this request
-        finalizePurge(spark, lcRoot, m.startVersion)
+        finalizePurge(spark, lcRoot, m.startVersion, m.fp)
         ()
-      case None => ()
+      case None =>
+        // an exact replay of the LAST COMPLETED request is a provable
+        // no-op (r18, the [[PurgeDoneFile]] record): the erasure is
+        // already applied and the marker already cleared, so there is
+        // nothing to resume — re-running would trip the subtraction
+        // guards on the already-erased words. This is what makes the
+        // composed forget path's per-store resume safe when a crash
+        // landed between this store's completion and the composed
+        // marker's progress write.
+        if (readPurgeDoneFp(spark, lcRoot).contains(reqFp))
+          return currentModel(spark, lcRoot)
     }
     val entries = readManifest(spark, lcRoot)
     require(entries.nonEmpty, s"BpeLifecycle at $lcRoot not initialized")
@@ -685,7 +760,7 @@ object BpeLifecycle {
     failpoint("pre-flip")
     writeManifest(spark, lcRoot, flipped)
     failpoint("post-flip")
-    finalizePurge(spark, lcRoot, startVersion, failpoint)
+    finalizePurge(spark, lcRoot, startVersion, Some(reqFp), failpoint)
   }
 
   /** Bind the applied-batch skip set to the stream INCARNATION that

@@ -590,7 +590,18 @@ object Streams {
           val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            // replay-exactness (r17 ADVICE): a batch that crashed AFTER its
+            // ledger append re-reads a ledger already holding its own
+            // artifacts — without the anti-join, idx would hold each batch
+            // doc TWICE, the duplicates would consume two rank slots in the
+            // arrival-order bucket cap, and over-full buckets could flip
+            // verdicts relative to the first attempt's already-appended
+            // rows. Anti-joining the batch out restores the first attempt's
+            // exact idx (non-crash ticks are unaffected: their docs are not
+            // in the ledger yet), keeping the byte-identical-replay claim
+            // true in EVERY crash window, not just pre-ledger ones.
             val ledger = readIncrementalLedger(spark, ledgerDir)
+              .join(bArt.select(col("doc_id")), Seq("doc_id"), "left_anti")
             val idx = ledger.withColumn("__ledger", col("__seed")).drop("__seed")
               .unionByName(bArt.withColumn("__ledger", lit(false)))
             graft.llm.Dedup.incrementalVerdictsFromArtifacts(bArt, idx)
@@ -641,7 +652,12 @@ object Streams {
           val bArt = graft.llm.Dedup.dedupIndexArtifacts(batch)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            // anti-join for replay-exactness in the post-ledger-append
+            // crash window — see runIncrementalNearDupStream (the closure
+            // fold is idempotent by math, but duplicate idx rows would
+            // still shift bucket-cap ranks and change which PAIRS emit)
             val ledger = readIncrementalLedger(spark, ledgerDir)
+              .join(bArt.select(col("doc_id")), Seq("doc_id"), "left_anti")
             val idx = ledger.withColumn("__ledger", col("__seed")).drop("__seed")
               .unionByName(bArt.withColumn("__ledger", lit(false)))
             graft.llm.Dedup.mergeClosureLabels(spark, labelsDir,
@@ -737,6 +753,23 @@ object Streams {
     // the lifecycle FIRST: its own guards make it idempotent, and its
     // commit fixes the served version every later stage prices with
     BpeLifecycle.bindStreamIncarnation(spark, lcRoot, checkpointDir)
+    // bind the SINK side too (r17 ADVICE): the verdicts/dead sinks and
+    // their _applied marker dir anchor exactly-once on batch ids, which
+    // restart at 0 under a new incarnation — reused sink dirs would let
+    // stale batch-N markers silently swallow genuinely new batches and
+    // the (batch_id, doc_id) reader dedupe conflate old and new rows.
+    // One token on the verdicts root guards all three (they live and
+    // die together under this stream); [[rebindComposedSinks]] is the
+    // operator's explicit same-source-replay declaration.
+    bindStreamIncarnation(spark, verdictsDir, checkpointDir,
+      (old, sid) =>
+        s"composed-gate sinks at $verdictsDir are bound to stream " +
+          s"incarnation $old but this query is $sid — its batch ids " +
+          "restart at 0, so existing batch-N markers would silently " +
+          "skip new batches and readers would conflate rows across " +
+          "incarnations. If this stream REPLAYS the same source, call " +
+          "Streams.rebindComposedSinks to adopt the new incarnation; " +
+          "if it ingests NEW data, use fresh sink directories.")
     BpeLifecycle.tick(spark, lcRoot, batch, batchId, driftPct)
     failpoint(batchId, "post-lifecycle")
     val marker = new org.apache.hadoop.fs.Path(
@@ -769,7 +802,13 @@ object Streams {
           val bArt = graft.llm.Dedup.dedupIndexArtifacts(survivors).persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            // anti-join for replay-exactness in the post-ledger-append
+            // crash window — see runIncrementalNearDupStream (r17 ADVICE:
+            // without it a replay of that window holds each batch doc
+            // twice in idx and over-full buckets can flip verdicts
+            // relative to the already-appended first attempt)
             val ledger = readIncrementalLedger(spark, ledgerDir)
+              .join(bArt.select(col("doc_id")), Seq("doc_id"), "left_anti")
             val idx = ledger.withColumn("__ledger", col("__seed"))
               .drop("__seed")
               .unionByName(bArt.withColumn("__ledger", lit(false)))
@@ -780,6 +819,7 @@ object Streams {
             failpoint(batchId, "post-verdicts")
             bArt.withColumn("__seed", lit(false))
               .write.mode("append").parquet(ledgerDir)
+            failpoint(batchId, "post-ledger")
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
           } finally { bArt.unpersist(); () }
@@ -798,6 +838,18 @@ object Streams {
 
   def readComposedDead(spark: SparkSession, deadDir: String): DataFrame =
     spark.read.parquet(deadDir).dropDuplicates(Seq("batch_id", "doc_id"))
+
+  /** Operator acknowledgment that the next [[runComposedGateStream]]
+    * incarnation against these sinks replays the same source prefix
+    * (checkpoint lost or relocated): drops the sink-side incarnation
+    * binding so the next query adopts them. Batch markers are KEPT —
+    * under a true replay the ids name the same batches, so the skip
+    * set stays valid. The lifecycle root has its own binding
+    * ([[BpeLifecycle.rebindStream]]); both must be rebound for a
+    * relocated checkpoint.
+    */
+  def rebindComposedSinks(spark: SparkSession, verdictsDir: String): Unit =
+    dropStreamBinding(spark, verdictsDir)
 
   /** Stream-INCARNATION binding shared by the lifecycle stream drivers
     * (r17): foreachBatch batch ids are meaningful only within one
@@ -833,20 +885,30 @@ object Streams {
     val fs = new org.apache.hadoop.fs.Path(stateRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tokenP = new org.apache.hadoop.fs.Path(stateRoot, StreamIdFile)
+    // an empty token is ABSENT, not a mismatch: a crash mid-create could
+    // leave a truncated file, and treating it as a binding would brick
+    // every same-incarnation restart behind a spurious loud failure
+    // (r17 ADVICE) — rewrite it below instead
     val stored: Option[String] =
       if (!fs.exists(tokenP)) None
       else {
         val in = fs.open(tokenP)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
-      }
+      }.filter(_.nonEmpty)
     stored match {
       case Some(old) if old != sid =>
         throw new IllegalStateException(mismatch(old, sid))
       case Some(_) => ()
       case None =>
-        val out = fs.create(tokenP, true)
+        // tmp-file + rename, the repo's single-file commit idiom: the
+        // token is either absent, whole, or (worst crash case) a torn
+        // tmp that never becomes the token — never a torn binding
+        val tmp = new org.apache.hadoop.fs.Path(stateRoot, StreamIdFile + ".tmp")
+        val out = fs.create(tmp, true)
         try out.write(sid.getBytes("UTF-8")) finally out.close()
+        fs.delete(tokenP, false)
+        fs.rename(tmp, tokenP)
         ()
     }
   }

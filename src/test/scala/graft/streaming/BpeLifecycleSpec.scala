@@ -496,6 +496,71 @@ class BpeLifecycleSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
   }
 
+  test("a purge crashed BEFORE its manifest flip makes tick fail loudly until the purge is re-run") {
+    // the r17 ADVICE window: marker written, flip not applied — the
+    // erasure is NOT in the corpus, so a tick-side finalize would
+    // force-retrain on the unerased words and silently discard the RTBF
+    // request. The tick must refuse; only purge() carries the tombstones.
+    val (base, b0, tombs) = purgeFixture()
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      val lcRoot = tmpDir("bpelc-preflip") + "/lc"
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+      intercept[RuntimeException] {
+        BpeLifecycle.purgeImpl(spark, lcRoot, tombs,
+          l => if (l == "pre-flip") throw new RuntimeException("crash"))
+      }
+      assert(BpeLifecycle.readPurgeMarker(spark, lcRoot).nonEmpty)
+      val b1 = Seq((9L, "s", "alpha beta gamma delta"))
+        .toDF("doc_id", "source", "text")
+      val exTick = intercept[IllegalStateException] {
+        BpeLifecycle.tick(spark, lcRoot, b1, 1L, driftPct = Some(99))
+      }
+      assert(exTick.getMessage.contains("Re-run purge()"),
+        s"tick must refuse the pre-flip window loudly: ${exTick.getMessage}")
+      assert(BpeLifecycle.readPurgeMarker(spark, lcRoot).nonEmpty,
+        "the refusing tick must leave the marker pending")
+      // the purge re-run completes the request, after which ticks resume
+      val m = BpeLifecycle.purge(spark, lcRoot, tombs)
+      val remaining = base.unionByName(
+        Seq((4L, "s", "eta theta mu nu")).toDF("doc_id", "source", "text"))
+      assert(m.merges === TextStats.bpeLearnMerges(remaining,
+        TextStats.BpeTrainTopV, rounds = 2),
+        "the re-run purge must erase the tombstoned doc")
+      assert(BpeLifecycle.tick(spark, lcRoot, b1, 1L, driftPct = Some(99))
+        .nonEmpty, "ticks must resume once the purge completed")
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
+  test("an exact replay of the LAST COMPLETED purge is a provable no-op (the done-fp record)") {
+    // pre-r18 this replay tripped the foreign-word guard ('already-erased
+    // doc re-submitted') — the completed-request record makes it a no-op,
+    // which the composed forget path needs when a crash lands between a
+    // store's completion and the composed marker's progress write
+    val (base, b0, tombs) = purgeFixture()
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      val lcRoot = tmpDir("bpelc-done") + "/lc"
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+      val m1 = BpeLifecycle.purge(spark, lcRoot, tombs)
+      val manifest1 = BpeLifecycle.readManifest(spark, lcRoot).map(_.name)
+      val m2 = BpeLifecycle.purge(spark, lcRoot, tombs)
+      assert(m2.version === m1.version && m2.merges === m1.merges,
+        "the exact replay must not retrain or bump the version")
+      assert(BpeLifecycle.readManifest(spark, lcRoot).map(_.name) === manifest1,
+        "the exact replay must not touch the manifest")
+      // a DIFFERENT (stale, mismatched) request must still fail loudly —
+      // the no-op recognition is exact-fingerprint only
+      val foreign = Seq((0L, 3L, "omega psi"))
+        .toDF("batch_id", "doc_id", "text")
+      intercept[IllegalArgumentException] {
+        BpeLifecycle.purge(spark, lcRoot, foreign)
+      }
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
+
   test("a crashed purge is completed by the NEXT TICK when no replay arrives") {
     val (base, b0, tombs) = purgeFixture()
     spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")

@@ -1022,4 +1022,142 @@ class StreamsSpec extends SparkSpec {
       ++ survivors,
       "ledger must equal seed ∪ survivors")
   }
+
+  test("composed front door: kill AFTER the ledger append (before the marker) — replay is byte-identical and converges") {
+    // the r17 ADVICE window: at replay time the ledger already holds the
+    // batch's own artifacts, so without the anti-join idx would hold each
+    // batch doc twice, consuming two bucket-cap rank slots — this is the
+    // crash point the previous kill test (post-verdicts) never reached
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val src = tmpDir("fdl-src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    case class Run(lcRoot: String, ledger: String, verdicts: String,
+        dead: String, ckpt: String)
+    def mkRun(tag: String): Run = {
+      val r = Run(tmpDir(s"fdl-$tag-lc") + "/lc", tmpDir(s"fdl-$tag-ledger"),
+        tmpDir(s"fdl-$tag-v") + "/v", tmpDir(s"fdl-$tag-d") + "/d",
+        tmpDir(s"fdl-$tag-ck") + "/c")
+      BpeLifecycle.init(spark, r.lcRoot, base)
+      Streams.seedIncrementalLedger(base, r.ledger)
+      r
+    }
+    val ref = mkRun("ref")
+    Streams.runComposedGateStream(spark, src, ref.lcRoot, ref.ledger,
+      ref.verdicts, ref.dead, ref.ckpt).awaitTermination(120000)
+
+    val kr = mkRun("kill")
+    val exQ = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.runComposedGateStreamImpl(spark, src, kr.lcRoot, kr.ledger,
+        kr.verdicts, kr.dead, kr.ckpt, maxFilesPerTrigger = None,
+        minTok = 64L, maxTok = 4096L, driftPct = None,
+        failpoint = (b, l) =>
+          if (b == 0L && l == "post-ledger")
+            throw new RuntimeException("injected crash"))
+        .awaitTermination(120000)
+      throw new IllegalStateException("killed stream must not complete")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(exQ).exists(_.contains("injected crash")))
+    // the window is the nasty one: the batch's artifacts ARE in the
+    // ledger, its verdicts ARE in the sink, and the marker is NOT there
+    val seedIds = base.select(col("doc_id")).as[Long].collect().toSet
+    assert(spark.read.option("mergeSchema", "true").parquet(kr.ledger)
+      .select(col("doc_id")).as[Long].collect().toSet
+      .exists(id => !seedIds.contains(id)),
+      "batch artifacts must already be in the ledger at the crash point")
+    assert(!Files.exists(Paths.get(s"${kr.verdicts}_applied/batch-0")))
+
+    // RESTART on the same checkpoint: the whole tick replays
+    Streams.runComposedGateStream(spark, src, kr.lcRoot, kr.ledger,
+      kr.verdicts, kr.dead, kr.ckpt).awaitTermination(120000)
+
+    // byte-identical replay: every (batch_id, doc_id) carries exactly ONE
+    // distinct verdict across its duplicate appends — the anti-join
+    // restores the first attempt's exact idx, so the recomputed verdicts
+    // cannot diverge — and the duplicates really exist (at-least-once)
+    val raw = spark.read.parquet(kr.verdicts)
+      .groupBy(col("batch_id"), col("doc_id"))
+      .agg(countDistinct(col("verdict")).as("nv"), count(lit(1)).as("n"))
+    assert(raw.filter(col("nv") =!= 1L).count() === 0L,
+      "replayed verdict appends must be byte-identical to the first attempt")
+    assert(raw.filter(col("n") > 1L).count() > 0L,
+      "the kill window must have produced duplicate verdict appends")
+    // convergence: deduped stores equal the uninterrupted run's
+    def verdictRows2(r: Run) = Streams.readComposedVerdicts(spark, r.verdicts)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(verdictRows2(kr) === verdictRows2(ref),
+      "killed+replayed verdicts must equal the uninterrupted run")
+    assert(Streams.readComposedDead(spark, kr.dead).collect().map(_.toSeq).toSet
+      === Streams.readComposedDead(spark, ref.dead).collect().map(_.toSeq).toSet)
+    // the replayed ledger append is deduped by the read convention
+    assert(Streams.readIncrementalLedger(spark, kr.ledger)
+      .select(col("doc_id")).as[Long].collect().toSet ===
+      Streams.readIncrementalLedger(spark, ref.ledger)
+        .select(col("doc_id")).as[Long].collect().toSet,
+      "deduped ledger must equal the uninterrupted run's")
+  }
+
+  test("composed front door: reused sink dirs under a NEW stream incarnation fail loudly; rebind admits a declared replay") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val src = tmpDir("fdb-src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    val lcRoot = tmpDir("fdb-lc") + "/lc"
+    val ledger = tmpDir("fdb-ledger")
+    val verdicts = tmpDir("fdb-v") + "/v"
+    val dead = tmpDir("fdb-d") + "/d"
+    BpeLifecycle.init(spark, lcRoot, base)
+    Streams.seedIncrementalLedger(base, ledger)
+    Streams.runComposedGateStream(spark, src, lcRoot, ledger, verdicts,
+      dead, tmpDir("fdb-ck1") + "/c").awaitTermination(120000)
+    val before = Streams.readComposedVerdicts(spark, verdicts).count()
+
+    // a fresh checkpoint = a new incarnation whose batch ids restart at 0;
+    // the lifecycle root is rebound (the operator declared ITS replay) but
+    // the sinks are not — the sink-side guard must fail the stream loudly
+    BpeLifecycle.rebindStream(spark, lcRoot)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.runComposedGateStream(spark, src, lcRoot, ledger, verdicts,
+        dead, tmpDir("fdb-ck2") + "/c").awaitTermination(120000)
+      throw new IllegalStateException("unbound sink reuse must not complete")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("rebindComposedSinks")),
+      s"sink-side incarnation guard must name the rebind escape hatch: ${msgs(ex)}")
+    assert(Streams.readComposedVerdicts(spark, verdicts).count() === before,
+      "the refused incarnation must not have written verdicts")
+
+    // the operator declares the replay on the sink side too: the rerun
+    // no-ops through the existing batch markers, stores unchanged
+    BpeLifecycle.rebindStream(spark, lcRoot)
+    Streams.rebindComposedSinks(spark, verdicts)
+    Streams.runComposedGateStream(spark, src, lcRoot, ledger, verdicts,
+      dead, tmpDir("fdb-ck3") + "/c").awaitTermination(120000)
+    assert(Streams.readComposedVerdicts(spark, verdicts).count() === before,
+      "a declared replay must no-op through the batch markers")
+  }
+
+  test("an empty incarnation token (torn create) reads as ABSENT, not as a mismatch") {
+    val root = tmpDir("bind-torn")
+    // simulate the torn fs.create: a zero-byte token file
+    Files.writeString(Paths.get(root, "_applied_stream"), "")
+    val ckpt = tmpDir("bind-torn-ck")
+    // must adopt (rewrite) instead of bricking the restart
+    Streams.bindStreamIncarnation(spark, root, ckpt, (o, n) =>
+      s"unexpected mismatch $o vs $n")
+    val tok = Files.readString(Paths.get(root, "_applied_stream"))
+    assert(tok.nonEmpty, "the torn token must have been rewritten whole")
+    // and the rewritten binding enforces: a different checkpoint now fails
+    val ex = intercept[IllegalStateException] {
+      Streams.bindStreamIncarnation(spark, root, tmpDir("bind-torn-ck2"),
+        (o, n) => s"mismatch $o vs $n")
+    }
+    assert(ex.getMessage.startsWith("mismatch"))
+  }
 }
