@@ -7,7 +7,19 @@ import org.apache.spark.sql.SparkSession
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
   *
-  * Measurement protocol (adaptive_r17 = adaptive_r13 + pass 1.5
+  * Measurement protocol (adaptive_r18 = adaptive_r17 + three
+  * ARTIFACT-side additions, timing and estimators unchanged: (1) a
+  * per-entry `shape_changed` flag + scalar `shape_changed_names`
+  * digest — plan-shape metrics {shuffle_mb, peak_mem_mb} compared
+  * against the newest prior bench artifact (`SPARK_GRAFT_PRIOR_BENCH`
+  * overrides), so a cross-round adjudication only looks where time
+  * AND shape moved; (2) a scalar `value_norm` = value ×
+  * prior_calib_nt / calib_nt, the host-speed-corrected total; (3) a
+  * `depth_violations` self-audit in the scalar segment, so the
+  * bounded-tail driver artifact itself proves the ">1 s ⇒ ≥2 reps"
+  * rule held. Default budget 240 → 265 for the two r18 entries the
+  * r17 verdict asked for — the honest-growth settlement, see PLANS.
+  * adaptive_r17 = adaptive_r13 + pass 1.5
   * slow-tail DEPTH: every entry whose single timed rep exceeds 1 s
   * gets a guaranteed second warm rep — on the pass's own bounded
   * 210 s runway, before any entry earns its third — and the default
@@ -81,11 +93,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    // 240 (r17): the round-16 verdict's budget decision — the registry
-    // earned its size honestly (213 entries), and 210 left a third of
-    // it cold-only on the driver host; 240 matches the builder-side
-    // gate setting both artifact series already run under.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "240").toDouble
+    // 265 (r18): 240 was settled for the 214-entry registry (the r16
+    // verdict's decision, same honest-growth argument as 210 → 240);
+    // r18 adds the two entries the r17 verdict itself asked for — the
+    // composed-forget audit (q82, ~15 s: a four-store RTBF sweep whose
+    // cost is sequential store actions, the st12 stage-count shape) and
+    // the interleaved multi-batch kernel (st17, ~4 s) — so the budget
+    // moves by their pre-priced cost. PLANS.md r18 carries the
+    // settlement argument.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "265").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -285,6 +301,63 @@ object Bench {
     // Locale.ROOT: default-locale format would emit comma decimals on
     // e.g. de_DE JVMs and corrupt the JSON artifact
     def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+
+    // Cross-round shape baseline (r18, the r17 verdict's #2): load the
+    // newest prior bench artifact's per-entry {shuffle_mb, peak_mem_mb}
+    // and flag entries whose PLAN SHAPE moved — those two metrics are
+    // deterministic for an unchanged plan (the r17 adjudications proved
+    // regressed TIMES with bit-identical shape every time), so "time
+    // moved AND shape moved" is the only combination worth a manual
+    // adjudication line; everything else is host noise by construction.
+    // SPARK_GRAFT_PRIOR_BENCH overrides; default = newest bench_r*.json
+    // in the cwd (the committed builder artifact — for the driver's run
+    // that is the SAME round's builder take, making the comparison a
+    // same-code determinism check; for the builder's own take it is the
+    // prior round, the cross-round regression check).
+    val priorPath: Option[String] =
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").orElse {
+        val re = "bench_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f.getPath))
+            case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+      }
+    val priorText: Option[String] = priorPath.flatMap { p =>
+      scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8")).toOption
+    }
+    val priorSpread: Map[String, (Option[Double], Option[Double])] =
+      priorText.map { text =>
+        def num(body: String, key: String): Option[Double] =
+          ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(body)
+            .map(_.group(1).toDouble)
+        "\"([a-z][a-z0-9_]+)\":\\{([^{}]*)\\}".r.findAllMatchIn(text)
+          .map(m => m.group(1) ->
+            ((num(m.group(2), "shuffle_mb"), num(m.group(2), "peak_mem_mb"))))
+          .toMap
+      }.getOrElse(Map.empty)
+    val priorCalibNt: Option[Double] = priorText.flatMap(text =>
+      "\"calib_nt\":(-?[0-9.]+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble))
+    // shape moved = shuffle beyond (10%, 0.25 MB) OR peak mem beyond
+    // (35%, 4 MB) of the prior artifact — peak gets the looser band
+    // (AQE/layout variance moves it on unchanged code; the s18 lesson)
+    def shapeChanged(name: String): Boolean =
+      priorSpread.get(name).exists { case (ps, pp) =>
+        val sMoved = (ps, qShuffleMb.get(name)) match {
+          case (Some(a), Some(b)) =>
+            math.abs(b - a) > math.max(0.10 * a, 0.25)
+          case _ => false
+        }
+        val pMoved = (pp, qPeakMemMb.get(name)) match {
+          case (Some(a), Some(b)) =>
+            math.abs(b - a) > math.max(0.35 * a, 4.0)
+          case _ => false
+        }
+        sMoved || pMoved
+      }
     val qs = results.map { r =>
       "\"" + r.name + "\":" + r.measurement.fold("null")(fmt)
     }.mkString("{", ",", "}")
@@ -301,6 +374,7 @@ object Bench {
         body ++= ",\"reps_used\":" + r.times.length
         qShuffleMb.get(r.name).foreach(v => body ++= ",\"shuffle_mb\":" + fmt(v))
         qPeakMemMb.get(r.name).foreach(v => body ++= ",\"peak_mem_mb\":" + fmt(v))
+        if (shapeChanged(r.name)) body ++= ",\"shape_changed\":true"
         if (r.coldOnly) body ++= ",\"cold_only\":true"
         if (r.times.length < r.attempted)
           body ++= ",\"failed_reps\":" + (r.attempted - r.times.length)
@@ -331,6 +405,21 @@ object Bench {
     val degraded = results.count(_.coldOnly)
     val total = results.flatMap(_.measurement).sum
     val benchWall = elapsed
+    // Depth-rule self-audit (r18, the r17 verdict's #3): the canonical
+    // driver artifact keeps only a bounded stdout TAIL, which never
+    // reaches the per-entry reps_used — so the artifact now AUDITS
+    // itself in the scalar segment: an entry violates the depth rule
+    // when its reported measurement exceeds 1 s on fewer than 2 timed
+    // reps. A judge reads depth_violations straight off the tail.
+    val depthViol = results.filter(r =>
+      r.measurement.exists(_ > SlowDepthThresh) && r.times.length < 2)
+    val depthNames = depthViol.map(_.name).take(12)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // shape digest for the tail: the entries a PLANS adjudication should
+    // even look at (shape moved vs the prior artifact)
+    val shapeNames = results.filter(r => shapeChanged(r.name)).map(_.name)
+    val shapeNamesJson = shapeNames.take(16)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Host-speed calibration: a fixed single-thread LCG loop and the same
     // loop on every core. Round-4/5/6 adjudications kept re-litigating
     // "is this regression or a slow host" — these two denominators let a
@@ -352,8 +441,15 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // calib-normalized total (r18, the r17 verdict's #2): value scaled
+    // by prior_calib_nt / this_calib_nt — the host-speed-corrected
+    // number a cross-round comparison should read first
+    val normFields = priorCalibNt.map { ref =>
+      s""","calib_ref":${fmt(ref)},"value_norm":${
+        fmt(total * ref / calibN)}"""
+    }.getOrElse("")
     // scalar summary LAST so a bounded stdout tail capture lands on it
-    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r17","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"sf":"$sfDir","value":$total}"""
+    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r18","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"depth_violations":${depthViol.size},"depth_violation_names":$depthNames,"shape_changed":${shapeNames.size},"shape_changed_names":$shapeNamesJson,"prior_bench":${priorPath.fold("null")(p => "\"" + p + "\"")},"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)}$normFields,"sf":"$sfDir","value":$total}"""
     println(line)
     // The driver's log capture keeps only a 2000-char stdout tail — far
     // smaller than a 174-query JSON line — so also persist the artifact

@@ -29,6 +29,11 @@ import graft.functions.{ArrayDot, BpeCount, BpeTable, BpeTokens, CosineSimF32}
   *    `spark.graft.index.root` (plain IVF/IVF-PQ root, or an
   *    [[graft.streaming.IndexLifecycle]] root's CURRENT generation) at
   *    ANALYSIS time, same freshness contract as the BPE functions;
+  *  - SQL TABLE function `graft_ann_topk_batch(queries, k[, nprobe])`
+  *    (r18): BATCH serving from pure SQL — `queries` names a
+  *    table/view of (vec_id, embedding) rows; see the builder's note
+  *    on why a LATERAL-correlated form is not hostable on Spark's
+  *    injected-TVF surface;
   *  - [[SelfSimilarityFold]], a constant-folding rule for degenerate
   *    similarity calls.
   */
@@ -54,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
         "graft_ann_topk"),
       GraftExtensions.annTopKBuilder))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_ann_topk_batch"),
+      new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
+        "graft_ann_topk_batch"),
+      GraftExtensions.annTopKBatchBuilder))
     e.injectFunction((
       FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
@@ -108,7 +118,8 @@ object GraftExtensions {
     * purges, no stale JVM cache, exactly the freshness contract of the
     * BPE SQL functions. Arguments must be foldable (a query vector is
     * a constant of the query, not a column — for a column of queries
-    * use the DataFrame API's `ivfIndexQuery`).
+    * use [[annTopKBatchBuilder]]'s `graft_ann_topk_batch` from SQL, or
+    * the DataFrame API's `ivfIndexQuery`).
     */
   private[graft] def annTopKBuilder(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -173,6 +184,76 @@ object GraftExtensions {
         graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
       else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
     served.select(served("vid"), served("sim")).queryExecution.analyzed
+  }
+
+  /** `graft_ann_topk_batch(queries, k[, nprobe])` — SQL BATCH serving
+    * (r18, the r17 verdict's #6): `queries` is a foldable STRING naming
+    * a table/view with (vec_id, embedding) rows; returns one
+    * (qid, vid, sim) row per query × top-k neighbor, same index-root
+    * resolution and freshness contract as [[annTopKBuilder]].
+    *
+    * Why not `LATERAL graft_ann_topk(q.vec, k)`: an injected table
+    * function's builder receives only the call's argument EXPRESSIONS
+    * and must return a self-contained plan at resolution time — Spark's
+    * `injectTableFunction` surface carries no outer-plan correlation
+    * (lateral column references reach the builder unresolved/
+    * non-foldable and fail analysis loudly with the documented
+    * `foldable literal` message; GraftExtensionsSpec pins that failure
+    * mode). Per-row correlation is therefore hosted the way the engine
+    * actually executes it anyway — as ONE batch join of the query
+    * relation against the index (`ivfIndexQuery`'s plan), which this
+    * function exposes to pure SQL by naming the relation instead of
+    * correlating into it.
+    */
+  private[graft] def annTopKBatchBuilder(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types.StringType
+    if (args.length < 2 || args.length > 3)
+      throw new IllegalArgumentException(
+        "graft_ann_topk_batch(queries, k[, nprobe]) takes 2 or 3 " +
+          s"arguments, got ${args.length}")
+    val table = (args.head.foldable, args.head.dataType) match {
+      case (true, StringType) =>
+        val v = args.head.eval()
+        if (v == null) throw new IllegalArgumentException(
+          "graft_ann_topk_batch: queries must not be null")
+        v.toString
+      case _ => throw new IllegalArgumentException(
+        "graft_ann_topk_batch: queries must be a string literal naming " +
+          "a table/view with (vec_id, embedding) rows")
+    }
+    def foldInt(e: Expression, what: String): Int = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"graft_ann_topk_batch: $what must be a foldable integer literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case s: Short => s.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_ann_topk_batch: $what must be an integer literal, got $other")
+      }
+    }
+    val k = foldInt(args(1), "k")
+    if (k < 1) throw new IllegalArgumentException(
+      s"graft_ann_topk_batch: k must be >= 1, got $k")
+    val nprobe = if (args.length == 3) Some(foldInt(args(2), "nprobe")) else None
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = spark.conf.getOption(GraftConfig.IndexRootKey).getOrElse(
+      throw new IllegalStateException(
+        "graft_ann_topk_batch serves the PERSISTED vector index: set " +
+          s"${GraftConfig.IndexRootKey} to an IVF index or IndexLifecycle " +
+          "root (or use graft.llm.Similarity.ivfIndexQuery directly)"))
+    val q = spark.table(table)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val idx = graft.streaming.IndexLifecycle.currentRoot(spark, root)
+      .getOrElse(root)
+    val served =
+      if (graft.llm.Similarity.hasPqShape(spark, idx))
+        graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
+      else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
+    served.select(served("qid"), served("vid"), served("sim"))
+      .queryExecution.analyzed
   }
 
   private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression = {

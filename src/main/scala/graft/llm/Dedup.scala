@@ -361,6 +361,111 @@ object Dedup {
        |  LEFT JOIN near nr ON nr.doc_id = n.doc_id
        |)""".stripMargin
 
+  /** Batch-equivalent N-TICK form of the growing-index gate (r18, the
+    * r17 verdict's #4): `batchOf` assigns every non-snapshot doc a batch
+    * ordinal, and each batch is judged against snapshot ∪ ALL EARLIER
+    * BATCHES ∪ itself — exactly what [[graft.streaming
+    * .Streams.runIncrementalNearDupStream]] computes tick by tick
+    * (ledger at tick k = seed ∪ batches < k; idx = ledger ∪ bArt_k;
+    * `__ledger` = the PERSISTED seed flag, so ranks are seed-first then
+    * doc_id across every batch). The one-shot [[incrementalNearDup]]
+    * equals this ONLY for id-ordered schedules (its idx holds every
+    * stream doc at once, so an interleaved schedule — where a later
+    * batch carries smaller ids — sees candidates at tick k that have
+    * not arrived yet); this form is the law for ARBITRARY schedules,
+    * and `st17_interleaved_neardup` hash-pins it per batch. One
+    * artifact pass serves every tick (the spill boundary), mirroring
+    * the streaming ledger being parquet.
+    */
+  def incrementalNearDupBatches(docs: DataFrame, snapshotPred: Column,
+      batchOf: Column, nBatches: Int,
+      minJaccard: Double = 0.5, maxBucket: Int = DefaultMaxBucket,
+      spillDir: Option[String] = None): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    val spark = docs.sparkSession
+    val artDir = trackSpill(
+      s"${spillBase(spark, spillDir, "incrementalNearDupBatches")}/${runDirName("incartb")}")
+    dedupIndexArtifacts(docs)
+      .join(docs.select(col("doc_id"), snapshotPred.as("__ledger"),
+        when(snapshotPred, lit(-1)).otherwise(batchOf).as("__batch")),
+        Seq("doc_id"))
+      .write.mode("overwrite").parquet(artDir)
+    val flagged = spark.read.parquet(artDir)
+    (0 until nBatches).map { k =>
+      val streamArt = flagged.filter(col("__batch") === k)
+        .drop("__ledger", "__batch")
+      val idxArt = flagged.filter(col("__ledger") || col("__batch") <= k)
+        .drop("__batch")
+      incrementalVerdictsFromArtifacts(streamArt, idxArt, minJaccard, maxBucket)
+        .select(lit(k.toLong).as("batch_id"), col("doc_id"), col("verdict"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle for [[incrementalNearDupBatches]] with the st17
+    * fixture: seed = `doc_id % 3 = 0`, batch 0 = `doc_id % 3 = 2`,
+    * batch 1 = `doc_id % 3 = 1` — an INTERLEAVED schedule (batch 1
+    * carries ids below batch 0's), exactly the case the one-shot st9
+    * oracle is invalid for. The signature CTEs run ONCE over the
+    * corpus; the kernel (cap, candidates, Jaccard, exact, verdict)
+    * is instantiated PER BATCH with the index restricted to
+    * seed ∪ batches ≤ k — the iterated-replay form the r17 verdict
+    * asked for.
+    */
+  private[graft] def interleavedOracleSql(maxBucket: Int = DefaultMaxBucket,
+      corpusPred: String = "TRUE"): String = {
+    // batch k's judged set and the index visible to it, as predicates
+    // over a doc_id reference (mod-3 reversed: batch 0 = remainder 2)
+    def judged(k: Int, r: String) = s"$r % 3 = ${2 - k}"
+    def inIdx(k: Int, r: String) =
+      if (k == 0) s"($r % 3 = 0 OR $r % 3 = 2)" else "TRUE"
+    val chains = (0 to 1).map { k =>
+      s"""cappedI$k AS (
+         |  SELECT doc_id, band, bk FROM (
+         |    SELECT doc_id, band, bk,
+         |      ROW_NUMBER() OVER (PARTITION BY band, bk
+         |        ORDER BY CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END,
+         |                 doc_id) AS rn
+         |    FROM banded WHERE ${inIdx(k, "doc_id")}) t WHERE rn <= $maxBucket
+         |), cand$k AS (
+         |  SELECT DISTINCT s.doc_id AS nd, i.doc_id AS sd
+         |  FROM banded s JOIN cappedI$k i ON s.band = i.band AND s.bk = i.bk
+         |  WHERE ${judged(k, "s.doc_id")}
+         |    AND (i.doc_id % 3 = 0 OR i.doc_id < s.doc_id)
+         |), near$k AS (
+         |  SELECT DISTINCT nd AS doc_id FROM (
+         |    SELECT c.nd,
+         |      CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+         |        / len(list_distinct(ga.gs || gb.gs)) AS j
+         |    FROM cand$k c JOIN gsets ga ON ga.doc_id = c.nd
+         |                 JOIN gsets gb ON gb.doc_id = c.sd) t
+         |  WHERE j >= 0.5
+         |), exact$k AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM (SELECT doc_id, sha256(text) AS h FROM corpus17
+         |        WHERE ${judged(k, "doc_id")}) n
+         |  JOIN (SELECT doc_id, sha256(text) AS h FROM corpus17
+         |        WHERE ${inIdx(k, "doc_id")}) p
+         |    ON p.h = n.h AND (p.doc_id % 3 = 0 OR p.doc_id < n.doc_id)
+         |), ndv$k AS (
+         |  SELECT CAST($k AS BIGINT) AS batch_id, n.doc_id,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |         WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+         |         ELSE 'kept' END AS verdict
+         |  FROM (SELECT doc_id FROM corpus17 WHERE ${judged(k, "doc_id")}) n
+         |  LEFT JOIN exact$k e ON e.doc_id = n.doc_id
+         |  LEFT JOIN near$k nr ON nr.doc_id = n.doc_id
+         |)""".stripMargin
+    }
+    s"""WITH corpus17 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE $corpusPred
+       |),
+       |${minhashSigCtesFrom("corpus17")},
+       |${chains.mkString(",\n")}
+       |SELECT batch_id, doc_id, verdict FROM ndv0
+       |UNION ALL
+       |SELECT batch_id, doc_id, verdict FROM ndv1""".stripMargin
+  }
+
   /** The PAIR form of [[incrementalVerdictsFromArtifacts]] — same exact/
     * candidate/Jaccard semantics (same rank-stable arrival-order cap,
     * same (ledger ∨ earlier) condition, so the same batch-boundary

@@ -719,29 +719,33 @@ object BpeLifecycle {
           .withColumnRenamed("freq", "gone")
         val stored = spark.read.parquet(s"${histRoot(lcRoot)}/$oldName")
         // a tombstone that doesn't match the stored histogram (wrong
-        // batch, wrong text, an already-erased doc re-submitted) must
-        // fail LOUDLY in BOTH directions: counts exceeding the store
+        // batch, wrong text, an already-erased doc re-submitted — of a
+        // request OTHER than the recorded last-completed one) must fail
+        // LOUDLY in BOTH directions: counts exceeding the store
         // (over-subtract — truncating at 0 would hide it) AND words the
         // store never held (under-subtract — a left join would silently
         // drop them and the purge would "succeed" without forgetting
-        // anything). Erasure replays therefore fail here by design:
-        // dedupe them upstream, an exact no-op retry is not provable
-        // from histograms alone.
-        val foreign = sub.join(stored, Seq("w"), "left_anti")
-          .select(col("w")).limit(5).collect()
-        require(foreign.isEmpty,
+        // anything). ONE probe action serves both guards (r18 — the
+        // composed forget pays this per affected entry, and two collects
+        // where one suffices is pure per-job overhead): a full outer
+        // join classifies each word as foreign (no stored row) or
+        // over-subtracted (stored freq < tombstone count).
+        val bad = sub.join(stored, Seq("w"), "full_outer")
+          .filter(col("gone").isNotNull &&
+            (col("freq").isNull || col("freq") < col("gone")))
+          .select(col("w"), col("freq").isNull.as("foreign"))
+          .limit(5).collect()
+        require(!bad.exists(_.getBoolean(1)),
           s"purge names words $oldName never held (first: ${
-            foreign.map(_.getString(0)).mkString(", ")}) — wrong batch, " +
-            "wrong text, or an already-erased doc re-submitted")
+            bad.filter(_.getBoolean(1)).map(_.getString(0)).mkString(", ")
+          }) — wrong batch, wrong text, or an already-erased doc re-submitted")
+        require(bad.isEmpty,
+          s"purge over-subtracts $oldName — tombstones don't match the " +
+            s"stored histogram (first words: ${
+              bad.map(_.getString(0)).mkString(", ")})")
         val merged = stored.join(sub, Seq("w"), "left")
           .select(col("w"),
             (col("freq") - coalesce(col("gone"), lit(0L))).as("freq"))
-        val neg = merged.filter(col("freq") < 0L)
-          .select(col("w")).limit(5).collect()
-        require(neg.isEmpty,
-          s"purge over-subtracts $oldName — tombstones don't match the " +
-            s"stored histogram (first words: ${
-              neg.map(_.getString(0)).mkString(", ")})")
         merged.filter(col("freq") > 0L)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"${histRoot(lcRoot)}/$newName")

@@ -770,6 +770,13 @@ object Streams {
           "incarnations. If this stream REPLAYS the same source, call " +
           "Streams.rebindComposedSinks to adopt the new incarnation; " +
           "if it ingests NEW data, use fresh sink directories.")
+    // complete any pending composed forget before this tick reads or
+    // moves the stores (r18, the tick-finalizes-pending-purges posture
+    // one level up — a crash mid-forget must not leave a partially-
+    // forgotten doc behind a live ingestion stream). No pending request
+    // = one existence probe.
+    finalizePendingForget(spark,
+      FrontDoorStores(lcRoot, ledgerDir, verdictsDir, deadDir))
     BpeLifecycle.tick(spark, lcRoot, batch, batchId, driftPct)
     failpoint(batchId, "post-lifecycle")
     val marker = new org.apache.hadoop.fs.Path(
@@ -850,6 +857,232 @@ object Streams {
     */
   def rebindComposedSinks(spark: SparkSession, verdictsDir: String): Unit =
     dropStreamBinding(spark, verdictsDir)
+
+  /** The four durable stores one composed front-door stream writes —
+    * the unit [[forgetDocs]] sweeps as ONE operation.
+    */
+  case class FrontDoorStores(lcRoot: String, ledgerDir: String,
+      verdictsDir: String, deadDir: String)
+
+  /** COMPOSED right-to-be-forgotten across the whole front door (r17
+    * verdict #1). Ingestion composed in r17 (one stream, four durable
+    * surfaces); erasure was still four separate campaigns — a crash
+    * between store purges left a partially-forgotten doc with no
+    * resumable record, exactly the hole the r17 purge marker closed
+    * WITHIN one store, one level up. This is the r17 marker discipline
+    * re-derived for the composition:
+    *
+    *  1. the deduped request is PERSISTED first (tombstones parquet +
+    *     an intent file carrying the order-independent fingerprint and
+    *     per-store progress, under `<verdictsDir>_forget`) — the intent
+    *     write is the commit point: from here the request completes, by
+    *     a re-run with the same tombstones or by the next
+    *     [[runComposedGateStream]] tick ([[finalizePendingForget]]);
+    *  2. each store's purge runs in a fixed order — the tokenizer
+    *     lifecycle ([[BpeLifecycle.purge]]: exact histogram subtraction
+    *     + forced retrain + version sweep), the near-dup artifact
+    *     ledger ([[purgeIncrementalLedger]]), then the verdict and
+    *     dead-letter sinks (doc_id membership is personal signal even
+    *     though no raw text is stored) — with the intent's progress
+    *     line rewritten (tmp+rename) after each;
+    *  3. the intent clears LAST.
+    *
+    * Every store purge is replay-safe, so a crash ANYWHERE converges:
+    * the lifecycle recognizes an exact replay of its last completed
+    * request (the `_GRAFT_PURGE_DONE` record — r18) and resumes its own
+    * marker otherwise; the ledger and sink purges are idempotent
+    * anti-join rewrites behind crash-safe swaps. StreamsSpec injects a
+    * crash at every step (after each store's purge and after each
+    * progress write) and proves convergence to the uninterrupted end
+    * state.
+    *
+    * `tombstones` is (batch_id, doc_id, text) — batch_id names the
+    * lifecycle batch the doc ARRIVED in (seed docs: −1, the base
+    * entry), text the doc as ingested: the [[BpeLifecycle.purge]]
+    * contract, which needs both for its exact subtraction. 100 TB
+    * shape: requests are request-sized; each store's work is bounded
+    * by its own store (histogram revisions + retrain from vocabulary-
+    * sized tables, one ledger/sink rewrite each) — nothing rescans the
+    * corpus.
+    */
+  def forgetDocs(spark: SparkSession, stores: FrontDoorStores,
+      tombstones: DataFrame): Unit =
+    forgetDocsImpl(spark, stores, tombstones, _ => ())
+
+  private val ForgetIntentFile = "_FORGET_INTENT"
+  private def forgetRootOf(stores: FrontDoorStores): String =
+    s"${stores.verdictsDir}_forget"
+
+  private[streaming] case class ForgetIntent(fp: Long, done: Set[String])
+
+  private def forgetFs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private[streaming] def readForgetIntent(spark: SparkSession,
+      stores: FrontDoorStores): Option[ForgetIntent] = {
+    val root = forgetRootOf(stores)
+    val fs = forgetFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, ForgetIntentFile)
+    // interrupted-commit promotion, the readManifest idiom
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$ForgetIntentFile.tmp")
+    if (!fs.exists(p) && fs.exists(tmp)) { fs.rename(tmp, p); () }
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toSeq finally in.close()
+      val fp = lines.collectFirst { case l if l.startsWith("fp ") =>
+        scala.util.Try(l.stripPrefix("fp ").trim.toLong).toOption }.flatten
+      fp.map(f => ForgetIntent(f,
+        lines.filter(_.startsWith("done ")).map(_.stripPrefix("done ").trim)
+          .toSet))
+    }
+  }
+
+  private def writeForgetIntent(spark: SparkSession, root: String,
+      intent: ForgetIntent): Unit = {
+    val fs = forgetFs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$ForgetIntentFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"fp ${intent.fp}" +:
+      intent.done.toSeq.sorted.map(s => s"done $s"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, ForgetIntentFile)
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  /** Order-independent request identity — the
+    * [[BpeLifecycle]] tombstone-fingerprint formula.
+    */
+  private def forgetFingerprint(ts: DataFrame): Long = {
+    val r = ts.agg(expr("bit_xor(xxhash64(batch_id, doc_id, text))").as("fp"))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private[streaming] def forgetDocsImpl(spark: SparkSession,
+      stores: FrontDoorStores, tombstones: DataFrame,
+      failpoint: String => Unit): Unit = {
+    val root = forgetRootOf(stores)
+    val ts = tombstones.dropDuplicates(Seq("batch_id", "doc_id"))
+    val reqFp = forgetFingerprint(ts)
+    readForgetIntent(spark, stores) match {
+      case Some(i) if i.fp == reqFp =>
+        // a replay of THIS request: resume from the persisted progress
+        // (the persisted tombstones ARE this request — same fingerprint)
+        driveForget(spark, stores, i, failpoint)
+        return
+      case Some(i) =>
+        // a DIFFERENT request crashed mid-flight: complete it from its
+        // own persisted tombstones before starting this one — two
+        // in-flight composed requests would make per-store resume
+        // ambiguous (the lifecycle's done-record holds ONE slot)
+        driveForget(spark, stores, i, failpoint)
+      case None => ()
+    }
+    // persist the request FIRST: tombstones, then the intent file — the
+    // intent is the commit point (a crash before it leaves no pending
+    // request; failed guards stay loud, not half-resumed)
+    ts.write.mode("overwrite").parquet(s"$root/tombstones")
+    failpoint("pre-intent")
+    writeForgetIntent(spark, root, ForgetIntent(reqFp, Set.empty))
+    driveForget(spark, stores, ForgetIntent(reqFp, Set.empty), failpoint)
+  }
+
+  /** Drive the per-store purges from the PERSISTED request, skipping
+    * stores the intent already records as done, and clear the intent
+    * last. Resumable from disk state alone — both [[forgetDocsImpl]]
+    * (replay) and [[finalizePendingForget]] (next tick) land here.
+    */
+  private def driveForget(spark: SparkSession, stores: FrontDoorStores,
+      intent0: ForgetIntent, failpoint: String => Unit): Unit = {
+    val root = forgetRootOf(stores)
+    val fs = forgetFs(spark, root)
+    val ts = spark.read.parquet(s"$root/tombstones")
+    var done = intent0.done
+    def step(name: String)(body: => Unit): Unit =
+      if (!done.contains(name)) {
+        body
+        failpoint(s"purged-$name")
+        done += name
+        writeForgetIntent(spark, root, ForgetIntent(intent0.fp, done))
+        failpoint(s"done-$name")
+      }
+    // lifecycle FIRST: it is the one store whose replay safety rests on
+    // its own done-record rather than idempotent rewrites, and clearing
+    // the model versions that embody the forgotten docs is the most
+    // urgent obligation (they SERVE)
+    step("lifecycle") { BpeLifecycle.purge(spark, stores.lcRoot, ts); () }
+    step("ledger") {
+      purgeIncrementalLedger(spark, stores.ledgerDir,
+        ts.select(col("doc_id")))
+    }
+    step("verdicts") { purgeComposedSink(spark, stores.verdictsDir, ts) }
+    step("dead") { purgeComposedSink(spark, stores.deadDir, ts) }
+    // clear: the intent file is the pending-request marker — deleting it
+    // commits completion; the tombstones dir is then stale garbage (a
+    // crash between the two deletes leaves it for the next request's
+    // overwrite)
+    fs.delete(new org.apache.hadoop.fs.Path(root, ForgetIntentFile), false)
+    failpoint("post-clear-intent")
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
+  /** Complete any pending composed forget before the tick touches the
+    * stores — called at every [[runComposedGateStream]] tick start, the
+    * [[BpeLifecycle.tick]]-finalizes-pending-purges posture one level
+    * up. No pending intent = one existence probe.
+    */
+  def finalizePendingForget(spark: SparkSession,
+      stores: FrontDoorStores): Unit =
+    readForgetIntent(spark, stores).foreach { i =>
+      driveForget(spark, stores, i, _ => ())
+    }
+
+  /** Anti-join rewrite of a composed sink (verdicts or dead-letter):
+    * drop the tombstoned doc_ids' rows, publish by crash-safe swap. The
+    * sink-side incarnation token rides INSIDE the rewrite dir so the
+    * swap carries it atomically — a purge must not unbind the stream.
+    * Idempotent (a replay removes nothing more); an absent sink (no
+    * rows yet) is a no-op.
+    */
+  private def purgeComposedSink(spark: SparkSession, dir: String,
+      tombIds: DataFrame): Unit = {
+    recoverSwap(spark, dir)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dst)) return
+    val tomb = tombIds.select(col("doc_id")).distinct()
+    val sink = spark.read.parquet(dir)
+    // re-select the sink's own column order: the equi-join moves the key
+    // first, and a purge must not silently re-shape the store it sweeps
+    val rows = sink.join(tomb, Seq("doc_id"), "left_anti")
+      .select(sink.columns.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded output files, the rewriteLedger sizing (a 100 TB sink
+      // rewrite must neither produce one giant file nor per-task confetti)
+      val rowsPerFile = 4000000L
+      val nFiles = math.max(1L, (rows.count() + rowsPerFile - 1) / rowsPerFile)
+      val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+      rows.repartition(nFiles.toInt)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val tokSrc = new org.apache.hadoop.fs.Path(dst, StreamIdFile)
+      if (fs.exists(tokSrc)) {
+        val in = fs.open(tokSrc)
+        val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, StreamIdFile), true)
+        try out.write(tok.getBytes("UTF-8")) finally out.close()
+      }
+      swapIntoPlace(fs, tmp, dst)
+    } finally { rows.unpersist(); () }
+  }
 
   /** Stream-INCARNATION binding shared by the lifecycle stream drivers
     * (r17): foreachBatch batch ids are meaningful only within one
@@ -1482,6 +1715,137 @@ object Streams {
           .join(budget.select(col("doc_id"), col("n_bpe")), Seq("doc_id"))
           .select(col("doc_id"), lit("neardup").as("stage"),
             col("verdict").as("outcome"), col("n_bpe")))
+    },
+
+    // ---- COMPOSED FORGET across the whole front door, audited (q82, r18) --
+    // The r17 verdict's top ask: ingestion composed in r17, so erasure
+    // composes here — ONE front door is built on real stores (init +
+    // seed + one composed tick over the capped corpus), ONE
+    // [[forgetDocs]] request (doc_id % 7 = 1, spanning seed docs,
+    // gate-rejected docs, and judged docs — every store holds some of
+    // them), and the output is the POST-forget content of all four
+    // stores: ledger membership, verdict rows, dead-letter rows, and
+    // the retrained model's version + engine-independent fingerprint.
+    // FULL oracle: DuckDB re-learns the serving table, re-runs the
+    // battery + pricing + incremental kernel (the st16 chain), drops
+    // the tombstoned docs from every surface, and re-learns the
+    // POST-purge table from the corpus minus the tombstones (histogram
+    // additivity makes that the exact lifecycle end state) — so a
+    // partially-forgotten doc in ANY store, or a model that still
+    // embodies the forgotten text, mismatches the hash. Corpus capped
+    // at doc_id < 2400 (the st12 cap discipline: the sweep is a
+    // per-store law, not an SF law; st16 pins the uncapped cascade).
+    // Crash-resume of the same composed request is spec-gated
+    // (StreamsSpec injects a crash at every step).
+    sql("q82_front_door_forget", {
+      import graft.llm.TextStats.{bpeTrainCtes, bpeApplyCtes, bpeDocTokCte,
+        bpeTableFpCte, BpeTrainTopV, BpeTrainRounds}
+      s"""WITH dcap AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id < 2400
+         |),
+         |docsA AS MATERIALIZED (
+         |  SELECT * FROM dcap WHERE doc_id % 3 = 0
+         |),
+         |${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds, "", "docsA")},
+         |${bpeApplyCtes(BpeTrainRounds, "", "", "dcap")},
+         |$bpeDocTokCte,
+         |${qualityOracleCtes("doc_id % 3 <> 0 AND doc_id < 2400")},
+         |broute AS (
+         |  SELECT b.doc_id, b.n_ws, b.n_tok,
+         |    CASE WHEN b.n_tok < 64 THEN 'short'
+         |         WHEN b.n_tok > 4096 THEN 'long'
+         |         WHEN b.n_tok > 3 * b.n_ws THEN 'blowup' END AS reason,
+         |    CASE WHEN b.n_tok >= 64 AND b.n_tok <= 4096
+         |          AND b.n_tok <= 3 * b.n_ws
+         |         THEN 'pass' ELSE 'fail' END AS route
+         |  FROM bdoc b JOIN qroute q ON q.doc_id = b.doc_id AND q.route = 'pass'
+         |),
+         |fdocs AS MATERIALIZED (
+         |  SELECT doc_id, text FROM dcap WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT d.doc_id, d.text FROM dcap d
+         |  JOIN broute s ON s.doc_id = d.doc_id AND s.route = 'pass'
+         |),
+         |${graft.llm.Dedup.incrementalOracleCtesFor("fdocs", 3)},
+         |docsP AS MATERIALIZED (
+         |  SELECT * FROM dcap WHERE doc_id % 7 <> 1
+         |),
+         |${bpeTrainCtes(BpeTrainTopV, BpeTrainRounds, "2", "docsP")},
+         |${bpeTableFpCte(BpeTrainRounds, "2")}
+         |SELECT 'ledger' AS store, doc_id, CAST(NULL AS VARCHAR) AS val
+         |FROM fdocs WHERE doc_id % 7 <> 1
+         |UNION ALL
+         |SELECT 'verdicts' AS store, doc_id, verdict AS val
+         |FROM ndv WHERE doc_id % 7 <> 1
+         |UNION ALL
+         |SELECT 'dead' AS store, doc_id, concat('quality:', reason) AS val
+         |FROM qroute WHERE route = 'fail' AND doc_id % 7 <> 1
+         |UNION ALL
+         |SELECT 'dead' AS store, doc_id, concat('budget:', reason) AS val
+         |FROM broute WHERE route = 'fail' AND doc_id % 7 <> 1
+         |UNION ALL
+         |SELECT 'model' AS store, CAST(2 AS BIGINT) AS doc_id,
+         |  CAST(table_fp AS VARCHAR) AS val
+         |FROM tfp2""".stripMargin
+    }) { (s, d) =>
+      import graft.llm.{Dedup, TextStats}
+      require(TextStats.bpeTrainParams(s) ==
+        ((TextStats.BpeTrainTopV, TextStats.BpeTrainRounds)) &&
+        graft.GraftConfig.bpeLifecycleDriftPct(s).isEmpty,
+        "q82 oracle is pinned to the default spark.graft.bpe.* knobs")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 2400)
+      val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val stream = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val run = Dedup.trackSpill(
+        s"${Dedup.spillBase(s, None, "q82")}/${Dedup.runDirName("forget")}")
+      val stores = FrontDoorStores(s"$run/lc", s"$run/ledger",
+        s"$run/v", s"$run/d")
+      BpeLifecycle.init(s, stores.lcRoot, base)
+      seedIncrementalLedger(base, stores.ledgerDir)
+      composedGateTick(s, stream, 0L, stores.lcRoot, stores.ledgerDir,
+        stores.verdictsDir, stores.deadDir, s"$run/ck", 64L, 4096L, None,
+        (_, _) => ())
+      val tombs = docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+        .select(when(pmod(col("doc_id"), lit(3)) === 0, lit(-1L))
+          .otherwise(lit(0L)).as("batch_id"), col("doc_id"), col("text"))
+      forgetDocs(s, stores, tombs)
+      val m = BpeLifecycle.currentModel(s, stores.lcRoot)
+      import s.implicits._
+      readIncrementalLedger(s, stores.ledgerDir)
+        .select(lit("ledger").as("store"), col("doc_id"),
+          lit(null).cast("string").as("val"))
+        .unionByName(readComposedVerdicts(s, stores.verdictsDir)
+          .select(lit("verdicts").as("store"), col("doc_id"),
+            col("verdict").as("val")))
+        .unionByName(readComposedDead(s, stores.deadDir)
+          .select(lit("dead").as("store"), col("doc_id"),
+            concat(col("gate"), lit(":"), col("reason")).as("val")))
+        .unionByName(Seq(("model", m.version, m.tableFingerprint.toString))
+          .toDF("store", "doc_id", "val"))
+    },
+
+    // ---- the MULTI-BATCH growing-index law, hash-matched (st17, r18) ------
+    // The r17 verdict's #4: st16 pins the front-door cascade in its
+    // id-ordered ONE-SHOT law, and the one-shot oracle is provably
+    // invalid for interleaved arrivals (its index holds every stream
+    // doc at once, so a batch judged early would see candidates that
+    // have not arrived yet). This entry pins the genuinely
+    // batch-DEPENDENT component — the st9 growing-index kernel — under
+    // an INTERLEAVED schedule (batch 0 = doc_id % 3 = 2, batch 1 =
+    // doc_id % 3 = 1: batch 1 carries ids below batch 0's), by
+    // iterating the kernel per batch against seed ∪ batches ≤ k —
+    // exactly what runIncrementalNearDupStream computes tick by tick
+    // (StreamsSpec proves stream ≡ this batch form on an interleaved
+    // file schedule). The front door's OTHER components are
+    // batch-independent per doc (quality/budget: st8/st13/st16) or
+    // pinned on their own store (lifecycle: st15), so this is the
+    // missing piece of the multi-batch front-door argument — PLANS.md
+    // r18 composes it.
+    sql("st17_interleaved_neardup", graft.llm.Dedup.interleavedOracleSql()) {
+      (s, d) =>
+        graft.llm.Dedup.incrementalNearDupBatches(
+          Tables.documents(s, d), pmod(col("doc_id"), lit(3)) === 0,
+          when(pmod(col("doc_id"), lit(3)) === 2, 0).otherwise(1), 2)
     },
 
     // ---- tumbling event-time windows (SURVEY §2.9 windows) ---------------

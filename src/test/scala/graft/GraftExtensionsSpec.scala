@@ -164,6 +164,70 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_ann_topk_batch serves a COLUMN of queries from SQL; the lateral form fails loudly as documented") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_ann_topk"),
+      new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
+        "graft_ann_topk"),
+      GraftExtensions.annTopKBuilder _)
+    reg.registerFunction(FunctionIdentifier("graft_ann_topk_batch"),
+      new ExpressionInfo(classOf[graft.llm.Similarity.type].getName,
+        "graft_ann_topk_batch"),
+      GraftExtensions.annTopKBatchBuilder _)
+    try {
+      val e = graft.llm.Similarity.clusteredEmbeddings(
+        Tables.embeddings(spark, sf))
+      val idx = graft.llm.Similarity.ivfIndexBuild(e)
+      spark.conf.set(GraftConfig.IndexRootKey, idx)
+      val queries = e.filter(col("vec_id") < 5L)
+      queries.createOrReplaceTempView("ann_queries")
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+      // batch TVF ≡ the DataFrame API's batch serving, row for row
+      val sqlRows = spark
+        .sql("SELECT qid, vid, sim FROM graft_ann_topk_batch('ann_queries', 5)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val apiRows = graft.llm.Similarity.ivfIndexQuery(spark, idx, queries, 5)
+        .select(col("qid"), col("vid"), col("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sqlRows === apiRows && sqlRows.nonEmpty,
+        "SQL batch serving must equal the DataFrame API")
+      assert(sqlRows.map(_._1) === queries.select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet,
+        "every query row must be served")
+
+      // the LATERAL-correlated form is NOT hostable on the injected-TVF
+      // surface (the builder receives expressions, not outer-plan
+      // correlation) — the failure must be loud, at analysis, with the
+      // documented message, never a silent wrong answer
+      val exL = intercept[Exception] {
+        spark.sql("SELECT q.vec_id, t.vid FROM ann_queries q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t").collect()
+      }
+      assert(msgs(exL).nonEmpty, "lateral form must fail with a message")
+
+      // misuse of the batch form fails analysis naming the contract
+      val exT = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_ann_topk_batch(42, 5)").collect()
+      }
+      assert(msgs(exT).exists(_.contains("string literal naming")))
+      val exA = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_ann_topk_batch('ann_queries')").collect()
+      }
+      assert(msgs(exA).exists(
+        _.contains("graft_ann_topk_batch(queries, k[, nprobe])")))
+    } finally {
+      spark.conf.unset(GraftConfig.IndexRootKey)
+      spark.catalog.dropTempView("ann_queries")
+      reg.dropFunction(FunctionIdentifier("graft_ann_topk"))
+      reg.dropFunction(FunctionIdentifier("graft_ann_topk_batch"))
+      ()
+    }
+  }
+
   test("injected builders reject wrong arity with the expected signature") {
     // zero args, and the silently-worse case: EXTRA args ignored
     val ex0 = intercept[IllegalArgumentException] {

@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 214)
+    assert(SparkEntry.registry.size === 216)
   }
 
   test("registry ids are unique and well-formed") {
@@ -28,14 +28,15 @@ class RegistryContractSpec extends AnyFunSuite {
   test("every oracle belongs to a registered query; oracle count is pinned") {
     val names = SparkEntry.registry.map(_.name).toSet
     assert(SparkEntry.oracleSql.keySet.subsetOf(names))
-    // 210 full oracles / 4 rows-only (q39/q64 ride Spark's native
+    // 212 full oracles / 4 rows-only (q39/q64 ride Spark's native
     // merge-order-sensitive sketch machinery by design; s20 is
     // gated-by-design — settled r16 after two measure-and-decline
     // rounds; st12 is the streaming lifecycle simulation; d13 promoted
-    // in r14 via the sha256-chunk bloom; r17 adds st16's full oracle).
-    // A promotion or an accidental oracle drop must move this pin
-    // consciously.
-    assert(SparkEntry.oracleSql.size === 210,
+    // in r14 via the sha256-chunk bloom; r17 adds st16's full oracle;
+    // r18 adds q82 (composed forget audit) and st17 (interleaved
+    // multi-batch kernel), both full). A promotion or an accidental
+    // oracle drop must move this pin consciously.
+    assert(SparkEntry.oracleSql.size === 212,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 

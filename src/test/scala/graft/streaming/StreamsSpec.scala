@@ -793,6 +793,55 @@ class StreamsSpec extends SparkSpec {
       s"compacted ledger must be one file set, found $nParquet parquet files")
   }
 
+  test("st17: interleaved multi-batch stream == batch N-tick form, and the schedule is observable vs the one-shot law") {
+    val docs = Tables.documents(spark, sf)
+    val snapshot = docs.filter(col("doc_id") % 3 === 0)
+    val b0 = docs.filter(col("doc_id") % 3 === 2) // arrives FIRST
+    val b1 = docs.filter(col("doc_id") % 3 === 1) // smaller ids, arrives second
+    // the batch N-tick form (the st17 registry entry)
+    val batched = graft.llm.Dedup.incrementalNearDupBatches(docs,
+      col("doc_id") % 3 === 0,
+      when(col("doc_id") % 3 === 2, 0).otherwise(1), 2)
+      .as[(Long, Long, String)].collect()
+    val perDoc = batched.map(r => (r._2, r._3)).sortBy(_._1)
+    // the REAL stream over the same interleaved file schedule
+    val src = tmpDir("st17-src")
+    val ledger = tmpDir("st17-ledger") + "/l"
+    val out = tmpDir("st17-out") + "/o"
+    Streams.seedIncrementalLedger(snapshot, ledger)
+    val t0 = System.currentTimeMillis() - 3600000L
+    val stamped = scala.collection.mutable.Set[java.nio.file.Path]()
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.mode("append").parquet(src)
+      Files.list(Paths.get(src)).toArray.foreach { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        if (!stamped.contains(p)) {
+          stamped += p
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+          ()
+        }
+      }
+    }
+    Streams.runIncrementalNearDupStream(spark, src, ledger, out,
+      tmpDir("st17-ckpt") + "/c", maxFilesPerTrigger = Some(1))
+      .awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(streamed.sameElements(perDoc),
+      "interleaved streamed verdicts must equal the batch N-tick form")
+    // the schedule is OBSERVABLE: the one-shot law (st9's oracle form)
+    // must disagree on at least one doc — a batch-0 doc whose only
+    // near-dup original is a smaller-id batch-1 doc that has not
+    // arrived yet. This is exactly why st16's one-shot oracle is
+    // invalid for interleaved arrivals and st17 exists.
+    val oneShot = graft.llm.Dedup
+      .incrementalNearDup(docs, col("doc_id") % 3 === 0)
+      .as[(Long, String)].collect().toMap
+    assert(perDoc.exists { case (id, v) => oneShot(id) != v },
+      "the interleaved schedule must diverge from the one-shot law")
+  }
+
   test("streaming manifest maintenance: N ticks == q78 full manifest; replay is a no-op") {
     val docs = Tables.documents(spark, sf)
     val src = tmpDir("mani-src")
@@ -1141,6 +1190,107 @@ class StreamsSpec extends SparkSpec {
       dead, tmpDir("fdb-ck3") + "/c").awaitTermination(120000)
     assert(Streams.readComposedVerdicts(spark, verdicts).count() === before,
       "a declared replay must no-op through the batch markers")
+  }
+
+  test("composed forget path: crash injection at every step converges to the uninterrupted end state") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val src = tmpDir("fg-src")
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    // canonical PRE-forget front door, built once and CLONED per crash
+    // label (every store path inside one root; pointers are relative)
+    val protoRoot = tmpDir("fg-proto")
+    def storesAt(root: String) = Streams.FrontDoorStores(
+      s"$root/lc", s"$root/ledger", s"$root/v", s"$root/d")
+    val proto = storesAt(protoRoot)
+    BpeLifecycle.init(spark, proto.lcRoot, base)
+    Streams.seedIncrementalLedger(base, proto.ledgerDir)
+    Streams.runComposedGateStream(spark, src, proto.lcRoot, proto.ledgerDir,
+      proto.verdictsDir, proto.deadDir, s"$protoRoot/ck")
+      .awaitTermination(120000)
+    var nClones = 0
+    def clone(): Streams.FrontDoorStores = {
+      nClones += 1
+      val dst = tmpDir(s"fg-c$nClones") + "/s"
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(protoRoot).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(protoRoot), fs,
+        new org.apache.hadoop.fs.Path(dst), false, conf)
+      storesAt(dst)
+    }
+
+    // the request spans every store: stream docs (batch 0, all of
+    // quality-fail / budget-fail / judged land somewhere) plus one SEED
+    // doc (batch −1: the lifecycle's base entry, ledger seed rows)
+    val seedTomb = base.orderBy(col("doc_id")).limit(1)
+      .select(lit(-1L).as("batch_id"), col("doc_id"), col("text"))
+    val tombs = b1.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .select(lit(0L).as("batch_id"), col("doc_id"), col("text"))
+      .unionByName(seedTomb)
+    val tombIds = tombs.select(col("doc_id")).as[Long].collect().toSet
+    assert(tombIds.size > 1, "fixture must tombstone several docs")
+
+    case class End(version: Long,
+        merges: Seq[(Int, String, String, String, Long)],
+        ledger: Set[(Long, Boolean)], verdicts: Set[(Long, Long, String)],
+        dead: Set[Seq[Any]])
+    def endState(s: Streams.FrontDoorStores): End = {
+      val m = BpeLifecycle.currentModel(spark, s.lcRoot)
+      End(m.version, m.merges,
+        Streams.readIncrementalLedger(spark, s.ledgerDir)
+          .select(col("doc_id"), col("__seed"))
+          .as[(Long, Boolean)].collect().toSet,
+        Streams.readComposedVerdicts(spark, s.verdictsDir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet,
+        Streams.readComposedDead(spark, s.deadDir)
+          .collect().map(_.toSeq).toSet)
+    }
+
+    // REFERENCE: the uninterrupted composed forget
+    val ref = clone()
+    Streams.forgetDocs(spark, ref, tombs)
+    val want = endState(ref)
+    assert(want.ledger.map(_._1).intersect(tombIds).isEmpty,
+      "ledger may not still reference a tombstoned doc")
+    assert(want.verdicts.map(_._2).intersect(tombIds).isEmpty,
+      "verdicts may not still reference a tombstoned doc")
+    assert(want.dead.map(_(1).asInstanceOf[Long]).intersect(tombIds).isEmpty,
+      "dead-letter may not still reference a tombstoned doc")
+    assert(Streams.readForgetIntent(spark, ref).isEmpty)
+
+    val labels = Seq("pre-intent",
+      "purged-lifecycle", "done-lifecycle", "purged-ledger", "done-ledger",
+      "purged-verdicts", "done-verdicts", "purged-dead", "done-dead",
+      "post-clear-intent")
+    labels.zipWithIndex.foreach { case (label, i) =>
+      val st = clone()
+      val boom = intercept[RuntimeException] {
+        Streams.forgetDocsImpl(spark, st, tombs,
+          l => if (l == label) throw new RuntimeException(s"crash at $l"))
+      }
+      assert(boom.getMessage === s"crash at $label")
+      if (label != "pre-intent" && label != "post-clear-intent")
+        assert(Streams.readForgetIntent(spark, st).nonEmpty,
+          s"$label: the request must be pending on disk")
+      // BOTH resume paths, alternated across labels: an operator re-run
+      // with the same tombstones, and the next-tick finalize (the hook
+      // runComposedGateStream calls) — which must be able to complete
+      // the request from the persisted state ALONE
+      if (i % 2 == 0) Streams.forgetDocs(spark, st, tombs)
+      else Streams.finalizePendingForget(spark, st)
+      assert(endState(st) === want,
+        s"$label: resumed forget must converge to the uninterrupted end state")
+      assert(Streams.readForgetIntent(spark, st).isEmpty,
+        s"$label: the intent must be cleared")
+    }
+
+    // a full RE-RUN of an already-completed request is also safe (every
+    // store purge is replay-safe end to end)
+    Streams.forgetDocs(spark, ref, tombs)
+    assert(endState(ref) === want, "re-running a completed forget must no-op")
   }
 
   test("an empty incarnation token (torn create) reads as ABSENT, not as a mismatch") {
