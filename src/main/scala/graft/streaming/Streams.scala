@@ -864,6 +864,18 @@ object Streams {
   case class FrontDoorStores(lcRoot: String, ledgerDir: String,
       verdictsDir: String, deadDir: String)
 
+  /** Optional FIFTH store for [[forgetDocs]]: the st11 closure-label
+    * store of a deployment running [[runIncrementalClosureStream]]
+    * beside the front door. `corpusDir` is the parquet path of the
+    * corpus AS INGESTED (the stream source) — the re-closure needs the
+    * surviving docs' text, and a PATH (unlike a DataFrame) can ride the
+    * persisted intent so the next-tick finalize resumes this leg from
+    * disk alone; the post-purge corpus is corpusDir anti-joined with
+    * the persisted tombstones. Paths must not contain newlines (the
+    * intent is a line file).
+    */
+  case class LabelStore(labelsDir: String, corpusDir: String)
+
   /** COMPOSED right-to-be-forgotten across the whole front door (r17
     * verdict #1). Ingestion composed in r17 (one stream, four durable
     * surfaces); erasure was still four separate campaigns — a crash
@@ -899,21 +911,28 @@ object Streams {
     * `tombstones` is (batch_id, doc_id, text) — batch_id names the
     * lifecycle batch the doc ARRIVED in (seed docs: −1, the base
     * entry), text the doc as ingested: the [[BpeLifecycle.purge]]
-    * contract, which needs both for its exact subtraction. 100 TB
-    * shape: requests are request-sized; each store's work is bounded
-    * by its own store (histogram revisions + retrain from vocabulary-
-    * sized tables, one ledger/sink rewrite each) — nothing rescans the
-    * corpus.
+    * contract, which needs both for its exact subtraction. A
+    * deployment running [[runIncrementalClosureStream]] beside the
+    * front door passes its label store as the optional FIFTH leg
+    * (`labels` — [[LabelStore]]): the store identity rides the
+    * persisted intent (paths, not frames), so that leg resumes from
+    * disk like the others, and [[graft.llm.Dedup.purgeClosureLabels]]
+    * re-runs are no-ops. 100 TB shape: requests are request-sized;
+    * each store's work is bounded by its own store (histogram
+    * revisions + retrain from vocabulary-sized tables, one ledger/sink
+    * rewrite each, a campaign-bounded label re-closure) — nothing
+    * rescans the corpus.
     */
   def forgetDocs(spark: SparkSession, stores: FrontDoorStores,
-      tombstones: DataFrame): Unit =
-    forgetDocsImpl(spark, stores, tombstones, _ => ())
+      tombstones: DataFrame, labels: Option[LabelStore] = None): Unit =
+    forgetDocsImpl(spark, stores, tombstones, _ => (), labels)
 
   private val ForgetIntentFile = "_FORGET_INTENT"
   private def forgetRootOf(stores: FrontDoorStores): String =
     s"${stores.verdictsDir}_forget"
 
-  private[streaming] case class ForgetIntent(fp: Long, done: Set[String])
+  private[streaming] case class ForgetIntent(fp: Long, done: Set[String],
+      labels: Option[LabelStore] = None)
 
   private def forgetFs(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
@@ -934,9 +953,15 @@ object Streams {
         .getLines().toSeq finally in.close()
       val fp = lines.collectFirst { case l if l.startsWith("fp ") =>
         scala.util.Try(l.stripPrefix("fp ").trim.toLong).toOption }.flatten
+      val lab = for {
+        ld <- lines.collectFirst { case l if l.startsWith("labelsdir ") =>
+          l.stripPrefix("labelsdir ") }
+        cd <- lines.collectFirst { case l if l.startsWith("corpusdir ") =>
+          l.stripPrefix("corpusdir ") }
+      } yield LabelStore(ld, cd)
       fp.map(f => ForgetIntent(f,
         lines.filter(_.startsWith("done ")).map(_.stripPrefix("done ").trim)
-          .toSet))
+          .toSet, lab))
     }
   }
 
@@ -945,7 +970,9 @@ object Streams {
     val fs = forgetFs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"$ForgetIntentFile.tmp")
     val out = fs.create(tmp, true)
-    try out.write((s"fp ${intent.fp}" +:
+    try out.write((Seq(s"fp ${intent.fp}") ++
+      intent.labels.toSeq.flatMap(l =>
+        Seq(s"labelsdir ${l.labelsDir}", s"corpusdir ${l.corpusDir}")) ++
       intent.done.toSeq.sorted.map(s => s"done $s"))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
@@ -966,14 +993,17 @@ object Streams {
 
   private[streaming] def forgetDocsImpl(spark: SparkSession,
       stores: FrontDoorStores, tombstones: DataFrame,
-      failpoint: String => Unit): Unit = {
+      failpoint: String => Unit,
+      labels: Option[LabelStore] = None): Unit = {
     val root = forgetRootOf(stores)
     val ts = tombstones.dropDuplicates(Seq("batch_id", "doc_id"))
     val reqFp = forgetFingerprint(ts)
     readForgetIntent(spark, stores) match {
       case Some(i) if i.fp == reqFp =>
         // a replay of THIS request: resume from the persisted progress
-        // (the persisted tombstones ARE this request — same fingerprint)
+        // (the persisted tombstones ARE this request — same
+        // fingerprint; the persisted store list governs, so a replay
+        // that passes different `labels` does not fork the request)
         driveForget(spark, stores, i, failpoint)
         return
       case Some(i) =>
@@ -989,8 +1019,9 @@ object Streams {
     // request; failed guards stay loud, not half-resumed)
     ts.write.mode("overwrite").parquet(s"$root/tombstones")
     failpoint("pre-intent")
-    writeForgetIntent(spark, root, ForgetIntent(reqFp, Set.empty))
-    driveForget(spark, stores, ForgetIntent(reqFp, Set.empty), failpoint)
+    writeForgetIntent(spark, root, ForgetIntent(reqFp, Set.empty, labels))
+    driveForget(spark, stores, ForgetIntent(reqFp, Set.empty, labels),
+      failpoint)
   }
 
   /** Drive the per-store purges from the PERSISTED request, skipping
@@ -1009,7 +1040,8 @@ object Streams {
         body
         failpoint(s"purged-$name")
         done += name
-        writeForgetIntent(spark, root, ForgetIntent(intent0.fp, done))
+        writeForgetIntent(spark, root,
+          ForgetIntent(intent0.fp, done, intent0.labels))
         failpoint(s"done-$name")
       }
     // lifecycle FIRST: it is the one store whose replay safety rests on
@@ -1023,6 +1055,20 @@ object Streams {
     }
     step("verdicts") { purgeComposedSink(spark, stores.verdictsDir, ts) }
     step("dead") { purgeComposedSink(spark, stores.deadDir, ts) }
+    // optional fifth store: the st11 closure-label store of a
+    // deployment running the closure stream beside the front door. The
+    // re-closure corpus is reconstructed from the PERSISTED corpus path
+    // (anti-joined with the persisted tombstones), so this leg resumes
+    // from disk exactly like the others; purgeClosureLabels re-runs are
+    // no-ops (affected set empty after the first pass — DedupSpec).
+    intent0.labels.foreach { l =>
+      step("labels") {
+        graft.llm.Dedup.purgeClosureLabels(spark, l.labelsDir,
+          ts.select(col("doc_id")),
+          spark.read.parquet(l.corpusDir)
+            .join(ts.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      }
+    }
     // clear: the intent file is the pending-request marker — deleting it
     // commits completion; the tombstones dir is then stale garbage (a
     // crash between the two deletes leaves it for the next request's

@@ -1293,6 +1293,69 @@ class StreamsSpec extends SparkSpec {
     assert(endState(ref) === want, "re-running a completed forget must no-op")
   }
 
+  test("composed forget: the optional closure-label leg rides the persisted intent and resumes from disk") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val root = tmpDir("fgl")
+    val src = s"$root/src"
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    // the corpus AS INGESTED, persisted — the path the intent carries
+    val corpusDir = s"$root/corpus"
+    docs.write.mode("overwrite").parquet(corpusDir)
+    val stores = Streams.FrontDoorStores(s"$root/lc", s"$root/ledger",
+      s"$root/v", s"$root/d")
+    BpeLifecycle.init(spark, stores.lcRoot, base)
+    Streams.seedIncrementalLedger(base, stores.ledgerDir)
+    Streams.runComposedGateStream(spark, src, stores.lcRoot,
+      stores.ledgerDir, stores.verdictsDir, stores.deadDir, s"$root/ck")
+      .awaitTermination(120000)
+    // a closure-label store over the same corpus (the st11 deployment)
+    val labelsDir = s"$root/labels"
+    graft.llm.Dedup.mergeClosureLabels(spark, labelsDir,
+      graft.llm.Dedup.minhashPairs(docs))
+    assert(graft.llm.Dedup.readClosureLabels(spark, labelsDir).count() > 0)
+
+    val tombs = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .select(when(pmod(col("doc_id"), lit(2)) === 0, lit(-1L))
+        .otherwise(lit(0L)).as("batch_id"), col("doc_id"), col("text"))
+    val tombIds = tombs.select(col("doc_id")).as[Long].collect().toSet
+    val lab = Some(Streams.LabelStore(labelsDir, corpusDir))
+
+    // crash AFTER the label purge, BEFORE its done-mark — then resume
+    // via the next-tick finalize, which must reconstruct the label leg
+    // (store paths + re-closure corpus) from the persisted intent ALONE
+    val boom = intercept[RuntimeException] {
+      Streams.forgetDocsImpl(spark, stores, tombs,
+        l => if (l == "purged-labels") throw new RuntimeException(s"crash at $l"),
+        lab)
+    }
+    assert(boom.getMessage === "crash at purged-labels")
+    val pending = Streams.readForgetIntent(spark, stores)
+    assert(pending.exists(_.labels === lab),
+      "the intent must carry the label store identity")
+    Streams.finalizePendingForget(spark, stores)
+    assert(Streams.readForgetIntent(spark, stores).isEmpty)
+    val after = graft.llm.Dedup.readClosureLabels(spark, labelsDir)
+      .as[(Long, Long)].collect()
+    assert(after.forall { case (d, c) => !tombIds(d) && !tombIds(c) },
+      "no tombstoned id may survive in the label store")
+    // and the label store equals the fresh closure over the purged
+    // corpus (the purgeClosureLabels law, here THROUGH the composed
+    // resume path with the corpus reconstructed from the intent)
+    val purged = docs.join(tombs.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val expected = graft.llm.Dedup.dedupClusters(
+        graft.llm.Dedup.minhashPairs(purged))
+      .select(col("doc_id"), col("comp_id")).as[(Long, Long)].collect().toMap
+    assert(after.toMap === expected,
+      "post-forget labels must equal the fresh closure over the purged corpus")
+    // the other four stores were swept too (spot check: ledger)
+    assert(Streams.readIncrementalLedger(spark, stores.ledgerDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+      .intersect(tombIds).isEmpty)
+  }
+
   test("an empty incarnation token (torn create) reads as ABSENT, not as a mismatch") {
     val root = tmpDir("bind-torn")
     // simulate the torn fs.create: a zero-byte token file
