@@ -366,4 +366,60 @@ class NewOpsPlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"st16 cascade must stay on keyed joins:\n${plan.take(900)}")
   }
+
+  test("st17 batched kernel: corpus scans are FIXED, independent of batch count") {
+    // the 100 TB claim of incrementalNearDupBatches: the expensive
+    // artifact derivation (sha256 signature chains over text) runs once
+    // into the spill; per-batch kernels read the spill only. If a batch
+    // loop ever re-derived from text, scans would grow with nBatches.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val src = java.nio.file.Files.createTempDirectory("st17-plan").toString
+    Tables.documents(spark, sf).write.mode("overwrite").parquet(src)
+    val docs = spark.read.parquet(src)
+    val srcScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    def fileScans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec => fileScans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains(src))) 1
+        else 0
+      case other => other.children.map(fileScans).sum
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { srcScans.addAndGet(fileScans(qe.executedPlan)); () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    def scansFor(nBatches: Int): Int = {
+      spark.listenerManager.register(listener)
+      try {
+        srcScans.set(0)
+        graft.llm.Dedup.incrementalNearDupBatches(docs,
+          pmod(col("doc_id"), lit(3)) === 0,
+          pmod(col("doc_id"), lit(nBatches)), nBatches)
+          .write.format("noop").mode("overwrite").save()
+        org.apache.spark.GraftSparkInternals
+          .waitListenerBusEmpty(spark.sparkContext, 30000)
+        srcScans.get()
+      } finally { spark.listenerManager.unregister(listener); () }
+    }
+    // one untimed warm-up run: first-touch planning effects (statistics,
+    // spread's partition probe) add a one-time scan event that has
+    // nothing to do with batch count
+    scansFor(2)
+    val s2 = scansFor(2)
+    val s4 = scansFor(4)
+    assert(s2 === s4,
+      s"corpus scans grew with batch count ($s2 vs $s4) — a per-batch " +
+        "kernel is re-deriving artifacts from text instead of reading " +
+        "the spill")
+    // the artifact job reads the source twice (signature derivation +
+    // the seed/batch flag join); everything after is spill-only
+    assert(s2 <= 2, s"artifact stage scans the corpus $s2 times")
+  }
 }
