@@ -838,13 +838,22 @@ object Streams {
   /** Replay-safe readers for [[runComposedGateStream]]'s sinks: a batch
     * that crashed between an append and its marker replays the append
     * byte-identically, so any (batch_id, doc_id) survivor is correct —
-    * the [[readIncrementalLedger]] convention.
+    * the [[readIncrementalLedger]] convention, including its swap-heal:
+    * a [[forgetDocs]] sink rewrite that crashed between DirSwap's two
+    * renames leaves the sink parked at `__old`, and a reader must
+    * restore it rather than fail until the forget resumes (r18 — the
+    * ledger reader already did this; the sinks gained rewrite-and-swap
+    * maintenance with the composed forget, so they inherit the heal).
     */
-  def readComposedVerdicts(spark: SparkSession, verdictsDir: String): DataFrame =
+  def readComposedVerdicts(spark: SparkSession, verdictsDir: String): DataFrame = {
+    recoverSwap(spark, verdictsDir)
     spark.read.parquet(verdictsDir).dropDuplicates(Seq("batch_id", "doc_id"))
+  }
 
-  def readComposedDead(spark: SparkSession, deadDir: String): DataFrame =
+  def readComposedDead(spark: SparkSession, deadDir: String): DataFrame = {
+    recoverSwap(spark, deadDir)
     spark.read.parquet(deadDir).dropDuplicates(Seq("batch_id", "doc_id"))
+  }
 
   /** Operator acknowledgment that the next [[runComposedGateStream]]
     * incarnation against these sinks replays the same source prefix

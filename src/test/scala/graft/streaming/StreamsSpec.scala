@@ -1291,6 +1291,19 @@ class StreamsSpec extends SparkSpec {
     // store purge is replay-safe end to end)
     Streams.forgetDocs(spark, ref, tombs)
     assert(endState(ref) === want, "re-running a completed forget must no-op")
+
+    // reader-side swap heal: a sink purge that crashed between DirSwap's
+    // two renames leaves the sink parked at __old — the composed readers
+    // must restore it (the readIncrementalLedger convention), not fail
+    // until the forget resumes
+    Files.move(Paths.get(ref.verdictsDir),
+      Paths.get(ref.verdictsDir + "__old"))
+    assert(Streams.readComposedVerdicts(spark, ref.verdictsDir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+      === want.verdicts, "the reader must heal a parked sink and read it")
+    assert(Files.exists(Paths.get(ref.verdictsDir)) &&
+      !Files.exists(Paths.get(ref.verdictsDir + "__old")),
+      "the heal must restore the primary path")
   }
 
   test("composed forget: the optional closure-label leg rides the persisted intent and resumes from disk") {
