@@ -40,6 +40,9 @@ import org.apache.spark.sql.SparkSession
   *   `graft_bpe_count`/`graft_bpe_tokens` SQL functions serve from |
   * | `spark.graft.index.root` | unset | IVF index (or IndexLifecycle)
   *   root the `graft_ann_topk` SQL table function serves from |
+  * | `spark.graft.sink.healWaitMs` | 10000 | composed-sink readers: wait
+  *   this long for a live purge swap (marker present, primary mid-swap)
+  *   before treating the marker as stale and healing the swap |
   *
   * The legacy `graft.spill.ttl.minutes` JVM sysprop is honored as a
   * fallback (it predates this surface); the SparkConf key wins.
@@ -194,4 +197,21 @@ object GraftConfig {
     * function fails loudly at analysis time.
     */
   val IndexRootKey = "spark.graft.index.root"
+
+  val SinkHealWaitMsKey = "spark.graft.sink.healWaitMs"
+
+  /** How long a composed-sink reader waits for a LIVE purge rewrite
+    * (the `<dir>__purging` marker is present and the primary dir is
+    * mid-swap) before treating the marker as a crashed purge's leftover
+    * and healing the swap itself (r19 — the reader-heal vs live-swap
+    * race fix). A live [[graft.streaming.Streams.forgetDocs]] swap is
+    * two renames — microseconds — so the default is generous; specs
+    * shrink it to keep the stale-marker path fast.
+    */
+  def sinkHealWaitMs(spark: SparkSession): Long =
+    spark.conf.getOption(SinkHealWaitMsKey).map { v =>
+      val ms = v.trim.toLong
+      require(ms >= 0, s"$SinkHealWaitMsKey=$ms must be >= 0")
+      ms
+    }.getOrElse(10000L)
 }

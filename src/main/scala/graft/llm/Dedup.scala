@@ -383,22 +383,46 @@ object Dedup {
       spillDir: Option[String] = None): DataFrame = {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
     val spark = docs.sparkSession
-    val artDir = trackSpill(
-      s"${spillBase(spark, spillDir, "incrementalNearDupBatches")}/${runDirName("incartb")}")
+    val base = spillBase(spark, spillDir, "incrementalNearDupBatches")
+    val artDir = trackSpill(s"$base/${runDirName("incartb")}")
     dedupIndexArtifacts(docs)
       .join(docs.select(col("doc_id"), snapshotPred.as("__ledger"),
         when(snapshotPred, lit(-1)).otherwise(batchOf).as("__batch")),
         Seq("doc_id"))
       .write.mode("overwrite").parquet(artDir)
     val flagged = spark.read.parquet(artDir)
-    (0 until nBatches).map { k =>
+    // coverage guard (r18 ADVICE): a non-snapshot doc whose batchOf
+    // lands outside [0, nBatches) — or evaluates to null — would be
+    // judged by NO batch and enter NO batch's index: an inconsistent
+    // batchOf/nBatches pair must fail loudly, not shrink the result.
+    // One cheap aggregate over the spill.
+    val stray = flagged.filter(col("__batch").isNull ||
+        col("__batch") < -1 || col("__batch") >= nBatches)
+      .agg(count(lit(1)).as("n"), min(col("__batch")).as("lo"),
+        max(col("__batch")).as("hi")).head()
+    require(stray.getLong(0) == 0L,
+      s"incrementalNearDupBatches: ${stray.getLong(0)} doc(s) carry a " +
+        s"batchOf value outside [0, $nBatches) (observed range " +
+        s"[${stray.get(1)}, ${stray.get(2)}], null = batchOf evaluated " +
+        "to null) — they would be silently neither judged nor indexed; " +
+        "pass a batchOf/nBatches pair covering every non-snapshot doc")
+    // one spill write per batch instead of reduce(unionByName) over N
+    // kernel plans (r18 verdict #5): the returned plan is ONE scan of
+    // the verdict spill, O(1) in batch count — at the N-tick law's
+    // production shape (N in the hundreds) an N-way union's analysis
+    // cost grows with every tick while this stays flat, the same
+    // artifact-spill pattern the input side of this function uses.
+    val verDir = trackSpill(s"$base/${runDirName("incverb")}")
+    (0 until nBatches).foreach { k =>
       val streamArt = flagged.filter(col("__batch") === k)
         .drop("__ledger", "__batch")
       val idxArt = flagged.filter(col("__ledger") || col("__batch") <= k)
         .drop("__batch")
       incrementalVerdictsFromArtifacts(streamArt, idxArt, minJaccard, maxBucket)
         .select(lit(k.toLong).as("batch_id"), col("doc_id"), col("verdict"))
-    }.reduce(_ unionByName _)
+        .write.mode(if (k == 0) "overwrite" else "append").parquet(verDir)
+    }
+    spark.read.parquet(verDir)
   }
 
   /** DuckDB oracle for [[incrementalNearDupBatches]] with the st17

@@ -729,11 +729,18 @@ object BpeLifecycle {
         // composed forget pays this per affected entry, and two collects
         // where one suffices is pure per-job overhead): a full outer
         // join classifies each word as foreign (no stored row) or
-        // over-subtracted (stored freq < tombstone count).
+        // over-subtracted (stored freq < tombstone count). The sample
+        // is ordered foreign-FIRST (r18 ADVICE): an unordered limit(5)
+        // could fill with over-subtracted rows while foreign words sit
+        // past the cut, and the foreign require would then pass and the
+        // error misreport the failure class — foreign-first ordering
+        // guarantees the sample contains foreign rows whenever ANY
+        // exist, so each require reports its own class.
         val bad = sub.join(stored, Seq("w"), "full_outer")
           .filter(col("gone").isNotNull &&
             (col("freq").isNull || col("freq") < col("gone")))
           .select(col("w"), col("freq").isNull.as("foreign"))
+          .orderBy(col("foreign").desc, col("w"))
           .limit(5).collect()
         require(!bad.exists(_.getBoolean(1)),
           s"purge names words $oldName never held (first: ${

@@ -845,14 +845,56 @@ object Streams {
     * ledger reader already did this; the sinks gained rewrite-and-swap
     * maintenance with the composed forget, so they inherit the heal).
     */
-  def readComposedVerdicts(spark: SparkSession, verdictsDir: String): DataFrame = {
-    recoverSwap(spark, verdictsDir)
-    spark.read.parquet(verdictsDir).dropDuplicates(Seq("batch_id", "doc_id"))
-  }
+  def readComposedVerdicts(spark: SparkSession, verdictsDir: String): DataFrame =
+    readComposedSink(spark, verdictsDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("verdict",
+          org.apache.spark.sql.types.StringType))))
 
-  def readComposedDead(spark: SparkSession, deadDir: String): DataFrame = {
-    recoverSwap(spark, deadDir)
-    spark.read.parquet(deadDir).dropDuplicates(Seq("batch_id", "doc_id"))
+  def readComposedDead(spark: SparkSession, deadDir: String): DataFrame =
+    readComposedSink(spark, deadDir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("gate",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("reason",
+          org.apache.spark.sql.types.StringType))))
+
+  /** Shared composed-sink read: marker-aware heal, then an empty
+    * canonical-schema frame when the sink holds no data yet (absent
+    * dir, or only the tick-start incarnation token — the r18 ADVICE
+    * 'unable to infer schema' wedge). The heal respects a LIVE purge:
+    * while `<dir>__purging` stands it waits for the swap to land
+    * instead of restoring the parked dir under the writer
+    * (GraftConfig.sinkHealWaitMs bounds the wait — past it the marker
+    * is a crashed purge's leftover, and healing is correct: the
+    * resumed forget re-runs the rewrite idempotently).
+    */
+  private def readComposedSink(spark: SparkSession, dir: String,
+      emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = purgeMarkerPath(dir)
+    if (!fs.exists(dst) && fs.exists(marker)) {
+      val deadline = System.currentTimeMillis() +
+        graft.GraftConfig.sinkHealWaitMs(spark)
+      while (!fs.exists(dst) && fs.exists(marker) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25)
+      if (!fs.exists(dst)) { fs.delete(marker, false); () } // stale: crashed purge
+    }
+    recoverSwap(spark, dir)
+    if (!fs.exists(dst) || !hasDataFiles(fs, dst))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), emptySchema)
+    else
+      spark.read.parquet(dir).dropDuplicates(Seq("batch_id", "doc_id"))
   }
 
   /** Operator acknowledgment that the next [[runComposedGateStream]]
@@ -937,6 +979,7 @@ object Streams {
     forgetDocsImpl(spark, stores, tombstones, _ => (), labels)
 
   private val ForgetIntentFile = "_FORGET_INTENT"
+  private val ForgetIntentEnd = "end"
   private def forgetRootOf(stores: FrontDoorStores): String =
     s"${stores.verdictsDir}_forget"
 
@@ -947,19 +990,39 @@ object Streams {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private[streaming] def readForgetIntent(spark: SparkSession,
-      stores: FrontDoorStores): Option[ForgetIntent] = {
-    val root = forgetRootOf(stores)
-    val fs = forgetFs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(root, ForgetIntentFile)
-    // interrupted-commit promotion, the readManifest idiom
-    val tmp = new org.apache.hadoop.fs.Path(root, s"$ForgetIntentFile.tmp")
-    if (!fs.exists(p) && fs.exists(tmp)) { fs.rename(tmp, p); () }
+  /** Intent lines, or None when the file is absent OR TORN: a crash
+    * mid-write of the INITIAL intent can persist a prefix (e.g. the
+    * `fp` line without the `labelsdir`/`corpusdir` lines), and parsing
+    * that prefix would resume a forget that silently SKIPS the
+    * label-store leg while still clearing the intent as complete (r18
+    * ADVICE). The trailing `end` sentinel — written last, inside the
+    * same buffered write — makes the file self-validating: no
+    * sentinel, no intent.
+    */
+  private def readIntentLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Seq[String]] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toSeq finally in.close()
+      if (lines.lastOption.contains(ForgetIntentEnd)) Some(lines) else None
+    }
+
+  private[streaming] def readForgetIntent(spark: SparkSession,
+      stores: FrontDoorStores): Option[ForgetIntent] = {
+    val root = forgetRootOf(stores)
+    val fs = forgetFs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root, ForgetIntentFile)
+    // interrupted-commit promotion, the readManifest idiom — but only
+    // of a COMPLETE tmp (sentinel-checked): a torn tmp is a crashed
+    // initial write, i.e. no intent was ever committed, and promoting
+    // it would resume a truncated request as if it were whole
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$ForgetIntentFile.tmp")
+    if (!fs.exists(p) && readIntentLines(fs, tmp).isDefined) {
+      fs.rename(tmp, p); ()
+    }
+    readIntentLines(fs, p).flatMap { lines =>
       val fp = lines.collectFirst { case l if l.startsWith("fp ") =>
         scala.util.Try(l.stripPrefix("fp ").trim.toLong).toOption }.flatten
       val lab = for {
@@ -982,7 +1045,8 @@ object Streams {
     try out.write((Seq(s"fp ${intent.fp}") ++
       intent.labels.toSeq.flatMap(l =>
         Seq(s"labelsdir ${l.labelsDir}", s"corpusdir ${l.corpusDir}")) ++
-      intent.done.toSeq.sorted.map(s => s"done $s"))
+      intent.done.toSeq.sorted.map(s => s"done $s") ++
+      Seq(ForgetIntentEnd))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(root, ForgetIntentFile)
@@ -1107,11 +1171,25 @@ object Streams {
     * rows yet) is a no-op.
     */
   private def purgeComposedSink(spark: SparkSession, dir: String,
-      tombIds: DataFrame): Unit = {
+      tombIds: DataFrame): Unit =
+    purgeComposedSinkImpl(spark, dir, tombIds, () => ())
+
+  /** `midSwap` is the race-spec seam, threaded into
+    * [[graft.core.DirSwap.swapIntoPlace]]'s between-the-renames window.
+    */
+  private[streaming] def purgeComposedSinkImpl(spark: SparkSession,
+      dir: String, tombIds: DataFrame, midSwap: () => Unit): Unit = {
     recoverSwap(spark, dir)
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dst)) return
+    // a sink dir can exist holding only underscore-prefixed files — the
+    // incarnation token is written at tick START, before any batch
+    // commits — and spark.read.parquet on it throws 'unable to infer
+    // schema'; with a pending forget intent, finalizePendingForget
+    // would then re-throw on every tick, wedging the stream (r18
+    // ADVICE). No data files = nothing to purge.
+    if (!hasDataFiles(fs, dst)) return
     val tomb = tombIds.select(col("doc_id")).distinct()
     val sink = spark.read.parquet(dir)
     // re-select the sink's own column order: the equi-join moves the key
@@ -1135,9 +1213,33 @@ object Streams {
         val out = fs.create(new org.apache.hadoop.fs.Path(tmp, StreamIdFile), true)
         try out.write(tok.getBytes("UTF-8")) finally out.close()
       }
-      swapIntoPlace(fs, tmp, dst)
+      // purge-in-progress marker (r19, the r13 s22 discipline on
+      // composed sinks): a concurrent reader's swap-heal racing into
+      // swapIntoPlace's between-the-renames window would restore the
+      // parked dir under the writer and fail the forget spuriously.
+      // While the marker stands, readers WAIT instead of healing; it
+      // comes down after the swap commits, and a crashed purge's stale
+      // marker times out reader-side (GraftConfig.sinkHealWaitMs) —
+      // the resumed forget re-runs this rewrite idempotently anyway.
+      val marker = purgeMarkerPath(dir)
+      fs.create(marker, true).close()
+      try graft.core.DirSwap.swapIntoPlace(fs, tmp, dst, midSwap)
+      finally { fs.delete(marker, false); () }
     } finally { rows.unpersist(); () }
   }
+
+  private def purgeMarkerPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + "__purging")
+
+  /** Any non-hidden (data) file directly under `dir`? Composed sinks
+    * are flat appends — parquet parts at the top level.
+    */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(dst).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
 
   /** Stream-INCARNATION binding shared by the lifecycle stream drivers
     * (r17): foreachBatch batch ids are meaningful only within one

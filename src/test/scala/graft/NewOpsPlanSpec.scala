@@ -422,4 +422,31 @@ class NewOpsPlanSpec extends SparkSpec {
     // the seed/batch flag join); everything after is spill-only
     assert(s2 <= 2, s"artifact stage scans the corpus $s2 times")
   }
+
+  test("st17 batched kernel: the returned plan is O(1) in batch count (spilled verdicts, not an N-way union)") {
+    // r18 verdict #5: at the N-tick law's production shape (N in the
+    // hundreds) a reduce(unionByName) over N kernel plans grows the
+    // returned plan — and every downstream analysis — O(N). The kernel
+    // now spills each batch's verdicts and returns ONE scan; at N=50
+    // the plan must look exactly like it does at N=2.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(55).cache()
+    def planNodes(n: Int): Int = {
+      val out = graft.llm.Dedup.incrementalNearDupBatches(docs,
+        pmod(col("doc_id"), lit(n + 1)) === 0,
+        pmod(col("doc_id"), lit(n + 1)) - 1, n)
+      assert(out.queryExecution.optimizedPlan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.isEmpty, s"N=$n: the returned plan still unions per-batch kernels")
+      out.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val n2 = planNodes(2)
+    val n50 = planNodes(50)
+    assert(n2 === n50,
+      s"returned plan grew with batch count ($n2 nodes at N=2, $n50 at N=50)")
+    assert(n50 <= 4, s"expected a flat spill scan, got $n50 nodes")
+    docs.unpersist()
+    ()
+  }
 }

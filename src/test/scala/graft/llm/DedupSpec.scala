@@ -779,4 +779,31 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out2(1L) === "kept" && out2(3L) === "exact_dup")
   }
+
+  test("batched kernel fails loudly on a batchOf/nBatches pair that strands docs") {
+    // r18 ADVICE: a non-snapshot doc whose batchOf lands outside
+    // [0, nBatches) was silently neither judged nor indexed — the
+    // caller got a quietly smaller result. Now: loud, with the range.
+    val strandDocs = Seq((0L, "seed snapshot content here"),
+      (1L, "batch zero doc"), (2L, "batch one doc"),
+      (3L, "stranded doc three"), (4L, "stranded doc four"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupBatches(strandDocs, col("doc_id") === 0L,
+        col("doc_id") - 1, 2) // docs 3,4 → batch 2,3: outside [0, 2)
+    }
+    assert(ex.getMessage.contains("outside [0, 2)") &&
+      ex.getMessage.contains("2 doc(s)"), ex.getMessage)
+    // a NULL batchOf is the same hole (never judged, never indexed)
+    val exNull = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupBatches(strandDocs, col("doc_id") === 0L,
+        when(col("doc_id") === 1L, 0L), 2) // docs 2-4 → null
+    }
+    assert(exNull.getMessage.contains("outside [0, 2)"), exNull.getMessage)
+    // and a covering pair still works end to end
+    val ok = Dedup.incrementalNearDupBatches(strandDocs, col("doc_id") === 0L,
+      (col("doc_id") - 1) % 2, 2)
+    assert(ok.select(col("doc_id")).as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L))
+  }
 }

@@ -647,4 +647,29 @@ class BpeLifecycleSpec extends SparkSpec {
         "tick must unpersist the batch it pinned")
     } finally { spark.listenerManager.unregister(listener); () }
   }
+
+  test("purge guard blames the right class when both mismatch classes exceed the sample cap") {
+    // r18 ADVICE: the guard samples 5 bad rows; SIX over-subtracted
+    // words would fill an unordered sample on their own, the foreign
+    // require would pass, and the error would blame over-subtraction
+    // while foreign words exist past the cut. The foreign-FIRST sample
+    // ordering must surface the foreign class whenever it exists.
+    val base = Seq((1L, "s", "alpha beta")).toDF("doc_id", "source", "text")
+    val b0 = Seq((3L, "s", "p1 p2 p3 p4 p5 p6 p7 p8"))
+      .toDF("doc_id", "source", "text")
+    val lcRoot = tmpDir("bpelc-class") + "/lc"
+    spark.conf.set(graft.GraftConfig.BpeTrainRoundsKey, "2")
+    try {
+      BpeLifecycle.init(spark, lcRoot, base)
+      BpeLifecycle.tick(spark, lcRoot, b0, 0L)
+      val mixed = Seq(
+        (0L, 3L, "p1 p1 p2 p2 p3 p3 p4 p4 p5 p5 p6 p6 omega"))
+        .toDF("batch_id", "doc_id", "text")
+      val ex = intercept[IllegalArgumentException] {
+        BpeLifecycle.purge(spark, lcRoot, mixed)
+      }
+      assert(ex.getMessage.contains("never held") &&
+        ex.getMessage.contains("omega"), ex.getMessage)
+    } finally spark.conf.unset(graft.GraftConfig.BpeTrainRoundsKey)
+  }
 }

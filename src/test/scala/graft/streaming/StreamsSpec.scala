@@ -1369,6 +1369,139 @@ class StreamsSpec extends SparkSpec {
       .intersect(tombIds).isEmpty)
   }
 
+  test("forget over a data-less sink (only the tick-start token) no-ops instead of wedging the stream") {
+    // the verdicts binding is written at tick START, before any batch
+    // commits — a crash there leaves a sink dir holding ONLY the token,
+    // and spark.read.parquet on it throws 'unable to infer schema';
+    // with a pending intent every later tick's finalize would re-throw
+    // (r18 ADVICE). The purge must treat it as absent.
+    val root = tmpDir("fg-dataless")
+    val stores = Streams.FrontDoorStores(s"$root/lc", s"$root/ledger",
+      s"$root/v", s"$root/d")
+    val base = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+    BpeLifecycle.init(spark, stores.lcRoot, base)
+    Streams.seedIncrementalLedger(base, stores.ledgerDir)
+    Files.createDirectories(Paths.get(stores.verdictsDir))
+    Files.writeString(Paths.get(stores.verdictsDir, "_applied_stream"), "q-0")
+    // dead sink entirely absent
+    val tomb = base.orderBy(col("doc_id")).limit(1)
+      .select(lit(-1L).as("batch_id"), col("doc_id"), col("text"))
+    Streams.forgetDocs(spark, stores, tomb) // must complete, not throw
+    assert(Streams.readForgetIntent(spark, stores).isEmpty,
+      "the request must have completed")
+    assert(Files.exists(Paths.get(stores.verdictsDir, "_applied_stream")),
+      "the no-op purge must not disturb the incarnation token")
+    // and the composed readers return EMPTY canonical-schema frames for
+    // both data-less shapes (token-only dir, absent dir)
+    val v = Streams.readComposedVerdicts(spark, stores.verdictsDir)
+    assert(v.columns.toSeq === Seq("batch_id", "doc_id", "verdict")
+      && v.count() === 0L)
+    val d = Streams.readComposedDead(spark, stores.deadDir)
+    assert(d.columns.toSeq === Seq("batch_id", "doc_id", "gate", "reason")
+      && d.count() === 0L)
+  }
+
+  test("a torn forget intent (no end sentinel) reads as ABSENT and is never promoted") {
+    val root = tmpDir("fg-torn")
+    val stores = Streams.FrontDoorStores(s"$root/lc", s"$root/ledger",
+      s"$root/v", s"$root/d")
+    val fgRoot = s"${stores.verdictsDir}_forget"
+    Files.createDirectories(Paths.get(fgRoot))
+    // the r18 ADVICE scenario: a crash mid-write of the INITIAL intent
+    // persists the fp line but truncates the labelsdir/corpusdir lines
+    // — parsing it would resume a forget that silently skips the
+    // label-store leg while clearing the intent as complete
+    Files.writeString(Paths.get(fgRoot, "_FORGET_INTENT.tmp"), "fp 12345\n")
+    assert(Streams.readForgetIntent(spark, stores).isEmpty,
+      "a sentinel-less tmp is a crashed initial write, not an intent")
+    assert(!Files.exists(Paths.get(fgRoot, "_FORGET_INTENT")),
+      "the torn tmp must not be promoted")
+    // a torn MAIN intent file reads as absent too
+    Files.writeString(Paths.get(fgRoot, "_FORGET_INTENT"),
+      "fp 12345\nlabelsdir /x\n")
+    assert(Streams.readForgetIntent(spark, stores).isEmpty)
+    // finalizePendingForget over the torn state is a no-op, not a wedge
+    Streams.finalizePendingForget(spark, stores)
+    // and a WHOLE intent (sentinel present) parses all its lines
+    Files.writeString(Paths.get(fgRoot, "_FORGET_INTENT"),
+      "fp 12345\nlabelsdir /x\ncorpusdir /y\ndone lifecycle\nend\n")
+    val i = Streams.readForgetIntent(spark, stores)
+    assert(i.contains(Streams.ForgetIntent(12345L, Set("lifecycle"),
+      Some(Streams.LabelStore("/x", "/y")))))
+  }
+
+  test("a reader heal racing a LIVE sink swap: the writer retries instead of failing with a false 'parked' claim") {
+    val dir = tmpDir("race-swap") + "/v"
+    Seq((0L, 1L, "kept"), (0L, 2L, "near_dup"), (0L, 3L, "kept"))
+      .toDF("batch_id", "doc_id", "verdict")
+      .write.mode("overwrite").parquet(dir)
+    val tombs = Seq(2L).toDF("doc_id")
+    // inject the r18-verdict race into DirSwap's between-the-renames
+    // window exactly once: a concurrent reader's recover() restores the
+    // parked dir under the writer. Pre-fix this threw "live data is
+    // parked at __old" — false, the reader had already restored it.
+    var healed = false
+    Streams.purgeComposedSinkImpl(spark, dir, tombs, () => {
+      if (!healed) { healed = true; graft.core.DirSwap.recover(spark, dir) }
+    })
+    assert(healed, "the injected heal must have fired mid-swap")
+    assert(Streams.readComposedVerdicts(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet === Set(1L, 3L),
+      "the retried swap must still publish the purged rewrite")
+    assert(!Files.exists(Paths.get(dir + "__old")) &&
+      !Files.exists(Paths.get(dir + "__purging")) &&
+      !Files.exists(Paths.get(dir + "__compacting")),
+      "no swap debris may survive a completed purge")
+  }
+
+  test("composed readers respect a live purge marker: wait for the swap, heal only a STALE marker") {
+    // stale path: marker present, dir parked, no live writer — the
+    // reader waits out the bounded window, then heals (the crashed
+    // purge's resume re-runs the rewrite idempotently)
+    val dir = tmpDir("race-stale") + "/v"
+    Seq((0L, 1L, "kept")).toDF("batch_id", "doc_id", "verdict")
+      .write.mode("overwrite").parquet(dir)
+    Files.move(Paths.get(dir), Paths.get(dir + "__old"))
+    Files.writeString(Paths.get(dir + "__purging"), "")
+    spark.conf.set(graft.GraftConfig.SinkHealWaitMsKey, "200")
+    try {
+      val t0 = System.currentTimeMillis()
+      val got = Streams.readComposedVerdicts(spark, dir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(System.currentTimeMillis() - t0 >= 200L,
+        "the reader must wait out the marker window before healing")
+      assert(got === Set(1L))
+      assert(!Files.exists(Paths.get(dir + "__purging")),
+        "a timed-out marker is a crashed purge's leftover and comes down")
+
+      // live path: a writer completes the swap mid-wait — the reader
+      // returns the NEW content and never restores the parked dir
+      val dir2 = tmpDir("race-live") + "/v"
+      Seq((0L, 1L, "kept"), (0L, 2L, "kept"))
+        .toDF("batch_id", "doc_id", "verdict")
+        .write.mode("overwrite").parquet(dir2 + "__compacting")
+      Seq((0L, 9L, "stale")).toDF("batch_id", "doc_id", "verdict")
+        .write.mode("overwrite").parquet(dir2)
+      Files.move(Paths.get(dir2), Paths.get(dir2 + "__old"))
+      Files.writeString(Paths.get(dir2 + "__purging"), "")
+      spark.conf.set(graft.GraftConfig.SinkHealWaitMsKey, "5000")
+      val writer = new Thread(() => {
+        Thread.sleep(150)
+        Files.move(Paths.get(dir2 + "__compacting"), Paths.get(dir2))
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(dir2 + "__old"))
+        Files.delete(Paths.get(dir2 + "__purging"))
+      })
+      writer.start()
+      val got2 = Streams.readComposedVerdicts(spark, dir2)
+        .select(col("doc_id")).as[Long].collect().toSet
+      writer.join()
+      assert(got2 === Set(1L, 2L),
+        "the reader must see the writer's published rewrite, not heal the parked dir")
+    } finally spark.conf.unset(graft.GraftConfig.SinkHealWaitMsKey)
+  }
+
   test("an empty incarnation token (torn create) reads as ABSENT, not as a mismatch") {
     val root = tmpDir("bind-torn")
     // simulate the torn fs.create: a zero-byte token file
