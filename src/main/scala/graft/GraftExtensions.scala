@@ -31,9 +31,16 @@ import graft.functions.{ArrayDot, BpeCount, BpeTable, BpeTokens, CosineSimF32}
   *    ANALYSIS time, same freshness contract as the BPE functions;
   *  - SQL TABLE function `graft_ann_topk_batch(queries, k[, nprobe])`
   *    (r18): BATCH serving from pure SQL — `queries` names a
-  *    table/view of (vec_id, embedding) rows; see the builder's note
-  *    on why a LATERAL-correlated form is not hostable on Spark's
-  *    injected-TVF surface;
+  *    table/view of (vec_id, embedding) rows;
+  *  - LATERAL-correlated serving (r19):
+  *    `FROM q, LATERAL graft_ann_topk(q.vec, k)` is HOSTED — the
+  *    injected-TVF surface still cannot carry correlation (the r18
+  *    finding stands), so the builder returns a
+  *    [[graft.plans.AnnTopKHole]] placeholder and the injected
+  *    [[graft.plans.ResolveLateralAnnTopK]] resolution rule rewrites
+  *    the lateral join into the `graft_ann_topk_batch` serving plan;
+  *    unhostable shapes fail analysis loudly via
+  *    [[graft.plans.CheckAnnTopKHole]];
   *  - [[SelfSimilarityFold]], a constant-folding rule for degenerate
   *    similarity calls.
   */
@@ -73,6 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
       GraftExtensions.bpeTokensBuilder))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
+    // r19 (the r18 verdict's #1): LATERAL-correlated ANN serving. The
+    // injected-TVF surface still cannot host correlation (its builder
+    // sees only argument expressions), but a RESOLUTION rule sees the
+    // whole plan: a correlated graft_ann_topk call resolves to an
+    // AnnTopKHole placeholder, and ResolveLateralAnnTopK rewrites the
+    // enclosing lateral join into the graft_ann_topk_batch serving
+    // plan. Unhostable shapes fail analysis loudly via the check rule.
+    e.injectResolutionRule(session => graft.plans.ResolveLateralAnnTopK(session))
+    e.injectCheckRule(_ => graft.plans.CheckAnnTopKHole)
   }
 }
 
@@ -90,6 +106,34 @@ object GraftExtensions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$signature takes exactly $n argument${if (n == 1) "" else "s"}, " +
         s"got ${args.length}")
+
+  /** ONE index-serving dispatch for every SQL surface (point TVF, batch
+    * TVF, hosted LATERAL — r19): resolve a lifecycle root to its
+    * CURRENT generation, then route by store shape. PQ-shaped stores
+    * split again (r19 find, exposed by the lateral spec): a lifecycle
+    * GENERATION carries `assignments/` and serves through
+    * [[graft.llm.Similarity.ivfPqGenQuery]] (committed code deltas +
+    * the assignments read discipline), while a plain
+    * [[graft.llm.Similarity.ivfPqIndexBuild]] root stores its
+    * full-precision vectors at `vectors/` and serves through
+    * [[graft.llm.Similarity.ivfPqIndexQuery]] — before this split the
+    * batch TVF failed on plain PQ roots with a bare PATH_NOT_FOUND.
+    */
+  private[graft] def servePersistedIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      q: org.apache.spark.sql.DataFrame, k: Int,
+      nprobe: Option[Int]): org.apache.spark.sql.DataFrame = {
+    val idx = graft.streaming.IndexLifecycle.currentRoot(spark, root)
+      .getOrElse(root)
+    if (graft.llm.Similarity.hasPqShape(spark, idx)) {
+      val asg = new org.apache.hadoop.fs.Path(s"$idx/assignments")
+      val hasAssignments = asg.getFileSystem(
+        spark.sessionState.newHadoopConf()).exists(asg)
+      if (hasAssignments)
+        graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
+      else graft.llm.Similarity.ivfPqIndexQuery(spark, idx, q, k, nprobe)
+    } else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
+  }
 
   /** The serving merge table, loaded at analysis time from the active
     * session's `spark.graft.bpe.modelRoot`. Fails loudly (not with a
@@ -140,6 +184,19 @@ object GraftExtensions {
       case other => throw new IllegalArgumentException(
         s"graft_ann_topk: $what must be an integer literal, got $other")
     }
+    if (!args(0).foldable) {
+      // a CORRELATED call (r19): the vector references the lateral's
+      // left side, which this builder cannot see — k/nprobe must still
+      // be literals (fail loudly here: a correlated k is unhostable),
+      // and the vector's shape is validated by the resolution rule once
+      // it can resolve the reference. The returned hole is rewritten by
+      // ResolveLateralAnnTopK or fails analysis via CheckAnnTopKHole.
+      val kc = foldInt(args(1), "k")
+      if (kc < 1) throw new IllegalArgumentException(
+        s"graft_ann_topk: k must be >= 1, got $kc")
+      val npc = if (args.length == 3) Some(foldInt(args(2), "nprobe")) else None
+      return graft.plans.AnnTopKHole(args(0), kc, npc)
+    }
     val vec: Seq[Float] = (fold(args(0), "query_vec"), args(0).dataType) match {
       case (a: org.apache.spark.sql.catalyst.util.ArrayData,
           ArrayType(et: NumericType, _)) =>
@@ -177,12 +234,7 @@ object GraftExtensions {
     // SQL literal query is not a corpus member — no corpus vid may be
     // masked (stream batch ids are non-negative, so −1 cannot collide)
     val q = Seq((-1L, vec)).toDF("vec_id", "embedding")
-    val idx = graft.streaming.IndexLifecycle.currentRoot(spark, root)
-      .getOrElse(root)
-    val served =
-      if (graft.llm.Similarity.hasPqShape(spark, idx))
-        graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
-      else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
+    val served = servePersistedIndex(spark, root, q, k, nprobe)
     served.select(served("vid"), served("sim")).queryExecution.analyzed
   }
 
@@ -192,18 +244,20 @@ object GraftExtensions {
     * (qid, vid, sim) row per query × top-k neighbor, same index-root
     * resolution and freshness contract as [[annTopKBuilder]].
     *
-    * Why not `LATERAL graft_ann_topk(q.vec, k)`: an injected table
+    * Relation to `LATERAL graft_ann_topk(q.vec, k)`: an injected table
     * function's builder receives only the call's argument EXPRESSIONS
     * and must return a self-contained plan at resolution time — Spark's
     * `injectTableFunction` surface carries no outer-plan correlation
-    * (lateral column references reach the builder unresolved/
-    * non-foldable and fail analysis loudly with the documented
-    * `foldable literal` message; GraftExtensionsSpec pins that failure
-    * mode). Per-row correlation is therefore hosted the way the engine
-    * actually executes it anyway — as ONE batch join of the query
-    * relation against the index (`ivfIndexQuery`'s plan), which this
-    * function exposes to pure SQL by naming the relation instead of
-    * correlating into it.
+    * (the r18 finding, still true). Since r19 the lateral form IS
+    * hosted, one level up: the builder returns a
+    * [[graft.plans.AnnTopKHole]] and the injected
+    * [[graft.plans.ResolveLateralAnnTopK]] resolution rule — which
+    * sees the whole plan — rewrites the lateral join into exactly this
+    * function's batch-join plan (per-row correlation executed as ONE
+    * batch join, which is how the engine runs it anyway). This named-
+    * relation form remains the identity-carrying surface: it excludes
+    * `vid == vec_id` self-matches, which the identity-less lateral
+    * form cannot (GraftExtensionsSpec pins both semantics).
     */
   private[graft] def annTopKBatchBuilder(
       args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -246,12 +300,7 @@ object GraftExtensions {
     val q = spark.table(table)
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding"))
-    val idx = graft.streaming.IndexLifecycle.currentRoot(spark, root)
-      .getOrElse(root)
-    val served =
-      if (graft.llm.Similarity.hasPqShape(spark, idx))
-        graft.llm.Similarity.ivfPqGenQuery(spark, idx, q, k, nprobe)
-      else graft.llm.Similarity.ivfIndexQuery(spark, idx, q, k, nprobe)
+    val served = servePersistedIndex(spark, root, q, k, nprobe)
     served.select(served("qid"), served("vid"), served("sim"))
       .queryExecution.analyzed
   }

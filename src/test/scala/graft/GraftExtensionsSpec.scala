@@ -199,15 +199,18 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet,
         "every query row must be served")
 
-      // the LATERAL-correlated form is NOT hostable on the injected-TVF
-      // surface (the builder receives expressions, not outer-plan
-      // correlation) — the failure must be loud, at analysis, with the
-      // documented message, never a silent wrong answer
+      // the LATERAL-correlated form needs the RESOLUTION RULE (r19):
+      // on a session that registered only the functions — not
+      // GraftExtensions' rules — the correlated call resolves to the
+      // AnnTopKHole placeholder and analysis fails LOUDLY with the
+      // hole's hosting guidance, never a silent wrong answer. (The
+      // hosted path is spec'd below on an extensions session.)
       val exL = intercept[Exception] {
         spark.sql("SELECT q.vec_id, t.vid FROM ann_queries q, " +
           "LATERAL graft_ann_topk(q.embedding, 5) t").collect()
       }
-      assert(msgs(exL).nonEmpty, "lateral form must fail with a message")
+      assert(msgs(exL).exists(_.contains("hostable only as")),
+        s"rule-less lateral must fail with the hole guidance: ${msgs(exL)}")
 
       // misuse of the batch form fails analysis naming the contract
       val exT = intercept[Exception] {
@@ -225,6 +228,157 @@ class GraftExtensionsSpec extends SparkSpec {
       reg.dropFunction(FunctionIdentifier("graft_ann_topk"))
       reg.dropFunction(FunctionIdentifier("graft_ann_topk_batch"))
       ()
+    }
+  }
+
+  test("LATERAL graft_ann_topk(q.vec, k) is HOSTED via the resolution rule: ≡ batch TVF row-for-row, PQ path, cutover freshness, loud only when unhostable") {
+    // r19, the r18 verdict's #1. The injected-TVF surface still cannot
+    // carry correlation; GraftExtensions' resolution rule rewrites the
+    // lateral join into the SAME batch-join plan graft_ann_topk_batch
+    // returns. Needs a session that actually LOADS the extension (the
+    // shared test session predates extension loading): built here over
+    // the same SparkContext via withExtensions, restored in finally.
+    val baseSession = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = GraftSession.builder("graft-lateral", 4)
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      val e = graft.llm.Similarity.clusteredEmbeddings(
+        Tables.embeddings(s2, sf))
+      val idx = graft.llm.Similarity.ivfIndexBuild(e)
+      s2.conf.set(GraftConfig.IndexRootKey, idx)
+      // query ids OUTSIDE the corpus id space: the batch TVF's
+      // vid == vec_id self-exclusion then never fires — the regime in
+      // which the identity-less lateral form is exactly ≡ batch (and
+      // the production serving case: incoming queries are not corpus
+      // rows)
+      e.filter(col("vec_id") < 5L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .createOrReplaceTempView("ann_q_lat")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = rows(s2.sql(
+        "SELECT qid, vid, sim FROM graft_ann_topk_batch('ann_q_lat', 5)"))
+      val lat = rows(s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_lat q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t"))
+      assert(lat === batch && lat.nonEmpty,
+        "lateral must equal the batch TVF row-for-row on the same index")
+
+      // alias-less + 3-arg nprobe form + a WHERE on the left side
+      val lat3 = s2.sql(
+        "SELECT vec_id, vid FROM ann_q_lat, " +
+          "LATERAL graft_ann_topk(embedding, 3, 2) WHERE vec_id % 2 = 0")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(lat3.map(_._1).distinct.forall(_ % 2 === 0) &&
+        lat3.groupBy(_._1).values.forall(_.length === 3),
+        "filtered lateral must serve k=3 rows per surviving left row")
+
+      // SELF-EXCLUSION semantics, spec-pinned: with corpus-member ids
+      // the batch TVF excludes vid == vec_id; the correlated form
+      // carries only the VECTOR (the point form's qid −1 contract,
+      // batched) and must surface the identical corpus vector itself
+      e.filter(col("vec_id") < 5L).createOrReplaceTempView("ann_q_self")
+      val bSelf = rows(s2.sql(
+        "SELECT qid, vid, sim FROM graft_ann_topk_batch('ann_q_self', 5)"))
+      val lSelf = rows(s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_self q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t"))
+      assert(bSelf.forall { case (q, vid, _) => vid != q },
+        "batch TVF must keep its id-based self-exclusion")
+      assert(lSelf.exists { case (q, vid, sim) => vid == q && sim === 1.0 },
+        "the identity-less lateral must rank the identical corpus vector")
+
+      // duplicate and NULL query vectors: dups each get the (shared)
+      // top-k; null vectors produce no rows (inner-join semantics)
+      s2.sql("SELECT * FROM ann_q_lat UNION ALL SELECT * FROM ann_q_lat " +
+        "UNION ALL SELECT -7L AS vec_id, CAST(NULL AS ARRAY<FLOAT>) AS embedding")
+        .createOrReplaceTempView("ann_q_dup")
+      val latDup = s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_dup q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t")
+      assert(latDup.count() === 2L * lat.size,
+        "each duplicate row gets the top-k; the null row gets none")
+      assert(rows(latDup) === lat, "duplicate rows share the top-k")
+
+      // empty left side serves zero rows without failing
+      assert(s2.sql(
+        "SELECT q.vec_id, t.vid FROM (SELECT * FROM ann_q_lat WHERE " +
+          "vec_id < 0) q, LATERAL graft_ann_topk(q.embedding, 5) t")
+        .count() === 0L)
+
+      // PQ-shaped root dispatches to the ADC + exact-re-rank path
+      val pq = graft.llm.Similarity.ivfPqIndexBuild(e)
+      s2.conf.set(GraftConfig.IndexRootKey, pq)
+      val batchPq = rows(s2.sql(
+        "SELECT qid, vid, sim FROM graft_ann_topk_batch('ann_q_lat', 5)"))
+      val latPq = rows(s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_lat q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t"))
+      assert(latPq === batchPq && latPq.nonEmpty,
+        "lateral must ride the PQ serving path on a PQ-shaped root")
+
+      // LIFECYCLE root: analysis-time CURRENT-generation resolution —
+      // a drift-triggered retrain cutover is visible to the NEXT query
+      val lcRoot = java.nio.file.Files.createTempDirectory("ann-lat-lc").toString
+      val lcBase = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      graft.streaming.IndexLifecycle.init(s2, lcRoot, lcBase)
+      s2.conf.set(GraftConfig.IndexRootKey, lcRoot)
+      val latLc = rows(s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_lat q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t"))
+      assert(latLc.nonEmpty && latLc.forall(_._2 % 3 === 0),
+        "lifecycle root must serve the CURRENT generation's corpus")
+      val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
+      val cut = graft.streaming.IndexLifecycle.tick(s2, lcRoot, drifted, 1L)
+      assert(cut, "the shifted batch must cut over to a new generation")
+      s2.sql("SELECT vec_id, transform(embedding, x -> x + 0.75F) AS embedding " +
+        "FROM ann_q_lat").createOrReplaceTempView("ann_q_drift")
+      val latLc2 = rows(s2.sql(
+        "SELECT q.vec_id, t.vid, t.sim FROM ann_q_drift q, " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t"))
+      assert(latLc2.exists(_._2 % 3 === 1),
+        "post-cutover lateral must serve the retrained generation")
+
+      // UNHOSTABLE shapes fail loudly via the check rule, with guidance
+      s2.conf.set(GraftConfig.IndexRootKey, idx)
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      val exOuter = intercept[Exception] {
+        s2.sql("SELECT q.vec_id, t.vid FROM ann_q_lat q LEFT OUTER JOIN " +
+          "LATERAL graft_ann_topk(q.embedding, 5) t").collect()
+      }
+      assert(msgs(exOuter).exists(_.contains("hostable only as")),
+        s"outer lateral must fail with hosting guidance: ${msgs(exOuter)}")
+      // correlated k is genuinely unhostable — loud at the builder
+      val exK = intercept[Exception] {
+        s2.sql("SELECT q.vec_id, t.vid FROM ann_q_lat q, " +
+          "LATERAL graft_ann_topk(q.embedding, CAST(q.vec_id AS INT)) t")
+          .collect()
+      }
+      assert(msgs(exK).exists(_.contains("k must be a foldable literal")),
+        s"correlated k must fail loudly: ${msgs(exK)}")
+      // a non-array correlated vector fails naming the type contract
+      val exT = intercept[Exception] {
+        s2.sql("SELECT q.vec_id, t.vid FROM ann_q_lat q, " +
+          "LATERAL graft_ann_topk(q.vec_id, 5) t").collect()
+      }
+      assert(msgs(exT).exists(_.contains("numeric array")),
+        s"non-array vector must fail naming the contract: ${msgs(exT)}")
+    } finally {
+      s2.conf.unset(GraftConfig.IndexRootKey)
+      Seq("ann_q_lat", "ann_q_self", "ann_q_dup", "ann_q_drift")
+        .foreach(v => { s2.catalog.dropTempView(v); () })
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(baseSession)
+      org.apache.spark.sql.SparkSession.setActiveSession(baseSession)
     }
   }
 
