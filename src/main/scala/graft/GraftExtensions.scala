@@ -24,6 +24,13 @@ import graft.functions.{ArrayDot, BpeCount, BpeTable, BpeTokens, CosineSimF32}
   *    (always fresh across retrains/purges; no stale JVM cache), and
   *    the table rides the plan as a reference object exactly like the
   *    DataFrame API's codegen'd [[BpeCount]];
+  *  - SQL functions `graft_quality_route(text)` and
+  *    `graft_budget_route(text[, min_tok, max_tok])` (r19): the st8
+  *    quality battery and the st13 token-budget gate as STRUCT(route,
+  *    reason) scalars — the front-door ingestion gates for pure-SQL
+  *    deployments, built from the same shared column definitions as
+  *    the DataFrame routes (the budget gate meters through the SERVED
+  *    model, same freshness contract as `graft_bpe_count`);
   *  - SQL TABLE function `graft_ann_topk(query_vec, k[, nprobe])`
   *    (r17): the SERVED vector index for pure-SQL pipelines — resolves
   *    `spark.graft.index.root` (plain IVF/IVF-PQ root, or an
@@ -79,6 +86,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
       GraftExtensions.bpeTokensBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_quality_route"),
+      new ExpressionInfo(classOf[graft.streaming.Streams.type].getName,
+        "graft_quality_route"),
+      GraftExtensions.qualityRouteBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_budget_route"),
+      new ExpressionInfo(classOf[graft.streaming.Streams.type].getName,
+        "graft_budget_route"),
+      GraftExtensions.budgetRouteBuilder))
     e.injectOptimizerRule(_ => SelfSimilarityFold)
     // r19 (the r18 verdict's #1): LATERAL-correlated ANN serving. The
     // injected-TVF surface still cannot host correlation (its builder
@@ -303,6 +320,71 @@ object GraftExtensions {
     val served = servePersistedIndex(spark, root, q, k, nprobe)
     served.select(served("qid"), served("vid"), served("sim"))
       .queryExecution.analyzed
+  }
+
+  /** `graft_quality_route(text)` → STRUCT(route, reason) — the st8
+    * ingestion battery for pure-SQL pipelines (r19, the r18 verdict's
+    * #6): built from the SAME column definitions the DataFrame route
+    * and the composed front door use
+    * ([[graft.streaming.Streams.qualityCols]]), so the SQL verdict can
+    * never drift from st8's. `route` is 'pass'/'fail'; `reason` the
+    * first failing battery rule (null on pass).
+    */
+  private[graft] def qualityRouteBuilder(args: Seq[Expression]): Expression = {
+    requireArity("graft_quality_route(text)", 1, args)
+    import org.apache.spark.sql.functions.{struct, when}
+    val Shim = org.apache.spark.sql.graftshim.Shim
+    val (_, reason) = graft.streaming.Streams.qualityCols(
+      Shim.column(args.head))
+    Shim.expressionEager(struct(
+      when(reason.isNull, "pass").otherwise("fail").as("route"),
+      reason.as("reason")))
+  }
+
+  /** `graft_budget_route(text[, min_tok, max_tok])` → STRUCT(route,
+    * reason) — the st13 token-budget gate metered through the SERVED
+    * tokenizer (r19): the merge table loads from
+    * `spark.graft.bpe.modelRoot` at ANALYSIS time (the
+    * `graft_bpe_count` freshness contract) and the verdict is
+    * [[graft.streaming.Streams.budgetReason]] verbatim. The 1-arg form
+    * uses the composed front door's bounds (64, 4096); bounds must be
+    * integer literals with min ≤ max — fail-loud, never defaulted.
+    */
+  private[graft] def budgetRouteBuilder(args: Seq[Expression]): Expression = {
+    if (args.length != 1 && args.length != 3)
+      throw new IllegalArgumentException(
+        "graft_budget_route(text[, min_tok, max_tok]) takes 1 or 3 " +
+          s"arguments, got ${args.length}")
+    def foldLong(e: Expression, what: String): Long = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"graft_budget_route: $what must be a foldable integer literal")
+      e.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_budget_route: $what must be an integer literal, got $other")
+      }
+    }
+    val (minTok, maxTok) =
+      if (args.length == 3) (foldLong(args(1), "min_tok"),
+        foldLong(args(2), "max_tok"))
+      else (64L, 4096L)
+    if (minTok < 0 || maxTok < minTok) throw new IllegalArgumentException(
+      s"graft_budget_route: bounds must satisfy 0 <= min_tok <= max_tok, " +
+        s"got ($minTok, $maxTok)")
+    import org.apache.spark.sql.functions.{size, split, struct, trim, when}
+    val Shim = org.apache.spark.sql.graftshim.Shim
+    val text = Shim.column(args.head)
+    // n_ws via size(split(...)) — the st13 whitespace convention the
+    // oracle replays (whitespace-only doc counts 1), see bpeBudgetRoute
+    val nWs = size(split(trim(text), "\\s+")).cast("long")
+    val nBpe = Shim.column(BpeCount(args.head, servedBpeTable()))
+    val reason = graft.streaming.Streams.budgetReason(nBpe, nWs,
+      minTok, maxTok)
+    Shim.expressionEager(struct(
+      when(reason.isNull, "pass").otherwise("fail").as("route"),
+      reason.as("reason")))
   }
 
   private[graft] def bpeCountBuilder(args: Seq[Expression]): Expression = {

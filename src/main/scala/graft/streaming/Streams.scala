@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -372,24 +372,30 @@ object Streams {
     * needs one deterministic label, not four flags.
     */
   def qualityRoute(docs: DataFrame): DataFrame = {
-    val sw = typedLit(graft.llm.TextStats.enStopwords)
-    docs
-      .withColumn("__ts", split(trim(col("text")), "\\s+"))
-      .withColumn("__n", size(col("__ts")).cast("long"))
-      .withColumn("__chars",
-        expr("aggregate(__ts, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
-      .withColumn("__stop",
-        size(filter(col("__ts"), t => array_contains(sw, t))).cast("long"))
-      .withColumn("__mx",
-        expr("CAST(array_max(transform(array_distinct(__ts), t -> size(filter(__ts, x -> x = t)))) AS BIGINT)"))
-      .select(col("doc_id"), col("__n").as("n_tok"),
-        when(!col("__n").between(50, 100000), "ntok")
-          .when(col("__chars") < col("__n") * 3 || col("__chars") > col("__n") * 10,
-            "wlen")
-          .when(col("__stop") * 100 < col("__n"), "stop")
-          .when(col("__mx") * 10 > col("__n"), "dom")
-          .as("reason"))
+    val (n, reason) = qualityCols(col("text"))
+    docs.select(col("doc_id"), n.as("n_tok"), reason.as("reason"))
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
+  }
+
+  /** (n_tok, first-failing-reason) of the st8 battery over a text
+    * column — the ONE definition shared by [[qualityRoute]], the
+    * composed front door, and the `graft_quality_route` SQL function
+    * (r19, the r18 verdict's #6): the SQL gate must be the DataFrame
+    * gate verbatim, not a re-derivation that can drift.
+    */
+  private[graft] def qualityCols(text: Column): (Column, Column) = {
+    val sw = typedLit(graft.llm.TextStats.enStopwords)
+    val ts = split(trim(text), "\\s+")
+    val n = size(ts).cast("long")
+    val chars = aggregate(ts, lit(0L), (a, x) => a + length(x))
+    val stop = size(filter(ts, t => array_contains(sw, t))).cast("long")
+    val mx = array_max(transform(array_distinct(ts),
+      t => size(filter(ts, x => x === t)))).cast("long")
+    val reason = when(!n.between(50, 100000), "ntok")
+      .when(chars < n * 3 || chars > n * 10, "wlen")
+      .when(stop * 100 < n, "stop")
+      .when(mx * 10 > n, "dom")
+    (n, reason)
   }
 
   /** Ingestion-time TOKEN-BUDGET gate metered through a LEARNED BPE
@@ -420,11 +426,18 @@ object Streams {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
         graft.functions.Bpe.count(col("text"), merges).as("n_bpe"))
       .select(col("doc_id"), col("n_ws"), col("n_bpe"),
-        when(col("n_bpe") < minTok, "short")
-          .when(col("n_bpe") > maxTok, "long")
-          .when(col("n_bpe") > lit(3L) * col("n_ws"), "blowup")
-          .as("reason"))
+        budgetReason(col("n_bpe"), col("n_ws"), minTok, maxTok).as("reason"))
       .withColumn("route", when(col("reason").isNull, "pass").otherwise("fail"))
+
+  /** First-failing budget reason over metered counts — shared by
+    * [[bpeBudgetRoute]] and the `graft_budget_route` SQL function
+    * (r19): `short`/`long`/`blowup` in the fixed st13 order.
+    */
+  private[graft] def budgetReason(nBpe: Column, nWs: Column,
+      minTok: Long, maxTok: Long): Column =
+    when(nBpe < minTok, "short")
+      .when(nBpe > maxTok, "long")
+      .when(nBpe > lit(3L) * nWs, "blowup")
 
   /** [[bpeBudgetRoute]] metered through a PERSISTED model artifact (r16
     * — the deploy path): load the serving version's merge table from a

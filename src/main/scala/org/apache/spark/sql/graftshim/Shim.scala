@@ -14,6 +14,18 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion (r19): [[expression]] wraps a
+    * non-trivial ColumnNode lazily, and a lazy wrapper returned from a
+    * registered FUNCTION BUILDER reports no dataType during resolution
+    * — `fn(x).field` extraction then fails with a confusing
+    * "VOID is not a struct" error. Builders that COMPOSE functions-API
+    * columns (the r19 gate functions) convert through the ColumnNode
+    * converter instead, yielding a real Catalyst tree the analyzer can
+    * type immediately.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a Catalyst expression builder as a session SQL function, so
     * `spark.sql("SELECT my_fn(...)")` resolves it (the FunctionRegistry is
     * `private[sql]`, hence this shim).

@@ -382,6 +382,90 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_quality_route / graft_budget_route: SQL ≡ the st8/st13 DataFrame routes row-for-row; arity/knob fail-loud") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_quality_route"),
+      new ExpressionInfo(classOf[graft.streaming.Streams.type].getName,
+        "graft_quality_route"),
+      GraftExtensions.qualityRouteBuilder _)
+    reg.registerFunction(FunctionIdentifier("graft_budget_route"),
+      new ExpressionInfo(classOf[graft.streaming.Streams.type].getName,
+        "graft_budget_route"),
+      GraftExtensions.budgetRouteBuilder _)
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("gate_docs")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    try {
+      // QUALITY: SQL ≡ st8's qualityRoute verbatim (both verdict and
+      // first-failing reason), and the fixture must exercise both routes
+      val sqlQ = spark.sql(
+        "SELECT doc_id, graft_quality_route(text).route AS route, " +
+          "graft_quality_route(text).reason AS reason FROM gate_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val apiQ = graft.streaming.Streams.qualityRoute(docs)
+        .select(col("doc_id"), col("route"), col("reason"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(sqlQ === apiQ && sqlQ.nonEmpty)
+      assert(sqlQ.exists(_._2 == "pass") && sqlQ.exists(_._2 == "fail"),
+        "fixture must exercise both routes")
+
+      // BUDGET: unset model knob → loud analysis failure naming the fix
+      val exKnob = intercept[Exception] {
+        spark.sql("SELECT graft_budget_route(text) FROM gate_docs").collect()
+      }
+      assert(msgs(exKnob).exists(_.contains(GraftConfig.BpeModelRootKey)))
+      val root = java.nio.file.Files.createTempDirectory("gate-bpe").toString
+      val m = graft.llm.BpeArtifact.train(docs, root)
+      spark.conf.set(GraftConfig.BpeModelRootKey, root)
+      // 1-arg form = the composed front door's bounds (64, 4096)
+      val sqlB = spark.sql(
+        "SELECT doc_id, graft_budget_route(text).route AS route, " +
+          "graft_budget_route(text).reason AS reason FROM gate_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val apiB = graft.streaming.Streams
+        .bpeBudgetRouteFromArtifact(docs, root)
+        .select(col("doc_id"), col("route"), col("reason"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(sqlB === apiB && sqlB.nonEmpty)
+      // 3-arg form ≡ explicit bounds (tight bounds flip routes)
+      val sqlB3 = spark.sql(
+        "SELECT doc_id, graft_budget_route(text, 10, 200).route AS route, " +
+          "graft_budget_route(text, 10, 200).reason AS reason FROM gate_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val apiB3 = graft.streaming.Streams
+        .bpeBudgetRoute(docs, m.pairs, 10L, 200L)
+        .select(col("doc_id"), col("route"), col("reason"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(sqlB3 === apiB3 && sqlB3 != sqlB,
+        "tight bounds must route differently than the defaults")
+
+      // arity / bound misuse fails naming the contract
+      val exA = intercept[Exception] {
+        spark.sql("SELECT graft_budget_route(text, 10) FROM gate_docs").collect()
+      }
+      assert(msgs(exA).exists(
+        _.contains("graft_budget_route(text[, min_tok, max_tok])")))
+      val exB = intercept[Exception] {
+        spark.sql("SELECT graft_budget_route(text, 200, 10) FROM gate_docs")
+          .collect()
+      }
+      assert(msgs(exB).exists(_.contains("min_tok <= max_tok")))
+      val exQ = intercept[Exception] {
+        spark.sql("SELECT graft_quality_route(text, 1) FROM gate_docs").collect()
+      }
+      assert(msgs(exQ).exists(_.contains("graft_quality_route(text)")))
+    } finally {
+      spark.conf.unset(GraftConfig.BpeModelRootKey)
+      reg.dropFunction(FunctionIdentifier("graft_quality_route"))
+      reg.dropFunction(FunctionIdentifier("graft_budget_route"))
+      spark.catalog.dropTempView("gate_docs")
+      ()
+    }
+  }
+
   test("injected builders reject wrong arity with the expected signature") {
     // zero args, and the silently-worse case: EXTRA args ignored
     val ex0 = intercept[IllegalArgumentException] {
