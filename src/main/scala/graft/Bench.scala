@@ -7,21 +7,28 @@ import org.apache.spark.sql.SparkSession
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
   *
-  * Measurement protocol (adaptive_r18 = adaptive_r17 + three
-  * ARTIFACT-side additions, timing and estimators unchanged: (1) a
-  * per-entry `shape_changed` flag + scalar `shape_changed_names`
-  * digest — plan-shape metrics {shuffle_mb, peak_mem_mb} compared
-  * against the newest prior bench artifact (`SPARK_GRAFT_PRIOR_BENCH`
-  * overrides), so a cross-round adjudication only looks where time
-  * AND shape moved; (2) a scalar `value_norm` = value ×
-  * prior_calib_nt / calib_nt, the host-speed-corrected total; (3) a
-  * `depth_violations` self-audit in the scalar segment, so the
-  * bounded-tail driver artifact itself proves the ">1 s ⇒ ≥2 reps"
-  * rule held. Default budget 240 → 265 for the two r18 entries the
-  * r17 verdict asked for — the honest-growth settlement, see PLANS —
-  * and the depth runway 210 → 280 s (re-sized to the 216-entry tail's
-  * measured ~220 s second-rep cost; the self-audit found 210 starving
-  * 35 tail entries on a fast window).
+  * Measurement protocol (adaptive_r19 = adaptive_r18 + four
+  * ARTIFACT-side additions, timing and estimators unchanged: (1) the
+  * shape audit SPLITS by class — per-entry `shuffle_changed` /
+  * `peak_changed`, scalar counts for both, a `peak_regime_shift`
+  * detector (the r18 163-flag storm was 100% peak, a systematic ~8×
+  * cross-JVM page-quanta scale — a wholesale same-direction peak
+  * shift stays out of the headline `shape_changed`), an
+  * order-independent `shape_digest`, and the FULL name lists in a
+  * `<out>.shapes.json` sidecar; (2) `calib_spark` — a fixed 1M-row
+  * cached groupBy probe timing scheduler+shuffle+codegen the way the
+  * registry does (the LCG over-corrects scheduler-bound entries) —
+  * with `value_norm_spark` once a prior artifact carries the probe;
+  * (3) the artifact is ALWAYS also written to repo-root
+  * `bench_latest.json`, so the driver run's full spread is
+  * committable; (4) protocol tag bump. adaptive_r18 added: per-entry
+  * shape flags vs the newest prior artifact
+  * (`SPARK_GRAFT_PRIOR_BENCH` overrides), `value_norm` = value ×
+  * prior_calib_nt / calib_nt, and the `depth_violations` self-audit
+  * proving the ">1 s ⇒ ≥2 reps" rule held. Budget 240 → 265 for the
+  * two r18 entries (the honest-growth settlement, see PLANS); depth
+  * runway 210 → 280 s (re-sized to the 216-entry tail's measured
+  * ~220 s second-rep cost).
   * adaptive_r17 = adaptive_r13 + pass 1.5
   * slow-tail DEPTH: every entry whose single timed rep exceeds 1 s
   * gets a guaranteed second warm rep — on the pass's own bounded
@@ -351,11 +358,20 @@ object Bench {
     val priorCalibNt: Option[Double] = priorText.flatMap(text =>
       "\"calib_nt\":(-?[0-9.]+)".r.findFirstMatchIn(text)
         .map(_.group(1).toDouble))
-    // shape moved = shuffle beyond (10%, 0.25 MB) OR peak mem beyond
-    // (35%, 4 MB) of the prior artifact — peak gets the looser band
-    // (AQE/layout variance moves it on unchanged code; the s18 lesson)
-    def shapeChanged(name: String): Boolean =
-      priorSpread.get(name).exists { case (ps, pp) =>
+    // shape moved, SPLIT by class (adaptive_r19, the r18 verdict's #2):
+    // shuffle beyond (10%, 0.25 MB) is the DETERMINISTIC band — an
+    // unchanged plan writes the same shuffle bytes; peak mem beyond
+    // (35%, 4 MB) is informational — the r18 adjudication found the
+    // driver-vs-builder 163-flag storm was 100% peak-only, a systematic
+    // ~8× page-quanta scale shift between the two JVMs (8→64 MB,
+    // 16→128 MB, zero shuffle moves), i.e. a cross-PROCESS memory
+    // regime, not 163 regressions. Peak therefore carries its own
+    // count, a regime detector (below) keeps a wholesale same-direction
+    // shift out of the headline, and the FULL name lists land in a
+    // committed sidecar so the audit is adjudicable from artifacts
+    // alone (the 16-name tail truncation hid 147 of the 163).
+    def shapeMoved(name: String): (Boolean, Boolean) =
+      priorSpread.get(name).fold((false, false)) { case (ps, pp) =>
         val sMoved = (ps, qShuffleMb.get(name)) match {
           case (Some(a), Some(b)) =>
             math.abs(b - a) > math.max(0.10 * a, 0.25)
@@ -366,7 +382,7 @@ object Bench {
             math.abs(b - a) > math.max(0.35 * a, 4.0)
           case _ => false
         }
-        sMoved || pMoved
+        (sMoved, pMoved)
       }
     val qs = results.map { r =>
       "\"" + r.name + "\":" + r.measurement.fold("null")(fmt)
@@ -384,7 +400,9 @@ object Bench {
         body ++= ",\"reps_used\":" + r.times.length
         qShuffleMb.get(r.name).foreach(v => body ++= ",\"shuffle_mb\":" + fmt(v))
         qPeakMemMb.get(r.name).foreach(v => body ++= ",\"peak_mem_mb\":" + fmt(v))
-        if (shapeChanged(r.name)) body ++= ",\"shape_changed\":true"
+        val (sMv, pMv) = shapeMoved(r.name)
+        if (sMv) body ++= ",\"shuffle_changed\":true"
+        if (pMv) body ++= ",\"peak_changed\":true"
         if (r.coldOnly) body ++= ",\"cold_only\":true"
         if (r.times.length < r.attempted)
           body ++= ",\"failed_reps\":" + (r.attempted - r.times.length)
@@ -425,11 +443,40 @@ object Bench {
       r.measurement.exists(_ > SlowDepthThresh) && r.times.length < 2)
     val depthNames = depthViol.map(_.name).take(12)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // shape digest for the tail: the entries a PLANS adjudication should
-    // even look at (shape moved vs the prior artifact)
-    val shapeNames = results.filter(r => shapeChanged(r.name)).map(_.name)
-    val shapeNamesJson = shapeNames.take(16)
+    // shape audit (adaptive_r19): per-class name lists, a wholesale-
+    // regime detector for peak, an order-independent digest, and the
+    // FULL lists in a sidecar file next to the artifact.
+    val shuffleNames = results.filter(r => shapeMoved(r.name)._1).map(_.name)
+    val peakNames = results.filter(r => shapeMoved(r.name)._2).map(_.name)
+    // peak REGIME shift: most compared entries moved peak in the same
+    // direction ⇒ a cross-process memory regime (heap size → execution-
+    // memory page quanta), not per-entry plan changes — keep it out of
+    // the headline count but report it loudly as its own flag
+    val peakRegimeShift: Boolean = {
+      val dirs = peakNames.flatMap { n =>
+        for ((_, pp) <- priorSpread.get(n); a <- pp; b <- qPeakMemMb.get(n))
+          yield math.signum(b - a)
+      }
+      val compared = results.count(r => priorSpread.get(r.name)
+        .exists(_._2.isDefined) && qPeakMemMb.contains(r.name))
+      compared > 0 && dirs.size * 2 >= compared &&
+        dirs.nonEmpty && math.abs(dirs.sum) >= 0.8 * dirs.size
+    }
+    // headline = deterministic shuffle moves, plus per-entry peak moves
+    // only when they are NOT one wholesale regime shift
+    val shapeNames =
+      (shuffleNames ++ (if (peakRegimeShift) Nil else peakNames)).distinct
+    val shapeNamesJson = shapeNames.sorted.take(16)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // order-independent digest of the FULL flagged set (r18's bounded
+    // tail truncated the names at 16, hiding 147 flags): sha-256 over
+    // the sorted union, first 16 hex chars
+    def digest(names: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(names.sorted.mkString("\n").getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    }
+    val shapeDigest = digest(shapeNames)
     // Host-speed calibration: a fixed single-thread LCG loop and the same
     // loop on every core. Round-4/5/6 adjudications kept re-litigating
     // "is this regression or a slow host" — these two denominators let a
@@ -451,27 +498,73 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    // calib-normalized total (r18, the r17 verdict's #2): value scaled
-    // by prior_calib_nt / this_calib_nt — the host-speed-corrected
-    // number a cross-round comparison should read first
+    // Spark-shaped calibration probe (adaptive_r19, the r18 verdict's
+    // #7): the CPU-bound LCG over-corrects scheduler-bound entries
+    // (PLANS r18's own finding) — a fixed tiny Spark job (1M-row
+    // groupBy over a cached frame, noop sink) exercises scheduler +
+    // shuffle machinery + codegen the way the registry entries do.
+    // Median of 3 timed runs after an untimed warm-up.
+    val calibSpark: Double = {
+      import org.apache.spark.sql.functions.sum
+      val df = spark.range(0L, 1000000L, 1L)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      df.count() // materialize, untimed
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.groupBy("k").agg(sum("v"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up, untimed
+      val v = median(Seq(once(), once(), once()))
+      df.unpersist()
+      v
+    }
+    val priorCalibSpark: Option[Double] = priorText.flatMap(text =>
+      "\"calib_spark\":(-?[0-9.]+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble))
+    // calib-normalized totals: the LCG-normalized value_norm (r18) and
+    // the Spark-shaped value_norm_spark (r19) — PLANS adjudication
+    // reads the Spark-shaped one once a prior artifact carries the probe
     val normFields = priorCalibNt.map { ref =>
       s""","calib_ref":${fmt(ref)},"value_norm":${
         fmt(total * ref / calibN)}"""
+    }.getOrElse("") + priorCalibSpark.map { ref =>
+      s""","calib_spark_ref":${fmt(ref)},"value_norm_spark":${
+        fmt(total * ref / calibSpark)}"""
     }.getOrElse("")
     // scalar summary LAST so a bounded stdout tail capture lands on it
-    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r18","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"depth_violations":${depthViol.size},"depth_violation_names":$depthNames,"shape_changed":${shapeNames.size},"shape_changed_names":$shapeNamesJson,"prior_bench":${priorPath.fold("null")(p => "\"" + p + "\"")},"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)}$normFields,"sf":"$sfDir","value":$total}"""
+    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r19","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"depth_violations":${depthViol.size},"depth_violation_names":$depthNames,"shape_changed":${shapeNames.size},"shuffle_changed":${shuffleNames.size},"peak_changed":${peakNames.size},"peak_regime_shift":$peakRegimeShift,"shape_digest":"$shapeDigest","shape_changed_names":$shapeNamesJson,"prior_bench":${priorPath.fold("null")(p => "\"" + p + "\"")},"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"calib_spark":${fmt(calibSpark)}$normFields,"sf":"$sfDir","value":$total}"""
     println(line)
     // The driver's log capture keeps only a 2000-char stdout tail — far
-    // smaller than a 174-query JSON line — so also persist the artifact
-    // whole. SPARK_GRAFT_BENCH_OUT overrides the default path.
+    // smaller than a 216-query JSON line — so persist the artifact
+    // whole: SPARK_GRAFT_BENCH_OUT (default target/bench.json), PLUS a
+    // stable repo-root copy `bench_latest.json` the round can commit
+    // (r19, the r18 verdict's #8: the judge needs the driver run's full
+    // spread, not its 2000-char tail), PLUS the full shape-audit name
+    // lists as a sidecar (`<out>.shapes.json`) so the audit is
+    // adjudicable without re-deriving anything.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(p, line + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    def writeFile(path: String, content: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, content)
+        ()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    writeFile(outPath, line + "\n")
+    writeFile("bench_latest.json", line + "\n")
+    def namesJson(names: Seq[String]) =
+      names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val shapesLine =
+      s"""{"protocol":"adaptive_r19","prior_bench":${
+        priorPath.fold("null")(p => "\"" + p + "\"")},"shape_digest":"$shapeDigest","peak_regime_shift":$peakRegimeShift,"shuffle_changed_names":${
+        namesJson(shuffleNames)},"peak_changed_names":${
+        namesJson(peakNames)},"shape_changed_names":${namesJson(shapeNames)}}"""
+    writeFile(outPath + ".shapes.json", shapesLine + "\n")
     spark.stop()
   }
 }

@@ -842,6 +842,16 @@ object Streams {
             failpoint(batchId, "post-ledger")
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
+            // honor the ledger small-file knob HERE too (r19 — the
+            // long-arc soak exposed that only the standalone st9 stream
+            // compacted): a continuous crawl through the composed front
+            // door otherwise appends one file set per tick forever.
+            // After the marker, like st9: compaction is maintenance of
+            // committed state, and a crash mid-compaction replays as a
+            // completed batch + a crash-safe ledger swap heal.
+            if (graft.GraftConfig.ledgerCompactEvery(spark)
+                .exists(n => (batchId + 1) % n == 0))
+              compactIncrementalLedger(spark, ledgerDir)
           } finally { bArt.unpersist(); () }
         } finally { budget.unpersist(); () }
       } finally { quality.unpersist(); pinned.unpersist(); () }

@@ -1502,6 +1502,169 @@ class StreamsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.GraftConfig.SinkHealWaitMsKey)
   }
 
+  test("front-door long-arc soak: every growth bound ON, stores stay bounded, end state == knobs-off, mid-soak forget+crash+resume converges") {
+    // r18 verdict #3: the per-store compaction/retention laws are each
+    // spec'd in isolation; THIS is the composed long-run law a
+    // continuous crawl actually runs — 24 single-file ticks through
+    // runComposedGateStream with ledger compaction, histogram folding,
+    // and version retention all enabled, an interleaved drift schedule
+    // forcing retrains, and a crash-injected composed forget in the
+    // middle. The knobs must change STORAGE shape only: the knobs-on
+    // end state hash-equals the knobs-off run in every store.
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+    val streamIds = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      .orderBy(col("doc_id")).select(col("doc_id")).as[Long].collect().toSeq
+    val slices = streamIds.grouped(20).toSeq.take(24)
+    assert(slices.size === 24 && slices.forall(_.size === 20))
+    val src = tmpDir("soak-src")
+    // drifted slices (k % 6 == 5): hex garbage compresses far worse
+    // under the serving table than the English corpus — the drift
+    // trigger the retention knob needs something to reclaim after
+    def writeSlice(k: Int): Unit = {
+      val s = docs.filter(col("doc_id").isin(slices(k).map(Long.box): _*))
+      val out = if (k % 6 == 5)
+        s.withColumn("text", concat_ws(" ", sha2(col("text"), 256),
+          sha2(concat(col("text"), lit("x")), 256)))
+      else s
+      out.coalesce(1).write.mode("append").parquet(src)
+    }
+
+    val knobsOn = Seq(
+      graft.GraftConfig.LedgerCompactEveryKey -> "5",
+      graft.GraftConfig.BpeCompactAfterBatchesKey -> "4",
+      graft.GraftConfig.BpeKeepVersionsKey -> "1")
+    def withKnobs[A](on: Boolean)(body: => A): A = {
+      if (on) knobsOn.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally knobsOn.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    case class Run(root: String) {
+      val stores = Streams.FrontDoorStores(s"$root/lc", s"$root/ledger",
+        s"$root/v", s"$root/d")
+      val ck = s"$root/ck"
+      def init(): Unit = {
+        BpeLifecycle.init(spark, stores.lcRoot, seed)
+        Streams.seedIncrementalLedger(seed, stores.ledgerDir)
+      }
+      def phase(): Unit = Streams.runComposedGateStream(spark, src,
+        stores.lcRoot, stores.ledgerDir, stores.verdictsDir, stores.deadDir,
+        ck, maxFilesPerTrigger = Some(1), driftPct = Some(10))
+        .awaitTermination(240000)
+    }
+    val a = Run(tmpDir("soak-a")) // knobs ON
+    val b = Run(tmpDir("soak-b")) // knobs OFF (reference)
+
+    (0 until 12).foreach(writeSlice)
+    withKnobs(true) { a.init(); a.phase() }
+    withKnobs(false) { b.init(); b.phase() }
+
+    // tombstones derived from the SINKS (file→batch order is whatever
+    // the source listed — both runs saw the same listing, so the same
+    // (batch_id, doc_id) pairs; asserted) joined back to the text AS
+    // INGESTED, plus one seed doc (batch −1)
+    def sinkPairs(r: Run) = Streams.readComposedVerdicts(spark, r.stores.verdictsDir)
+      .select(col("batch_id"), col("doc_id"))
+      .unionByName(Streams.readComposedDead(spark, r.stores.deadDir)
+        .select(col("batch_id"), col("doc_id")))
+    assert(sinkPairs(a).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === sinkPairs(b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "both runs must have seen the same file→batch order")
+    val ingested = spark.read.parquet(src)
+    // MATERIALIZED before any forget runs: a lazy frame over A's sinks
+    // would be re-listed after A's purge swapped those files away
+    val tombs = sinkPairs(a).orderBy(col("doc_id")).limit(5)
+      .join(ingested, Seq("doc_id"))
+      .select(col("batch_id"), col("doc_id"), col("text"))
+      .unionByName(seed.orderBy(col("doc_id")).limit(1)
+        .select(lit(-1L).as("batch_id"), col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.toDF("batch_id", "doc_id", "text")
+    val tombIds = tombs.select(col("doc_id")).as[Long].collect().toSet
+
+    // mid-soak forget: crash injected on the knobs-on run after the
+    // verdicts purge, resumed by the next-tick hook; clean on reference
+    withKnobs(true) {
+      val boom = intercept[RuntimeException] {
+        Streams.forgetDocsImpl(spark, a.stores, tombs,
+          l => if (l == "purged-verdicts") throw new RuntimeException("mid-soak crash"))
+      }
+      assert(boom.getMessage === "mid-soak crash")
+      Streams.finalizePendingForget(spark, a.stores)
+    }
+    withKnobs(false) { Streams.forgetDocs(spark, b.stores, tombs) }
+
+    (12 until 24).foreach(writeSlice)
+    withKnobs(true) { a.phase() }
+    withKnobs(false) { b.phase() }
+
+    // (b) the knobs change STORAGE shape only: end state identical
+    def endState(r: Run) = {
+      val m = BpeLifecycle.currentModel(spark, r.stores.lcRoot)
+      (m.version, m.merges,
+        Streams.readIncrementalLedger(spark, r.stores.ledgerDir)
+          .select(col("doc_id"), col("__seed"))
+          .as[(Long, Boolean)].collect().toSet,
+        Streams.readComposedVerdicts(spark, r.stores.verdictsDir).collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet,
+        Streams.readComposedDead(spark, r.stores.deadDir).collect()
+          .map(_.toSeq).toSet)
+    }
+    val ea = endState(a)
+    val eb = endState(b)
+    assert(ea === eb, "knobs-on end state must equal the knobs-off run")
+    assert(ea._4.map(_._2).intersect(tombIds).isEmpty &&
+      ea._5.map(_(1).asInstanceOf[Long]).intersect(tombIds).isEmpty &&
+      ea._3.map(_._1).intersect(tombIds).isEmpty,
+      "forgotten docs must stay gone through the second soak arc")
+    assert(ea._1 > 1L, "the drift schedule must have forced retrains " +
+      "(otherwise the retention knob was never exercised)")
+
+    // (a) bounded growth, knobs-on vs knobs-off
+    val fs = new Path(a.stores.ledgerDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(dir: String): Int = fs.listStatus(new Path(dir)).count { st =>
+      val n = st.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+    }
+    assert(dataFiles(a.stores.ledgerDir) < dataFiles(b.stores.ledgerDir) / 2,
+      s"compacted ledger (${dataFiles(a.stores.ledgerDir)} files) must stay " +
+        s"far below append-only growth (${dataFiles(b.stores.ledgerDir)})")
+    val entriesA = BpeLifecycle.readManifest(spark, a.stores.lcRoot).size
+    val entriesB = BpeLifecycle.readManifest(spark, b.stores.lcRoot).size
+    assert(entriesA <= 4 && entriesB > entriesA,
+      s"histogram folding must bound manifest entries (on=$entriesA, off=$entriesB)")
+    def versionDirs(r: Run): Int = fs.listStatus(
+      new Path(BpeLifecycle.modelRoot(r.stores.lcRoot)))
+      .count(_.getPath.getName.startsWith("v"))
+    assert(versionDirs(a) <= 2 && versionDirs(b) > versionDirs(a),
+      s"version retention must reclaim old models (on=${versionDirs(a)}, " +
+        s"off=${versionDirs(b)})")
+
+    // the index lifecycle runs BESIDE the front door in a deployment —
+    // its growth bound rides the same session knobs without interfering
+    // (per-store equality under the knob is IndexLifecycleSpec's law;
+    // here: bounded deltas while the composed stores close green)
+    spark.conf.set(graft.GraftConfig.IndexCompactAfterBatchesKey, "3")
+    try {
+      val emb = graft.llm.Similarity.clusteredEmbeddings(
+        Tables.embeddings(spark, sf))
+      val lcIdx = tmpDir("soak-idx") + "/lc"
+      graft.streaming.IndexLifecycle.init(spark, lcIdx,
+        emb.filter(pmod(col("vec_id"), lit(8)) === 0))
+      (1 to 6).foreach { k =>
+        graft.streaming.IndexLifecycle.tick(spark, lcIdx,
+          emb.filter(pmod(col("vec_id"), lit(8)) === k), k.toLong)
+      }
+      val gen = graft.streaming.IndexLifecycle.currentRoot(spark, lcIdx).get
+      val deltas = new Path(s"$gen/deltas")
+      val nDeltas = if (fs.exists(deltas))
+        fs.listStatus(deltas).count(_.getPath.getName.startsWith("batch=")) else 0
+      assert(nDeltas < 3,
+        s"index delta compaction must keep committed batches bounded, got $nDeltas")
+    } finally spark.conf.unset(graft.GraftConfig.IndexCompactAfterBatchesKey)
+  }
+
   test("an empty incarnation token (torn create) reads as ABSENT, not as a mismatch") {
     val root = tmpDir("bind-torn")
     // simulate the torn fs.create: a zero-byte token file
