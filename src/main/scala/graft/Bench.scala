@@ -103,15 +103,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    // 265 (r18): 240 was settled for the 214-entry registry (the r16
-    // verdict's decision, same honest-growth argument as 210 → 240);
-    // r18 adds the two entries the r17 verdict itself asked for — the
-    // composed-forget audit (q82, ~15 s: a four-store RTBF sweep whose
-    // cost is sequential store actions, the st12 stage-count shape) and
-    // the interleaved multi-batch kernel (st17, ~4 s) — so the budget
-    // moves by their pre-priced cost. PLANS.md r18 carries the
-    // settlement argument.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "265").toDouble
+    // 271 (r19): 265 was settled for the 216-entry registry (PLANS r18);
+    // r19 adds s29_lateral_ann_sql — the r18 verdict's #1 as a registry
+    // row, pre-priced 4.5–6.5 s (the s16 chain + the SQL lateral serve
+    // + the equality gate) — so the budget moves by the pre-priced
+    // midpoint, the same honest-growth rule as 210 → 240 → 265.
+    // PLANS.md r19 carries the pricing.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "271").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -119,6 +117,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface — s29's lateral serving needs the
+      // resolution rule, which only a session build can inject
+      .withExtensions(new GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -565,6 +566,7 @@ object Bench {
         namesJson(shuffleNames)},"peak_changed_names":${
         namesJson(peakNames)},"shape_changed_names":${namesJson(shapeNames)}}"""
     writeFile(outPath + ".shapes.json", shapesLine + "\n")
+    writeFile("bench_latest.json.shapes.json", shapesLine + "\n")
     spark.stop()
   }
 }

@@ -25,6 +25,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's SQL surface (functions, TVFs, the r19 lateral
+      // resolution rule) — s29 exercises it under the oracle gate
+      .withExtensions(new GraftExtensions()(_))
     // extras applied LAST so a gate run can override a default
     val spark = extraConf.foldLeft(base) {
       case (b, (k, v)) => b.config(k, v)

@@ -3354,7 +3354,65 @@ object Similarity {
     },
 
     s24Entry,
-    s25Entry
+    s25Entry,
+
+    // ---- SQL LATERAL serving under the oracle gate (r19) -----------------
+    // The r18 verdict's #1 as a REGISTRY row: `FROM q, LATERAL
+    // graft_ann_topk(q.vec, 5)` is hosted by GraftExtensions' resolution
+    // rule (Verify/Bench sessions load the extension), and this entry
+    // pins the whole SQL surface under the correctness gate. The HASHED
+    // rows are the replayable persisted round trip (the s16 chain — the
+    // oracle replays codebook → routing → probe → rank); the lateral
+    // path rides two raise_error gates on the output sim column:
+    //  (1) the SQL lateral result must equal the DataFrame batch
+    //      serving (`ivfIndexQuery`) ROW FOR ROW on the same persisted
+    //      index — they are one plan by construction (the rule builds
+    //      the batch join), so any drift is a hosting bug, not noise.
+    //      Queries are re-keyed out of the corpus id space (+1e6): the
+    //      identity-less lateral form cannot self-exclude, so parity
+    //      holds exactly when ids are not corpus members (the
+    //      production serving case; GraftExtensionsSpec pins the
+    //      corpus-member difference);
+    //  (2) the s16 recall floor stays on the hashed rows; the lateral
+    //      rows inherit serving quality through gate (1)'s row-for-row
+    //      pin to the plain batch plan (itself spec-pinned ≡ the batch
+    //      TVF and recall-gated in GraftExtensionsSpec).
+    sql("s29_lateral_ann_sql", ivfReplayOracleSql(withScanFrac = false)) { (s, d) =>
+      val e = clusteredEmbeddings(Tables.embeddings(s, d))
+      val key = "clustered:" + d
+      val q = e.filter(col("vec_id") < 8)
+      val nl = deriveNlist(corpusCount(e, Some(key)))
+      val idx = ivfIndexBuildReplayable(e, nl)
+      val served = ivfIndexQueryReplayable(s, idx, q, 5)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+      val qOff = q.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      qOff.createOrReplaceTempView("graft_s29_queries")
+      s.conf.set(graft.GraftConfig.IndexRootKey, idx)
+      // sql() analyzes eagerly — the lateral rewrite resolves the index
+      // root HERE, so the knob/view can come down right after
+      val lat =
+        try s.sql("SELECT q.vec_id - 1000000 AS qid, t.vid, t.sim " +
+          "FROM graft_s29_queries q, LATERAL graft_ann_topk(q.embedding, 5) t")
+        finally {
+          s.conf.unset(graft.GraftConfig.IndexRootKey)
+          s.catalog.dropTempView("graft_s29_queries")
+        }
+      val api = ivfIndexQuery(s, idx, qOff, 5)
+        .select((col("qid") - 1000000L).as("qid"), col("vid"), col("sim"))
+      val drift = lat.unionByName(api)
+        .groupBy(col("qid"), col("vid"), col("sim"))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+        .agg(count(lit(1)).as("n_drift"))
+      withRecallGate(
+        served.crossJoin(broadcast(drift))
+          .select(col("qid"), col("vid"),
+            when(col("n_drift") > 0, raise_error(concat(
+              lit("SQL LATERAL serving drifted from the DataFrame batch plan: "),
+              col("n_drift").cast("string"), lit(" rows"))))
+              .otherwise(col("sim")).as("sim")),
+        bruteTopK(q, e, 5), minRecall = 0.80)
+    }
   )
 
   /** s24's full-oracle SQL (r13): the s2 hyperplane replay extended to

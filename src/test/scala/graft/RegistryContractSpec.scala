@@ -15,7 +15,7 @@ class RegistryContractSpec extends AnyFunSuite {
     // When this fails: you added/removed a registry entry. Add its row
     // to SURVEY.md §2.11 (and the round-totals paragraph), THEN update
     // this constant — in that order.
-    assert(SparkEntry.registry.size === 216)
+    assert(SparkEntry.registry.size === 217)
   }
 
   test("registry ids are unique and well-formed") {
@@ -34,9 +34,11 @@ class RegistryContractSpec extends AnyFunSuite {
     // rounds; st12 is the streaming lifecycle simulation; d13 promoted
     // in r14 via the sha256-chunk bloom; r17 adds st16's full oracle;
     // r18 adds q82 (composed forget audit) and st17 (interleaved
-    // multi-batch kernel), both full). A promotion or an accidental
+    // multi-batch kernel), both full; r19 adds s29 (SQL LATERAL
+    // serving, full — the s16 replay oracle with the lateral path
+    // pinned by in-query equality gates). A promotion or an accidental
     // oracle drop must move this pin consciously.
-    assert(SparkEntry.oracleSql.size === 212,
+    assert(SparkEntry.oracleSql.size === 213,
       s"full-oracle count moved: ${SparkEntry.oracleSql.size}")
   }
 
