@@ -7,7 +7,29 @@ import org.apache.spark.sql.SparkSession
   * columns via a noop-format write (a bare `count()` would let Catalyst
   * prune the projection and under-measure). Prints ONE JSON line.
   *
-  * Measurement protocol (adaptive_r19 = adaptive_r18 + four
+  * Measurement protocol (adaptive_r20 = adaptive_r19 + (1) a
+  * warm≫cold NOISE RETAKE pass (the r19 verdict's #2): an entry whose
+  * best warm rep lands > 1.5× its own cold (and > 0.25 s over it —
+  * keeps sub-noise-floor fast entries out) is physically backwards
+  * for a deterministic plan whose codegen is already warm, so it gets
+  * ONE retake rep, largest first, hard-ceiling-gated; entries STILL
+  * contradicted after the retake carry a per-entry `noise_suspect`
+  * flag, a scalar count, and a sidecar name list, and cross-round
+  * regression adjudication EXCLUDES them (the r19 driver window
+  * shipped m8 at 13.6 s on exactly this signature — cold 7.4, warm
+  * median 18.6 — with no rule to catch it); (2) peak-regime
+  * adjudicability (the r19 verdict's #3): whenever peak entries move,
+  * the artifact records the median and p25/p75 of the per-entry peak
+  * SCALE ratio (new/prior), so a clean cross-JVM page-quanta regime
+  * (tight ratio cluster near a power of two, shuffle_changed 0) is
+  * distinguishable from organic per-entry memory growth without
+  * leaving the artifact; (3) `shapeMoved` computed once per entry.
+  * NOTE for cross-round reads: r19 switched the measured session to
+  * `.withExtensions(GraftExtensions)` (s29 needs the resolution
+  * rule), so r18→r19 value/shape deltas compare a differently-
+  * configured engine; r19→r20 compares like with like.
+  *
+  * adaptive_r19 = adaptive_r18 + four
   * ARTIFACT-side additions, timing and estimators unchanged: (1) the
   * shape audit SPLITS by class — per-entry `shuffle_changed` /
   * `peak_changed`, scalar counts for both, a `peak_regime_shift`
@@ -310,11 +332,34 @@ object Bench {
         .map(q => q.name -> reps.getOrElse(q.name, (Seq.empty[Double], 0)))
         .toMap
     }
-    val results = phase1.map { case (q, cold, t1, a1, slow) =>
+    val resultsPre = phase1.map { case (q, cold, t1, a1, slow) =>
       val (t2, a2) = phase2.getOrElse(q.name, (Seq.empty[Double], 0))
       val times = t1 ++ t2
       QRes(q.name, cold, times, a1 + a2, cold.isDefined && times.isEmpty, slow)
     }
+    // Pass 3 (adaptive_r20, the r19 verdict's #2): warm≫cold noise
+    // retake. A series whose BEST warm rep exceeds 1.5× its own cold
+    // (by > 0.25 s absolute) is a host-noise window mid-entry, not the
+    // plan — codegen was already warm. One retake rep per contradicted
+    // entry, largest first, hard-ceiling-gated like every pass; the
+    // retake folds into the entry's rep series (min for slow entries,
+    // median for fast — the normal estimators). Entries STILL
+    // contradicted afterwards are flagged `noise_suspect` and excluded
+    // from cross-round regression adjudication (names in the sidecar).
+    def warmContradicted(r: QRes): Boolean =
+      r.cold.exists(c => r.times.nonEmpty &&
+        r.times.min > 1.5 * c && r.times.min - c > 0.25)
+    val qByName = SparkEntry.registry.map(q => q.name -> q).toMap
+    val results: Seq[QRes] = {
+      val retaken = scala.collection.mutable.Map.empty[String, Seq[Double]]
+      for (r <- resultsPre.filter(warmContradicted).sortBy(-_.times.min))
+        if (elapsed < hardCeiling)
+          retaken(r.name) = runOnce(qByName(r.name)).toSeq
+      resultsPre.map(r => retaken.get(r.name).fold(r)(extra =>
+        r.copy(times = r.times ++ extra, attempted = r.attempted + 1)))
+    }
+    val noiseSuspects: Seq[String] =
+      results.filter(warmContradicted).map(_.name)
 
     // Locale.ROOT: default-locale format would emit comma decimals on
     // e.g. de_DE JVMs and corrupt the JSON artifact
@@ -385,6 +430,10 @@ object Bench {
         }
         (sMoved, pMoved)
       }
+    // computed once per entry (r19 ADVICE: the per-entry flags and both
+    // name lists re-ran the prior-spread matching three times)
+    val movedByName: Map[String, (Boolean, Boolean)] =
+      results.map(r => r.name -> shapeMoved(r.name)).toMap
     val qs = results.map { r =>
       "\"" + r.name + "\":" + r.measurement.fold("null")(fmt)
     }.mkString("{", ",", "}")
@@ -401,9 +450,10 @@ object Bench {
         body ++= ",\"reps_used\":" + r.times.length
         qShuffleMb.get(r.name).foreach(v => body ++= ",\"shuffle_mb\":" + fmt(v))
         qPeakMemMb.get(r.name).foreach(v => body ++= ",\"peak_mem_mb\":" + fmt(v))
-        val (sMv, pMv) = shapeMoved(r.name)
+        val (sMv, pMv) = movedByName(r.name)
         if (sMv) body ++= ",\"shuffle_changed\":true"
         if (pMv) body ++= ",\"peak_changed\":true"
+        if (noiseSuspects.contains(r.name)) body ++= ",\"noise_suspect\":true"
         if (r.coldOnly) body ++= ",\"cold_only\":true"
         if (r.times.length < r.attempted)
           body ++= ",\"failed_reps\":" + (r.attempted - r.times.length)
@@ -447,8 +497,8 @@ object Bench {
     // shape audit (adaptive_r19): per-class name lists, a wholesale-
     // regime detector for peak, an order-independent digest, and the
     // FULL lists in a sidecar file next to the artifact.
-    val shuffleNames = results.filter(r => shapeMoved(r.name)._1).map(_.name)
-    val peakNames = results.filter(r => shapeMoved(r.name)._2).map(_.name)
+    val shuffleNames = results.filter(r => movedByName(r.name)._1).map(_.name)
+    val peakNames = results.filter(r => movedByName(r.name)._2).map(_.name)
     // peak REGIME shift: most compared entries moved peak in the same
     // direction ⇒ a cross-process memory regime (heap size → execution-
     // memory page quanta), not per-entry plan changes — keep it out of
@@ -462,6 +512,26 @@ object Bench {
         .exists(_._2.isDefined) && qPeakMemMb.contains(r.name))
       compared > 0 && dirs.size * 2 >= compared &&
         dirs.nonEmpty && math.abs(dirs.sum) >= 0.8 * dirs.size
+    }
+    // peak SCALE distribution (adaptive_r20, the r19 verdict's #3): the
+    // regime detector alone cannot be told apart, from the artifact,
+    // from a genuine wholesale memory regression — a code change that
+    // grew peak ~8× everywhere classifies identically. The median and
+    // p25/p75 of the per-entry new/prior peak ratio make it
+    // adjudicable: a cross-JVM page-quanta regime is a TIGHT ratio
+    // cluster near a power of two with shuffle_changed 0; organic
+    // growth spreads the quartiles and moves shuffle too. Adjudication
+    // rule (PLANS r20): peak_regime_shift may be read as benign ONLY
+    // when p25/p75 bracket the median within ~±25% AND
+    // shuffle_changed == 0; otherwise treat as a memory regression.
+    val peakScaleStats: Option[(Double, Double, Double)] = {
+      val scales = peakNames.flatMap { n =>
+        for ((_, pp) <- priorSpread.get(n); a <- pp;
+             b <- qPeakMemMb.get(n) if a > 0) yield b / a
+      }.sorted
+      if (scales.isEmpty) None
+      else Some((median(scales), scales((scales.size - 1) / 4),
+        scales(3 * (scales.size - 1) / 4)))
     }
     // headline = deterministic shuffle moves, plus per-entry peak moves
     // only when they are NOT one wholesale regime shift
@@ -536,7 +606,11 @@ object Bench {
         fmt(total * ref / calibSpark)}"""
     }.getOrElse("")
     // scalar summary LAST so a bounded stdout tail capture lands on it
-    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r19","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"depth_violations":${depthViol.size},"depth_violation_names":$depthNames,"shape_changed":${shapeNames.size},"shuffle_changed":${shuffleNames.size},"peak_changed":${peakNames.size},"peak_regime_shift":$peakRegimeShift,"shape_digest":"$shapeDigest","shape_changed_names":$shapeNamesJson,"prior_bench":${priorPath.fold("null")(p => "\"" + p + "\"")},"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"calib_spark":${fmt(calibSpark)}$normFields,"sf":"$sfDir","value":$total}"""
+    val peakScaleFields = peakScaleStats.map { case (med, p25, p75) =>
+      s""","peak_scale_med":${fmt(med)},"peak_scale_p25":${
+        fmt(p25)},"peak_scale_p75":${fmt(p75)}"""
+    }.getOrElse("")
+    val line = s"""{"spread":$spread,"queries":$qs,"slow_tail":$slowTail,"metric":"total","unit":"sec","protocol":"adaptive_r20","max_reps":$maxReps,"budget_sec":$budgetSec,"bench_wall_sec":${fmt(benchWall)},"input_touch_sec":${fmt(inputTouch)},"failed":$failed,"cold_only":$degraded,"depth_violations":${depthViol.size},"depth_violation_names":$depthNames,"noise_suspect":${noiseSuspects.size},"shape_changed":${shapeNames.size},"shuffle_changed":${shuffleNames.size},"peak_changed":${peakNames.size},"peak_regime_shift":$peakRegimeShift$peakScaleFields,"shape_digest":"$shapeDigest","shape_changed_names":$shapeNamesJson,"prior_bench":${priorPath.fold("null")(p => "\"" + p + "\"")},"n_threads":$nThreads,"calib_1t":${fmt(calib1)},"calib_nt":${fmt(calibN)},"calib_spark":${fmt(calibSpark)}$normFields,"sf":"$sfDir","value":$total}"""
     println(line)
     // The driver's log capture keeps only a 2000-char stdout tail — far
     // smaller than a 216-query JSON line — so persist the artifact
@@ -561,8 +635,9 @@ object Bench {
     def namesJson(names: Seq[String]) =
       names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shapesLine =
-      s"""{"protocol":"adaptive_r19","prior_bench":${
-        priorPath.fold("null")(p => "\"" + p + "\"")},"shape_digest":"$shapeDigest","peak_regime_shift":$peakRegimeShift,"shuffle_changed_names":${
+      s"""{"protocol":"adaptive_r20","prior_bench":${
+        priorPath.fold("null")(p => "\"" + p + "\"")},"shape_digest":"$shapeDigest","peak_regime_shift":$peakRegimeShift$peakScaleFields,"noise_suspect_names":${
+        namesJson(noiseSuspects)},"shuffle_changed_names":${
         namesJson(shuffleNames)},"peak_changed_names":${
         namesJson(peakNames)},"shape_changed_names":${namesJson(shapeNames)}}"""
     writeFile(outPath + ".shapes.json", shapesLine + "\n")

@@ -86,9 +86,16 @@ object DirSwap {
             "present — a second writer is racing this swap; not retrying " +
             s"(the retry's park would delete $old). Resolve the writers, " +
             s"then re-run the rewrite; live data is at $dst")
-      } else {
+      } else if (parked) {
         throw new java.io.IOException(
           s"DirSwap: rename $tmp -> $dst failed; previous content restored")
+      } else {
+        // nothing was parked (dst was absent when the publish started),
+        // so "restored" would misdirect the operator (r19 ADVICE): the
+        // publish simply failed and the rewrite is still intact at tmp.
+        throw new java.io.IOException(
+          s"DirSwap: publish $tmp -> $dst failed with no prior content " +
+            s"to restore; rewrite left intact at $tmp")
       }
     }
     throw new java.io.IOException(

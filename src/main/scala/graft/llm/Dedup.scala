@@ -395,9 +395,14 @@ object Dedup {
     // lands outside [0, nBatches) — or evaluates to null — would be
     // judged by NO batch and enter NO batch's index: an inconsistent
     // batchOf/nBatches pair must fail loudly, not shrink the result.
+    // Only SNAPSHOT rows legitimately carry -1 (the literal above), so
+    // the check is scoped to non-snapshot rows over the FULL invalid
+    // range — a batchOf that itself evaluates to -1 must not slip
+    // through disguised as the snapshot sentinel (r19 ADVICE).
     // One cheap aggregate over the spill.
-    val stray = flagged.filter(col("__batch").isNull ||
-        col("__batch") < -1 || col("__batch") >= nBatches)
+    val stray = flagged.filter(
+        !coalesce(col("__ledger"), lit(false)) && (col("__batch").isNull ||
+          col("__batch") < 0 || col("__batch") >= nBatches))
       .agg(count(lit(1)).as("n"), min(col("__batch")).as("lo"),
         max(col("__batch")).as("hi")).head()
     require(stray.getLong(0) == 0L,

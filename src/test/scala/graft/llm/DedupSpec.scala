@@ -805,5 +805,14 @@ class DedupSpec extends SparkSpec {
       (col("doc_id") - 1) % 2, 2)
     assert(ok.select(col("doc_id")).as[Long].collect().toSet
       === Set(1L, 2L, 3L, 4L))
+    // r19 ADVICE: a non-snapshot batchOf that EVALUATES to -1 must not
+    // slip through disguised as the snapshot sentinel (it would be
+    // swept into every batch's index yet judged by none)
+    val exNeg = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupBatches(strandDocs, col("doc_id") === 0L,
+        when(col("doc_id") === 1L, lit(-1L)).otherwise(lit(0L)), 2)
+    }
+    assert(exNeg.getMessage.contains("1 doc(s)") &&
+      exNeg.getMessage.contains("[-1, -1]"), exNeg.getMessage)
   }
 }
