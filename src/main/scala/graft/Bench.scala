@@ -139,6 +139,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r20 (guide §6): don't launch a DISTRIBUTED listing job for a
+      // store with a few dozen partition dirs — the default threshold
+      // (32 paths) sits just under this engine's √N cell counts, so
+      // every read of a cell-partitioned index store paid one extra
+      // 32-task job to list ~45 local directories. Serial driver
+      // listing is faster up to hundreds of paths on any filesystem;
+      // deployments scanning thousands of object-store partitions
+      // should lower it again (it stays an ordinary spark conf).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       // the engine's SQL surface — s29's lateral serving needs the
       // resolution rule, which only a session build can inject
       .withExtensions(new GraftExtensions()(_))

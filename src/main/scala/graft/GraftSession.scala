@@ -34,6 +34,12 @@ object GraftSession {
       // long that Tables.events converts (session-level flag lives HERE,
       // not in a loader)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r20 (guide §6): serial driver listing beats a distributed
+      // listing job up to hundreds of partition dirs; the 32-path
+      // default sat just under the engine's √N cell-partitioned index
+      // stores. Object-store deployments with thousands of partitions
+      // can lower it — it is an ordinary overridable conf.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session for tools/tests. */

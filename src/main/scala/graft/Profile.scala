@@ -20,6 +20,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.foreach(t => try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => })

@@ -25,6 +25,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r20: see Bench — serial driver listing for few-dozen-dir stores
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       // the engine's SQL surface (functions, TVFs, the r19 lateral
       // resolution rule) — s29 exercises it under the oracle gate
       .withExtensions(new GraftExtensions()(_))

@@ -855,9 +855,10 @@ object Similarity {
     * production default for every other consumer (s15/s18/s23/st12).
     */
   def ivfTopKReplayable(queries: DataFrame, corpus: DataFrame, k: Int,
-      nl: Int, np: Int): DataFrame =
+      nl: Int, np: Int,
+      cents0: Option[Seq[(Int, Seq[Double])]] = None): DataFrame =
     ivfServeReplayable(queries, corpus.select(col("vec_id"), col("embedding")),
-      kmeansCentroids(corpus, nl, iters = 1), k, np)
+      cents0.getOrElse(kmeansCentroids(corpus, nl, iters = 1)), k, np)
 
   /** s15's replayable kNN graph (r13): the replayable chain with the
     * WHOLE corpus as the query set — so no broadcast anywhere, cells
@@ -913,20 +914,49 @@ object Similarity {
     * philosophy applied to an index store.
     */
   def ivfIndexBuildReplayable(corpus: DataFrame, nl: Int,
-      iters: Int = 1): String = {
+      iters: Int = 1, cents0: Option[Seq[(Int, Seq[Double])]] = None): String = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val root = Dedup.trackSpill(
       s"${Dedup.spillBase(spark, None, "ivfIndexBuildReplayable")}/${Dedup.runDirName("ivfrx")}")
-    val cents = kmeansCentroids(corpus, nl, iters)
-    cents.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    cellAssignRounded(corpus, cents, 1)
-      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        col("cid").as("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments")
+    // r20: a caller that already trained this corpus's centroids (the
+    // s16 fresh-serve drift gate trains the identical deterministic
+    // codebook) passes them in — the build must not re-run the Lloyd
+    // pass it would reproduce bit-for-bit (guide §1.2: don't compute
+    // things you throw away)
+    val cents = cents0.getOrElse(kmeansCentroids(corpus, nl, iters))
+    // the two store writes are independent outputs of the same driver-
+    // side codebook — overlap them so the tiny centroids file does not
+    // serialize behind the corpus-sized assignments shuffle (guide
+    // §2.6: overlap independent jobs; content of both is unchanged)
+    inParallel(
+      cents.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids"),
+      cellAssignRounded(corpus, cents, 1)
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+          col("cid").as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments"))
     root
+  }
+
+  /** Run two independent driver-synchronous actions concurrently and
+    * return both results (guide §2.6: Spark's scheduler happily runs
+    * several jobs at once inside one application — sequential actions
+    * are only sequential because the driver calls them sequentially).
+    * Strictly for actions with NO mutual data dependency writing to
+    * DISJOINT store paths; both sides complete (or the first failure
+    * propagates after both settle, so no write is left mid-flight).
+    */
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    val ra = scala.util.Try(Await.result(fa, Duration.Inf))
+    val rb = scala.util.Try(Await.result(fb, Duration.Inf))
+    (ra.get, rb.get)
   }
 
   /** Append new vectors to a [[ivfIndexBuildReplayable]] root: route
@@ -2811,24 +2841,29 @@ object Similarity {
       val q = e.filter(col("vec_id") < 8)
       val served = ivfIndexQueryReplayable(s, idx, q, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
-      val nCorpus = e.count()
       // base ∪ committed deltas (r15): the replayable append lands in
       // the delta tree, so the completeness audit reads the same joint
       // listing serving does
       val perVid = ivfIndexAssignments(s, idx).groupBy(col("vid"))
         .agg(count(lit(1)).as("c"))
+      // r20: the corpus count rides the audit's own 1-row crossJoin
+      // instead of a separate driver-synchronous e.count() job — the
+      // comparison happens in-plan, the scheduler runs the corpus agg
+      // alongside the audit agg, and the projected output is unchanged
+      // (n_corpus never leaves the when()).
       val audit = perVid.agg(
         sum(when(col("c") =!= 1, 1L).otherwise(0L)).as("n_dup"),
         count(lit(1)).as("n_vec"))
+        .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
       withRecallGate(
         served.crossJoin(broadcast(audit))
           .select(col("qid"), col("vid"),
             when(col("n_dup") > 0, raise_error(concat(
               lit("append duplicated/split assignments: "),
               col("n_dup").cast("string"))))
-              .when(col("n_vec") =!= nCorpus, raise_error(concat(
+              .when(col("n_vec") =!= col("n_corpus"), raise_error(concat(
                 lit("append lost vectors: "), col("n_vec").cast("string"),
-                lit(s" != $nCorpus"))))
+                lit(" != "), col("n_corpus").cast("string"))))
               .otherwise(col("sim")).as("sim")),
         bruteTopK(q, e, 5), minRecall = 0.80)
     },
@@ -2886,10 +2921,22 @@ object Similarity {
       val key = "clustered:" + d
       val q = e.filter(col("vec_id") < 8)
       val nl = deriveNlist(corpusCount(e, Some(key)))
-      val idx = ivfIndexBuildReplayable(e, nl)
+      // r20: ONE Lloyd pass feeds both sides of the drift gate. The
+      // fresh in-memory serve used to RE-TRAIN the identical
+      // deterministic codebook (same corpus, same seeds, same decimal
+      // arithmetic — bit-for-bit the centroids the build just
+      // computed); the gate's claim is persisted-round-trip ≡ in-memory
+      // serve, and that comparison is unchanged when the in-memory side
+      // reuses the training result instead of re-deriving it (guide
+      // §1.2: remove passes that recompute what is already known).
+      // Training determinism itself stays pinned by SimilaritySpec and
+      // the full DuckDB oracle replaying the training chain.
+      val cents = kmeansCentroids(e, nl)
+      val idx = ivfIndexBuildReplayable(e, nl, cents0 = Some(cents))
       val served = ivfIndexQueryReplayable(s, idx, q, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
-      val fresh = ivfTopKReplayable(q, e, 5, nl, deriveNprobe(nl))
+      val fresh = ivfTopKReplayable(q, e, 5, nl, deriveNprobe(nl),
+          cents0 = Some(cents))
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
       val drift = served.select(col("qid"), col("vid"), col("sim"))
         .unionByName(fresh).groupBy(col("qid"), col("vid"), col("sim"))
@@ -2931,16 +2978,31 @@ object Similarity {
       val drifted = e.filter(pmod(col("vec_id"), lit(3)) === 2)
         .select(col("vec_id"),
           transform(col("embedding"), x => x + lit(0.75f)).as("embedding"))
-      // lifecycle path: build on base, append in-distribution, then meet
-      // the drifted batch through the monitor
-      val idx0 = ivfIndexBuild(base)
-      val (idx1, retrain1) = ivfAppendOrRetrain(s, idx0, undrifted, batchId = 1L)
-      val (idx2, retrain2) = ivfAppendOrRetrain(s, idx1, drifted, batchId = 2L)
-      // counterfactual path: same codebook (deterministic retrain-free
-      // rebuild of base), appends forced blind — what s18 alone would do
-      val idxForced = ivfIndexBuild(base)
-      ivfIndexAppend(s, idxForced, undrifted, batchId = 1L)
-      ivfIndexAppend(s, idxForced, drifted, batchId = 2L)
+      // The lifecycle path and the counterfactual path are INDEPENDENT
+      // simulations over disjoint index roots (the entry's own framing:
+      // the counterfactual is "what s18 alone would do" to the same
+      // batches) — so they run CONCURRENTLY (r20, guide §2.6: actions
+      // are only sequential because the driver calls them sequentially;
+      // each chain's internal order is untouched and every write is
+      // deterministic, so the end state is identical to the sequential
+      // run while the wall clock pays max(chain) instead of sum).
+      val ((idx2, retrain1, retrain2), idxForced) = inParallel(
+        {
+          // lifecycle path: build on base, append in-distribution, then
+          // meet the drifted batch through the monitor
+          val idx0 = ivfIndexBuild(base)
+          val (idx1, r1) = ivfAppendOrRetrain(s, idx0, undrifted, batchId = 1L)
+          val (i2, r2) = ivfAppendOrRetrain(s, idx1, drifted, batchId = 2L)
+          (i2, r1, r2)
+        },
+        {
+          // counterfactual path: same codebook (deterministic
+          // retrain-free rebuild of base), appends forced blind
+          val f = ivfIndexBuild(base)
+          ivfIndexAppend(s, f, undrifted, batchId = 1L)
+          ivfIndexAppend(s, f, drifted, batchId = 2L)
+          f
+        })
       // both indexes' occupancy stats in ONE fused action (r13: the
       // 1-row aggregate crossJoin costs one job where two .head() calls
       // cost one each). Read base ∪ deltas — batch appends live in the
@@ -3807,19 +3869,22 @@ object Similarity {
         case None => trainCodebook(corpus, nl, seed)
       }
       import spark.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-      corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
-          cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
-        // cluster by cell BEFORE the partitioned write: without it every
-        // task writes a file into every cell dir — tasks × nlist tiny
-        // files (the classic small-files blowup; measured 3× the build
-        // cost at test scale, and at 100 TB it poisons every later
-        // directory listing). One shuffle keyed on cell = one file set
-        // per cell, AQE-coalesced.
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments")
+      // r20: the two store writes are independent outputs of the same
+      // trained codebook — overlap them (guide §2.6); content unchanged
+      inParallel(
+        centers.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids"),
+        corpus.select(col("vec_id").as("vid"), col("embedding").as("ve"),
+            cellRoute(centers, 1)(col("embedding")).getItem(0).as("cell"))
+          // cluster by cell BEFORE the partitioned write: without it every
+          // task writes a file into every cell dir — tasks × nlist tiny
+          // files (the classic small-files blowup; measured 3× the build
+          // cost at test scale, and at 100 TB it poisons every later
+          // directory listing). One shuffle keyed on cell = one file set
+          // per cell, AQE-coalesced.
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/assignments"))
       root
     }
     cacheKey match {
@@ -5288,14 +5353,18 @@ object Similarity {
     val mfs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
     mfs.delete(deltaManifestPath(indexRoot), false)
-    pqCents.toDF("ss", "cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook")
     val centers: Seq[Seq[Double]] = spark.read.parquet(s"$indexRoot/centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](1).toSeq).toSeq
-    pqEncodeRouted(corpus, pqCents, centers)
-      .repartition(col("cell")) // one file set per cell (the build rule)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexRoot/codes")
+    // r20: the codebook file and the codes tree are independent store
+    // outputs of the already-trained pqCents — overlap them (guide
+    // §2.6); the retrofit below still runs strictly after both
+    inParallel(
+      pqCents.toDF("ss", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/pqcodebook"),
+      pqEncodeRouted(corpus, pqCents, centers)
+        .repartition(col("cell")) // one file set per cell (the build rule)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$indexRoot/codes"))
     // retrofit committed vector delta batches with their code twins
     val dPath = new org.apache.hadoop.fs.Path(s"$indexRoot/deltas")
     val fs = dPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -189,10 +189,19 @@ object IndexLifecycle {
   def init(spark: SparkSession, lcRoot: String, baseVecs: DataFrame): String = {
     val root = s"$lcRoot/gen-init"
     fsOf(spark, lcRoot).delete(new Path(root), true) // replayed init rebuilds
-    Similarity.ivfIndexBuild(baseVecs, targetDir = Some(root))
+    // r20: count the base ONCE and size the build from it — the build
+    // used to run its own count of the same frame one action later
+    // (guide §1.2: don't recompute what is already known); and the
+    // drift-reference sample and the PQ augment are independent store
+    // outputs under the same uncommitted generation dir, so they
+    // overlap (guide §2.6) — the commit marker still lands strictly
+    // after BOTH, so the crash window is unchanged.
     val nBase = baseVecs.count()
-    writeDriftRef(spark, root, baseVecs, nBase)
-    Similarity.pqAugmentIndex(spark, root, baseVecs, nRows = Some(nBase))
+    Similarity.ivfIndexBuild(baseVecs,
+      nlist = Some(Similarity.deriveNlist(nBase)), targetDir = Some(root))
+    Similarity.inParallel(
+      writeDriftRef(spark, root, baseVecs, nBase),
+      Similarity.pqAugmentIndex(spark, root, baseVecs, nRows = Some(nBase)))
     commitGen(spark, lcRoot, "gen-init")
     root
   }
@@ -259,16 +268,21 @@ object IndexLifecycle {
         val newRoot = s"$lcRoot/$name"
         fs.delete(new Path(newRoot), true) // crashed prior attempt
         val full = old.unionByName(batch)
-        Similarity.ivfIndexBuild(full, targetDir = Some(newRoot))
-        // the rebuild's corpus count prices the new reference sample;
-        // counting parquet+batch here is one metadata-cheap job ON THE
-        // RETRAIN PATH only (retrains are rare by construction)
+        // the rebuild's corpus count prices nlist AND the new reference
+        // sample — ONE metadata-cheap job on the retrain path (r20: the
+        // build used to re-count the same union internally)
         val nFull = full.count()
-        writeDriftRef(spark, newRoot, full, nFull)
+        Similarity.ivfIndexBuild(full,
+          nlist = Some(Similarity.deriveNlist(nFull)), targetDir = Some(newRoot))
         // retrain re-trains BOTH codebooks (the r11 verdict's wiring
         // item): the coarse centroids above, and the PQ codebook here —
-        // a drifted corpus moved off the old quantizer's manifold too
-        Similarity.pqAugmentIndex(spark, newRoot, full, nRows = Some(nFull))
+        // a drifted corpus moved off the old quantizer's manifold too.
+        // r20: the drift-reference sample and the PQ augment are
+        // independent outputs of the uncommitted generation — overlap
+        // them (guide §2.6); commitGen still follows both.
+        Similarity.inParallel(
+          writeDriftRef(spark, newRoot, full, nFull),
+          Similarity.pqAugmentIndex(spark, newRoot, full, nRows = Some(nFull)))
         Streams.writeAppliedBatches(fs, new Path(newRoot), applied + batchId)
         commitGen(spark, lcRoot, name)
         // the retention policy: dead generations are reclaimed at the

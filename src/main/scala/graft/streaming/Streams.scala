@@ -1676,8 +1676,11 @@ object Streams {
       val old = Similarity.ivfIndexAssignments(s, idx0)
         .select(col("vid").as("vec_id"), col("ve").as("embedding"))
       val full = old.unionByName(drifted)
+      // r20: ONE corpus count — it sizes nlist here and anchors the
+      // every-vector-exactly-once audit below (was two identical jobs)
+      val nCorpus = e.count()
       val idx2 = Similarity.ivfIndexBuildReplayable(full,
-        Similarity.deriveNlist(e.count()))
+        Similarity.deriveNlist(nCorpus))
       val q = drifted.filter(col("vec_id") < 32)
       val served = Similarity.ivfIndexQueryReplayable(s, idx2, q, 5)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
@@ -1687,7 +1690,6 @@ object Streams {
         .groupBy(col("vid")).agg(count(lit(1)).as("c"))
         .agg(sum(when(col("c") =!= 1, 1L).otherwise(0L)).as("n_dup"),
           count(lit(1)).as("n_vec"))
-      val nCorpus = e.count()
       Similarity.withRecallGate(
         served.crossJoin(broadcast(audit))
           .select(col("qid"), col("vid"),
