@@ -145,13 +145,19 @@ object BpeArtifact {
     // (vocabulary-sized) histogram, not the corpus.
     val hist = TextStats.bpeWordHistogram(docs).persist()
     try {
-      val merges = TextStats.bpeLearnMergesFromHist(hist, topV, rounds)
-      val (ncp, ntok) = baselineOf(hist, merges)
       // provenance scan: one pass over (doc_id, text); order- and
-      // partitioning-independent by construction (bit_xor is commutative)
-      val prov = docs.agg(
-        count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(doc_id, text))").as("fp")).head()
+      // partitioning-independent by construction (bit_xor is
+      // commutative). r20: it reads the CORPUS, not the histogram, and
+      // shares no input with the merge learning — run it concurrently
+      // with the top-V collect + driver-side merge loop (guide §2.6).
+      val (prov, (merges, (ncp, ntok))) = graft.llm.Similarity.inParallel(
+        docs.agg(
+          count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(doc_id, text))").as("fp")).head(),
+        {
+          val m = TextStats.bpeLearnMergesFromHist(hist, topV, rounds)
+          (m, baselineOf(hist, m))
+        })
       val fp = if (prov.isNullAt(1)) 0L else prov.getLong(1)
       val v = write(spark, root, merges, topV, rounds, prov.getLong(0), fp,
         ncp, ntok)
@@ -176,9 +182,13 @@ object BpeArtifact {
     val h = hist.persist()
     try {
       val merges = TextStats.bpeLearnMergesFromHist(h, topV, rounds)
-      val (ncp, ntok) = baselineOf(h, merges)
-      val prov = h.agg(expr("bit_xor(xxhash64(w, freq))").as("fp")).head()
-      val fp = if (prov.isNullAt(0)) 0L else prov.getLong(0)
+      // r20: baseline pricing + provenance fingerprint in ONE fused
+      // 1-row aggregate over the persisted histogram (was two
+      // driver-synchronous head() jobs over the same input); the
+      // pricing columns stay [[TextStats.bpeHistMeter]]'s own
+      // expressions — see bpeHistMeterWithFp
+      val (ncp, ntok, fp) =
+        TextStats.bpeHistMeterWithFp(h, merges.map(m => (m._2, m._3)))
       val v = write(spark, root, merges, topV, rounds, corpusDocs, fp,
         ncp, ntok)
       Model(v, topV, rounds, corpusDocs, fp, ncp, ntok, merges)

@@ -887,15 +887,16 @@ object Similarity {
   }
 
   private def ivfServeReplayable(queries: DataFrame, assignedOrCorpus: DataFrame,
-      cents: Seq[(Int, Seq[Double])], k: Int, np: Int): DataFrame = {
+      cents: Seq[(Int, Seq[Double])], k: Int, np: Int,
+      probes0: Option[DataFrame] = None): DataFrame = {
     val assigned =
       if (assignedOrCorpus.columns.contains("cell")) assignedOrCorpus
       else cellAssignRounded(assignedOrCorpus, cents, 1)
         .select(col("vec_id").as("vid"), col("embedding").as("ve"),
           col("cid").as("cell"))
-    val probes = cellAssignRounded(queries, cents, np)
+    val probes = probes0.getOrElse(cellAssignRounded(queries, cents, np)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("cell"))
+        col("cid").as("cell")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vid") =!= col("qid"))
@@ -959,6 +960,21 @@ object Similarity {
     (ra.get, rb.get)
   }
 
+  /** [[inParallel]] over a sequence: run `f` on every element
+    * concurrently, wait for ALL to settle (no write left mid-flight),
+    * then surface the first failure or return results in input order.
+    * Same contract: elements must touch disjoint store paths.
+    */
+  private[graft] def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = xs.map(x => Future(f(x)))
+    val settled = futures.map(fu =>
+      scala.util.Try(Await.result(fu, Duration.Inf)))
+    settled.map(_.get)
+  }
+
   /** Append new vectors to a [[ivfIndexBuildReplayable]] root: route
     * through the READ-BACK centroids (rounded routing) — the FAISS
     * `add` posture on the replayable chain (s18's full-oracle leg).
@@ -1004,16 +1020,37 @@ object Similarity {
         .orderBy(col("cell")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
     val np = nprobe.getOrElse(deriveNprobe(cents.length))
-    val probes = cellAssignRounded(queries, cents, np)
-    val probedCells = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+    // r20: the probe set is parameter-bounded (≤ |queries|·np rows — the
+    // query side is the broadcast side by contract), so collect it ONCE:
+    // the probed-cell list used to be a separate distinct().collect()
+    // job AND the serve plan re-scanned + re-routed the query side for
+    // the broadcast. One collect now feeds both — the broadcast side
+    // becomes a LocalRelation of the exact same rows (identical routing
+    // math, identical join input), and the final action no longer
+    // re-evaluates the routing UDF over the query scan.
+    val probeRows = cellAssignRounded(queries, cents, np)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cid").as("cell"))
+      .collect()
+    val probedCells = probeRows.map(_.getInt(2)).distinct.sorted.toSeq
+    val probes = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(probeRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qe",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     // base ∪ committed delta batches (r15 — the replayable append now
     // lands in the delta tree); the cell filter still prunes at the
     // directory level on both sides, since cell partitions every store
     val assigned = ivfIndexAssignments(spark, indexRoot)
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vid"), col("ve"), col("cell"))
-    ivfServeReplayable(queries, assigned, cents, k, np)
+    ivfServeReplayable(queries, assigned, cents, k, np, probes0 = Some(probes))
   }
 
   /** Attach global recall-vs-exact as a constant `recall` column and FAIL
@@ -3003,35 +3040,41 @@ object Similarity {
           ivfIndexAppend(s, f, drifted, batchId = 2L)
           f
         })
-      // both indexes' occupancy stats in ONE fused action (r13: the
-      // 1-row aggregate crossJoin costs one job where two .head() calls
-      // cost one each). Read base ∪ deltas — batch appends live in the
-      // delta tree (r14).
+      // r20: both indexes' occupancy stats ride the OUTPUT plan as
+      // 1-row aggregates (r13 fused them into one head; now even that
+      // head is gone) — both store states are final here, the share
+      // arithmetic is the same long→double division in-plan, and the
+      // serve/brute/occupancy subtrees evaluate concurrently inside
+      // the one materializing action (guide §2.6/§1.2).
       def cellStats(root: String) = ivfIndexAssignments(s, root)
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
           count(lit(1)).as("nc"))
-      val sr = cellStats(idxForced)
-        .crossJoin(cellStats(idx2).toDF("mx2", "tot2", "nc2")).head()
-      def share(mx: Long, tot: Long, nc: Long): Double =
-        mx.toDouble / (tot.toDouble / nc)
-      val forcedShare = share(sr.getLong(0), sr.getLong(1), sr.getLong(2))
-      val retrainedShare = share(sr.getLong(3), sr.getLong(4), sr.getLong(5))
+      def shareCol(mx: Column, tot: Column, nc: Column): Column =
+        mx.cast("double") / (tot.cast("double") / nc)
+      val shares = cellStats(idxForced)
+        .crossJoin(cellStats(idx2).toDF("mx2", "tot2", "nc2"))
+        .select(
+          shareCol(col("mx"), col("tot"), col("nc")).as("forced_share"),
+          shareCol(col("mx2"), col("tot2"), col("nc2")).as("retrained_share"))
       val full = base.unionByName(undrifted).unionByName(drifted)
       val q = drifted.filter(col("vec_id") < 32)
       val served = ivfIndexQuery(s, idx2, q, 5)
       withRecallGate(
-        served.select(col("qid"), col("vid"),
+        served.crossJoin(broadcast(shares))
+          .select(col("qid"), col("vid"),
           when(lit(retrain1), raise_error(
             lit("in-distribution append must not trigger a retrain")))
             .when(lit(!retrain2), raise_error(
               lit("drifted append must trigger a retrain")))
-            .when(lit(forcedShare <= retrainedShare), raise_error(
-              lit(f"forced drifted append must imbalance cells beyond the " +
-                f"retrained index ($forcedShare%.2f vs $retrainedShare%.2f)")))
+            .when(col("forced_share") <= col("retrained_share"), raise_error(concat(
+              lit("forced drifted append must imbalance cells beyond the " +
+                "retrained index ("),
+              round(col("forced_share"), 2).cast("string"), lit(" vs "),
+              round(col("retrained_share"), 2).cast("string"), lit(")"))))
             .otherwise(col("sim")).as("sim"),
-          round(lit(forcedShare), 4).as("forced_max_share"),
-          round(lit(retrainedShare), 4).as("retrained_max_share")),
+          round(col("forced_share"), 4).as("forced_max_share"),
+          round(col("retrained_share"), 4).as("retrained_max_share")),
         bruteTopK(q, full, 5), minRecall = 0.80)
     },
 
@@ -3608,27 +3651,49 @@ object Similarity {
     OpQuery.sql("s24_multiprobe_lsh", s24OracleSql()) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 8)
-      def pairsOf(df: DataFrame): Set[(Long, Long)] = df
-        .select(col("qid"), col("vid"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = pairsOf(bruteTopK(q, e, 5))
+      // r20: all six gate scalars (two recalls, the candidate fraction
+      // and its three counts) ride the output plan as 1-row aggregates
+      // instead of SIX driver-synchronous collect/count actions — the
+      // brute-force, multi-probe, single-probe and candidate subtrees
+      // now evaluate concurrently inside the one materializing action
+      // (guide §2.6/§1.2). Left-semi counts ≡ the former Set
+      // intersections (top-k sides are unique per (qid, vid)); the
+      // divisions are the same long→double arithmetic, so every output
+      // value and gate verdict is unchanged.
+      val exactPairs = bruteTopK(q, e, 5).select(col("qid"), col("vid"))
       val served = lshMultiProbeTopK(q, e, 5)
-      val rMp = pairsOf(served).intersect(exact).size.toDouble / exact.size
-      val rSp = pairsOf(lshMultiProbeTopK(q, e, 5, probeBits = 0))
-        .intersect(exact).size.toDouble / exact.size
-      val frac = lshMultiProbeCandidates(q, e).count().toDouble /
-        (q.count().toDouble * (e.count() - 1))
-      served.select(col("qid"), col("vid"),
-        when(lit(rMp < 0.75), raise_error(
-          lit(f"multi-probe recall $rMp%.3f below 0.75 on the uniform corpus")))
-          .when(lit(rMp + 1e-9 < rSp), raise_error(
-            lit(f"flips must not lose recall: mp $rMp%.3f < sp $rSp%.3f")))
-          .when(lit(frac > 0.5), raise_error(
-            lit(f"candidate fraction $frac%.3f above 0.5")))
-          .otherwise(round(col("sim"), 6)).as("sim"),
-        round(lit(rMp), 4).as("recall"),
-        round(lit(rSp), 4).as("recall_single_probe"),
-        round(lit(frac), 4).as("cand_frac"))
+      val spPairs = lshMultiProbeTopK(q, e, 5, probeBits = 0)
+        .select(col("qid"), col("vid"))
+      val gates = served.select(col("qid"), col("vid"))
+        .join(exactPairs, Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("n_mp"))
+        .crossJoin(spPairs.join(exactPairs, Seq("qid", "vid"), "left_semi")
+          .agg(count(lit(1)).as("n_sp")))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(lshMultiProbeCandidates(q, e).agg(count(lit(1)).as("n_cand")))
+        .crossJoin(q.agg(count(lit(1)).as("n_q")))
+        .crossJoin(e.agg(count(lit(1)).as("n_e")))
+        .select(
+          (col("n_mp").cast("double") / col("n_exact")).as("r_mp"),
+          (col("n_sp").cast("double") / col("n_exact")).as("r_sp"),
+          (col("n_cand").cast("double") /
+            (col("n_q").cast("double") * (col("n_e") - 1))).as("frac"))
+      served.crossJoin(broadcast(gates))
+        .select(col("qid"), col("vid"),
+          when(col("r_mp") < 0.75, raise_error(concat(
+            lit("multi-probe recall "), round(col("r_mp"), 3).cast("string"),
+            lit(" below 0.75 on the uniform corpus"))))
+            .when(col("r_mp") + 1e-9 < col("r_sp"), raise_error(concat(
+              lit("flips must not lose recall: mp "),
+              round(col("r_mp"), 3).cast("string"), lit(" < sp "),
+              round(col("r_sp"), 3).cast("string"))))
+            .when(col("frac") > 0.5, raise_error(concat(
+              lit("candidate fraction "), round(col("frac"), 3).cast("string"),
+              lit(" above 0.5"))))
+            .otherwise(round(col("sim"), 6)).as("sim"),
+          round(col("r_mp"), 4).as("recall"),
+          round(col("r_sp"), 4).as("recall_single_probe"),
+          round(col("frac"), 4).as("cand_frac"))
     }
 
   /** ---- multi-probe serving for the PERSISTED IVF index (r12) ----------
@@ -3790,27 +3855,47 @@ object Similarity {
       val idx = ivfIndexBuildReplayable(e, nl)
       val nlist = s.read.parquet(s"$idx/centroids").count().toInt
       val np = deriveNprobe(nlist)
-      def pairsOf(df: DataFrame): Set[(Long, Long)] = df
-        .select(col("qid"), col("vid"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = pairsOf(bruteTopK(q, e, 5))
+      // r20: both recall numbers ride the output plan instead of THREE
+      // driver-synchronous collects (brute force, multi-probe serve,
+      // single-probe serve each round-tripped to the driver as a Set,
+      // and the multi-probe serve then re-ran inside the output plan).
+      // The intersection counts are left-semi joins on (qid, vid) —
+      // identical to the set intersection since every top-k side is
+      // unique per (qid, vid) — and the divisions are the same
+      // long/long → double the driver computed, so every emitted value
+      // and every gate verdict is bit-identical; the scheduler now
+      // runs brute/multi/single-probe subtrees concurrently in the one
+      // materializing action (guide §2.6, §1.2).
+      val exactPairs = bruteTopK(q, e, 5).select(col("qid"), col("vid"))
       val served = ivfIndexQueryReplayable(s, idx, q, 5)
         .select(col("qid"), col("vid"), col("sim"))
-      val rMp = pairsOf(served).intersect(exact).size.toDouble / exact.size
-      val rSp = pairsOf(ivfIndexQueryReplayable(s, idx, q, 5, nprobe = Some(1)))
-        .intersect(exact).size.toDouble / exact.size
+      val spPairs = ivfIndexQueryReplayable(s, idx, q, 5, nprobe = Some(1))
+        .select(col("qid"), col("vid"))
+      val recalls = served.select(col("qid"), col("vid"))
+        .join(exactPairs, Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("n_mp"))
+        .crossJoin(spPairs.join(exactPairs, Seq("qid", "vid"), "left_semi")
+          .agg(count(lit(1)).as("n_sp")))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("n_exact")))
+        .select(
+          (col("n_mp").cast("double") / col("n_exact")).as("r_mp"),
+          (col("n_sp").cast("double") / col("n_exact")).as("r_sp"))
       val share = np.toDouble / nlist
-      served.select(col("qid"), col("vid"),
-        when(lit(np <= 1), raise_error(
-          lit(s"derived nprobe $np is not multi-probe on nlist=$nlist")))
-          .when(lit(rMp + 1e-9 < rSp), raise_error(
-            lit(f"runner-up probes lost recall: mp $rMp%.3f < sp $rSp%.3f")))
-          .when(lit(rMp < share / 2), raise_error(
-            lit(f"recall $rMp%.3f below half the probed share $share%.3f")))
-          .otherwise(round(col("sim"), 6)).as("sim"),
-        round(lit(rMp), 4).as("recall"),
-        round(lit(rSp), 4).as("recall_single_probe"),
-        lit(np.toLong).as("nprobe"), lit(nlist.toLong).as("nlist"))
+      served.crossJoin(broadcast(recalls))
+        .select(col("qid"), col("vid"),
+          when(lit(np <= 1), raise_error(
+            lit(s"derived nprobe $np is not multi-probe on nlist=$nlist")))
+            .when(col("r_mp") + 1e-9 < col("r_sp"), raise_error(concat(
+              lit("runner-up probes lost recall: mp "),
+              round(col("r_mp"), 3).cast("string"), lit(" < sp "),
+              round(col("r_sp"), 3).cast("string"))))
+            .when(col("r_mp") < share / 2, raise_error(concat(
+              lit("recall "), round(col("r_mp"), 3).cast("string"),
+              lit(f" below half the probed share $share%.3f"))))
+            .otherwise(round(col("sim"), 6)).as("sim"),
+          round(col("r_mp"), 4).as("recall"),
+          round(col("r_sp"), 4).as("recall_single_probe"),
+          lit(np.toLong).as("nprobe"), lit(nlist.toLong).as("nlist"))
     }
 
   /** Fixed per-file allowance (parquet footer/schema/dictionary) the
@@ -4563,14 +4648,22 @@ object Similarity {
     * (vec_id, embedding).
     */
   def correctedMaxPsi(oldCorpus: DataFrame, newBatch: DataFrame): Double = {
-    val nb = oldCorpus.count()
-    val nd = newBatch.count()
     val combined = oldCorpus.select(col("vec_id"), col("embedding"))
       .withColumn("__base", lit(true))
       .unionByName(newBatch.select(col("vec_id"), col("embedding"))
         .withColumn("__base", lit(false)))
-    val maxPsi = embeddingDrift(combined, col("__base"))
-      .agg(max(col("psi"))).head().getDouble(0)
+    // r20: the two side counts ride the PSI aggregate's own action as a
+    // crossJoined 1-row aggregate — this decision used to pay THREE
+    // driver-synchronous jobs (two counts + the max-PSI head) per drift
+    // check, and the lifecycle paths (s20, st12's per-tick monitor) pay
+    // it on every batch. Same counts, same correction arithmetic.
+    val r = embeddingDrift(combined, col("__base"))
+      .agg(max(col("psi")).as("mp"))
+      .crossJoin(combined.agg(
+        count(when(col("__base"), 1)).as("nb"),
+        count(when(!col("__base"), 1)).as("nd")))
+      .head()
+    val (maxPsi, nb, nd) = (r.getDouble(0), r.getLong(1), r.getLong(2))
     val correction = (DriftBuckets - 1) * (1.0 / math.max(nb, 1L) +
       1.0 / math.max(nd, 1L))
     maxPsi - correction
@@ -4686,11 +4779,28 @@ object Similarity {
     // nlist rides the index itself (the centroid count), so the derived
     // default probes the same scan fraction the build was sized for
     val np = nprobe.getOrElse(deriveNprobe(centers.length))
-    val qProbes = queries
+    // r20: ONE parameter-bounded collect (≤ |queries|·np rows — the
+    // query side is the broadcast side by contract) feeds BOTH the
+    // probed-cell pruning list and the broadcast side as a
+    // LocalRelation, where the probed-cell list used to be its own
+    // distinct().collect() job and the final action re-ran the routing
+    // closure over the query scan. Identical rows, identical join.
+    val probeRows = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
-    val probedCells = qProbes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+      .collect()
+    val probedCells = probeRows.map(_.getInt(2)).distinct.sorted.toSeq
+    val qProbes = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(probeRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qe",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     val assigned = ivfIndexAssignments(spark, indexRoot)
       .filter(col("cell").isin(probedCells: _*))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
@@ -5151,16 +5261,28 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("ss"), col("cid"), col("dist")))),
         e => e.getField("dist")).as("dtab"))
-    val qProbes =
-      if (roundedRouting)
+    // r20: one parameter-bounded collect feeds the probed-cell pruning
+    // list AND the broadcast side (LocalRelation) — the cell list used
+    // to be its own distinct().collect() job and the ADC action re-ran
+    // the routing over the query scan (same move as ivfIndexQuery)
+    val probeRows =
+      (if (roundedRouting)
         cellAssignRounded(queries,
           centers.indices.map(i => (i, centers(i))), np)
           .select(col("vec_id").as("qid"), col("cid").as("cell"))
       else queries
         .select(col("vec_id").as("qid"),
-          explode(cellRoute(centers, np)(col("embedding"))).as("cell"))
-    val probedCells = qProbes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ nlist values
+          explode(cellRoute(centers, np)(col("embedding"))).as("cell")))
+      .collect()
+    val probedCells = probeRows.map(_.getInt(1)).distinct.sorted.toSeq
+    val qProbes = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(probeRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     val codes = codesAll.filter(col("cell").isin(probedCells: _*))
     val adc = codes
       .join(broadcast(qProbes), Seq("cell"))

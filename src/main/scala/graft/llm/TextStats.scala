@@ -146,14 +146,33 @@ object TextStats {
     * drift apart (two hand-copies of this agg would skew every verdict
     * the moment one was edited).
     */
+  private def bpeMeterCols(pairs: Seq[(String, String)]): Seq[Column] = Seq(
+    coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
+    coalesce(sum(col("freq") *
+      graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok"))
+
   def bpeHistMeter(hist: DataFrame,
       pairs: Seq[(String, String)]): (Long, Long) = {
-    val r = hist.agg(
-      coalesce(sum(col("freq") * length(col("w"))), lit(0L)).as("ncp"),
-      coalesce(sum(col("freq") *
-        graft.functions.Bpe.count(col("w"), pairs)), lit(0L)).as("ntok"))
-      .head()
+    val cols = bpeMeterCols(pairs)
+    val r = hist.agg(cols.head, cols.tail: _*).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[bpeHistMeter]] plus the histogram provenance fingerprint in ONE
+    * fused 1-row aggregate (r20): the train path used to pay two
+    * driver-synchronous head() jobs over the same persisted histogram —
+    * pricing and fingerprint are independent aggregates of one input,
+    * so they share a single pass. The pricing COLUMNS are
+    * [[bpeMeterCols]], the same expressions [[bpeHistMeter]] serves the
+    * lifecycle's drift metering with — the one-pricing-expression rule
+    * is structural, not by convention.
+    */
+  def bpeHistMeterWithFp(hist: DataFrame,
+      pairs: Seq[(String, String)]): (Long, Long, Long) = {
+    val cols = bpeMeterCols(pairs) :+
+      expr("bit_xor(xxhash64(w, freq))").as("fp")
+    val r = hist.agg(cols.head, cols.tail: _*).head()
+    (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** [[bpeLearnMerges]] from a pre-aggregated (w, freq) histogram —

@@ -258,8 +258,10 @@ object BpeLifecycle {
     // wholesale) — clear it so it can't trigger a spurious forced
     // retrain on the first tick
     fsOf(spark, lcRoot).delete(purgeMarkerPath(lcRoot), false)
-    val n = baseDocs.count()
-    writeHist(spark, lcRoot, "base", baseDocs)
+    // r20: the doc count and the histogram write are independent scans
+    // of the same base — overlap them (guide §2.6)
+    val (n, _) = graft.llm.Similarity.inParallel(
+      baseDocs.count(), writeHist(spark, lcRoot, "base", baseDocs))
     val entries = Seq(CorpusEntry("base", n, Seq(-1L)))
     writeManifest(spark, lcRoot, entries)
     retrainIfChanged(spark, lcRoot, entries, force = true)
@@ -711,7 +713,13 @@ object BpeLifecycle {
       .map { case (nm, rows) =>
         nm -> ((rows.head._1, rows.map(_._2), rows.map(_._3).sum))
       }
-    val renamed: Map[String, CorpusEntry] = byEntry.map {
+    // r20: affected entries revise DISJOINT histogram dirs and are all
+    // pre-marker (uncommitted until the flip below), so their
+    // probe-guard + revision-write pairs run concurrently (guide §2.6);
+    // a guard failure in any entry still fails the whole purge loudly
+    // before the marker is written, exactly as the sequential loop did.
+    val renamed: Map[String, CorpusEntry] = graft.llm.Similarity
+      .parMap(byEntry.toSeq.sortBy(_._1)) {
       case (oldName, (entry, ids, nGone)) =>
         val newName = bumpRev(oldName)
         val sub = TextStats.bpeWordHistogram(
@@ -758,7 +766,7 @@ object BpeLifecycle {
           .parquet(s"${histRoot(lcRoot)}/$newName")
         oldName -> CorpusEntry(newName, math.max(0L, entry.docs - nGone),
           entry.absorbs)
-    }
+    }.toMap
     val flipped = entries.map(e => renamed.getOrElse(e.name, e))
     // marker BEFORE the flip (the IVF purge's single-writer marker
     // discipline): from here every step is replay-completable; a guard

@@ -1603,22 +1603,25 @@ object Streams {
       val gen2 = IndexLifecycle.currentRoot(s, lcRoot).get
       // final checkpoint: vector-store totals, code-store coverage (the
       // s23 memory contract: every vector exactly once at a bounded
-      // logical width), and the corpus size — one fused action
-      val fr = Similarity.ivfIndexAssignments(s, gen2)
+      // logical width), and the corpus size. r20: these ride the OUTPUT
+      // plan as 1-row crossJoined aggregates (r13 fused them into one
+      // head; the head itself is now gone) — the final stores are
+      // immutable at this point in the simulation, so deferring the
+      // read into the serving action changes no observed state, and
+      // the serve/brute/audit subtrees evaluate concurrently. The
+      // mid-simulation probes above (nAfter1/nCodes1/replay) stay
+      // EAGER by necessity: they observe state that later ticks mutate.
+      val finalStats = Similarity.ivfIndexAssignments(s, gen2)
         .agg(count(lit(1)).as("nf"), countDistinct(col("vid")).as("nd"))
         .crossJoin(Similarity.ivfPqCodes(s, gen2)
           .agg(countDistinct(col("vid")).as("ncd"), max(size(col("code"))).as("w")))
         .crossJoin(e.agg(count(lit(1)).as("ncorp")))
-        .head()
-      val nFinal = fr.getLong(0)
-      val nDistinct = fr.getLong(1)
-      val nCodesFinal = fr.getLong(2)
-      val codeWidth = fr.getInt(3)
-      val nCorpus = fr.getLong(4)
       val q = drifted.filter(col("vec_id") < 32)
       val full = base.unionByName(undrifted).unionByName(drifted)
       Similarity.withRecallGate(
-        IndexLifecycle.serve(s, lcRoot, q, 5).select(col("qid"), col("vid"),
+        IndexLifecycle.serve(s, lcRoot, q, 5)
+          .crossJoin(broadcast(finalStats))
+          .select(col("qid"), col("vid"),
           when(lit(r1 || gen1 != gen0), raise_error(
             lit("in-distribution batch must delta-append on the same generation")))
             .when(lit(nCodes1 != nAfter1), raise_error(
@@ -1629,13 +1632,18 @@ object Streams {
                 lit("replayed delta batch must be a no-op on vectors AND codes")))
             .when(lit(!r2 || gen2 == gen1), raise_error(
               lit("drifted batch must cut over to a new generation")))
-            .when(lit(nFinal != nCorpus || nDistinct != nCorpus), raise_error(
-              lit(s"final generation must hold every vector exactly once " +
-                s"($nFinal/$nDistinct vs $nCorpus)")))
-            .when(lit(nCodesFinal != nCorpus), raise_error(
-              lit(s"final code store must cover every vector ($nCodesFinal vs $nCorpus)")))
-            .when(lit(codeWidth > 20), raise_error(
-              lit(s"generation PQ code width $codeWidth > 20 B/vector")))
+            .when(col("nf") =!= col("ncorp") || col("nd") =!= col("ncorp"),
+              raise_error(concat(
+                lit("final generation must hold every vector exactly once ("),
+                col("nf").cast("string"), lit("/"), col("nd").cast("string"),
+                lit(" vs "), col("ncorp").cast("string"), lit(")"))))
+            .when(col("ncd") =!= col("ncorp"), raise_error(concat(
+              lit("final code store must cover every vector ("),
+              col("ncd").cast("string"), lit(" vs "),
+              col("ncorp").cast("string"), lit(")"))))
+            .when(col("w") > 20, raise_error(concat(
+              lit("generation PQ code width "), col("w").cast("string"),
+              lit(" > 20 B/vector"))))
             .otherwise(col("sim")).as("sim")),
         Similarity.bruteTopK(q, full, 5), minRecall = 0.80)
     },
