@@ -220,13 +220,18 @@ object BpeArtifact {
     import spark.implicits._
     val v = allVersions(spark, root).sorted.lastOption.getOrElse(0L) + 1L
     val dir = s"$root/v=$v"
-    merges.toDF("rank", "left", "right", "merged", "weight")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
-    Seq((v, topV, rounds, corpusDocs, corpusFingerprint,
-        baselineNcp, baselineNtok))
-      .toDF("version", "top_v", "rounds", "corpus_docs", "corpus_fingerprint",
-        "baseline_ncp", "baseline_ntok")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // r20: merges and meta are independent pre-marker outputs of the
+    // same uncommitted version dir — overlap the two tiny writes (guide
+    // §2.6); the commit marker still lands strictly after both, so a
+    // torn publish stays invisible exactly as before
+    graft.llm.Similarity.inParallel(
+      merges.toDF("rank", "left", "right", "merged", "weight")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges"),
+      Seq((v, topV, rounds, corpusDocs, corpusFingerprint,
+          baselineNcp, baselineNtok))
+        .toDF("version", "top_v", "rounds", "corpus_docs", "corpus_fingerprint",
+          "baseline_ncp", "baseline_ntok")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta"))
     val fs = fsOf(spark, root)
     fs.create(new Path(dir, CommitMarker), true).close()
     val tmp = new Path(root, "CURRENT.tmp")

@@ -1765,10 +1765,11 @@ object Dedup {
     * trainer consumes).
     */
   def dedupCorrectedMixture(docs: DataFrame,
-      meter: Column = size(graft.llm.TextStats.tokens(col("text"))).cast("long"))
+      meter: Column = size(graft.llm.TextStats.tokens(col("text"))).cast("long"),
+      keep0: Option[DataFrame] = None)
       : DataFrame = {
-    val keep = dedupClusters(minhashPairs(docs))
-      .select(col("doc_id"), col("is_keeper").as("__k"))
+    val keep = keep0.getOrElse(dedupClusters(minhashPairs(docs))
+      .select(col("doc_id"), col("is_keeper").as("__k")))
     val spark = docs.sparkSession
     import spark.implicits._
     val s = docs
@@ -2760,8 +2761,17 @@ object Dedup {
          |    ELSE 0 END, 6) AS epochs
          |FROM s, t""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val merges = graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3))
-      dedupCorrectedMixture(docs, graft.functions.Bpe.count(col("text"), merges))
+      // r20: the BPE merge learning (histogram agg + top-V collect +
+      // driver merge loop) and the LSH closure chain (eager spill +
+      // label propagation inside dedupClusters) share no inputs beyond
+      // the immutable corpus — overlap them (guide §2.6); the mixture
+      // math then consumes both exactly as before
+      val (merges, keep) = graft.llm.Similarity.inParallel(
+        graft.llm.TextStats.bpeLearnMerges(docs).map(m => (m._2, m._3)),
+        dedupClusters(minhashPairs(docs))
+          .select(col("doc_id"), col("is_keeper").as("__k")))
+      dedupCorrectedMixture(docs,
+        graft.functions.Bpe.count(col("text"), merges), keep0 = Some(keep))
     },
 
     sql("d26_lsh_diagnostics", {
@@ -3109,7 +3119,13 @@ object Dedup {
               greatest(col("da"), col("db")).as("doc_id_b"))
         }.reduce(_ unionByName _)
       }
-      val cand = passPairs("k1").unionByName(passPairs("k2")).distinct()
+      // r20: the two sort-key passes are independent bounded-rank
+      // chains over the same spilled key artifact (each pays an eager
+      // range-sample + partials collect inside globalRowNumber) — run
+      // them concurrently (guide §2.6); pair content is unchanged
+      val (p1, p2) = graft.llm.Similarity.inParallel(
+        passPairs("k1"), passPairs("k2"))
+      val cand = p1.unionByName(p2).distinct()
       val sets = shingleHashSets(docs)
       cand
         .join(sets.select(col("doc_id").as("doc_id_a"), col("sh").as("ga")), Seq("doc_id_a"))

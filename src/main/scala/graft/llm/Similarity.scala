@@ -160,17 +160,26 @@ object Similarity {
     // fractions); the sampled trainCodebook/cellScores path stays the
     // production default elsewhere
     val centers = kmeansCentroids(corpus, nlist, iters = 1)
-    cellAssignRounded(corpus, centers, 1)
-      .select(col("vec_id").as("vid"), col("embedding").as("ve"),
-        col("cid").as("__cell"))
-      .write.mode("overwrite").parquet(s"$dir/assigned")
+    // r20: the assignment spill and the exact-baseline spill are
+    // independent artifacts of the same inputs — overlap them (guide
+    // §2.6); and the two sizing counts ride ONE fused action instead of
+    // two driver jobs (same integers)
+    val ((nCorpus, nQueries), _) = inParallel(
+      {
+        val r = corpus.agg(count(lit(1)).as("nc"))
+          .crossJoin(queries.agg(count(lit(1)).as("nq"))).head()
+        (r.getLong(0), r.getLong(1))
+      },
+      inParallel(
+        cellAssignRounded(corpus, centers, 1)
+          .select(col("vec_id").as("vid"), col("embedding").as("ve"),
+            col("cid").as("__cell"))
+          .write.mode("overwrite").parquet(s"$dir/assigned"),
+        bruteTopK(queries, corpus, k).select(col("qid"), col("vid"))
+          .write.mode("overwrite").parquet(s"$dir/exact")))
     val assigned = s.read.parquet(s"$dir/assigned")
-    bruteTopK(queries, corpus, k).select(col("qid"), col("vid"))
-      .write.mode("overwrite").parquet(s"$dir/exact")
     val exact = s.read.parquet(s"$dir/exact")
     val cellSizes = assigned.groupBy(col("__cell")).agg(count(lit(1)).as("__csz"))
-    val nCorpus = corpus.count()
-    val nQueries = queries.count()
     // ONE pass over all nprobe points (replaced nlist sequential sweeps —
     // round-7 verdict stretch item): each query's cells carry their probe
     // RANK (posexplode of the same sorted score array the per-point slice
@@ -4022,14 +4031,20 @@ object Similarity {
   def ivfIndexAppend(spark: SparkSession, indexRoot: String,
       newVecs: DataFrame, batchId: Long,
       cacheKey: Option[String] = None): Unit = {
-    ivfIndexAppendDelta(spark, indexRoot, newVecs, batchId)
     // a PQ-shaped index (r12) must append CODES symmetrically, encoded
     // through the frozen codebook, or the appended vectors would sit in
     // the re-rank store but never surface as ADC candidates — present
     // yet unservable. The joint `_SUCCESS` gate makes the window between
-    // these two writes invisible rather than half-served.
+    // these two writes invisible rather than half-served — and because
+    // visibility needs BOTH dirs regardless of order, the two writes
+    // overlap (r20, guide §2.6); the manifest record still lands
+    // strictly after both.
     if (hasPqShape(spark, indexRoot))
-      ivfPqEncodeDelta(spark, indexRoot, newVecs, batchId)
+      inParallel(
+        ivfIndexAppendDelta(spark, indexRoot, newVecs, batchId),
+        ivfPqEncodeDelta(spark, indexRoot, newVecs, batchId))
+    else
+      ivfIndexAppendDelta(spark, indexRoot, newVecs, batchId)
     // JOINT commit point: both stores (or the only store) have landed —
     // record the batch in the one-read manifest (r16)
     recordDeltaBatch(spark, indexRoot, batchId)

@@ -291,14 +291,20 @@ object IndexLifecycle {
         reclaimDeadGenerations(spark, lcRoot, keepGenerations)
         true
       } else {
-        Similarity.ivfIndexAppendDelta(spark, g, batch, batchId)
         // the serving-resident side of the same delta: encode the batch
         // through the generation's FROZEN codebooks into its own
         // overwritten codes_deltas/batch dir (idempotent like the
         // vector delta; a pre-r12 generation without a codebook keeps
-        // full-precision serving and skips the encode)
+        // full-precision serving and skips the encode). r20: readers
+        // see the batch only when BOTH dirs carry _SUCCESS (the joint
+        // gate), so write order is visibility-irrelevant — overlap the
+        // two writes (guide §2.6); the manifest record stays after both.
         if (Similarity.hasPqShape(spark, g))
-          Similarity.ivfPqEncodeDelta(spark, g, batch, batchId)
+          Similarity.inParallel(
+            Similarity.ivfIndexAppendDelta(spark, g, batch, batchId),
+            Similarity.ivfPqEncodeDelta(spark, g, batch, batchId))
+        else
+          Similarity.ivfIndexAppendDelta(spark, g, batch, batchId)
         // joint commit point (r16): both stores landed — record the batch
         // in the one-read manifest every later serve/purge consults
         Similarity.recordDeltaBatch(spark, g, batchId)

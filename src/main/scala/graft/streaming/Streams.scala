@@ -1873,16 +1873,19 @@ object Streams {
       val docs = Tables.documents(s, d)
       val base = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       val stream = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val pairs = TextStats.bpeLearnMerges(base).map(m => (m._2, m._3))
       // spill each gate's verdict table ONCE (the t15/incrementalNearDup
       // materialization pattern): the final three-way union references
       // quality twice and the budget pricing three times, and without a
       // boundary every reference re-tokenizes the corpus / re-walks the
-      // codegen'd BPE counter — measured ~2× the whole-entry cost
+      // codegen'd BPE counter — measured ~2× the whole-entry cost.
+      // r20: the tokenizer training (over base) and the quality-gate
+      // spill (over stream) share no inputs — overlap them (guide §2.6)
       val spill = Dedup.trackSpill(
         s"${Dedup.spillBase(s, None, "st16")}/${Dedup.runDirName("fdoor")}")
-      qualityRoute(stream)
-        .write.mode("overwrite").parquet(s"$spill/qual")
+      val (pairs, _) = graft.llm.Similarity.inParallel(
+        TextStats.bpeLearnMerges(base).map(m => (m._2, m._3)),
+        qualityRoute(stream)
+          .write.mode("overwrite").parquet(s"$spill/qual"))
       val qual = s.read.parquet(s"$spill/qual")
       val qualPass = stream.join(
         qual.filter(col("route") === "pass").select(col("doc_id")),
@@ -1990,8 +1993,12 @@ object Streams {
         s"${Dedup.spillBase(s, None, "q82")}/${Dedup.runDirName("forget")}")
       val stores = FrontDoorStores(s"$run/lc", s"$run/ledger",
         s"$run/v", s"$run/d")
-      BpeLifecycle.init(s, stores.lcRoot, base)
-      seedIncrementalLedger(base, stores.ledgerDir)
+      // r20: lifecycle bootstrap and ledger seed write DISJOINT stores
+      // (lcRoot vs ledgerDir) — overlap them (guide §2.6); the composed
+      // tick starts strictly after both, as before
+      graft.llm.Similarity.inParallel(
+        BpeLifecycle.init(s, stores.lcRoot, base),
+        seedIncrementalLedger(base, stores.ledgerDir))
       composedGateTick(s, stream, 0L, stores.lcRoot, stores.ledgerDir,
         stores.verdictsDir, stores.deadDir, s"$run/ck", 64L, 4096L, None,
         (_, _) => ())
