@@ -148,6 +148,15 @@ object Bench {
       // deployments scanning thousands of object-store partitions
       // should lower it again (it stays an ordinary spark conf).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // r21 (guide §1.2 step 2 — per-"task" work, here the driver's):
+      // the generated-class cache (CodeGenerator) holds 100 entries by
+      // default; a session serving this engine's 217-operator surface
+      // compiles far more distinct codegen units than that, so every
+      // re-run of a plan behind ~100 other plans re-pays Janino
+      // compilation (~0.05-0.3 s per unit) that the cache exists to
+      // amortize. Sized to the surface, not the host — a production
+      // driver serving the same operator registry wants the same cache.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // the engine's SQL surface — s29's lateral serving needs the
       // resolution rule, which only a session build can inject
       .withExtensions(new GraftExtensions()(_))

@@ -40,6 +40,11 @@ object GraftSession {
       // stores. Object-store deployments with thousands of partitions
       // can lower it — it is an ordinary overridable conf.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // r21: the generated-class cache defaults to 100 entries — smaller
+      // than this engine's operator surface, so a long-lived session
+      // re-pays Janino compilation on every plan revisit. Sized to the
+      // registry, not the host (ordinary static conf, overridable).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
   /** Local session for tools/tests. */

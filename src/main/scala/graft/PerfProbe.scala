@@ -25,6 +25,7 @@ object PerfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -76,11 +76,28 @@ object Tables {
             s"$fam family — did the driver regenerate testdata with a new encoding?")
     }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    validate(name, df.schema)
-    df
-  }
+  /** Per-session resolved-relation memo — CATALOG metadata, not data.
+    * `spark.read.parquet(path)` re-lists the directory and re-reads a
+    * footer for schema inference on EVERY call; a catalog-backed engine
+    * resolves a table once per session and reuses the relation (what
+    * `saveAsTable`/HMS users get for free — Spark's own
+    * filesourceTableRelationCacheSize exists for exactly this). The memo
+    * holds the resolved LOGICAL PLAN only: every action against it still
+    * scans the parquet files — no rows, aggregates, or intermediates are
+    * retained (and the input star schema is immutable by the driver
+    * contract, so the cached file listing cannot go stale). Keyed by
+    * session so tests with per-suite sessions and the multi-SF gates
+    * never share state.
+    */
+  private val relationMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationMemo.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      validate(name, df.schema)
+      df
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -134,7 +151,25 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (scanParts(df) < target) df.repartition(target) else df
+  }
+
+  /** `df.rdd.getNumPartitions` runs the full Catalyst pipeline (analyze →
+    * optimize → physical plan → RDD DAG) just to read a partition count;
+    * with [[table]] memoized the SAME DataFrame instance recurs, so the
+    * count is memoized per instance (weak identity keys — derived frames
+    * are planned once and dropped with the frame).
+    */
+  private val partsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, Integer]())
+  private def scanParts(df: DataFrame): Int = {
+    val cached = partsMemo.get(df)
+    if (cached != null) cached.intValue()
+    else {
+      val n = df.rdd.getNumPartitions
+      partsMemo.put(df, Integer.valueOf(n))
+      n
+    }
   }
 
   /** Name-based loader that routes through the schema-aware accessors

@@ -27,6 +27,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // r20: see Bench — serial driver listing for few-dozen-dir stores
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // r21: see Bench — codegen class cache sized to the 217-plan surface
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // the engine's SQL surface (functions, TVFs, the r19 lateral
       // resolution rule) — s29 exercises it under the oracle gate
       .withExtensions(new GraftExtensions()(_))
