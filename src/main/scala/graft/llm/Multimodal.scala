@@ -34,6 +34,18 @@ import graft.OpQuery.sql
   */
 object Multimodal {
 
+  // r21 (guide §1.2 step 2 — per-task work): ImageIO's default
+  // useCache=true backs EVERY ImageIO.read/write(InputStream/
+  // OutputStream) with a FileCache stream — a temp file created and
+  // deleted on local disk PER IMAGE. Every payload in this engine is an
+  // in-memory byte array of a few-KB PNG, so the disk-backed cache is
+  // pure per-row overhead (measured ~ms per codec call, the dominant
+  // cost of the m-family's decode stages). Memory-backed streams decode
+  // and encode BIT-IDENTICAL bytes — the cache only changes where the
+  // stream buffers. JVM-wide, set once at class init (safe: nothing in
+  // this engine decodes images too large for memory buffering).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The media row contract: an opaque payload plus typed metadata —
     * the Parquet layout a 100 TB multimodal corpus would use (payload
     * column chunks stay untouched unless projected).
