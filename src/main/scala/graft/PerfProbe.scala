@@ -18,7 +18,16 @@ object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val jobBreakdown = sys.env.get("SPARK_GRAFT_JOBS").contains("1")
-    val spark = SparkSession.builder().master("local[32]")
+    // builder tooling: SPARK_GRAFT_CONF="k=v;k=v" A/Bs session confs on
+    // named entries without a full bench take (same syntax as Verify)
+    val extraConf: Seq[(String, String)] = sys.env.get("SPARK_GRAFT_CONF")
+      .toSeq.flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val base = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,7 +36,9 @@ object PerfProbe {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .withExtensions(new GraftExtensions()(_))
-      .getOrCreate()
+    val spark = extraConf.foldLeft(base) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // per-job timing listener: collects (jobId, submitted→completed ms,

@@ -384,13 +384,22 @@ object Streams {
     * gate verbatim, not a re-derivation that can drift.
     */
   private[graft] def qualityCols(text: Column): (Column, Column) = {
-    val sw = typedLit(graft.llm.TextStats.enStopwords)
-    val ts = split(trim(text), "\\s+")
-    val n = size(ts).cast("long")
-    val chars = aggregate(ts, lit(0L), (a, x) => a + length(x))
-    val stop = size(filter(ts, t => array_contains(sw, t))).cast("long")
-    val mx = array_max(transform(array_distinct(ts),
-      t => size(filter(ts, x => x === t)))).cast("long")
+    // r21 (guide §1.2 step 2): the four battery counters ride ONE
+    // codegen'd single-pass expression instead of the higher-order-
+    // function composition (HOFs are CodegenFallback — interpreted
+    // lambda dispatch per token — and the max-multiplicity term was
+    // O(n_tok · n_distinct) per doc, quadratic on the long docs the
+    // battery's own ntok bound admits). TokenBatterySpec property-pins
+    // bit-equality against the original composition; the reason chain
+    // below is unchanged, so the route verdicts are identical — and the
+    // SQL gate (graft_quality_route) shares THESE column defs, so both
+    // surfaces move together, drift-free as before.
+    val b = graft.functions.TokenBattery.battery(text,
+      graft.llm.TextStats.enStopwords)
+    val n = b.getField("n_tok")
+    val chars = b.getField("chars")
+    val stop = b.getField("stop")
+    val mx = b.getField("mx")
     val reason = when(!n.between(50, 100000), "ntok")
       .when(chars < n * 3 || chars > n * 10, "wlen")
       .when(stop * 100 < n, "stop")
